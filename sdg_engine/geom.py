@@ -1,0 +1,184 @@
+"""Vectorized geometry kernels (SURVEY.md §2.3 F3, §2.4 J2/J4, §2.8 X6).
+
+From-scratch numpy replacements for the JTS operations the reference
+leans on (``geom.intersection(extent)``, ``polygon.covers(point)``,
+buffered-geometry distance).  No shapely/JTS available or wanted —
+these run inside Arrow-batched pandas UDFs.
+
+Distance convention (documented for oracle parity, SURVEY.md §5):
+the world is a 10°×10° plate-carrée patch; distances are Euclidean in
+degree space scaled by METERS_PER_DEG (111_320 m/deg).  Only
+``+ - * / sqrt floor min max`` are used so the DuckDB oracle computes
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import METERS_PER_DEG
+
+
+def point_segment_dist_sq(
+    px: np.ndarray,
+    py: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+) -> np.ndarray:
+    """Squared degree-space distance point->segment, fully vectorized.
+
+    Classic projection-clamp: t = clamp(dot(p-a, b-a)/|b-a|², 0, 1).
+    Degenerate (a==b) segments fall back to point distance (t=0).
+    SURVEY.md J4/X6 — the exact-distance leg of the kNN join.
+    """
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    # avoid 0/0: where len2 == 0 use t = 0
+    t_raw = np.where(len2 > 0.0, ((px - ax) * dx + (py - ay) * dy) / np.where(len2 > 0.0, len2, 1.0), 0.0)
+    t = np.minimum(1.0, np.maximum(0.0, t_raw))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    ex = px - cx
+    ey = py - cy
+    return ex * ex + ey * ey
+
+
+def point_segment_dist_m(px, py, ax, ay, bx, by) -> np.ndarray:
+    """Meters (plate-carrée) point->segment."""
+    return np.sqrt(point_segment_dist_sq(px, py, ax, ay, bx, by)) * METERS_PER_DEG
+
+
+def point_polyline_dist_m(
+    px: float, py: float, coords: np.ndarray
+) -> float:
+    """Min distance from one point to a polyline given as (n,2) array."""
+    if len(coords) == 1:
+        dx = px - coords[0, 0]
+        dy = py - coords[0, 1]
+        return float(np.sqrt(dx * dx + dy * dy) * METERS_PER_DEG)
+    d2 = point_segment_dist_sq(
+        np.float64(px),
+        np.float64(py),
+        coords[:-1, 0],
+        coords[:-1, 1],
+        coords[1:, 0],
+        coords[1:, 1],
+    )
+    return float(np.sqrt(d2.min()) * METERS_PER_DEG)
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray-cast PIP: n points vs one closed ring (m,2).
+
+    SURVEY.md J2 ★ "exact ray-casting point-in-polygon".  Casts the
+    ray toward +x; a boundary-inclusive convention is NOT promised
+    (fixture borders are jittered off the test points).  Vectorized
+    n×m: fine for admin-0-sized rings (tens..hundreds of vertices).
+    """
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x0 = ring[:-1, 0][None, :]
+    y0 = ring[:-1, 1][None, :]
+    x1 = ring[1:, 0][None, :]
+    y1 = ring[1:, 1][None, :]
+    # edge straddles the horizontal line through py (half-open to avoid
+    # double-counting vertices)
+    straddle = (y0 <= py) != (y1 <= py)
+    # x coordinate where the edge crosses the ray's line
+    denom = np.where(y1 - y0 == 0.0, 1.0, y1 - y0)
+    xcross = x0 + (py - y0) * (x1 - x0) / denom
+    crossings = straddle & (xcross > px)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def polygon_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive), degree² units."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def bbox_of(coords: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(coords[:, 0].min()),
+        float(coords[:, 1].min()),
+        float(coords[:, 0].max()),
+        float(coords[:, 1].max()),
+    )
+
+
+def polyline_length_m(coords: np.ndarray) -> float:
+    """Total polyline length in meters (X6 geometry length)."""
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum() * METERS_PER_DEG)
+
+
+def clip_segments_to_rect(
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Liang-Barsky segment-vs-rect clip, vectorized over n segments.
+
+    SURVEY.md F3 (geometry clip to tile extent).  Returns
+    (keep_mask, cax, cay, cbx, cby) — clipped endpoints for segments
+    that intersect the rect.
+    """
+    dx = bx - ax
+    dy = by - ay
+    t0 = np.zeros_like(ax)
+    t1 = np.ones_like(ax)
+    keep = np.ones(ax.shape, dtype=bool)
+    for p, q in (
+        (-dx, ax - xmin),
+        (dx, xmax - ax),
+        (-dy, ay - ymin),
+        (dy, ymax - ay),
+    ):
+        para_out = (p == 0.0) & (q < 0.0)
+        keep &= ~para_out
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(p != 0.0, q / np.where(p != 0.0, p, 1.0), 0.0)
+        ent = p < 0.0
+        t0 = np.where(ent, np.maximum(t0, r), t0)
+        t1 = np.where(~ent & (p > 0.0), np.minimum(t1, r), t1)
+    keep &= t0 <= t1
+    cax = ax + t0 * dx
+    cay = ay + t0 * dy
+    cbx = ax + t1 * dx
+    cby = ay + t1 * dy
+    return keep, cax, cay, cbx, cby
+
+
+def seg_bbox_dist_sq(
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> np.ndarray:
+    """Lower bound: squared distance between segments and a rectangle.
+
+    Used to prune kNN candidates ring-by-ring (SURVEY.md J4): if the
+    bound already exceeds the current best, skip the exact test.
+    Conservative (0 when bboxes overlap)."""
+    sxmin = np.minimum(ax, bx)
+    sxmax = np.maximum(ax, bx)
+    symin = np.minimum(ay, by)
+    symax = np.maximum(ay, by)
+    dx = np.maximum(0.0, np.maximum(xmin - sxmax, sxmin - xmax))
+    dy = np.maximum(0.0, np.maximum(ymin - symax, symin - ymax))
+    return dx * dx + dy * dy
