@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in sdg_engine/ (queries.py / oracles.py);
+SURVEY.md §2 maps each entry to a reference operator.
 """
 
 from __future__ import annotations
@@ -15,24 +17,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the RAI pipeline —
+    derived points → kNN nearest road (cell-pruned, exact) → two-stage
+    PIP country assignment → per-country aggregate (SURVEY.md M1)."""
+    from sdg_engine.queries import flagship_rai
+
+    return flagship_rai(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from sdg_engine.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
+
+    ``spatial_compact_cover`` is intentionally absent: quadtree
+    compaction is recursive and not ANSI-SQL-expressible; it is
+    property-tested in tests/test_cells.py instead (rows-only here).
     """
-    return {}
+    from sdg_engine.oracles import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,478 @@
+"""Driver-harness queries: one builder per implemented operator
+(SURVEY.md §2; __spark_entry__.queries()).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose
+column names/values match the DuckDB oracle in oracles.py.  Spatial
+queries run through the engine's DataFrame builders (ops/spatial.py);
+relational/text/vector queries use the pyspark.sql surface directly —
+Catalyst handles pushdown/broadcast/AQE (SURVEY.md §4).
+
+Float policy (oracle parity): spatial math is bit-identical by
+construction (sqlgen.py); aggregate sums over many doubles are rounded
+coarsely (ROUND(sum, -2)) because partial-agg order differs between
+engines; averages/ratios get finer rounding (error shrinks by 1/n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cells as C
+from .harness import (
+    AX,
+    AY,
+    BX,
+    BY,
+    KNN_CUTOFF_M,
+    harness_rings,
+    points_df,
+    segments_df,
+)
+from .ops import spatial as SP
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Spatial ★ (engine operators; oracles share the sqlgen fragments)
+# ---------------------------------------------------------------------------
+
+
+def flagship_rai(spark, sf_dir):
+    """End-to-end RAI: points → kNN road ≤60 km → PIP country → agg.
+
+    The graft of the reference's PopulationNearRoadsJob (SURVEY.md
+    §3.1): per-country share of points within cutoff of a road.
+    """
+    pts = points_df(spark, sf_dir)
+    segs = segments_df(spark, sf_dir)
+    near = SP.knn_nearest_road(pts, segs, KNN_CUTOFF_M, id_col="point_id")
+    cc = SP.assign_countries(pts, harness_rings(), level=7, id_col="point_id")
+    joined = cc.join(near.select("point_id", "dist_m"), "point_id", "left")
+    return (
+        joined.groupBy("country_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("dist_m").alias("n_near"),
+        )
+        .withColumn(
+            "rai",
+            F.round(
+                F.col("n_near").cast("double") / F.col("n_points").cast("double"), 6
+            ),
+        )
+    )
+
+
+def spatial_cell_cover(spark, sf_dir):
+    """C1: quadtree cell id per point at level 12, count per cell."""
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 12)
+    return pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def spatial_knn_nearest(spark, sf_dir):
+    """J4 ★: nearest road per point (exact; verified vs brute-force SQL)."""
+    near = SP.knn_nearest_road(
+        points_df(spark, sf_dir), segments_df(spark, sf_dir), KNN_CUTOFF_M,
+        id_col="point_id",
+    )
+    return near.select(
+        "point_id", "road_id", F.round("dist_m", 6).alias("dist_m")
+    )
+
+
+def spatial_pip_country(spark, sf_dir):
+    """J2 ★: compacted-cell candidates + exact ray-cast assignment."""
+    cc = SP.assign_countries(
+        points_df(spark, sf_dir), harness_rings(), level=7, id_col="point_id"
+    )
+    return cc.select("point_id", "country_code")
+
+
+def spatial_join_cells(spark, sf_dir):
+    """J1 ★: points × road-segment cover equi-join at level 5."""
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 5)
+    segs = SP.segments_with_cells(segments_df(spark, sf_dir), 5)
+    pairs = SP.spatial_join(
+        pts.select("cell_id", "point_id"), segs.select("cell_id", "road_id")
+    )
+    return pairs.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def spatial_kring_cells(spark, sf_dir):
+    """C3: k-ring neighborhood per point at level 10 (world-clipped)."""
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 10, keep_idx=True)
+    ring = SP.with_kring(pts, 10, 1, idx_cols=("cell_id_ix", "cell_id_iy"))
+    return ring.groupBy("point_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.min("ring_cell_id").alias("min_cell"),
+    )
+
+
+def spatial_compact_cover(spark, sf_dir):
+    """C2 ★: compacted-cell stats per country (rows-only check; the
+    compaction property tests live in tests/test_cells.py)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for cc, _ring in harness_rings().items():
+        interior, _b = SP._classify_country_cells({cc: _ring}, 8)
+        dense = np.array([c for c, _k in interior], dtype=np.int64)
+        comp = C.compact(dense) if dense.size else dense
+        rows.append((cc, int(dense.size), int(len(comp))))
+    pdf = pd.DataFrame(rows, columns=["country_code", "n_dense", "n_compacted"])
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Relational harness ◇ (SURVEY.md §2 F5/J7/A6/W2/O4, DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), -2).alias("sum_base"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q3_big_building_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                -2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                -2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def window_top3_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+    )
+
+
+def rollup_status_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), -2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+def setops_brands(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") > 40).select("p_brand").distinct()
+    small = part.filter(F.col("p_size") < 5).select("p_brand").distinct()
+    cheap = part.filter(F.col("p_retailprice") < 1200).select("p_brand").distinct()
+    # (big ∩ small) ∪ (big \ cheap) — intersect/except/union surface (O4)
+    return big.intersect(small).union(big.exceptAll(cheap)).distinct()
+
+
+def agg_stats_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def events_hourly(spark, sf_dir):
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    # FLOOR(SUM) instead of ROUND(AVG, k): the value column has few
+    # decimal digits, so rounded averages can land exactly on a decimal
+    # boundary where engines' sum order flips the last ulp.
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("value")).cast("long").alias("sum_value_floor"),
+    )
+
+
+def sessionize_users(spark, sf_dir):
+    """Analytic chain: lag → gap flag → cumulative session id (W2)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+    )
+
+
+def json_extract_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_val").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents (SURVEY.md graft extras: dedup,
+# quality, language-ID, fingerprinting, MinHash LSH)
+# ---------------------------------------------------------------------------
+
+
+def dedup_fingerprint(spark, sf_dir):
+    """Exact-dedup machinery: md5 fingerprint of the 8-token prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "fp",
+            F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def doc_token_stats(spark, sf_dir):
+    """Token counting + quality scoring (length stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "in", "and"]
+
+
+def lang_stopword_score(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio per document."""
+    docs = _t(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / F.size(toks).cast("double"), 6).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+_MINHASH_SEEDS = ["s1", "s2", "s3", "s4"]
+
+
+def _minhash_cols():
+    """12-char shingles at stride 4 → 4 md5-order minhashes (JVM-side)."""
+    shingles = (
+        "transform(sequence(1, greatest(length(text) - 11, 1), 4), "
+        "i -> substring(text, i, 12))"
+    )
+    return [
+        F.expr(
+            f"array_min(transform({shingles}, s -> md5(concat(s, '{seed}'))))"
+        ).alias(f"mh{j + 1}")
+        for j, seed in enumerate(_MINHASH_SEEDS)
+    ]
+
+
+def minhash_signatures(spark, sf_dir):
+    """MinHash signature per document (md5-ordered, 4 hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_minhash_cols())
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing ≥1 of 4 minhash bands.
+
+    Classic shingle→minhash→band→bucket-join; bucket join is a plain
+    shuffled equi-join on (band, signature).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", *_minhash_cols())
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack(4, 1, mh1, 2, mh2, 3, mh3, 4, mh4) AS (band, mh)",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.mh") == F.col("b.mh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding ops (similarity search over array<float>)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>), "
+    "CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "ROUND(SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)"
+        ).alias("l2_norm"),
+        "label",
+    )
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (the exactness baseline
+    for approximate variants; SURVEY.md training-data extras)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    with_norm = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries_ = with_norm.filter(F.col("vec_id") < 10).alias("a")
+    targets = with_norm.alias("b")
+    pairs = (
+        queries_.crossJoin(targets)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(f"{_DOT} / (a.nrm * b.nrm)").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "flagship_rai": flagship_rai,
+    "spatial_cell_cover": spatial_cell_cover,
+    "spatial_knn_nearest": spatial_knn_nearest,
+    "spatial_pip_country": spatial_pip_country,
+    "spatial_join_cells": spatial_join_cells,
+    "spatial_kring_cells": spatial_kring_cells,
+    "spatial_compact_cover": spatial_compact_cover,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_big_building_orders": q3_big_building_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "window_top3_orders": window_top3_orders,
+    "rollup_status_priority": rollup_status_priority,
+    "setops_brands": setops_brands,
+    "agg_stats_orders": agg_stats_orders,
+    "events_hourly": events_hourly,
+    "sessionize_users": sessionize_users,
+    "json_extract_props": json_extract_props,
+    "dedup_fingerprint": dedup_fingerprint,
+    "doc_token_stats": doc_token_stats,
+    "lang_stopword_score": lang_stopword_score,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "embedding_norms": embedding_norms,
+    "ann_cosine_topk": ann_cosine_topk,
+}

@@ -1,0 +1,39 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+These are the confs we'd ship to a 1000-executor cluster (AQE for
+runtime re-planning + skew-join splitting, Arrow for the UDF boundary);
+locally they run on local[N].  SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS = {
+    # Catalyst/AQE: runtime re-plan, coalesce small partitions, split
+    # skewed ones (dense urban cells, SURVEY.md §4 skew row)
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16m",
+    # Arrow boundary for pandas UDFs (BASELINE.json:15 vectorized-only)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # at 100 TB these become cluster-level; locally keep shuffle small
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app: str = "sdg_engine", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app).master(master or f"local[{cpus}]")
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,141 @@
+"""Dialect-shared SQL fragments for the spatial core (SURVEY.md §5.1).
+
+The driver verifies every operator by running our Spark DataFrame
+against a DuckDB oracle and hashing the values.  Floating-point parity
+is guaranteed by construction: both engines evaluate the *same SQL
+expression text*, restricted to operations that are IEEE-exact and
+implemented identically (`+ - * / SQRT FLOOR LEAST GREATEST CASE`,
+int64 `<< >> & | %`).  No transcendentals appear in oracle-checked
+paths (SURVEY.md geom.py note).
+
+Fragments are emitted as ``(column_name, sql_expr)`` step lists: the
+Spark side applies them with ``DataFrame.withColumn(name,
+F.expr(sql))`` (whole-stage codegen — the spatial hot path never
+leaves the JVM), while the oracle side chains them into nested
+``SELECT``s.  This mirrors SURVEY.md C1/J2/J4's operators:
+
+* :func:`point_cell_steps` — C1 cell encoding (Z-order quadtree pack)
+* :func:`kring` is expressed with ``sequence``/``range`` explosions in
+  the query builders (C3)
+* :func:`point_seg_dist_steps` — J4's exact point→segment distance
+* :func:`pip_crossing_expr` — J2's ray-cast crossing test
+"""
+
+from __future__ import annotations
+
+WORLD_MIN_SQL = "CAST(0 AS DOUBLE)"
+WORLD_SIZE_SQL = "CAST(10 AS DOUBLE)"
+METERS_SQL = "CAST(111320 AS DOUBLE)"
+LEVEL_SHIFT = 54
+
+def morton_spread_expr(src: str, nbits: int) -> str:
+    """Morton bit-spread: bit i of ``src`` moves to bit 2i.
+
+    Linear-size formulation — ``src`` appears once per bit, with no
+    self-referencing steps.  The classic magic-mask spread doubles the
+    expression on every step, which (after Catalyst's CollapseProject
+    inlining) overflowed whole-stage codegen's 64 KB JVM method limit
+    and silently fell back to interpreted projection; this form keeps
+    the spatial hot path inside codegen.  Only ``nbits`` (= the cell
+    level) terms are emitted.
+    """
+    terms = [f"((({src}) >> {i} & 1) << {2 * i})" for i in range(nbits)]
+    return "(" + " | ".join(terms) + ")"
+
+
+def morton_squeeze_expr(src: str, nbits: int, odd: bool = False) -> str:
+    """Inverse spread: collect even (or odd) bits of ``src`` into an int."""
+    off = 1 if odd else 0
+    terms = [f"((({src}) >> {2 * i + off} & 1) << {i})" for i in range(nbits)]
+    return "(" + " | ".join(terms) + ")"
+
+
+def grid_index_expr(coord: str, level: int) -> str:
+    """Continuous coordinate -> clipped integer grid index at ``level``."""
+    n = 1 << level
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR((({coord}) - {WORLD_MIN_SQL}) / {WORLD_SIZE_SQL} "
+        f"* CAST({n} AS DOUBLE)), CAST(0 AS DOUBLE)), CAST({n - 1} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def pack_cell_expr(ix: str, iy: str, level: int) -> str:
+    """Pack integer grid indices into a cell id (single linear expr)."""
+    return (
+        f"((CAST({level} AS BIGINT) << {LEVEL_SHIFT}) | "
+        f"{morton_spread_expr(ix, level)} | "
+        f"({morton_spread_expr(iy, level)} << 1))"
+    )
+
+
+def point_cell_steps(px: str, py: str, level: int, out: str = "cell_id") -> list[tuple[str, str]]:
+    """C1: (lon, lat) -> quadtree cell id at ``level`` (Z-order packed)."""
+    return [
+        (f"{out}_ix", grid_index_expr(px, level)),
+        (f"{out}_iy", grid_index_expr(py, level)),
+        (out, pack_cell_expr(f"{out}_ix", f"{out}_iy", level)),
+    ]
+
+
+def point_seg_dist_steps(
+    px: str, py: str, ax: str, ay: str, bx: str, by: str, out: str = "dist_m"
+) -> list[tuple[str, str]]:
+    """J4: exact point->segment distance (meters, plate-carrée)."""
+    p = out
+    steps = [
+        (f"{p}_dx", f"(({bx}) - ({ax}))"),
+        (f"{p}_dy", f"(({by}) - ({ay}))"),
+        (f"{p}_len2", f"(({p}_dx * {p}_dx) + ({p}_dy * {p}_dy))"),
+        (
+            f"{p}_t",
+            f"(CASE WHEN {p}_len2 > CAST(0 AS DOUBLE) THEN "
+            f"LEAST(CAST(1 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE), "
+            f"(((({px}) - ({ax})) * {p}_dx) + ((({py}) - ({ay})) * {p}_dy)) / {p}_len2)) "
+            f"ELSE CAST(0 AS DOUBLE) END)",
+        ),
+        (f"{p}_ex", f"(({px}) - (({ax}) + {p}_t * {p}_dx))"),
+        (f"{p}_ey", f"(({py}) - (({ay}) + {p}_t * {p}_dy))"),
+        (out, f"(SQRT(({p}_ex * {p}_ex) + ({p}_ey * {p}_ey)) * {METERS_SQL})"),
+    ]
+    return steps
+
+
+def pip_crossing_expr(px: str, py: str, x0: str, y0: str, x1: str, y1: str) -> str:
+    """J2: 1 if the +x ray from (px,py) crosses edge (x0,y0)-(x1,y1).
+
+    Half-open vertex rule (y0 <= py) <> (y1 <= py) avoids double
+    counting; the divisor (y1-y0) is provably nonzero when the
+    straddle condition holds.
+    """
+    return (
+        f"(CASE WHEN ((({y0}) <= ({py})) <> (({y1}) <= ({py}))) "
+        f"AND ((({x0}) + ((({py}) - ({y0})) * (({x1}) - ({x0})) / (({y1}) - ({y0})))) > ({px})) "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def chain_select(base_sql: str, steps: list[tuple[str, str]], keep: list[str]) -> str:
+    """Compose step list into nested SELECTs (oracle side).
+
+    ``base_sql`` must be a relation (subquery or table name); each step
+    becomes one SELECT layer so expression text stays linear in size.
+    """
+    cur = f"({base_sql})"
+    for i, (name, expr) in enumerate(steps):
+        cur = f"(SELECT *, {expr} AS {name} FROM {cur} t{i})"
+    cols = ", ".join(keep)
+    return f"SELECT {cols} FROM {cur} tz"
+
+
+def apply_steps(df, steps: list[tuple[str, str]]):
+    """Apply a step list to a Spark DataFrame via F.expr (codegen path)."""
+    from pyspark.sql import functions as F
+
+    for name, expr in steps:
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def drop_intermediates(df, steps: list[tuple[str, str]], keep_last: int = 1):
+    names = [n for n, _ in steps[:-keep_last]] if keep_last else [n for n, _ in steps]
+    return df.drop(*names)
