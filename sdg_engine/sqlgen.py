@@ -100,6 +100,26 @@ def point_seg_dist_steps(
     return steps
 
 
+def point_seg_dist_expr(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Single-expression point->segment distance (meters).
+
+    Same math as :func:`point_seg_dist_steps` but inlined, for use as a
+    JOIN condition (a broadcast hash join can carry non-equi predicates
+    beside the cell equi-key — the shuffle-free 'within cutoff' test)."""
+    dx = f"(({bx}) - ({ax}))"
+    dy = f"(({by}) - ({ay}))"
+    len2 = f"(({dx} * {dx}) + ({dy} * {dy}))"
+    t = (
+        f"(CASE WHEN {len2} > CAST(0 AS DOUBLE) THEN "
+        f"LEAST(CAST(1 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE), "
+        f"(((({px}) - ({ax})) * {dx}) + ((({py}) - ({ay})) * {dy})) / {len2})) "
+        f"ELSE CAST(0 AS DOUBLE) END)"
+    )
+    ex = f"(({px}) - (({ax}) + {t} * {dx}))"
+    ey = f"(({py}) - (({ay}) + {t} * {dy}))"
+    return f"(SQRT(({ex} * {ex}) + ({ey} * {ey})) * {METERS_SQL})"
+
+
 def pip_crossing_expr(px: str, py: str, x0: str, y0: str, x1: str, y1: str) -> str:
     """J2: 1 if the +x ray from (px,py) crosses edge (x0,y0)-(x1,y1).
 
@@ -112,6 +132,38 @@ def pip_crossing_expr(px: str, py: str, x0: str, y0: str, x1: str, y1: str) -> s
         f"AND ((({x0}) + ((({py}) - ({y0})) * (({x1}) - ({x0})) / (({y1}) - ({y0})))) > ({px})) "
         f"THEN 1 ELSE 0 END)"
     )
+
+
+def pip_country_case_expr(rings: dict, px: str, py: str) -> str:
+    """Exact ray-cast PIP over literal country rings as ONE CASE expr.
+
+    For each country the even-odd crossing count is a sum of
+    :func:`pip_crossing_expr` terms with the ring coordinates embedded
+    as double literals (repr round-trip ⇒ bit-identical in any engine).
+    Evaluated lazily (CASE) so callers pay it only on boundary-cell
+    rows — this keeps J2 a single streaming projection: no edge join,
+    no union, no re-computation of the upstream plan (SURVEY.md §4).
+    """
+    whens = []
+    for cc, ring in rings.items():
+        terms = []
+        for i in range(len(ring) - 1):
+            x0, y0 = float(ring[i, 0]), float(ring[i, 1])
+            x1, y1 = float(ring[i + 1, 0]), float(ring[i + 1, 1])
+            terms.append(
+                pip_crossing_expr(px, py, repr(x0), repr(y0), repr(x1), repr(y1))
+            )
+        # bbox precheck short-circuits the 18-term crossing sum for the
+        # ~3/4 of candidates outside this country's bounding box (the
+        # guard is a superset test — ring ⊆ bbox — so never wrong)
+        bbox = (
+            f"({px} >= {ring[:, 0].min()!r} AND {px} <= {ring[:, 0].max()!r} "
+            f"AND {py} >= {ring[:, 1].min()!r} AND {py} <= {ring[:, 1].max()!r})"
+        )
+        whens.append(
+            f"WHEN ({bbox} AND ((({' + '.join(terms)}) % 2) = 1)) THEN '{cc}'"
+        )
+    return "(CASE " + " ".join(whens) + " ELSE NULL END)"
 
 
 def chain_select(base_sql: str, steps: list[tuple[str, str]], keep: list[str]) -> str:
