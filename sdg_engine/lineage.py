@@ -1,0 +1,97 @@
+"""Per-partition lineage + checkpoint/resume (north rule: "resumable
+from checkpoint with per-partition lineage + metrics"; SURVEY.md §2.10,
+§4).
+
+The reference has no resume story (failed countries rerun); the north
+rule upgrades it: every committed unit of work emits a lineage record
+(input snapshot id, cell range, row count, checksum), and a restarted
+job anti-joins committed units so only missing work runs.
+
+Local implementation: work is chunked by CELL BUCKET (hash of the
+level-L cell id).  Each bucket's output is written to
+``<out>/bucket=<b>/`` followed by one lineage row appended to
+``<out>/_lineage/``.  The lineage row is written AFTER the data —
+a crash between the two leaves an uncommitted bucket that simply
+reruns (idempotent overwrite).  On Iceberg the same records would be
+table properties / snapshot summary entries; this layout is the
+parquet-only stand-in (SURVEY.md §0 — no Iceberg jars in the sandbox).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "bucket int, snapshot_id string, cell_min bigint, cell_max bigint, "
+    "n_rows bigint, checksum bigint, wall_sec double"
+)
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, "_lineage")
+    if not os.path.exists(path):
+        return set()
+    rows = spark.read.schema(LINEAGE_SCHEMA).parquet(path).select("bucket").collect()
+    return {r.bucket for r in rows}
+
+
+def run_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cell_col: str = "cell_id",
+    n_buckets: int = 8,
+    snapshot_id: str = "local-parquet",
+    fail_at_bucket: int | None = None,
+) -> list[int]:
+    """Write ``df`` bucketed by ``pmod(hash(cell_col))`` with lineage.
+
+    Already-committed buckets are skipped (resume).  ``fail_at_bucket``
+    injects a crash before that bucket commits — the test harness uses
+    it to prove restartability.  Returns the buckets written this run.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = committed_buckets(spark, out_dir)
+    written: list[int] = []
+    bucketed = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_buckets)).cast("int")
+    )
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        if fail_at_bucket is not None and b == fail_at_bucket:
+            raise RuntimeError(f"injected failure before bucket {b}")
+        t0 = time.time()
+        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        part.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
+        stats = part.agg(
+            F.min(cell_col).alias("cell_min"),
+            F.max(cell_col).alias("cell_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(F.xxhash64(*part.columns)), F.lit(0)).alias("checksum"),
+        ).collect()[0]
+        rec = spark.createDataFrame(
+            [(
+                b,
+                snapshot_id,
+                stats.cell_min,
+                stats.cell_max,
+                stats.n_rows,
+                stats.checksum,
+                round(time.time() - t0, 3),
+            )],
+            LINEAGE_SCHEMA,
+        )
+        rec.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
+        written.append(b)
+    return written
+
+
+def read_bucketed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "bucket=*")
+    )

@@ -1,0 +1,176 @@
+"""Image-payload operators (SURVEY.md §2.8 X1-X5; BASELINE.json:15).
+
+All Arrow-batched ``mapInPandas`` / pandas UDFs — the batch loop is
+Python, the per-image work is numpy (no per-row Python in expressions).
+The invariant surface (decoded-pixel PSNR, caption byte-equality,
+phash stability) is exposed as DataFrame operators so pipelines can
+gate themselves (the pytest gate uses them too).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash bigint"
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """X1 surface: decode every image, emit per-image pixel stats.
+
+    Output: image_id, mean_lum, min_px, max_px, ok (decode succeeded &
+    shape matches the w/h columns).
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                    ok = img.shape == (int(r.h), int(r.w), 3)
+                    lum = (
+                        0.299 * img[:, :, 0].astype(np.float64)
+                        + 0.587 * img[:, :, 1]
+                        + 0.114 * img[:, :, 2]
+                    )
+                    out.append((r.image_id, float(lum.mean()), int(img.min()),
+                                int(img.max()), ok))
+                except Exception:  # noqa: BLE001 — corrupt row -> ok=False
+                    out.append((r.image_id, None, None, None, False))
+            yield pd.DataFrame(
+                out, columns=["image_id", "mean_lum", "min_px", "max_px", "ok"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _stats, "image_id string, mean_lum double, min_px int, max_px int, ok boolean"
+    )
+
+
+def transcode(images: DataFrame, to_fmt: str) -> DataFrame:
+    """X1+X2: decode → re-encode every image to ``to_fmt``.
+
+    Returns the same images schema with new bytes/fmt and a freshly
+    computed phash (which must equal the input phash on lossless paths
+    — the invariant tests assert it)."""
+
+    def _tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image, encode_image
+        from sdg_engine.phash import phash64
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                data = encode_image(img, to_fmt)
+                rt = decode_image(data, to_fmt, int(r.w), int(r.h))
+                out.append(
+                    (r.image_id, data, int(r.w), int(r.h), to_fmt, r.caption,
+                     np.int64(phash64(rt)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return images.mapInPandas(_tx, _IMAGES_SCHEMA)
+
+
+def verify_invariants(inputs: DataFrame, outputs: DataFrame) -> DataFrame:
+    """BASELINE.json:15 per-row invariants between two image tables.
+
+    Joins on image_id and emits: psnr (inf→1e9 for lossless-equal),
+    caption_equal, phash_hamming.  Gate: psnr >= 40 AND caption_equal.
+    """
+    a = inputs.select(
+        F.col("image_id"),
+        F.col("bytes").alias("bytes_in"),
+        F.col("fmt").alias("fmt_in"),
+        "w",
+        "h",
+        F.col("caption").alias("caption_in"),
+        F.col("phash").alias("phash_in"),
+    )
+    b = outputs.select(
+        F.col("image_id"),
+        F.col("bytes").alias("bytes_out"),
+        F.col("fmt").alias("fmt_out"),
+        F.col("caption").alias("caption_out"),
+        F.col("phash").alias("phash_out"),
+    )
+    joined = a.join(b, "image_id")
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image, psnr
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                da = decode_image(bytes(r.bytes_in), r.fmt_in, int(r.w), int(r.h))
+                db = decode_image(bytes(r.bytes_out), r.fmt_out, int(r.w), int(r.h))
+                p = psnr(da, db)
+                out.append(
+                    (
+                        r.image_id,
+                        1e9 if p == float("inf") else float(p),
+                        r.caption_in == r.caption_out,
+                        int(bin((int(r.phash_in) ^ int(r.phash_out)) & ((1 << 64) - 1)).count("1")),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "psnr", "caption_equal", "phash_hamming"]
+            )
+
+    return joined.mapInPandas(
+        _check,
+        "image_id string, psnr double, caption_equal boolean, phash_hamming int",
+    )
+
+
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """X4 near-dup grouping: pHash-band LSH + exact hamming verify.
+
+    Band trick: 8 bands of 8 bits — by pigeonhole, any pair within
+    hamming 7 shares at least one unchanged band (guaranteed recall);
+    up to 12 the recall is probabilistic but high.  Exact
+    ``bit_count(a^b)`` (pure Spark SQL, no UDF) verifies candidates.
+    """
+    bands = images.select(
+        "image_id",
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(f"(phash >> {8 * i}) & 255").alias("sig"),
+                )
+                for i in range(8)
+            ])
+        ).alias("b"),
+    ).select("image_id", "phash", "b.band", "b.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,209 @@
+"""Raster↔vector operators over the images table (SURVEY.md §2.5 A1/A2,
+§2.2 C4/C5) — the reference's per-tile burn + cost-distance stage.
+
+Graft semantics (documented; the reference burns roads into WorldPop
+tiles): each image row IS a raster tile over its georeferenced
+footprint; per-pixel "population" is the decoded luminance.  Per tile:
+
+1. **burn** (A1): clip candidate road segments to the footprint
+   (Liang-Barsky) and rasterize them onto the image's pixel grid;
+2. **cost-distance** (A2): two-pass 3-4 chamfer distance transform
+   from the burned mask — the uniform-friction analogue of GeoTrellis
+   ``CostDistance`` (SURVEY.md A2);
+3. **masked sum**: population within ``cutoff_m`` of a road vs total.
+
+Execution shape: ``images.groupBy(cell).cogroup(roads.groupBy(cell))
+.applyInPandas`` — the exact Spark-native analogue of the reference's
+keyed-RDD cogroup + per-tile visitor (SURVEY.md §3.1), one shuffle per
+side, vectorized numpy inside.  Roads are pre-expanded by kring(1) so
+cross-border segments are present (C3 halo; SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import METERS_PER_DEG
+from ..codecs import decode_image
+from ..geom import clip_segments_to_rect
+from .spatial import segments_with_cells, with_point_cell
+
+_SUMMARY_SCHEMA = (
+    "image_id string, cell_id bigint, pop_total double, pop_near double, "
+    "px_total int, px_near int, n_segs int"
+)
+
+
+def burn_mask(
+    w: int,
+    h: int,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    segs: np.ndarray,
+) -> np.ndarray:
+    """A1: rasterize segments (n,4 array ax,ay,bx,by) onto a h×w grid.
+
+    Dense sampling at half-pixel steps along each clipped segment —
+    deterministic and gap-free for the mask's purpose."""
+    mask = np.zeros((h, w), dtype=bool)
+    if len(segs) == 0:
+        return mask
+    keep, cax, cay, cbx, cby = clip_segments_to_rect(
+        segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3], xmin, ymin, xmax, ymax
+    )
+    if not keep.any():
+        return mask
+    cax, cay, cbx, cby = cax[keep], cay[keep], cbx[keep], cby[keep]
+    pxw = (xmax - xmin) / w
+    pxh = (ymax - ymin) / h
+    for ax, ay, bx, by in zip(cax, cay, cbx, cby):
+        length_px = max(abs(bx - ax) / pxw, abs(by - ay) / pxh)
+        n = max(2, int(np.ceil(length_px * 2)) + 1)
+        t = np.linspace(0.0, 1.0, n)
+        xs = ax + t * (bx - ax)
+        ys = ay + t * (by - ay)
+        cs = np.clip(((xs - xmin) / pxw).astype(np.int64), 0, w - 1)
+        rs = np.clip(((ymax - ys) / pxh).astype(np.int64), 0, h - 1)
+        mask[rs, cs] = True
+    return mask
+
+
+def chamfer_distance(mask: np.ndarray) -> np.ndarray:
+    """A2: 3-4 chamfer distance transform (pixel units) from True cells.
+
+    Two sequential passes over rows (each row step vectorized across
+    columns via shifted minima) — the classic Borgefors pushbroom, the
+    uniform-friction stand-in for cost-distance accumulation."""
+    h, w = mask.shape
+    big = np.float64(1e18)
+    d = np.where(mask, 0.0, big)
+    # forward pass
+    for r in range(h):
+        row = d[r]
+        up = d[r - 1] if r > 0 else None
+        if up is not None:
+            row = np.minimum(row, up + 3.0)
+            row[1:] = np.minimum(row[1:], up[:-1] + 4.0)
+            row[:-1] = np.minimum(row[:-1], up[1:] + 4.0)
+        # left-to-right scan (sequential; cheap C loop via minimum.accumulate
+        # on (row - 3*index) trick)
+        idx = np.arange(w) * 3.0
+        # min_j<=i (row[j] + 3(i-j)) = min-accumulate(row - 3j) + 3i
+        row = np.minimum.accumulate(row - idx) + idx
+        d[r] = row
+    # backward pass
+    for r in range(h - 1, -1, -1):
+        row = d[r]
+        dn = d[r + 1] if r < h - 1 else None
+        if dn is not None:
+            row = np.minimum(row, dn + 3.0)
+            row[1:] = np.minimum(row[1:], dn[:-1] + 4.0)
+            row[:-1] = np.minimum(row[:-1], dn[1:] + 4.0)
+        idx = np.arange(w) * 3.0
+        rev = row[::-1]
+        rev = np.minimum.accumulate(rev - idx) + idx
+        d[r] = rev[::-1]
+    return d / 3.0
+
+
+def tile_summary(
+    image_id: str,
+    data: bytes,
+    fmt: str,
+    w: int,
+    h: int,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    segs: np.ndarray,
+    cutoff_m: float,
+) -> tuple[float, float, int, int]:
+    """Numpy oracle for one tile: (pop_total, pop_near, px_total, px_near).
+
+    Shared by the Spark cogroup UDF and the golden generator — the
+    per-tile math is identical by construction; the DISTRIBUTED parts
+    (which segments reach which tile, halo exchange) are what the Spark
+    tests exercise."""
+    img = decode_image(data, fmt, w, h)
+    lum = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    mask = burn_mask(w, h, xmin, ymin, xmax, ymax, segs)
+    if mask.any():
+        dist_px = chamfer_distance(mask)
+        px_m = (xmax - xmin) / w * METERS_PER_DEG
+        near = dist_px * px_m <= cutoff_m
+    else:
+        near = np.zeros((h, w), dtype=bool)
+    return (
+        float(lum.sum()),
+        float(lum[near].sum()),
+        int(lum.size),
+        int(near.sum()),
+    )
+
+
+def burn_cost_summaries(
+    images_geo: DataFrame,
+    segs: DataFrame,
+    cutoff_m: float = 250.0,
+    level: int = 9,
+) -> DataFrame:
+    """A1+A2 distributed: per-image burn/cost-distance/masked-sum.
+
+    ``images.groupBy(cell) COGROUP roads.groupBy(cell)`` — the
+    reference's per-tile join shape.  The road side is covered at
+    ``level`` and kring(1)-expanded (C3 halo), so every segment that
+    can intersect a footprint in the cell is present in its group.
+    Correctness constraint: footprint half-size (≤0.008°, FIXTURES.md)
+    must be < cell size (0.0195° at level 9) for the kring(1) halo to
+    cover footprints that straddle the center cell's border — only
+    segments CROSSING the footprint affect the burn, and such segments
+    lie within half·√2 of the image center.
+    """
+    pts = with_point_cell(images_geo, level, "lon", "lat", "cell_id")
+    img_side = pts.select(
+        "cell_id", "image_id", "bytes", "fmt", "w", "h",
+        "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax",
+    )
+    road_side = segments_with_cells(segs, level, k_expand=1).select(
+        "cell_id", "ax", "ay", "bx", "by"
+    )
+    cutoff = float(cutoff_m)
+
+    def _summarize(key, imgs: pd.DataFrame, roads: pd.DataFrame) -> pd.DataFrame:
+        seg_arr = (
+            roads[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
+            if len(roads)
+            else np.zeros((0, 4))
+        )
+        out = []
+        for row in imgs.itertuples(index=False):
+            pop_total, pop_near, px_total, px_near = tile_summary(
+                row.image_id, bytes(row.bytes), row.fmt, int(row.w), int(row.h),
+                row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax,
+                seg_arr, cutoff,
+            )
+            out.append(
+                (row.image_id, key[0], pop_total, pop_near, px_total, px_near,
+                 len(seg_arr))
+            )
+        return pd.DataFrame(
+            out,
+            columns=["image_id", "cell_id", "pop_total", "pop_near",
+                     "px_total", "px_near", "n_segs"],
+        )
+
+    return (
+        img_side.groupBy("cell_id")
+        .cogroup(road_side.groupBy("cell_id"))
+        .applyInPandas(_summarize, _SUMMARY_SCHEMA)
+    )

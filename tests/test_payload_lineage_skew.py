@@ -1,0 +1,138 @@
+"""M3/M4: payload invariants (BASELINE.json:15), raster burn goldens,
+lineage resume, and skew salting."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sdg_engine import fixtures as FX
+from sdg_engine.ops import payload as PL
+from sdg_engine.ops import raster as RS
+from sdg_engine.ops import spatial as SP
+
+SF = 0.001
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    from sdg_engine.jobs.rai import fixture_dir
+
+    return spark.read.parquet(os.path.join(fixture_dir(SF), "images.parquet")).limit(200)
+
+
+def test_decode_stats_all_ok(spark, images):
+    stats = PL.decode_stats(images).toPandas()
+    assert len(stats) == 200
+    assert stats["ok"].all()
+    assert (stats["mean_lum"] > 0).all()
+
+
+def test_transcode_lossless_invariants(spark, images):
+    """PNG round-trip: pixels bit-equal (psnr=inf), caption byte-equal,
+    phash identical (BASELINE.json:15)."""
+    lossless = images.filter(F.col("fmt") != "qnt")
+    out = PL.transcode(lossless, "png")
+    inv = PL.verify_invariants(lossless, out).toPandas()
+    assert len(inv) == lossless.count()
+    assert (inv["psnr"] >= 1e9).all()  # bit-exact
+    assert inv["caption_equal"].all()
+    assert (inv["phash_hamming"] == 0).all()
+
+
+def test_transcode_lossy_psnr_gate(spark, images):
+    """qnt path: PSNR >= 40 dB, captions byte-equal."""
+    out = PL.transcode(images, "qnt")
+    inv = PL.verify_invariants(images, out).toPandas()
+    assert (inv["psnr"] >= 40.0).all()
+    assert inv["caption_equal"].all()
+    assert (inv["phash_hamming"] <= 12).all()
+
+
+def test_phash_near_dup_pairs(spark, images):
+    """A decoded+re-encoded copy must be found as a near-dup of itself."""
+    copy = PL.transcode(images.limit(30), "qnt").withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    both = images.limit(30).unionByName(copy)
+    pairs = PL.phash_near_dup_pairs(both, max_hamming=12).toPandas()
+    found = {
+        (a.replace("_copy", ""), b.replace("_copy", ""))
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    }
+    self_pairs = [p for p in found if p[0] == p[1]]
+    assert len(self_pairairs_guard := self_pairs) >= 25  # LSH recall on near-identical images
+
+
+def test_burn_cost_cogroup_matches_oracle(spark, images):
+    """Distributed A1+A2 (cogroup) == per-tile numpy oracle with ALL
+    segments brute force (validates candidate generation + halo)."""
+    geo = SP.with_geo(images.limit(60))
+    roads = FX.roads_records(SF)
+    segs = SP.road_segments(spark.createDataFrame(roads))
+    got = (
+        RS.burn_cost_summaries(geo, segs, cutoff_m=250.0, level=9)
+        .orderBy("image_id")
+        .toPandas()
+    )
+    seg_list = []
+    for r in roads:
+        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
+        for s in range(len(pts) - 1):
+            seg_list.append((pts[s, 0], pts[s, 1], pts[s + 1, 0], pts[s + 1, 1]))
+    seg_arr = np.array(seg_list)
+    gpdf = geo.orderBy("image_id").toPandas()
+    assert len(got) == len(gpdf)
+    for g, row in zip(got.itertuples(index=False), gpdf.itertuples(index=False)):
+        pop_total, pop_near, px_total, px_near = RS.tile_summary(
+            row.image_id, bytes(row.bytes), row.fmt, int(row.w), int(row.h),
+            row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax, seg_arr, 250.0,
+        )
+        assert g.image_id == row.image_id
+        assert abs(g.pop_total - pop_total) < 1e-6
+        assert abs(g.pop_near - pop_near) < 1e-6, g.image_id
+        assert g.px_near == px_near
+
+
+def test_lineage_resume(spark, tmp_path, images):
+    """Crash mid-run -> restart completes only missing buckets; final
+    data identical to a clean run (north rule resumability)."""
+    from sdg_engine.lineage import committed_buckets, read_bucketed, run_bucketed
+
+    geo = SP.with_point_cell(SP.with_geo(images.limit(100)), 9).select(
+        "image_id", "cell_id"
+    )
+    out = str(tmp_path / "lineage_out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_bucketed(spark, geo, out, n_buckets=8, fail_at_bucket=5)
+    done_before = committed_buckets(spark, out)
+    assert done_before == {0, 1, 2, 3, 4}
+    written = run_bucketed(spark, geo, out, n_buckets=8)
+    assert sorted(written) == [5, 6, 7]
+    back = read_bucketed(spark, out)
+    assert back.count() == 100
+    assert back.select("image_id").distinct().count() == 100
+    # idempotent: a third run does nothing
+    assert run_bucketed(spark, geo, out, n_buckets=8) == []
+
+
+def test_skew_salting_splits_hot_cell(spark):
+    """The dense-urban fixture cell (ids ending in 7) must be split by
+    the salting planner into bounded groups."""
+    from sdg_engine.skew import cell_histogram, plan_salts, with_salt
+
+    ids = [f"img{i:012d}" for i in range(1000)]
+    geo = SP.with_geo(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+    pts = SP.with_point_cell(geo, 9)
+    hist = cell_histogram(pts).toPandas()
+    hot = hist["n_rows"].max()
+    assert hot >= 90  # the fixture's hot cell holds ~10% of rows
+    salts = plan_salts(cell_histogram(pts), target_rows_per_group=20)
+    salted = with_salt(pts, salts, id_col="image_id")
+    groups = (
+        salted.groupBy("cell_id", "salt").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    assert groups["n"].max() <= 40  # hot cell split into ~target-sized groups
+    assert groups["n"].sum() == 1000  # nothing lost
