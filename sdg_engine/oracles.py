@@ -385,3 +385,7 @@ ORACLES = {
     "embedding_norms": EMBEDDING_NORMS,
     "ann_cosine_topk": ANN_COSINE_TOPK,
 }
+
+from .oracles_ext import ORACLES_EXT  # noqa: E402 — M5 breadth
+
+ORACLES.update(ORACLES_EXT)

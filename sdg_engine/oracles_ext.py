@@ -1,0 +1,173 @@
+"""DuckDB oracles for queries_ext.py (M5 breadth).
+
+Image-pipeline queries are deliberately absent (rows-only checks):
+their content is binary image payload pinned exactly by
+tests/goldens + the pytest invariant gate instead.
+"""
+
+from __future__ import annotations
+
+DEDUP_EXACT = """
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1) g
+"""
+
+SIMHASH60 = """
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+),
+votes AS (
+  SELECT doc_id, i,
+         CAST(SUM(CASE WHEN (((strpos('0123456789abcdef',
+                    substr(h, CAST(FLOOR(i / 4) AS INT) + 1, 1)) - 1)
+                    >> (i % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM toks, UNNEST(generate_series(0, 59)) AS u(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+NGRAM_JACCARD_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[LEAST(i + 1, len(string_split(text, ' ')))] || ' ' ||
+                string_split(text, ' ')[LEAST(i + 2, len(string_split(text, ' ')))]
+         )) AS sh
+  FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM sh a CROSS JOIN sh b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) > 0
+"""
+
+
+def _dot_plane(j: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len(embedding)), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"CAST((i * 31 + {j} * 17) * 2654435761 % 1000 - 500 AS DOUBLE)))"
+    )
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_dot_plane(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+    for j in range(8)
+)
+
+EMBEDDING_LSH_BUCKETS = f"""
+SELECT CAST(({_BUCKET}) AS INT) AS bucket, COUNT(*) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+_DOT_AB = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+ANN_LSH_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(({_BUCKET}) AS INT) AS bucket,
+         SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DOT_AB} / (a.nrm * b.nrm) AS cos_sim
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rnk, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rnk <= 3
+"""
+
+WINDOWS_SUITE = """
+SELECT o_custkey, o_orderkey,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       COALESCE(LAG(o_orderkey) OVER w, -1) AS prev_order,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+CUBE_LINEITEM = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 0) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+STRINGS_PARTS = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_u,
+       CAST(regexp_extract(p_brand, '[0-9]+') AS INT) AS brand_num,
+       substring(p_type, 1, 5) AS type_prefix,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part WHERE p_name LIKE '%a%'
+"""
+
+DATES_ORDERS = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+       COUNT(*) AS n,
+       CAST(datediff('day', MIN(CAST(o_orderdate AS DATE)),
+                     MAX(CAST(o_orderdate AS DATE))) AS INT) AS span_days
+FROM orders GROUP BY yr, qtr
+"""
+
+ANTI_JOIN_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY c_mktsegment
+"""
+
+SEMI_JOIN_PARTS = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+ORACLES_EXT = {
+    "dedup_exact": DEDUP_EXACT,
+    "simhash60": SIMHASH60,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,
+    "embedding_lsh_buckets": EMBEDDING_LSH_BUCKETS,
+    "ann_lsh_topk": ANN_LSH_TOPK,
+    "windows_suite": WINDOWS_SUITE,
+    "cube_lineitem": CUBE_LINEITEM,
+    "strings_parts": STRINGS_PARTS,
+    "dates_orders": DATES_ORDERS,
+    "anti_join_customers": ANTI_JOIN_CUSTOMERS,
+    "semi_join_parts": SEMI_JOIN_PARTS,
+    # image_rai_summary / image_decode_stats / image_near_dup_pairs:
+    # rows-only by design (binary payload; pinned by tests/goldens)
+}

@@ -500,3 +500,24 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
 }
+
+from .queries_ext import QUERIES_EXT  # noqa: E402 — M5 breadth
+
+QUERIES.update(QUERIES_EXT)
+
+
+def _with_prep(fn):
+    """Every registry entry runs _prep first: non-ANSI arithmetic and
+    the pyfiles zip (executor workers must import sdg_engine to unpickle
+    pandas UDFs) — the driver's own session has neither by default."""
+
+    def _wrapped(spark, sf_dir, _fn=fn):
+        _prep(spark)
+        return _fn(spark, sf_dir)
+
+    _wrapped.__name__ = getattr(fn, "__name__", "query")
+    _wrapped.__doc__ = fn.__doc__
+    return _wrapped
+
+
+QUERIES = {name: _with_prep(fn) for name, fn in QUERIES.items()}

@@ -1,0 +1,337 @@
+"""M5 breadth queries (SURVEY.md §2 ◇ rows + training-data extras):
+SimHash, exact dedup, n-gram Jaccard, IVF/LSH ANN, window/cube/string/
+date suites, anti/exists joins, and the fixture-backed image pipeline
+(rows-only checks — no relational oracle can decode PNGs).
+
+Registered into queries.QUERIES via QUERIES_EXT.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup extras
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup stats over full-text md5 (the hash-groupBy dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    by_hash = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return by_hash.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+    )
+
+
+_SIM_BITS = 60  # keep the packed value in positive int64 for both engines
+
+
+def simhash60(spark, sf_dir):
+    """SimHash over tokens: md5-derived 60 bit-weights, ±1 votes.
+
+    bit i of token-hash = hex digit (i//4) of md5(token), bit (i%4);
+    simhash bit i = sign of the vote sum — all JVM-side (explode tokens
+    × explode bits → two hash aggregations)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bits = (
+        toks.withColumn("i", F.explode(F.expr(f"sequence(0, {_SIM_BITS - 1})")))
+        .withColumn(
+            "vote",
+            # FLOOR(i/4) not CAST(i/4 AS INT): Spark casts by truncation
+            # but DuckDB casts by rounding — FLOOR is identical in both
+            F.expr(
+                "CASE WHEN ((CAST(conv(substring(h, CAST(FLOOR(i / 4) AS INT) + 1, 1), 16, 10) AS INT)"
+                " >> (i % 4)) & 1) = 1 THEN 1 ELSE -1 END"
+            ),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard for all doc pairs with id < 60."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+            "i -> concat(element_at(split(text, ' '), i), ' ', "
+            "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
+            "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
+        ).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.expr("size(array_intersect(a.sh, b.sh))").cast("double")
+                / F.expr("size(array_union(a.sh, b.sh))").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding extras: IVF/LSH bucketing (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+
+
+def _dot_plane_expr(j: int) -> str:
+    """Deterministic pseudo-random hyperplane j: h[i] = ((i*31 + j*17)
+    * 2654435761 % 1000) - 500, folded sequentially (bit-identical in
+    DuckDB's list_sum/list_transform)."""
+    return (
+        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        f"transform(sequence(1, size(embedding)), i -> "
+        f"CAST((i * 31 + {j} * 17) * 2654435761 % 1000 - 500 AS DOUBLE)), "
+        f"(x, w) -> x * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def embedding_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing: 8 hyperplane sign bits → bucket id, counts.
+
+    The bucketed (IVF-style) candidate structure for approximate
+    nearest-neighbor at scale — bucket join replaces brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+        for j in range(_N_PLANES)
+    )
+    return (
+        emb.withColumn("bucket", F.expr(f"({bucket})").cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN: cosine top-3 restricted to same LSH bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+        for j in range(_N_PLANES)
+    )
+    norm = F.expr(
+        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    base = emb.select(
+        "vec_id", "embedding", F.expr(f"({bucket})").cast("int").alias("bucket"),
+        norm.alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < 20).alias("a")
+    t = base.alias("b")
+    dot = (
+        "aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>), "
+        "CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        q.join(t, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(f"{dot} / (a.nrm * b.nrm)").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth
+# ---------------------------------------------------------------------------
+
+
+def windows_suite(spark, sf_dir):
+    """rank/dense_rank/lag/ntile/running-sum over orders per customer."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1)).alias("prev_order"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+    )
+
+
+def cube_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 0).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def strings_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).cast("int").alias("brand_num"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+def dates_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("d", F.col("o_orderdate").cast("date"))
+        .groupBy(
+            F.year("d").alias("yr"),
+            F.quarter("d").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.datediff(F.max("d"), F.min("d")).cast("int").alias("span_days"),
+        )
+    )
+
+
+def anti_join_customers(spark, sf_dir):
+    """Customers with no 'P'-status orders (left_anti ≡ NOT EXISTS;
+    the status filter keeps the result non-vacuous — every customer in
+    the fixture has at least one order)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+def semi_join_parts(spark, sf_dir):
+    """Parts that appear in at least one lineitem (left_semi ≡ EXISTS)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image pipeline (fixture-backed; rows-only driver checks — content is
+# binary image payload, pinned exactly by tests/goldens instead)
+# ---------------------------------------------------------------------------
+
+
+def _fixture_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def _fixture_images(spark, sf_dir):
+    import os
+
+    from .jobs.rai import fixture_dir
+
+    d = fixture_dir(_fixture_sf(sf_dir))
+    return (
+        spark.read.parquet(os.path.join(d, "images.parquet")),
+        spark.read.parquet(os.path.join(d, "roads.parquet")),
+    )
+
+
+def image_rai_summary(spark, sf_dir):
+    """Flagship over the IMAGES fixture: geocode → country → burn/cost-
+    distance → per-country RAI (rows-only; pinned by tests/goldens)."""
+    from .jobs.rai import rai_summaries
+
+    images, roads = _fixture_images(spark, sf_dir)
+    _per_image, per_country = rai_summaries(spark, images, roads)
+    return per_country
+
+
+def image_decode_stats(spark, sf_dir):
+    from .ops import payload as PL
+
+    images, _roads = _fixture_images(spark, sf_dir)
+    return PL.decode_stats(images.limit(500))
+
+
+def image_near_dup_pairs(spark, sf_dir):
+    from .ops import payload as PL
+
+    images, _roads = _fixture_images(spark, sf_dir)
+    both = images.limit(100).unionByName(
+        PL.transcode(images.limit(100), "qnt").withColumn(
+            "image_id", F.concat(F.col("image_id"), F.lit("_q"))
+        )
+    )
+    return PL.phash_near_dup_pairs(both, max_hamming=12)
+
+
+QUERIES_EXT = {
+    "dedup_exact": dedup_exact,
+    "simhash60": simhash60,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_lsh_buckets": embedding_lsh_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
+    "windows_suite": windows_suite,
+    "cube_lineitem": cube_lineitem,
+    "strings_parts": strings_parts,
+    "dates_orders": dates_orders,
+    "anti_join_customers": anti_join_customers,
+    "semi_join_parts": semi_join_parts,
+    "image_rai_summary": image_rai_summary,
+    "image_decode_stats": image_decode_stats,
+    "image_near_dup_pairs": image_near_dup_pairs,
+}
