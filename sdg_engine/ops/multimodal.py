@@ -1,0 +1,141 @@
+"""Multimodal payload plumbing (task spec: treat image/audio/video as
+opaque ``binary`` columns with typed metadata; decode/feature-extract/
+resize/frame-sample as pandas UDFs over mapInPandas).
+
+Images are fully real in this engine (ops/payload.py, codecs.py).
+Audio/video decoders need codec libraries absent from this container,
+so here the SPARK-SIDE PLUMBING is real and tested — schemas, Arrow
+batch shapes, partitioning, UDF signatures — while the codec inner
+call is stubbed: ``deterministic_fake=True`` (default) synthesizes a
+seeded waveform/frame tensor from the bytes so pipelines are testable
+end-to-end; ``deterministic_fake=False`` raises NotImplementedError at
+the exact point a real decoder (ffmpeg/soundfile) would be invoked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AUDIO_SCHEMA = (
+    "media_id string, bytes binary, codec string, sample_rate int, "
+    "n_channels int, duration_ms int"
+)
+VIDEO_SCHEMA = (
+    "media_id string, bytes binary, codec string, w int, h int, "
+    "fps double, n_frames int"
+)
+
+
+def synth_audio_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic opaque-audio fixture: bytes are seeded noise, the
+    typed metadata columns are the real schema a lakehouse would carry."""
+    rng = np.random.default_rng(1234)
+    rows = [
+        (
+            f"aud{i:08d}",
+            rng.integers(0, 256, size=2000 + (i % 5) * 500, dtype=np.uint8).tobytes(),
+            ["opus", "flac", "mp3"][i % 3],
+            [16000, 22050, 44100][i % 3],
+            1 + (i % 2),
+            1000 + (i % 7) * 250,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, AUDIO_SCHEMA)
+
+
+def synth_video_table(spark, n: int = 32) -> DataFrame:
+    rng = np.random.default_rng(4321)
+    rows = [
+        (
+            f"vid{i:08d}",
+            rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes(),
+            ["h264", "vp9"][i % 2],
+            128,
+            96,
+            [24.0, 30.0][i % 2],
+            24 + (i % 4) * 12,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, VIDEO_SCHEMA)
+
+
+def _decode_audio(data: bytes, codec: str, sr: int, n_ch: int, n_samples: int,
+                  deterministic_fake: bool) -> np.ndarray:
+    """STUB decode point: a real build calls soundfile/ffmpeg here."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            f"real {codec} decode requires an audio codec library "
+            "(not in this container); pass deterministic_fake=True"
+        )
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_samples, n_ch))
+
+
+def audio_features(audio: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Decode → per-clip features (RMS, zero-crossing rate, peak).
+
+    Arrow-batched mapInPandas; the numpy feature math is real, only the
+    codec call is the documented stub."""
+    fake = bool(deterministic_fake)
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n_samples = int(r.sample_rate * r.duration_ms / 1000)
+                wav = _decode_audio(bytes(r.bytes), r.codec, r.sample_rate,
+                                    int(r.n_channels), n_samples, fake)
+                mono = wav.mean(axis=1)
+                rms = float(np.sqrt(np.mean(mono * mono)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+                out.append((r.media_id, rms, zcr, float(np.abs(mono).max()),
+                            len(mono)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "rms", "zcr", "peak", "n_samples"]
+            )
+
+    return audio.mapInPandas(
+        _feat,
+        "media_id string, rms double, zcr double, peak double, n_samples long",
+    )
+
+
+def video_frame_sample(video: DataFrame, every_n: int = 12,
+                       deterministic_fake: bool = True) -> DataFrame:
+    """Frame-sample: one row per sampled frame with a luma thumbnail
+    mean — the Spark-side shape of a real frame extractor (explode of
+    per-frame rows out of mapInPandas)."""
+    fake = bool(deterministic_fake)
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        f"real {r.codec} decode requires ffmpeg (not in "
+                        "this container); pass deterministic_fake=True"
+                    )
+                seed = int.from_bytes(bytes(r.bytes)[:8], "big") % (2**32)
+                rng = np.random.default_rng(seed)
+                for fi in range(0, int(r.n_frames), every_n):
+                    frame = rng.integers(0, 256, size=(int(r.h), int(r.w)))
+                    out.append(
+                        (r.media_id, fi, float(fi / r.fps), float(frame.mean()))
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "t_sec", "mean_luma"]
+            )
+
+    return video.mapInPandas(
+        _frames,
+        "media_id string, frame_idx int, t_sec double, mean_luma double",
+    )

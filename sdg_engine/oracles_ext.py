@@ -156,7 +156,26 @@ WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 GROUP BY p_brand
 """
 
+DOC_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+TOKEN_BPE_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
 ORACLES_EXT = {
+    "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,
+    "token_bpe_counts": TOKEN_BPE_COUNTS,
     "dedup_exact": DEDUP_EXACT,
     "simhash60": SIMHASH60,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,

@@ -319,7 +319,51 @@ def image_near_dup_pairs(spark, sf_dir):
     return PL.phash_near_dup_pairs(both, max_hamming=12)
 
 
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Karp-Rabin rolling hash of each document (fold over char codes,
+    JVM-side aggregate; mod 1e9+7 keeps the fold in exact int64)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(1, length(text)), "
+            "i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+        ).alias("fingerprint"),
+    )
+
+
+def token_bpe_counts(spark, sf_dir):
+    """BPE-ish regex token counting vs whitespace tokens per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("int").alias("n_ws_tokens"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+        ).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def multimodal_audio_features(spark, sf_dir):
+    """Audio plumbing demo: opaque bytes + typed metadata -> features
+    (rows-only; codec decode is the documented deterministic stub)."""
+    from .ops.multimodal import audio_features, synth_audio_table
+
+    return audio_features(synth_audio_table(spark, 64))
+
+
+def multimodal_video_frames(spark, sf_dir):
+    from .ops.multimodal import synth_video_table, video_frame_sample
+
+    return video_frame_sample(synth_video_table(spark, 32))
+
+
 QUERIES_EXT = {
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "token_bpe_counts": token_bpe_counts,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_video_frames": multimodal_video_frames,
     "dedup_exact": dedup_exact,
     "simhash60": simhash60,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
