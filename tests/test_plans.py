@@ -1,0 +1,112 @@
+"""Physical-plan assertions (the .explain audit, frozen as tests).
+
+These pin the plans the engine is DESIGNED to produce — predicate
+pushdown into scans, broadcast joins for dims, the ExistenceJoin for
+the near-road flag, no wide exchange over the fact table in the
+flagship, and partition pruning on the bucketed layout.  A regression
+here is a performance bug even when results stay correct.
+"""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sdg_engine.harness import KNN_CUTOFF_M, harness_rings, points_df, segments_df
+from sdg_engine.ops import spatial as SP
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushdown(spark):
+    from sdg_engine.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    from sdg_engine.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", _plan(df))
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    # 6 needed columns, not all 11
+    assert cols == {"l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q5_broadcasts_small_dims(spark):
+    from sdg_engine.queries import QUERIES
+
+    plan = _plan(QUERIES["q5_nation_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_flagship_no_wide_exchange_over_facts(spark):
+    """The flagship's only Exchange over the fact table is the input
+    redistribution (round-robin); everything else is broadcast-side +
+    the 4-row aggregate exchange."""
+    from sdg_engine.queries import QUERIES
+
+    df = QUERIES["flagship_rai"](spark, SF)
+    plan = _plan(df)
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    # allowed: RoundRobinPartitioning (input spread), hashpartitioning
+    # ONLY for the tiny country-level aggregate, SinglePartition for
+    # dim prep; no hashpartitioning over point_id/cell_id fact keys
+    fact_hash = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("point_id" in line or "cell_" in line or "rcell" in line)
+    ]
+    assert fact_hash == [], fact_hash
+    assert "ExistenceJoin" in plan  # the near-road flag join form
+
+
+def test_knn_uses_partial_aggregation(spark):
+    """Argmin via min(struct): partial_min before the exchange (map-side
+    combine), not a row_number sort over all candidates."""
+    near = SP.knn_nearest_road(
+        points_df(spark, SF), segments_df(spark, SF), KNN_CUTOFF_M, id_col="point_id"
+    )
+    plan = _plan(near)
+    assert "partial_min" in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_assign_countries_is_broadcast_only(spark):
+    cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
+                             id_col="point_id")
+    plan = _plan(cc)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" in plan  # the boundary PIP stage
+
+
+def test_bucketed_layout_partition_pruning(spark, tmp_path):
+    """SURVEY.md §4 physical layout: filtering on the bucket column
+    prunes partitions at scan time (visible as PartitionFilters)."""
+    import sdg_engine.storage as ST
+
+    ids = [f"img{i:012d}" for i in range(300)]
+    geo = SP.with_geo(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+    path = str(tmp_path / "layout")
+    ST.write_images_layout(geo, path, n_buckets=8)
+    df = ST.read_images_layout(spark, path).filter(F.col("cell_bucket") == 3)
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[.*cell_bucket.*3", plan)
+    # and the data actually comes back partition-pruned
+    assert df.count() > 0
+    full = ST.read_images_layout(spark, path).count()
+    assert full == 300
