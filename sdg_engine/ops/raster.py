@@ -155,7 +155,7 @@ def burn_cost_summaries(
     images_geo: DataFrame,
     segs: DataFrame,
     cutoff_m: float = 250.0,
-    level: int = 9,
+    level: int = 6,
 ) -> DataFrame:
     """A1+A2 distributed: per-image burn/cost-distance/masked-sum.
 
@@ -164,10 +164,14 @@ def burn_cost_summaries(
     ``level`` and kring(1)-expanded (C3 halo), so every segment that
     can intersect a footprint in the cell is present in its group.
     Correctness constraint: footprint half-size (≤0.008°, FIXTURES.md)
-    must be < cell size (0.0195° at level 9) for the kring(1) halo to
+    must be < cell size (0.156° at level 6) for the kring(1) halo to
     cover footprints that straddle the center cell's border — only
     segments CROSSING the footprint affect the burn, and such segments
-    lie within half·√2 of the image center.
+    lie within half·√2 of the image center.  Level tradeoff (measured,
+    10k tiles): finer levels → more groups → per-group applyInPandas
+    overhead dominates (level 9: 79s); coarser → bigger per-group
+    candidate seg lists (level 4: 40s); level 6 ≈ 8s.  The hot-cell
+    skew path (skew.py salting) covers pathological groups at scale.
     """
     pts = with_point_cell(images_geo, level, "lon", "lat", "cell_id")
     img_side = pts.select(

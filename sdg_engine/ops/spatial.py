@@ -434,6 +434,116 @@ def with_near_road_flag(
     )
 
 
+def knn_ring_iterative(
+    points_geo: DataFrame,
+    segs: DataFrame,
+    level: int = 6,
+    k_schedule: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "image_id",
+) -> DataFrame:
+    """J4 ★ unbounded form: literal k-ring-expansion kNN (no cutoff).
+
+    Ring-by-ring driver loop (the north star's "k-ring-expansion kNN to
+    nearest road geometry"): at each k the frontier's kring(k) cells
+    equi-join the segment cover; a point SETTLES when its best exact
+    distance ≤ k·cellsize — any unsearched segment lies in a cell at
+    Chebyshev > k, hence at distance ≥ k·cellsize (proof in cells.py
+    terms: the gap between a point's cell and a cell k+1 away spans k
+    full cells).  Points still unsettled after the schedule fall back
+    to one exact broadcast cross-join (the frontier is tiny by then) —
+    bounded work, exact result, deterministic (dist, road_id, seg_id)
+    tie-break.
+    """
+    cellsize_m = WORLD_SIZE / (1 << level) * METERS_PER_DEG
+    build = segments_with_cells(segs, level, k_expand=0).select(
+        F.col("cell_id").alias("rcell"), "road_id", "seg_id", "ax", "ay", "bx", "by"
+    )
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "by", "dist_m")
+    frontier = with_point_cell(
+        points_geo.select(id_col, "lon", "lat"), level, keep_idx=True
+    )
+    settled_parts: list[DataFrame] = []
+
+    def _best(cands: DataFrame) -> DataFrame:
+        d = apply_steps(cands, steps).drop(*[n for n, _ in steps[:-1]])
+        return d.groupBy(id_col).agg(
+            F.min(F.struct("dist_m", "road_id", "seg_id")).alias("_b"),
+            F.first("lon").alias("lon"),
+            F.first("lat").alias("lat"),
+        )
+
+    for k in k_schedule:
+        ring_cells = with_kring(
+            frontier, level, k, "cell_id", "ring_cell_id",
+            idx_cols=("cell_id_ix", "cell_id_iy"),
+        )
+        cands = ring_cells.join(
+            build, ring_cells.ring_cell_id == build.rcell, "inner"
+        )
+        best = _best(cands)
+        done = best.filter(F.col("_b.dist_m") <= F.lit(float(k) * cellsize_m))
+        settled_parts.append(
+            done.select(
+                id_col,
+                F.col("_b.road_id").alias("road_id"),
+                F.col("_b.dist_m").alias("dist_m"),
+                F.lit(int(k)).alias("k_settled"),
+            )
+        )
+        frontier = frontier.join(done.select(id_col), id_col, "left_anti")
+        # driver-side loop control: stop early if everyone settled
+        if frontier.limit(1).count() == 0:
+            frontier = None
+            break
+
+    if frontier is not None and frontier.limit(1).count() > 0:
+        # exact fallback for the residual frontier (tiny): broadcast the
+        # frontier (small side) against all segments
+        cands = frontier.select(id_col, "lon", "lat").crossJoin(
+            segs.select("road_id", "seg_id", "ax", "ay", "bx", "by")
+        )
+        best = _best(cands)
+        settled_parts.append(
+            best.select(
+                id_col,
+                F.col("_b.road_id").alias("road_id"),
+                F.col("_b.dist_m").alias("dist_m"),
+                F.lit(-1).alias("k_settled"),
+            )
+        )
+
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+ROAD_KINDS_ALL = [
+    "motorway", "trunk", "primary", "secondary", "tertiary",
+    "unclassified", "residential", "service", "track",
+]
+PAVED_SURFACES = ["asphalt", "concrete", "paving_stones", "paved"]
+UNPAVED_SURFACES = ["dirt", "gravel", "sand", "unpaved"]
+_ALL_SEASON_DEFAULT_KINDS = ["motorway", "trunk", "primary", "secondary"]
+
+
+def filter_roads(roads: DataFrame) -> DataFrame:
+    """F1: keep rows whose highway tag is a road kind (RoadTags filter)."""
+    return roads.filter(F.expr("tags['highway']").isin(ROAD_KINDS_ALL))
+
+
+def with_all_season(roads: DataFrame) -> DataFrame:
+    """F2: the SDG 9.1.1 all-season predicate from the surface tag,
+    with a road-class default when the surface is unknown."""
+    surface = F.expr("tags['surface']")
+    return roads.withColumn(
+        "all_season",
+        F.when(surface.isin(PAVED_SURFACES), F.lit(True))
+        .when(surface.isin(UNPAVED_SURFACES), F.lit(False))
+        .otherwise(F.col("kind").isin(_ALL_SEASON_DEFAULT_KINDS)),
+    )
+
+
 def forgotten_images(images_geo: DataFrame, nearest: DataFrame) -> DataFrame:
     """J5: images with NO road within cutoff — the 'forgotten' set."""
     return images_geo.join(nearest.select("image_id"), "image_id", "left_anti")

@@ -173,7 +173,27 @@ SELECT doc_id,
 FROM documents
 """
 
+def _knn_unbounded_sql() -> str:
+    from .harness import AX, AY, BX, BY, PX, PY
+    from .sqlgen import chain_select, point_seg_dist_steps
+
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "byy", "dist_m")
+    return f"""
+WITH pts AS (SELECT o_orderkey AS point_id, {PX} AS lon, {PY} AS lat FROM orders),
+segs AS (SELECT s_suppkey AS road_id, {AX} AS ax, {AY} AS ay, {BX} AS bx, {BY} AS byy FROM supplier),
+cand AS (SELECT * FROM pts CROSS JOIN segs),
+d AS ({chain_select("SELECT * FROM cand", steps, ["point_id", "road_id", "dist_m"])}),
+ranked AS (
+  SELECT point_id, road_id, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY dist_m ASC, road_id ASC) AS rn
+  FROM d
+)
+SELECT point_id, road_id, ROUND(dist_m, 6) AS dist_m FROM ranked WHERE rn = 1
+"""
+
+
 ORACLES_EXT = {
+    "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,
     "token_bpe_counts": TOKEN_BPE_COUNTS,
     "dedup_exact": DEDUP_EXACT,

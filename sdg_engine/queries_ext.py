@@ -345,6 +345,22 @@ def token_bpe_counts(spark, sf_dir):
     )
 
 
+def spatial_knn_unbounded(spark, sf_dir):
+    """J4 ★ literal ring-expansion form, no cutoff: every point finds
+    its nearest road via k=1,2,4 ring growth + exact fallback."""
+    from .harness import points_df, segments_df
+    from .ops import spatial as SP
+    from pyspark.sql import functions as F2
+
+    near = SP.knn_ring_iterative(
+        points_df(spark, sf_dir), segments_df(spark, sf_dir),
+        level=6, id_col="point_id",
+    )
+    return near.select(
+        "point_id", "road_id", F2.round("dist_m", 6).alias("dist_m")
+    )
+
+
 def multimodal_audio_features(spark, sf_dir):
     """Audio plumbing demo: opaque bytes + typed metadata -> features
     (rows-only; codec decode is the documented deterministic stub)."""
@@ -362,6 +378,7 @@ def multimodal_video_frames(spark, sf_dir):
 QUERIES_EXT = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "token_bpe_counts": token_bpe_counts,
+    "spatial_knn_unbounded": spatial_knn_unbounded,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
     "dedup_exact": dedup_exact,
