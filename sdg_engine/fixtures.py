@@ -289,9 +289,12 @@ def write_fixture_parquet(out_dir: str, sf: float) -> None:
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return
+    # small row groups: a single-row-group 185 MB binary-column file is
+    # unsplittable and OOMs a default-1g-heap session's scan task
     pq.write_table(
         pa.Table.from_pandas(images_pdf(sf), preserve_index=False),
         os.path.join(out_dir, "images.parquet"),
+        row_group_size=1024,
     )
     pq.write_table(
         pa.Table.from_pylist(roads_records(sf)),
