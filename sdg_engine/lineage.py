@@ -50,39 +50,67 @@ def run_bucketed(
 ) -> list[int]:
     """Write ``df`` bucketed by ``pmod(hash(cell_col))`` with lineage.
 
+    SINGLE input-DAG execution: all missing buckets are written in ONE
+    ``partitionBy("bucket")`` pass (dynamic partition overwrite, so
+    already-committed bucket directories are untouched), then the
+    per-bucket stats are computed by READING BACK the just-written
+    parquet — the lineage checksum attests exactly the committed files,
+    not a recomputation (the previous per-bucket loop executed the full
+    upstream DAG 2×n_buckets times).  Lineage rows are appended after
+    the data, one per bucket: a crash between the two leaves
+    uncommitted buckets that simply rerun (idempotent overwrite).
+
     Already-committed buckets are skipped (resume).  ``fail_at_bucket``
     injects a crash before that bucket commits — the test harness uses
     it to prove restartability.  Returns the buckets written this run.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = committed_buckets(spark, out_dir)
-    written: list[int] = []
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return []
+    t0 = time.time()
     bucketed = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_buckets)).cast("int")
+    ).filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    wall = round(time.time() - t0, 3)
+
+    committed = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "bucket=*")
     )
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        if fail_at_bucket is not None and b == fail_at_bucket:
-            raise RuntimeError(f"injected failure before bucket {b}")
-        t0 = time.time()
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        part.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
-        stats = part.agg(
+    data_cols = [c for c in committed.columns if c != "bucket"]
+    stats = {
+        r["bucket"]: r
+        for r in committed.filter(F.col("bucket").isin(todo))
+        .groupBy("bucket")
+        .agg(
             F.min(cell_col).alias("cell_min"),
             F.max(cell_col).alias("cell_max"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum(F.xxhash64(*part.columns)), F.lit(0)).alias("checksum"),
-        ).collect()[0]
+            F.coalesce(F.sum(F.xxhash64(*data_cols)), F.lit(0)).alias("checksum"),
+        )
+        .collect()
+    }
+    written: list[int] = []
+    for b in todo:
+        if fail_at_bucket is not None and b == fail_at_bucket:
+            raise RuntimeError(f"injected failure before bucket {b}")
+        s = stats.get(b)
         rec = spark.createDataFrame(
             [(
                 b,
                 snapshot_id,
-                stats.cell_min,
-                stats.cell_max,
-                stats.n_rows,
-                stats.checksum,
-                round(time.time() - t0, 3),
+                s.cell_min if s else None,
+                s.cell_max if s else None,
+                s.n_rows if s else 0,
+                s.checksum if s else 0,
+                wall,
             )],
             LINEAGE_SCHEMA,
         )

@@ -94,9 +94,17 @@ def with_point_cell(df: DataFrame, level: int, px: str = "lon", py: str = "lat",
     ``{out}_iy`` so downstream k-ring expansion can reuse them instead
     of bit-squeezing the packed id (which would re-inline the whole
     upstream expression per bit and overflow codegen's method limit).
+
+    The packed id is wrapped in ``COALESCE(cell, -1)`` to make the
+    column NON-NULLABLE: when a nullable cell id becomes an equi-join
+    key, Catalyst infers an ``isnotnull`` filter and pushes it below
+    the projection, re-inlining the whole morton chain (measured 33×
+    slower on the interior-cell broadcast join).  Values are never
+    null, so semantics (and oracle parity) are unchanged.
     """
     steps = point_cell_steps(px, py, level, out)
     df = apply_steps(df, steps)
+    df = df.withColumn(out, F.coalesce(F.col(out), F.lit(-1)))
     return df if keep_idx else df.drop(*[n for n, _ in steps[:-1]])
 
 
@@ -124,7 +132,10 @@ def cover_bbox_cells(
     )
     from ..sqlgen import pack_cell_expr
 
-    df = df.withColumn(out, F.expr(pack_cell_expr("_cix", "_ciy", level)))
+    # COALESCE → non-nullable join key (see with_point_cell)
+    df = df.withColumn(
+        out, F.coalesce(F.expr(pack_cell_expr("_cix", "_ciy", level)), F.lit(-1))
+    )
     df = df.withColumnRenamed("_cix", f"{out}_ix").withColumnRenamed("_ciy", f"{out}_iy")
     return df.drop("_ix0", "_iy0", "_ix1", "_iy1")
 
@@ -159,7 +170,10 @@ def with_kring(df: DataFrame, level: int, k: int, cell: str = "cell_id",
         .filter(F.expr(f"_nx >= 0 AND _ny >= 0 AND _nx < {n} AND _ny < {n}"))
         .withColumn("k_ring", F.expr("GREATEST(ABS(_dx), ABS(_dy))").cast("int"))
     )
-    df = df.withColumn(out, F.expr(pack_cell_expr("_nx", "_ny", level)))
+    # COALESCE → non-nullable join key (see with_point_cell)
+    df = df.withColumn(
+        out, F.coalesce(F.expr(pack_cell_expr("_nx", "_ny", level)), F.lit(-1))
+    )
     return df.drop("_vx", "_vy", "_dx", "_dy", "_nx", "_ny")
 
 
@@ -462,6 +476,15 @@ def knn_ring_iterative(
     frontier = with_point_cell(
         points_geo.select(id_col, "lon", "lat"), level, keep_idx=True
     )
+    # Persist each ring's frontier: without it, ring k's left-anti chain
+    # re-executes rings 1..k-1's joins against the full fact table (the
+    # recompute grows quadratically in the schedule length).  Frontiers
+    # stay persisted until the RESULT is materialized (the settled
+    # parts' lineage references them — unpersisting mid-loop would
+    # reintroduce the cascade), then all are dropped.  Frontier size is
+    # monotonically shrinking, so peak cache ≈ the ring-1 frontier.
+    frontier = frontier.persist()
+    to_unpersist = [frontier]
     settled_parts: list[DataFrame] = []
 
     def _best(cands: DataFrame) -> DataFrame:
@@ -481,7 +504,11 @@ def knn_ring_iterative(
             build, ring_cells.ring_cell_id == build.rcell, "inner"
         )
         best = _best(cands)
-        done = best.filter(F.col("_b.dist_m") <= F.lit(float(k) * cellsize_m))
+        # STRICT '<': at exact equality dist == k·cellsize an unexplored
+        # segment at the same distance (with a smaller tie-break key) can
+        # sit just outside the ring, so equality cases stay in the
+        # frontier and resolve against the full candidate set later.
+        done = best.filter(F.col("_b.dist_m") < F.lit(float(k) * cellsize_m))
         settled_parts.append(
             done.select(
                 id_col,
@@ -490,13 +517,15 @@ def knn_ring_iterative(
                 F.lit(int(k)).alias("k_settled"),
             )
         )
-        frontier = frontier.join(done.select(id_col), id_col, "left_anti")
-        # driver-side loop control: stop early if everyone settled
-        if frontier.limit(1).count() == 0:
+        nxt = frontier.join(done.select(id_col), id_col, "left_anti").persist()
+        to_unpersist.append(nxt)
+        empty = nxt.isEmpty()  # driver-side loop control (cheap: persisted)
+        frontier = nxt
+        if empty:
             frontier = None
             break
 
-    if frontier is not None and frontier.limit(1).count() > 0:
+    if frontier is not None and not frontier.isEmpty():
         # exact fallback for the residual frontier (tiny): broadcast the
         # frontier (small side) against all segments
         cands = frontier.select(id_col, "lon", "lat").crossJoin(
@@ -515,6 +544,12 @@ def knn_ring_iterative(
     out = settled_parts[0]
     for part in settled_parts[1:]:
         out = out.unionByName(part)
+    # materialize the result once, then release every cached frontier —
+    # the returned frame no longer depends on them
+    out = out.persist()
+    out.count()
+    for df in to_unpersist:
+        df.unpersist()
     return out
 
 
@@ -580,16 +615,43 @@ def _country_dims(spark, rings: dict[str, np.ndarray], level: int):
         if cc_cells.size:
             comp = C.compact(cc_cells)  # canonical compacted cover
             int_rows += [(int(c), cc) for c in C.uncompact(comp, level)]
-    interior_df = spark.createDataFrame(int_rows, "icell bigint, country_code string")
-    boundary_df = spark.createDataFrame([(int(b),) for b in boundary], "bcell bigint")
     edge_rows = []
     for cc, ring in rings.items():
         for i in range(len(ring) - 1):
             edge_rows.append((cc, float(ring[i, 0]), float(ring[i, 1]),
                               float(ring[i + 1, 0]), float(ring[i + 1, 1])))
-    edges_df = spark.createDataFrame(
-        edge_rows, "country_code string, x0 double, y0 double, x1 double, y1 double"
-    )
+    # Materialize the dims as (tiny) parquet and read back: a
+    # createDataFrame ExistingRDD re-runs a Python deserialization pass
+    # inside EVERY broadcast build (~0.8 s serial per query execution —
+    # measured); a parquet scan is JVM-only and OS-cached.  On a real
+    # cluster these are Iceberg dim tables.
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as _pd
+
+    tag = _hl.blake2b(repr((_rings_key(rings), level)).encode(),
+                      digest_size=8).hexdigest()
+    base = _os.path.join("/tmp", f"sdg_dims_{tag}")
+    paths = {n: _os.path.join(base, n) for n in ("interior", "boundary", "edges")}
+    if not _os.path.exists(_os.path.join(base, "_done")):
+        spark.createDataFrame(
+            _pd.DataFrame(int_rows, columns=["icell", "country_code"]).astype(
+                {"icell": "int64"}
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(paths["interior"])
+        spark.createDataFrame(
+            _pd.DataFrame({"bcell": _pd.array([int(b) for b in boundary],
+                                              dtype="int64")})
+        ).coalesce(1).write.mode("overwrite").parquet(paths["boundary"])
+        spark.createDataFrame(
+            _pd.DataFrame(edge_rows,
+                          columns=["country_code", "x0", "y0", "x1", "y1"])
+        ).coalesce(1).write.mode("overwrite").parquet(paths["edges"])
+        open(_os.path.join(base, "_done"), "w").close()
+    interior_df = spark.read.parquet(paths["interior"])
+    boundary_df = spark.read.parquet(paths["boundary"])
+    edges_df = spark.read.parquet(paths["edges"])
     result = (interior_df, boundary_df, edges_df)
     _DIMS_CACHE[key] = result
     return result
@@ -607,13 +669,9 @@ def _classify_country_cells(rings: dict[str, np.ndarray], level: int):
     cell is, by Jordan).  Fully vectorized (cells × edges broadcast) —
     a per-cell Python loop here dominated flagship wall time.
     """
-    from ..geom import points_in_polygon
-
     key = (_rings_key(rings), level)
     if key in _CLASSIFY_CACHE:
         return _CLASSIFY_CACHE[key]
-    n = 1 << level
-    size = WORLD_SIZE / n
     interior: list[tuple[int, str]] = []
     boundary: set[int] = set()
     for cc, ring in rings.items():
@@ -621,32 +679,8 @@ def _classify_country_cells(rings: dict[str, np.ndarray], level: int):
             np.array([ring[:, 0].min()]), np.array([ring[:, 1].min()]),
             np.array([ring[:, 0].max()]), np.array([ring[:, 1].max()]), level,
         )
-        _lvl, ix, iy = C.unpack(cids)
-        x0 = (WORLD_MIN + ix * size)[:, None]  # (ncell, 1)
-        y0 = (WORLD_MIN + iy * size)[:, None]
-        x1 = x0 + size
-        y1 = y0 + size
-        ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]  # (1, nedge)
-        bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
-        # Liang-Barsky accept test, broadcast cells × edges
-        dx = bx - ax
-        dy = by - ay
-        t0 = np.zeros((len(cids), ax.shape[1]))
-        t1 = np.ones_like(t0)
-        ok = np.ones(t0.shape, dtype=bool)
-        for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
-            p = np.broadcast_to(p, t0.shape)
-            q = np.broadcast_to(q, t0.shape)
-            ok &= ~((p == 0.0) & (q < 0.0))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                r = np.where(p != 0.0, q / np.where(p != 0.0, p, 1.0), 0.0)
-            t0 = np.where(p < 0.0, np.maximum(t0, r), t0)
-            t1 = np.where(p > 0.0, np.minimum(t1, r), t1)
-        crosses = (ok & (t0 <= t1)).any(axis=1)
+        crosses, ctr_in = _ring_cell_test(cids, level, ring)
         boundary.update(int(c) for c in cids[crosses])
-        ctr_in = points_in_polygon(
-            (x0[:, 0] + size / 2)[~crosses], (y0[:, 0] + size / 2)[~crosses], ring
-        )
         for c in cids[~crosses][ctr_in]:
             interior.append((int(c), cc))
     result = ([(c, cc) for c, cc in interior if c not in boundary], sorted(boundary))
@@ -654,11 +688,95 @@ def _classify_country_cells(rings: dict[str, np.ndarray], level: int):
     return result
 
 
+def _ring_cell_test(cids: np.ndarray, level: int, ring: np.ndarray):
+    """Vectorized per-ring cell test: (crosses, center_inside_of_noncrossing).
+
+    ``crosses[i]``: some ring edge intersects cell i's rect (Liang-Barsky
+    accept, cells × edges broadcast).  ``center_inside``: for the cells
+    with no crossing edge, whether the cell CENTER is inside the ring —
+    by Jordan, then the whole cell is."""
+    from ..geom import points_in_polygon
+
+    size = WORLD_SIZE / (1 << level)
+    _lvl, ix, iy = C.unpack(cids)
+    x0 = (WORLD_MIN + ix * size)[:, None]  # (ncell, 1)
+    y0 = (WORLD_MIN + iy * size)[:, None]
+    x1 = x0 + size
+    y1 = y0 + size
+    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]  # (1, nedge)
+    bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    dx = bx - ax
+    dy = by - ay
+    t0 = np.zeros((len(cids), ax.shape[1]))
+    t1 = np.ones_like(t0)
+    ok = np.ones(t0.shape, dtype=bool)
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+        p = np.broadcast_to(p, t0.shape)
+        q = np.broadcast_to(q, t0.shape)
+        ok &= ~((p == 0.0) & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(p != 0.0, q / np.where(p != 0.0, p, 1.0), 0.0)
+        t0 = np.where(p < 0.0, np.maximum(t0, r), t0)
+        t1 = np.where(p > 0.0, np.minimum(t1, r), t1)
+    crosses = (ok & (t0 <= t1)).any(axis=1)
+    ctr_in = points_in_polygon(
+        (x0[:, 0] + size / 2)[~crosses], (y0[:, 0] + size / 2)[~crosses], ring
+    )
+    return crosses, ctr_in
+
+
+def _strip_dim(spark, rings: dict[str, np.ndarray], level: int, hi: int):
+    """Refinement dim over the boundary STRIP: children (at ``hi``) of the
+    level-``level`` boundary cells, classified interior-to-one-country or
+    still-boundary.
+
+    Returned DataFrame: (scell bigint, s_cc string) — ``s_cc`` NULL means
+    still boundary at ``hi`` (needs exact ray-cast).  Cells of the strip
+    that are outside every ring are OMITTED (Jordan: center outside + no
+    crossing edge ⇒ whole cell outside), so a probe miss after the
+    level-``level`` boundary match means "in no country".
+    """
+    key = (spark.sparkContext.applicationId, _rings_key(rings), level, hi, "strip")
+    if key in _DIMS_CACHE:
+        return _DIMS_CACHE[key]
+    _interior, boundary = _classify_country_cells(rings, level)
+    bnd = np.asarray(sorted(boundary), dtype=np.int64)
+    kids = bnd
+    for _ in range(hi - level):
+        kids = C.children(kids).reshape(-1)
+    interior: list[tuple[int, str]] = []
+    bset: set[int] = set()
+    for cc, ring in rings.items():
+        crosses, ctr_in = _ring_cell_test(kids, hi, ring)
+        bset.update(int(c) for c in kids[crosses])
+        for c in kids[~crosses][ctr_in]:
+            interior.append((int(c), cc))
+    rows = [(c, cc) for c, cc in interior if c not in bset]
+    rows += [(b, None) for b in sorted(bset)]
+
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as _pd
+
+    tag = _hl.blake2b(repr((_rings_key(rings), level, hi, "strip")).encode(),
+                      digest_size=8).hexdigest()
+    path = _os.path.join("/tmp", f"sdg_strip_{tag}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        pdf = _pd.DataFrame(rows, columns=["scell", "s_cc"])
+        pdf["scell"] = pdf["scell"].astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    _DIMS_CACHE[key] = df
+    return df
+
+
 def assign_countries(
     images_geo: DataFrame,
     rings: dict[str, np.ndarray],
     level: int = 7,
     id_col: str = "image_id",
+    use_udf: bool = False,
 ) -> DataFrame:
     """J2 ★: two-stage country assignment (SURVEY.md §2.4).
 
@@ -667,12 +785,26 @@ def assign_countries(
     country (built compacted via cells.compact, uncompacted for the
     broadcast-hash join — see _country_dims) or boundary.  One
     broadcast join tags each point with its interior country or NULL.
-    Stage 2 — exact ray-casting PIP (Arrow-batched vectorized numpy,
-    pip_country_udf) fills the NULLs; COALESCE keeps it a single-pass
-    plan with no union (a union-of-branches variant re-planned and
-    recomputed the upstream DAG per branch; a literal SQL CASE variant
-    blew the fused stage past JIT method limits — both measured much
-    slower under composition).
+    Stage 2 — exact ray-casting PIP fills the NULLs; COALESCE keeps it
+    a single-pass plan with no union (a union-of-branches variant
+    re-planned and recomputed the upstream DAG per branch).
+
+    Stage 2 default is the JVM ``pip_country_case_expr`` — the SAME
+    expression text the DuckDB oracle runs (parity by construction) —
+    evaluated in ITS OWN tiny stage: boundary-cell rows (~1%) are
+    projected to (id, lon, lat), repartitioned (the exchange is a
+    codegen-stage break), ray-cast there, and the (id, country) result
+    is BROADCAST back onto the main stream.  Isolation is load-bearing:
+    inlining the multi-ring CASE into the fused probe stage pushed the
+    generated method past the JIT's huge-method limit and deoptimized
+    the WHOLE stage to interpreted bytecode (measured 12× on all rows,
+    not just boundary ones).  The upstream is computed twice (once for
+    the main stream, once column-pruned to id+lon+lat for the boundary
+    branch) — the second pass prunes to 3 columns so payload bytes are
+    never re-read.  ``use_udf=True`` selects the Arrow-batched numpy
+    ray-cast instead (single-pass; used when ring/edge count would make
+    the literal CASE unreasonable, or when the boundary fraction is too
+    large to broadcast back).  Requires ``id_col`` values to be unique.
 
     Output: input columns + country_code.
     """
@@ -680,16 +812,78 @@ def assign_countries(
     interior_df, boundary_df, edges_df = _country_dims(spark, rings, level)
 
     in_cols = list(images_geo.columns)
-    pts = with_point_cell(images_geo, level, "lon", "lat", "cell_lvl", keep_idx=True)
     cells_df = interior_df.unionByName(
         boundary_df.select(F.col("bcell").alias("icell"),
                            F.lit(None).cast("string").alias("country_code"))
     ).withColumnRenamed("country_code", "_int_cc")
-    joined = pts.join(F.broadcast(cells_df), pts.cell_lvl == cells_df.icell, "inner")
-    pip = pip_country_udf(rings)
-    masked_lon = F.when(F.col("_int_cc").isNull(), F.col("lon"))
-    masked_lat = F.when(F.col("_int_cc").isNull(), F.col("lat"))
-    out = joined.withColumn(
-        "country_code", F.coalesce(F.col("_int_cc"), pip(masked_lon, masked_lat))
+    if use_udf:
+        pts = with_point_cell(images_geo, level, "lon", "lat", "cell_lvl",
+                              keep_idx=True)
+        joined = pts.join(
+            F.broadcast(cells_df), pts.cell_lvl == cells_df.icell, "inner"
+        )
+        pip = pip_country_udf(rings)
+        masked_lon = F.when(F.col("_int_cc").isNull(), F.col("lon"))
+        masked_lat = F.when(F.col("_int_cc").isNull(), F.col("lat"))
+        out = joined.withColumn(
+            "country_code", F.coalesce(F.col("_int_cc"), pip(masked_lon, masked_lat))
+        )
+        return (
+            out.filter(F.col("country_code").isNotNull())
+            .select(*in_cols, "country_code")
+        )
+    from ..sqlgen import pack_cell_expr, pip_country_case_expr
+
+    # Grid indices are computed ONCE at the refinement level ``hi``; the
+    # level-``level`` key is derived by shifting them (one FLOOR chain in
+    # the generated code instead of two).
+    refine = min(3, C.MAX_LEVEL - level)
+    hi = level + refine
+    pts = with_point_cell(images_geo, hi, "lon", "lat", "cell_hi", keep_idx=True)
+    pts = pts.withColumn(
+        "cell_lvl",
+        F.coalesce(
+            F.expr(pack_cell_expr(f"(cell_hi_ix >> {refine})",
+                                  f"(cell_hi_iy >> {refine})", level)),
+            F.lit(-1),
+        ),
     )
-    return out.filter(F.col("country_code").isNotNull()).select(*in_cols, "country_code")
+    joined = pts.join(F.broadcast(cells_df), pts.cell_lvl == cells_df.icell, "inner")
+    if refine > 0:
+        # refinement join: decides ~(1 - 2^-refine) of the boundary-cell
+        # rows JVM-side, shrinking the ray-cast branch (and its serial
+        # broadcast-back collect) by the same factor
+        strip = _strip_dim(spark, rings, level, hi).withColumn("_s_hit", F.lit(1))
+        joined = joined.join(
+            F.broadcast(strip), joined.cell_hi == strip.scell, "left"
+        )
+        undecided = (
+            F.col("_int_cc").isNull()
+            & F.col("_s_hit").isNotNull()
+            & F.col("s_cc").isNull()
+        )
+        decided = F.coalesce(F.col("_int_cc"), F.col("s_cc"))
+    else:
+        undecided = F.col("_int_cc").isNull()
+        decided = F.col("_int_cc")
+
+    pip_case = F.expr(pip_country_case_expr(rings, "lon", "lat"))
+    bnd = (
+        joined.filter(undecided)
+        .select(id_col, "lon", "lat")
+        # exchange = codegen-stage break: the giant CASE must not fuse
+        # into (and deoptimize) the probe stage — see docstring.  NOTE:
+        # no isNotNull filter on _bnd_cc here — a filter on the CASE
+        # alias is rewritten and pushed THROUGH the exchange into the
+        # fact stream (measured 20×); unmatched rows are dropped by the
+        # final country_code filter instead.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_bnd_cc", pip_case)
+        .select(id_col, "_bnd_cc")
+    )
+    out = joined.join(F.broadcast(bnd), id_col, "left")
+    out = out.withColumn("country_code", F.coalesce(decided, F.col("_bnd_cc")))
+    return (
+        out.filter(F.col("country_code").isNotNull())
+        .select(*in_cols, "country_code")
+    )

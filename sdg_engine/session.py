@@ -25,6 +25,13 @@ ENGINE_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16m",
+    # Align Spark's whole-stage-codegen fallback with the JVM JIT's
+    # DontCompileHugeMethods limit (8000 bytecodes): a fused stage whose
+    # generated method exceeds it is NEVER JIT-compiled and silently runs
+    # 10-20× slower in the bytecode interpreter (measured 25 s → 2.9 s on
+    # the flag+assign_countries composition).  With this conf Spark falls
+    # back to Volcano mode for just that stage instead.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     # Arrow boundary for pandas UDFs (BASELINE.json:15 vectorized-only)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",

@@ -91,7 +91,23 @@ def test_assign_countries_is_broadcast_only(spark):
     plan = _plan(cc)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "ArrowEvalPython" in plan  # the boundary PIP stage
+    # default stage-2 PIP is pure JVM (oracle-identical CASE expr) …
+    assert "ArrowEvalPython" not in plan
+    assert "CASE WHEN" in plan
+    # … isolated in its own post-exchange stage so the giant CASE never
+    # fuses into (and JIT-deoptimizes) the fact-table probe stage
+    assert "RoundRobinPartitioning" in plan
+    # no isnotnull(cell) filter may be inferred below the probe — the
+    # COALESCE-wrapped cell id is non-nullable by construction
+    assert not re.search(r"Condition : isnotnull\(\(\(162", plan)
+
+
+def test_assign_countries_udf_variant(spark):
+    cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
+                             id_col="point_id", use_udf=True)
+    plan = _plan(cc)
+    assert "ArrowEvalPython" in plan  # the Arrow-batched boundary PIP stage
+    assert "SortMergeJoin" not in plan
 
 
 def test_bucketed_layout_partition_pruning(spark, tmp_path):
