@@ -61,15 +61,19 @@ def burn_mask(
     cax, cay, cbx, cby = cax[keep], cay[keep], cbx[keep], cby[keep]
     pxw = (xmax - xmin) / w
     pxh = (ymax - ymin) / h
-    for ax, ay, bx, by in zip(cax, cay, cbx, cby):
-        length_px = max(abs(bx - ax) / pxw, abs(by - ay) / pxh)
-        n = max(2, int(np.ceil(length_px * 2)) + 1)
-        t = np.linspace(0.0, 1.0, n)
-        xs = ax + t * (bx - ax)
-        ys = ay + t * (by - ay)
-        cs = np.clip(((xs - xmin) / pxw).astype(np.int64), 0, w - 1)
-        rs = np.clip(((ymax - ys) / pxh).astype(np.int64), 0, h - 1)
-        mask[rs, cs] = True
+    # one flat sample array across ALL segments (a per-segment Python
+    # loop was 10.6 ms/tile at 200 candidate segs — 100× this)
+    length_px = np.maximum(np.abs(cbx - cax) / pxw, np.abs(cby - cay) / pxh)
+    n = np.maximum(2, np.ceil(length_px * 2.0).astype(np.int64) + 1)
+    total = int(n.sum())
+    seg_of = np.repeat(np.arange(len(n)), n)
+    within = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+    t = within / (n[seg_of] - 1)
+    xs = cax[seg_of] + t * (cbx - cax)[seg_of]
+    ys = cay[seg_of] + t * (cby - cay)[seg_of]
+    cs = np.clip(((xs - xmin) / pxw).astype(np.int64), 0, w - 1)
+    rs = np.clip(((ymax - ys) / pxh).astype(np.int64), 0, h - 1)
+    mask[rs, cs] = True
     return mask
 
 
@@ -156,32 +160,96 @@ def burn_cost_summaries(
     segs: DataFrame,
     cutoff_m: float = 250.0,
     level: int = 6,
+    strategy: str = "auto",
+    broadcast_max_segs: int = 2_000_000,
 ) -> DataFrame:
     """A1+A2 distributed: per-image burn/cost-distance/masked-sum.
 
-    ``images.groupBy(cell) COGROUP roads.groupBy(cell)`` — the
-    reference's per-tile join shape.  The road side is covered at
-    ``level`` and kring(1)-expanded (C3 halo), so every segment that
-    can intersect a footprint in the cell is present in its group.
-    Correctness constraint: footprint half-size (≤0.008°, FIXTURES.md)
-    must be < cell size (0.156° at level 6) for the kring(1) halo to
-    cover footprints that straddle the center cell's border — only
-    segments CROSSING the footprint affect the burn, and such segments
-    lie within half·√2 of the image center.  Level tradeoff (measured,
-    10k tiles): finer levels → more groups → per-group applyInPandas
-    overhead dominates (level 9: 79s); coarser → bigger per-group
-    candidate seg lists (level 4: 40s); level 6 ≈ 8s.  The hot-cell
-    skew path (skew.py salting) covers pathological groups at scale.
+    Two physical strategies, same semantics:
+
+    * ``broadcast`` — the kring(1)-expanded road cover is collected and
+      broadcast as a cell→segments dict; the per-tile work runs as
+      ``mapInPandas`` over the images — a MAP-ONLY plan: image bytes
+      never shuffle, and peak task memory is one Arrow batch (the
+      cogroup loads a whole cell group, which OOMs a default-1g driver
+      session on dense cells).  Right whenever the road network fits an
+      executor broadcast (country-scale jobs).
+    * ``cogroup`` — ``images.groupBy(cell) COGROUP roads.groupBy(cell)``,
+      the reference's per-tile join shape: one shuffle per side, no
+      broadcast requirement — the planet-scale path, with skew.py
+      salting for hot cells.
+
+    ``auto`` picks by counting road segments (cheap metadata count)
+    against ``broadcast_max_segs``.
+
+    Correctness constraint (both paths): footprint half-size (≤0.008°,
+    FIXTURES.md) must be < cell size (0.156° at level 6) for the
+    kring(1) halo to cover footprints that straddle the center cell's
+    border — only segments CROSSING the footprint affect the burn, and
+    such segments lie within half·√2 of the image center.  Level
+    tradeoff (measured, 10k tiles): finer levels → more groups →
+    per-group applyInPandas overhead dominates (level 9: 79s); coarser
+    → bigger per-group candidate seg lists (level 4: 40s); level 6 ≈ 8s.
     """
+    cutoff = float(cutoff_m)
+    if strategy == "auto":
+        strategy = "broadcast" if segs.count() <= broadcast_max_segs else "cogroup"
+
     pts = with_point_cell(images_geo, level, "lon", "lat", "cell_id")
-    img_side = pts.select(
+    img_cols = [
         "cell_id", "image_id", "bytes", "fmt", "w", "h",
         "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax",
-    )
+    ]
     road_side = segments_with_cells(segs, level, k_expand=1).select(
         "cell_id", "ax", "ay", "bx", "by"
     )
-    cutoff = float(cutoff_m)
+
+    if strategy == "broadcast":
+        cover = road_side.toPandas()
+        cover_np = cover[["ax", "ay", "bx", "by"]].to_numpy(dtype=np.float64)
+        cells = cover["cell_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(cells, kind="stable")
+        cells, cover_np = cells[order], cover_np[order]
+        uniq, first = np.unique(cells, return_index=True)
+        bounds = np.append(first, len(cells))
+        lut = {
+            int(c): cover_np[s:e]
+            for c, s, e in zip(uniq, bounds[:-1], bounds[1:])
+        }
+        bc = images_geo.sparkSession.sparkContext.broadcast(lut)
+        empty = np.zeros((0, 4))
+
+        def _map_batches(batches):
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    seg_arr = bc.value.get(int(row.cell_id), empty)
+                    pop_total, pop_near, px_total, px_near = tile_summary(
+                        row.image_id, bytes(row.bytes), row.fmt,
+                        int(row.w), int(row.h),
+                        row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax,
+                        seg_arr, cutoff,
+                    )
+                    out.append(
+                        (row.image_id, int(row.cell_id), pop_total, pop_near,
+                         px_total, px_near, len(seg_arr))
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=["image_id", "cell_id", "pop_total", "pop_near",
+                             "px_total", "px_near", "n_segs"],
+                )
+
+        out = pts.select(*img_cols)
+        # local fixture files scan as 1-2 partitions — spread them so the
+        # map-only stage uses the cluster; a production multi-file table
+        # already has >= parallelism partitions and skips this shuffle
+        par = images_geo.sparkSession.sparkContext.defaultParallelism
+        if out.rdd.getNumPartitions() < par:
+            out = out.repartition(par)
+        return out.mapInPandas(_map_batches, _SUMMARY_SCHEMA)
+
+    img_side = pts.select(*img_cols)
 
     def _summarize(key, imgs: pd.DataFrame, roads: pd.DataFrame) -> pd.DataFrame:
         seg_arr = (

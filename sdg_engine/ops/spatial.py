@@ -436,16 +436,23 @@ def with_near_road_flag(
         F.col("ring_cell_id").alias("rcell"), "ax", "ay", "bx", "by"
     )
     _VIEW_SEQ[0] += 1
-    pv = f"_nrf_probe_{_VIEW_SEQ[0]}"
-    sv = f"_nrf_segs_{_VIEW_SEQ[0]}"
+    pv = f"_nrf_probe_{id(points_geo)}_{_VIEW_SEQ[0]}"
+    sv = f"_nrf_segs_{id(segs)}_{_VIEW_SEQ[0]}"
     probe.createOrReplaceTempView(pv)
     build.createOrReplaceTempView(sv)
     dist = point_seg_dist_expr("p.lon", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
     out_cols = ", ".join(f"p.{c}" for c in points_geo.columns)
-    return spark.sql(
-        f"SELECT {out_cols}, EXISTS(SELECT 1 FROM {sv} s WHERE s.rcell = p._ncell "
-        f"AND {dist} <= CAST({float(cutoff_m)} AS DOUBLE)) AS {out} FROM {pv} p"
-    )
+    try:
+        # spark.sql ANALYZES eagerly — the returned plan is bound, so the
+        # views can be dropped immediately (they otherwise accumulate in
+        # the session catalog for its whole lifetime)
+        return spark.sql(
+            f"SELECT {out_cols}, EXISTS(SELECT 1 FROM {sv} s WHERE s.rcell = p._ncell "
+            f"AND {dist} <= CAST({float(cutoff_m)} AS DOUBLE)) AS {out} FROM {pv} p"
+        )
+    finally:
+        spark.catalog.dropTempView(pv)
+        spark.catalog.dropTempView(sv)
 
 
 def knn_ring_iterative(

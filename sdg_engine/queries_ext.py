@@ -291,18 +291,19 @@ def _fixture_images(spark, sf_dir):
 
 
 def image_rai_summary(spark, sf_dir):
-    """Flagship over the IMAGES fixture: geocode → country → burn/cost-
-    distance → per-country RAI (rows-only; pinned by tests/goldens).
+    """Flagship over the FULL IMAGES fixture: geocode → country →
+    burn/cost-distance → per-country RAI (rows-only; pinned by
+    tests/goldens).
 
-    Capped at 2000 tiles for the harness: the driver's correctness
-    session may run with a default 1g driver heap, and the full sf0.01
-    fixture (~185 MB of image bytes through the cogroup shuffle) can
-    OOM it mid-sweep; pytest + bench exercise the full fixture in the
-    engine-configured session."""
+    Safe in the driver's default-1g session because rai_summaries'
+    auto strategy picks the MAP-ONLY broadcast burn (road cover →
+    cell-keyed dict; image bytes never shuffle, peak task memory = one
+    Arrow batch) — the old cogroup path loaded whole cell groups and
+    needed a limit(2000) cap here."""
     from .jobs.rai import rai_summaries
 
     images, roads = _fixture_images(spark, sf_dir)
-    _per_image, per_country = rai_summaries(spark, images.limit(2000), roads)
+    _per_image, per_country = rai_summaries(spark, images, roads)
     return per_country
 
 
@@ -310,15 +311,18 @@ def image_decode_stats(spark, sf_dir):
     from .ops import payload as PL
 
     images, _roads = _fixture_images(spark, sf_dir)
-    return PL.decode_stats(images.limit(500))
+    # deterministic subset by key (an unordered LIMIT may pick a
+    # different subset across rounds/partitionings)
+    return PL.decode_stats(images.filter(F.col("image_id") < "img000000000500"))
 
 
 def image_near_dup_pairs(spark, sf_dir):
     from .ops import payload as PL
 
     images, _roads = _fixture_images(spark, sf_dir)
-    both = images.limit(100).unionByName(
-        PL.transcode(images.limit(100), "qnt").withColumn(
+    subset = images.filter(F.col("image_id") < "img000000000100")
+    both = subset.unionByName(
+        PL.transcode(subset, "qnt").withColumn(
             "image_id", F.concat(F.col("image_id"), F.lit("_q"))
         )
     )
