@@ -455,6 +455,65 @@ def with_near_road_flag(
         spark.catalog.dropTempView(sv)
 
 
+def prepare_bucketed_flag_tables(
+    points_geo: DataFrame,
+    segs: DataFrame,
+    cutoff_m: float,
+    points_table: str = "points_bucketed",
+    cover_table: str = "cover_bucketed",
+    level: int | None = None,
+    n_buckets: int = 64,
+) -> int:
+    """Write both sides of the near-road join as bucketed tables
+    (storage.write_bucketed_table) keyed by cell.
+
+    One-time layout cost; afterwards with_near_road_flag_bucketed joins
+    them with NO exchange and NO broadcast.  Returns the level used.
+    """
+    from ..storage import write_bucketed_table
+
+    if level is None:
+        level = level_for_cutoff(cutoff_m)
+    probe = with_point_cell(points_geo, level, "lon", "lat", "cell_id")
+    build = segments_with_cells(segs, level, k_expand=0)
+    build = with_kring(
+        build, level, 1, "cell_id", "ring_cell_id",
+        idx_cols=("cell_id_ix", "cell_id_iy"),
+    ).select(F.col("ring_cell_id").alias("cell_id"), "ax", "ay", "bx", "by")
+    write_bucketed_table(probe, points_table, "cell_id", n_buckets)
+    write_bucketed_table(build, cover_table, "cell_id", n_buckets)
+    return level
+
+
+def with_near_road_flag_bucketed(
+    spark,
+    cutoff_m: float,
+    points_table: str = "points_bucketed",
+    cover_table: str = "cover_bucketed",
+    out: str = "near_road",
+) -> DataFrame:
+    """Scale path of with_near_road_flag: EXISTS over two tables
+    bucketed on the cell key (prepare_bucketed_flag_tables).
+
+    The whole-road-network broadcast of the default path cannot build
+    at planet scale (~10⁸ segments × 9 ring cells); here BOTH sides are
+    co-located by layout, so Catalyst plans a SortMergeJoin
+    ExistenceJoin with NO Exchange on either side and no broadcast —
+    pinned in tests/test_plans.py.  The fact table is read, probed and
+    flagged without ever being shuffled."""
+    from ..sqlgen import point_seg_dist_expr
+
+    p = spark.table(points_table)
+    dist = point_seg_dist_expr("p.lon", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    out_cols = ", ".join(f"p.{c}" for c in p.columns if c != "cell_id")
+    return spark.sql(
+        f"SELECT {out_cols}, EXISTS(SELECT 1 FROM {cover_table} s "
+        f"WHERE s.cell_id = p.cell_id "
+        f"AND {dist} <= CAST({float(cutoff_m)} AS DOUBLE)) AS {out} "
+        f"FROM {points_table} p"
+    )
+
+
 def knn_ring_iterative(
     points_geo: DataFrame,
     segs: DataFrame,

@@ -46,15 +46,62 @@ def read_images_layout(spark: SparkSession, path: str, fmt: str = "parquet") -> 
     return spark.read.format(fmt).load(path)
 
 
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def xxhash64_long(values, seed: int = 42):
+    """Numpy twin of Spark's ``xxhash64(bigint)`` (XXH64 single-long path,
+    default seed 42) — lets the DRIVER compute bucket assignments without
+    a Spark job.  Verified bit-equal against F.xxhash64 in tests.
+
+    Returns signed int64, like the Spark expression."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.uint64((seed + _P5 + 8) & _M64)
+        k1 = v * np.uint64(_P2)
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))  # rotl 31
+        k1 = k1 * np.uint64(_P1)
+        h = h ^ k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * np.uint64(_P1) + np.uint64(_P4)
+        h ^= h >> np.uint64(33)
+        h = h * np.uint64(_P2)
+        h ^= h >> np.uint64(29)
+        h = h * np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+    return h.astype(np.int64)
+
+
 def cells_to_buckets(cells, n_buckets: int = N_BUCKETS):
     """Driver-side helper: which partitions can contain these cells —
-    the pruning predicate a query pushes into the partitioned scan."""
-    import numpy as np
-    import pandas as pd
+    the pruning predicate a query pushes into the partitioned scan
+    (``F.col("cell_bucket").isin(cells_to_buckets(cover_cells))``).
 
-    # xxhash64 must match Spark's; compute via a tiny local DataFrame is
-    # overkill — callers filter on cell_bucket IN (...) computed by Spark
-    raise NotImplementedError(
-        "use F.pmod(F.xxhash64('cell_l7'), n) on the query side; "
-        "partition pruning is asserted in tests/test_plans.py"
-    )
+    Matches the write side's ``pmod(xxhash64(cell), n_buckets)``."""
+    import numpy as np
+
+    h = xxhash64_long(cells)
+    return sorted({int(b) for b in np.mod(h, n_buckets)})  # np.mod = pmod
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, key: str, n_buckets: int = 64,
+    sort: bool = True, fmt: str = "parquet",
+) -> None:
+    """Spark-native bucketed table (Iceberg ``bucket(N, key)`` stand-in):
+    both sides of a cell equi-join written with the SAME (key, N) join
+    WITHOUT any exchange — the shuffle is paid once at write time, then
+    every subsequent join/aggregation on the key is co-located by
+    layout.  This is the flagship's scale path when the road cover
+    exceeds the broadcast threshold (a planet-scale road network cannot
+    build-side-broadcast)."""
+    w = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -126,3 +126,47 @@ def test_bucketed_layout_partition_pruning(spark, tmp_path):
     assert df.count() > 0
     full = ST.read_images_layout(spark, path).count()
     assert full == 300
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """storage.xxhash64_long is a bit-exact driver-side twin of Spark's
+    xxhash64(bigint) — cells_to_buckets pruning depends on it."""
+    import numpy as np
+
+    from sdg_engine.storage import cells_to_buckets, xxhash64_long
+
+    vals = [0, 1, -1, 2**53, -(2**53), 123456789] + list(range(5000, 5100))
+    df = spark.createDataFrame([(int(v),) for v in vals], "v bigint").select(
+        "v", F.xxhash64("v").alias("h"), F.pmod(F.xxhash64("v"), F.lit(16)).alias("b")
+    )
+    rows = {r.v: (r.h, r.b) for r in df.collect()}
+    mine = xxhash64_long(vals)
+    assert all(rows[v][0] == int(m) for v, m in zip(vals, mine))
+    buckets = cells_to_buckets(vals, 16)
+    assert buckets == sorted({r[1] for r in rows.values()})
+
+
+def test_bucketed_near_road_flag_no_exchange(spark, tmp_path):
+    """Scale path (VERDICT r01 #2): both sides bucketed by cell — the
+    near-road EXISTS plans as SortMergeJoin ExistenceJoin with NO
+    exchange and NO broadcast, and matches the broadcast path exactly."""
+    pts, segs = points_df(spark, SF), segments_df(spark, SF)
+    SP.prepare_bucketed_flag_tables(
+        pts, segs, KNN_CUTOFF_M,
+        points_table="t_pts_b", cover_table="t_cov_b", n_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flagged = SP.with_near_road_flag_bucketed(
+            spark, KNN_CUTOFF_M, points_table="t_pts_b", cover_table="t_cov_b"
+        )
+        plan = _plan(flagged)
+        assert "SortMergeJoin" in plan and "ExistenceJoin" in plan
+        assert not re.findall(r"Exchange \w+", plan)
+        assert "BroadcastExchange" not in plan
+        a = flagged.select("point_id", "near_road")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    b = SP.with_near_road_flag(pts, segs, KNN_CUTOFF_M).select("point_id", "near_road")
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
