@@ -35,9 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    ``spatial_compact_cover`` is intentionally absent: quadtree
-    compaction is recursive and not ANSI-SQL-expressible; it is
-    property-tested in tests/test_cells.py instead (rows-only here).
+    Only the image/multimodal payload queries have no SQL twin (no
+    relational engine can decode PNG/WAV bytes); each of those is
+    pinned by bit-exact numpy oracles in tests/ instead.
     """
     from sdg_engine.oracles import ORACLES
 

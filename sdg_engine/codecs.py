@@ -181,3 +181,66 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 audio twin: RIFF/WAVE PCM16 codec, pure numpy (no audio libs) —
+# built from the public RIFF spec the same way the PNG codec was, so the
+# multimodal audio path decodes REAL bytes instead of a stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """PCM16 little-endian WAV: samples (n, ch) int16 (or float in
+    [-1, 1], scaled) → RIFF/WAVE bytes."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.dtype != np.int16:
+        s = np.clip(np.round(s * 32767.0), -32768, 32767).astype(np.int16)
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()  # interleaved by C order
+    block_align = ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")            # PCM
+        + ch.to_bytes(2, "little")
+        + int(sample_rate).to_bytes(4, "little")
+        + (int(sample_rate) * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")         # bits/sample
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (samples (n, ch) int16, sample_rate).
+
+    Chunk-walking parser (fmt/data may be preceded by other chunks)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    ch = sr = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        payload = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            audio_format = int.from_bytes(payload[0:2], "little")
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV format code {audio_format}")
+            ch = int.from_bytes(payload[2:4], "little")
+            sr = int.from_bytes(payload[4:8], "little")
+            bits = int.from_bytes(payload[14:16], "little")
+        elif tag == b"data":
+            pcm = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if ch is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only PCM16 supported, got {bits}-bit")
+    arr = np.frombuffer(pcm, dtype="<i2")
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch).astype(np.int16), int(sr)

@@ -46,6 +46,10 @@ BY = f"({AY} + CAST((s_suppkey * 53) % 41 - 20 AS DOUBLE) / CAST(50 AS DOUBLE))"
 
 KNN_CUTOFF_M = 60000.0  # generous cutoff so results are non-vacuous at sf0.01
 
+# --- derived OSM nodes (4 per supplier way; i = position 0..3) --------------
+NODE_X = "(CAST((s_suppkey * 131 + i * 17) % 1000 AS DOUBLE) / CAST(100 AS DOUBLE))"
+NODE_Y = "(CAST((s_suppkey * 211 + i * 23) % 1000 AS DOUBLE) / CAST(100 AS DOUBLE))"
+
 
 def load_tables(spark, sf_dir: str) -> dict:
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}

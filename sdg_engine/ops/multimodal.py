@@ -32,12 +32,36 @@ VIDEO_SCHEMA = (
 
 
 def synth_audio_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic opaque-audio fixture: bytes are seeded noise, the
-    typed metadata columns are the real schema a lakehouse would carry."""
+    """Deterministic audio fixture with REAL WAV bytes: a seeded
+    sine+noise waveform per clip, encoded by the from-scratch PCM16
+    codec (codecs.encode_wav) — the decode path is exercised for real,
+    like PNG on the image side."""
+    from ..codecs import encode_wav
+
+    rng = np.random.default_rng(1234)
+    rows = []
+    for i in range(n):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10  # short clips keep the fixture small
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        rows.append(
+            (f"aud{i:08d}", encode_wav(wave, sr), "wav", sr, n_ch, dur_ms)
+        )
+    return spark.createDataFrame(rows, AUDIO_SCHEMA)
+
+
+def synth_opaque_audio_table(spark, n: int = 16) -> DataFrame:
+    """Opaque compressed-codec fixture (opus/flac/mp3 bytes are seeded
+    noise): exercises the documented stub path — real decoders need
+    codec libraries this container doesn't have."""
     rng = np.random.default_rng(1234)
     rows = [
         (
-            f"aud{i:08d}",
+            f"opq{i:08d}",
             rng.integers(0, 256, size=2000 + (i % 5) * 500, dtype=np.uint8).tobytes(),
             ["opus", "flac", "mp3"][i % 3],
             [16000, 22050, 44100][i % 3],
@@ -68,7 +92,15 @@ def synth_video_table(spark, n: int = 32) -> DataFrame:
 
 def _decode_audio(data: bytes, codec: str, sr: int, n_ch: int, n_samples: int,
                   deterministic_fake: bool) -> np.ndarray:
-    """STUB decode point: a real build calls soundfile/ffmpeg here."""
+    """Decode point.  ``wav``/``pcm16`` decode FOR REAL via the
+    from-scratch RIFF parser (codecs.decode_wav); compressed codecs
+    (opus/flac/mp3) are the documented stub — a real build calls
+    soundfile/ffmpeg there."""
+    if codec in ("wav", "pcm16"):
+        from ..codecs import decode_wav
+
+        samples, _sr = decode_wav(data)
+        return samples.astype(np.float64) / 32768.0
     if not deterministic_fake:
         raise NotImplementedError(
             f"real {codec} decode requires an audio codec library "

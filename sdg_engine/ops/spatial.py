@@ -232,6 +232,50 @@ def segments_with_cells(segs: DataFrame, level: int, k_expand: int = 0) -> DataF
     return covered
 
 
+def compact_cover(dense_cells: DataFrame, level: int, cell: str = "cell_id") -> DataFrame:
+    """C2 ★ distributed: minimal mixed-level cover of a dense single-level
+    cell set (the DataFrame twin of cells.compact).
+
+    Single-pass relational formulation — NO driver loop, no recursion:
+    every cell emits its ``level+1`` ancestors (explode), an ancestor at
+    level ℓ is FULL iff its descendant count equals 4^(level-ℓ), and the
+    compacted cover is exactly the full nodes whose parent is not full.
+    Two shuffles total (ancestor groupBy + parent anti-join), both on
+    int64 keys — scales to any cover size.  Output: (cell, level)
+    mixed-level rows.  Uses shiftleft/shiftright function forms (the
+    ``>>`` operator fails to parse inside Spark function-call argument
+    lists).
+    """
+    from ..sqlgen import LEVEL_SHIFT
+
+    mask = (1 << LEVEL_SHIFT) - 1
+    anc = dense_cells.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {level}), k -> "
+                f"shiftleft(CAST({level} - k AS BIGINT), {LEVEL_SHIFT}) | "
+                f"shiftright({cell} & {mask}, 2 * k))"
+            )
+        ).alias("anc")
+    )
+    cnt = anc.groupBy("anc").agg(F.count(F.lit(1)).alias("n"))
+    lvl = f"CAST(shiftright(anc, {LEVEL_SHIFT}) AS INT)"
+    full = cnt.filter(
+        F.expr(f"n = shiftleft(CAST(1 AS BIGINT), 2 * ({level} - {lvl}))")
+    ).select("anc")
+    parent_of = F.expr(
+        f"shiftleft(CAST({lvl} - 1 AS BIGINT), {LEVEL_SHIFT}) | "
+        f"shiftright(anc & {mask}, 2)"
+    )
+    comp = full.withColumn("_p", parent_of).join(
+        full.select(F.col("anc").alias("_p")), "_p", "left_anti"
+    )
+    return comp.select(
+        F.col("anc").alias(cell),
+        F.expr(f"CAST(shiftright(anc, {LEVEL_SHIFT}) AS INT)").alias("level"),
+    )
+
+
 def spatial_join(images_cells: DataFrame, road_cells: DataFrame) -> DataFrame:
     """J1 ★: the flagship tile×roads equi-join on cell_id.
 

@@ -11,7 +11,18 @@ the check validates semantics, not just plumbing.
 
 from __future__ import annotations
 
-from .harness import AX, AY, BX, BY, KNN_CUTOFF_M, PX, PY, edges_values_sql
+from .harness import (
+    AX,
+    AY,
+    BX,
+    BY,
+    KNN_CUTOFF_M,
+    NODE_X,
+    NODE_Y,
+    PX,
+    PY,
+    edges_values_sql,
+)
 from .sqlgen import chain_select, grid_index_expr, point_cell_steps, point_seg_dist_steps
 
 # note: column "by" is reserved-ish in SQL; oracles use "byy"
@@ -84,6 +95,65 @@ SPATIAL_CELL_COVER = f"""
 WITH pts AS ({_PTS}),
 cells AS ({chain_select("SELECT * FROM pts", _CELL12_STEPS, ["point_id", "cell_id"])})
 SELECT cell_id, COUNT(*) AS n_points FROM cells GROUP BY cell_id
+"""
+
+# --- C2: distributed compact cover (same ancestor-count formulation the
+# Spark op runs: full node = descendant count 4^(L-lvl); compacted =
+# full nodes whose parent is not full) --------------------------------------
+
+_CELL7_STEPS = point_cell_steps("lon", "lat", 7, "cell_id")
+_CODE_MASK = (1 << 54) - 1
+
+SPATIAL_COMPACT_COVER = f"""
+WITH pts AS ({_PTS}),
+cells AS ({chain_select("SELECT * FROM pts", _CELL7_STEPS, ["cell_id"])}),
+dense AS (SELECT DISTINCT cell_id FROM cells),
+anc AS (
+  SELECT ((CAST(7 - ks.k AS BIGINT) << 54)
+          | ((cell_id & {_CODE_MASK}) >> (2 * ks.k))) AS anc
+  FROM dense CROSS JOIN (SELECT UNNEST(range(0, 8)) AS k) ks
+),
+cnt AS (SELECT anc, COUNT(*) AS n FROM anc GROUP BY anc),
+fullset AS (
+  SELECT anc FROM cnt
+  WHERE n = (CAST(1 AS BIGINT) << (2 * (7 - CAST(anc >> 54 AS INT))))
+)
+SELECT f.anc AS cell_id, CAST(f.anc >> 54 AS INT) AS level
+FROM fullset f
+WHERE ((CAST((f.anc >> 54) - 1 AS BIGINT) << 54) | ((f.anc & {_CODE_MASK}) >> 2))
+      NOT IN (SELECT anc FROM fullset)
+"""
+
+# --- S3: way assembly length (independent formulation: window LEAD +
+# RUNNING sum in ref order — the running window reproduces Spark's
+# left-fold order exactly, so the doubles are bit-identical) ------------------
+
+OSM_WAY_ASSEMBLY = f"""
+WITH n AS (
+  SELECT s_suppkey AS way_id, ks.i AS pos, {NODE_X} AS x, {NODE_Y} AS y
+  FROM supplier CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) ks
+),
+seg AS (
+  SELECT way_id, pos, x, y,
+         LEAD(x) OVER (PARTITION BY way_id ORDER BY pos) AS x2,
+         LEAD(y) OVER (PARTITION BY way_id ORDER BY pos) AS y2
+  FROM n
+),
+d AS (
+  SELECT way_id, pos,
+         SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS dist
+  FROM seg WHERE x2 IS NOT NULL
+),
+run AS (
+  SELECT way_id, pos,
+         SUM(dist) OVER (PARTITION BY way_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,
+         ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos DESC) AS rn
+  FROM d
+)
+SELECT way_id, 4 AS n_nodes,
+       ROUND(rs * CAST(111320 AS DOUBLE), 6) AS length_m
+FROM run WHERE rn = 1
 """
 
 # --- J1 at level 5: segment bbox cover × point cells -----------------------
@@ -363,6 +433,8 @@ ORACLES = {
     "spatial_cell_cover": SPATIAL_CELL_COVER,
     "spatial_knn_nearest": SPATIAL_KNN_NEAREST,
     "spatial_pip_country": SPATIAL_PIP_COUNTRY,
+    "spatial_compact_cover": SPATIAL_COMPACT_COVER,
+    "osm_way_assembly": OSM_WAY_ASSEMBLY,
     "spatial_join_cells": SPATIAL_JOIN_CELLS,
     "spatial_kring_cells": SPATIAL_KRING_CELLS,
     # spatial_compact_cover: rows-only (compaction is quadtree-recursive,

@@ -141,19 +141,46 @@ def spatial_kring_cells(spark, sf_dir):
 
 
 def spatial_compact_cover(spark, sf_dir):
-    """C2 ★: compacted-cell stats per country (rows-only check; the
-    compaction property tests live in tests/test_cells.py)."""
-    import numpy as np
-    import pandas as pd
+    """C2 ★: DISTRIBUTED compacted cover of the distinct point cells at
+    level 7 — ancestor-count sibling merge (SP.compact_cover), verified
+    against a DuckDB oracle with the same single-pass formulation (and
+    against cells.compact in tests/test_cells.py)."""
+    _prep(spark)
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 7)
+    dense = pts.select("cell_id").distinct()
+    return SP.compact_cover(dense, 7).select("cell_id", "level")
 
-    rows = []
-    for cc, _ring in harness_rings().items():
-        interior, _b = SP._classify_country_cells({cc: _ring}, 8)
-        dense = np.array([c for c, _k in interior], dtype=np.int64)
-        comp = C.compact(dense) if dense.size else dense
-        rows.append((cc, int(dense.size), int(len(comp))))
-    pdf = pd.DataFrame(rows, columns=["country_code", "n_dense", "n_compacted"])
-    return spark.createDataFrame(pdf)
+
+def osm_way_assembly(spark, sf_dir):
+    """S3: way assembly (nodes+ways → ordered coords → length) through
+    the real osm.assemble_ways operator, over nodes/ways DERIVED from
+    supplier with exact integer arithmetic (so the DuckDB oracle can
+    regenerate them).  Length is a left fold in ref order on BOTH
+    engines (Spark: aggregate(); DuckDB: running-window sum), so the
+    doubles are bit-identical."""
+    _prep(spark)
+    from . import osm as OSM
+    from .harness import NODE_X, NODE_Y
+
+    sup = _t(spark, sf_dir, "supplier")
+    nodes = (
+        sup.select("s_suppkey")
+        .withColumn("i", F.explode(F.expr("sequence(0, 3)")))
+        .select(
+            F.expr("s_suppkey * 8 + i").alias("node_id"),
+            F.expr(NODE_X).alias("x"),
+            F.expr(NODE_Y).alias("y"),
+        )
+    )
+    ways = sup.select(
+        F.col("s_suppkey").alias("way_id"),
+        F.expr("transform(sequence(0, 3), i -> s_suppkey * 8 + i)").alias("nds"),
+        F.expr("map('highway', 'primary')").alias("tags"),
+    )
+    asm = OSM.assemble_ways(nodes, ways)
+    return OSM.way_lengths(asm).select(
+        "way_id", "n_nodes", F.round("length_m", 6).alias("length_m")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -393,22 +420,54 @@ def minhash_signatures(spark, sf_dir):
     return docs.select("doc_id", *_minhash_cols())
 
 
-def minhash_lsh_pairs(spark, sf_dir):
+def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
     """LSH candidate pairs: docs sharing ≥1 of 4 minhash bands.
 
-    Classic shingle→minhash→band→bucket-join; bucket join is a plain
-    shuffled equi-join on (band, signature).
+    Classic shingle→minhash→band→bucket-join, hardened for scale:
+
+    * signatures are computed ONCE and persisted — the self-join's two
+      sides read the cache instead of re-evaluating the md5 shingle
+      expressions per side;
+    * HOT BUCKETS are salted (skew.plan_salts): a boilerplate-heavy
+      band value concentrates n docs into one n² join group that AQE
+      cannot split (single key).  The probe side gets
+      ``salt = pmod(xxhash64(doc_id), n_salt(bucket))`` and the build
+      side EXPLODES over all n_salt values, so the join key becomes
+      (band, mh, salt), each original pair matches exactly once, and a
+      hot bucket's work splits n_salt ways.  Cold buckets keep salt 0 —
+      no replication cost.  Result set is hash-identical to the
+      unsalted join (oracle-checked).
     """
+    from .skew import plan_salts
+
     docs = _t(spark, sf_dir, "documents")
     sig = docs.select("doc_id", *_minhash_cols())
     bands = sig.selectExpr(
         "doc_id",
         "stack(4, 1, mh1, 2, mh2, 3, mh3, 4, mh4) AS (band, mh)",
+    ).withColumn("bkey", F.concat_ws(":", "band", "mh")).persist()
+    hist = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    salts = plan_salts(hist, target_rows_per_bucket, cell_col="bkey")
+    salted = (
+        bands.join(F.broadcast(salts), bands.bkey == salts["_salt_cell"], "left")
+        .drop("_salt_cell")
+        .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    probe = salted.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int")
+    )
+    build = salted.withColumn(
+        "salt", F.explode(F.expr("sequence(0, n_salt - 1)"))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    a = build.alias("a")
+    b = probe.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.mh") == F.col("b.mh")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.salt") == F.col("b.salt")),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -482,6 +541,7 @@ QUERIES = {
     "spatial_join_cells": spatial_join_cells,
     "spatial_kring_cells": spatial_kring_cells,
     "spatial_compact_cover": spatial_compact_cover,
+    "osm_way_assembly": osm_way_assembly,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_big_building_orders": q3_big_building_orders,
     "q5_nation_revenue": q5_nation_revenue,

@@ -372,8 +372,9 @@ def spatial_knn_unbounded(spark, sf_dir):
 
 
 def multimodal_audio_features(spark, sf_dir):
-    """Audio plumbing demo: opaque bytes + typed metadata -> features
-    (rows-only; codec decode is the documented deterministic stub)."""
+    """Audio features over REAL PCM16 WAV bytes (from-scratch RIFF
+    codec — codecs.encode_wav/decode_wav; rows-only here, content
+    pinned bit-exactly against a numpy oracle in tests)."""
     from .ops.multimodal import audio_features, synth_audio_table
 
     return audio_features(synth_audio_table(spark, 64))

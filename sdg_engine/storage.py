@@ -101,6 +101,17 @@ def write_bucketed_table(
     layout.  This is the flagship's scale path when the road cover
     exceeds the broadcast threshold (a planet-scale road network cannot
     build-side-broadcast)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale managed-table directory (from a previous session whose
+    # catalog is gone) blocks saveAsTable with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if loc and os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -12,11 +12,43 @@ def test_audio_features_deterministic(spark):
     b = MM.audio_features(audio).orderBy("media_id").toPandas()
     assert len(a) == 16
     assert (a["n_samples"] > 0).all()
-    assert (a["rms"].values == b["rms"].values).all()  # seeded fake is stable
+    assert (a["rms"].values == b["rms"].values).all()
 
 
-def test_audio_real_decode_raises(spark):
-    audio = MM.synth_audio_table(spark, 2)
+def test_audio_features_real_wav_content(spark):
+    """The audio path decodes REAL PCM16 WAV bytes (from-scratch RIFF
+    parser): per-clip features must equal a driver-side numpy oracle
+    computed from the same bytes, bit-for-bit."""
+    import numpy as np
+
+    from sdg_engine.codecs import decode_wav
+
+    audio = MM.synth_audio_table(spark, 16)
+    got = {r.media_id: r for r in MM.audio_features(audio).collect()}
+    for r in audio.collect():
+        samples, _sr = decode_wav(bytes(r.bytes))
+        mono = (samples.astype(np.float64) / 32768.0).mean(axis=1)
+        want_rms = float(np.sqrt(np.mean(mono * mono)))
+        g = got[r.media_id]
+        assert g.n_samples == len(mono)
+        assert g.rms == want_rms
+        assert g.peak == float(np.abs(mono).max())
+
+
+def test_audio_wav_roundtrip_exact():
+    import numpy as np
+
+    from sdg_engine.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(99)
+    for ch in (1, 2):
+        s = (rng.standard_normal((1234, ch)) * 12000).astype(np.int16)
+        d, sr = decode_wav(encode_wav(s, 22050))
+        assert sr == 22050 and np.array_equal(d, s)
+
+
+def test_audio_real_decode_raises_for_compressed_codecs(spark):
+    audio = MM.synth_opaque_audio_table(spark, 2)
     with pytest.raises(PythonException, match="NotImplementedError"):
         MM.audio_features(audio, deterministic_fake=False).collect()
 

@@ -36,3 +36,26 @@ def test_road_quality_summary_matches_oracle(spark):
         assert row.n_roads == a[0]
         assert abs(row.total_km - round(a[1] / 1000, 3)) < 1e-9
         assert abs(row.pct_all_season_km - round(a[2] / a[1], 6)) < 1e-9
+
+
+def test_osm_orc_way_assembly_roundtrip(spark, tmp_path):
+    """S3: roads fixture → synthetic osmesa-style ORC (nodes+ways) →
+    assemble_ways → EXACT round-trip of every polyline, and lengths
+    match the numpy oracle."""
+    from sdg_engine import osm as OSM
+
+    path = str(tmp_path / "osm")
+    OSM.write_osm_orc_fixture(spark, path, 0.001)
+    nodes, ways = OSM.read_osm_orc(spark, path)
+    asm = OSM.assemble_ways(nodes, ways)
+    got = {r.way_id: r for r in OSM.way_lengths(asm).collect()}
+    recs = FX.roads_records(0.001)
+    assert len(got) == len(recs)
+    for rec in recs:
+        row = got[rec["road_id"]]
+        coords = [(p["x"], p["y"]) for p in rec["coords"]]
+        assert [(c.x, c.y) for c in row.coords] == coords
+        assert row.n_nodes == len(coords)
+        assert row.tags["highway"] == rec["tags"]["highway"]
+        ref_len = polyline_length_m(np.array(coords))
+        assert abs(row.length_m - ref_len) < 1e-6
