@@ -106,9 +106,12 @@ def main() -> None:
 
     images, roads = load_inputs(spark, 0.01)
     _materialize(rai_summaries(spark, images, roads)[1])  # warm-up
-    t0 = time.time()
-    _materialize(rai_summaries(spark, images, roads)[1])
-    image_sec = round(time.time() - t0, 3)
+    img_dts = []
+    for _ in range(2):  # min-of-2: shared-host noise robustness
+        t0 = time.time()
+        _materialize(rai_summaries(spark, images, roads)[1])
+        img_dts.append(time.time() - t0)
+    image_sec = round(min(img_dts), 3)
     n_images = images.count()
     spark.stop()
 

@@ -196,10 +196,12 @@ def burn_cost_summaries(
         strategy = "broadcast" if segs.count() <= broadcast_max_segs else "cogroup"
 
     pts = with_point_cell(images_geo, level, "lon", "lat", "cell_id")
+    passthrough = [c for c in ("country_code",) if c in images_geo.columns]
     img_cols = [
         "cell_id", "image_id", "bytes", "fmt", "w", "h",
-        "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax",
+        "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", *passthrough,
     ]
+    out_schema = _SUMMARY_SCHEMA + "".join(f", {c} string" for c in passthrough)
     road_side = segments_with_cells(segs, level, k_expand=1).select(
         "cell_id", "ax", "ay", "bx", "by"
     )
@@ -222,7 +224,8 @@ def burn_cost_summaries(
         def _map_batches(batches):
             for pdf in batches:
                 out = []
-                for row in pdf.itertuples(index=False):
+                extra = [pdf[c].tolist() for c in passthrough]
+                for j, row in enumerate(pdf.itertuples(index=False)):
                     seg_arr = bc.value.get(int(row.cell_id), empty)
                     pop_total, pop_near, px_total, px_near = tile_summary(
                         row.image_id, bytes(row.bytes), row.fmt,
@@ -232,12 +235,13 @@ def burn_cost_summaries(
                     )
                     out.append(
                         (row.image_id, int(row.cell_id), pop_total, pop_near,
-                         px_total, px_near, len(seg_arr))
+                         px_total, px_near, len(seg_arr),
+                         *(col[j] for col in extra))
                     )
                 yield pd.DataFrame(
                     out,
                     columns=["image_id", "cell_id", "pop_total", "pop_near",
-                             "px_total", "px_near", "n_segs"],
+                             "px_total", "px_near", "n_segs", *passthrough],
                 )
 
         out = pts.select(*img_cols)
@@ -247,7 +251,7 @@ def burn_cost_summaries(
         par = images_geo.sparkSession.sparkContext.defaultParallelism
         if out.rdd.getNumPartitions() < par:
             out = out.repartition(par)
-        return out.mapInPandas(_map_batches, _SUMMARY_SCHEMA)
+        return out.mapInPandas(_map_batches, out_schema)
 
     img_side = pts.select(*img_cols)
 
@@ -258,7 +262,8 @@ def burn_cost_summaries(
             else np.zeros((0, 4))
         )
         out = []
-        for row in imgs.itertuples(index=False):
+        extra = [imgs[c].tolist() for c in passthrough]
+        for j, row in enumerate(imgs.itertuples(index=False)):
             pop_total, pop_near, px_total, px_near = tile_summary(
                 row.image_id, bytes(row.bytes), row.fmt, int(row.w), int(row.h),
                 row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax,
@@ -266,16 +271,16 @@ def burn_cost_summaries(
             )
             out.append(
                 (row.image_id, key[0], pop_total, pop_near, px_total, px_near,
-                 len(seg_arr))
+                 len(seg_arr), *(col[j] for col in extra))
             )
         return pd.DataFrame(
             out,
             columns=["image_id", "cell_id", "pop_total", "pop_near",
-                     "px_total", "px_near", "n_segs"],
+                     "px_total", "px_near", "n_segs", *passthrough],
         )
 
     return (
         img_side.groupBy("cell_id")
         .cogroup(road_side.groupBy("cell_id"))
-        .applyInPandas(_summarize, _SUMMARY_SCHEMA)
+        .applyInPandas(_summarize, out_schema)
     )

@@ -46,6 +46,11 @@ def _prep(spark: SparkSession) -> None:
     engine's proven-non-overflowing expressions) + ship the engine
     package to executor Python workers (deploy.ensure_pyfiles)."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Cap Arrow batches for driver-owned DEFAULT-1g sessions: at the
+    # default 10000 rows/batch, 8 concurrent image-bytes batches
+    # (~18 KB/row) hold ~1.4 GB on-heap and OOM the sweep.  1024 keeps
+    # peak per-task memory ~18 MB; engine sessions use 4096 (8 GB heap).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     from .deploy import ensure_pyfiles
 
     ensure_pyfiles(spark)

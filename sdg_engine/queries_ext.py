@@ -380,6 +380,25 @@ def multimodal_audio_features(spark, sf_dir):
     return audio_features(synth_audio_table(spark, 64))
 
 
+def mvt_tile_stats(spark, sf_dir):
+    """S7 MVT sink shape: road segments → tile cut → per-tile encoded
+    vector-tile blob; emits (z, tx, ty, n_features, mvt_bytes) stats
+    (rows-only; blob byte-exactness + geometry round-trip pinned in
+    tests/test_mvt.py — no relational engine can parse protobuf)."""
+    import os
+    import tempfile
+
+    from . import mvt as MVT
+    from .harness import segments_df
+
+    segs = segments_df(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "sdg_mvt_harness")
+    tiles = MVT.write_road_mvt(segs, out, level=4)
+    return tiles.select(
+        "z", "tx", "ty", "n_features", F.length("mvt").alias("mvt_bytes")
+    )
+
+
 def multimodal_video_frames(spark, sf_dir):
     from .ops.multimodal import synth_video_table, video_frame_sample
 
@@ -392,6 +411,7 @@ QUERIES_EXT = {
     "spatial_knn_unbounded": spatial_knn_unbounded,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
+    "mvt_tile_stats": mvt_tile_stats,
     "dedup_exact": dedup_exact,
     "simhash60": simhash60,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -1,0 +1,57 @@
+"""S7 MVT sink: protobuf wire round-trip + Spark tile-cut sink."""
+
+import numpy as np
+
+from sdg_engine import mvt as MVT
+
+
+def test_geometry_roundtrip():
+    lines = [np.array([[0, 0], [100, 50], [100, 4096]]),
+             np.array([[5, 5], [9, 9]])]
+    tile = MVT.encode_tile({"roads": [
+        {"id": 7, "type": MVT.GEOM_LINESTRING, "lines": lines,
+         "tags": {"road_id": 7, "kind": "primary"}},
+    ]})
+    dec = MVT.decode_tile(tile)
+    layer = dec["roads"]
+    assert layer["extent"] == MVT.EXTENT and layer["version"] == 2
+    ft = layer["features"][0]
+    assert ft["id"] == 7
+    assert ft["tags"]["road_id"] == 7 and ft["tags"]["kind"] == "primary"
+    got = [np.asarray(l) for l in ft["lines"]]
+    assert all(np.array_equal(a, b) for a, b in zip(got, lines))
+
+
+def test_polygon_closepath():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    tile = MVT.encode_tile({"areas": [
+        {"id": 1, "type": MVT.GEOM_POLYGON, "lines": [ring], "tags": {}},
+    ]})
+    ft = MVT.decode_tile(tile)["areas"]["features"][0]
+    assert np.array_equal(np.asarray(ft["lines"][0]), ring)
+
+
+def test_write_road_mvt_sink(spark, tmp_path):
+    from sdg_engine import fixtures as FX
+    from sdg_engine.ops.spatial import road_segments
+
+    roads = spark.createDataFrame(FX.roads_records(0.001))
+    segs = road_segments(roads)
+    out = str(tmp_path / "tiles")
+    tiles = MVT.write_road_mvt(segs, out, level=4)
+    back = spark.read.parquet(out).collect()
+    assert len(back) > 0
+    total = sum(r.n_features for r in back)
+    assert total >= segs.count()  # a segment can land in several tiles
+    # every blob decodes, coordinates inside extent, ids deterministic
+    for r in back[:10]:
+        layer = MVT.decode_tile(bytes(r.mvt))["roads"]
+        for ft in layer["features"]:
+            pts = np.concatenate([np.asarray(l) for l in ft["lines"]])
+            assert pts.min() >= 0 and pts.max() <= MVT.EXTENT
+    # determinism: re-encoding produces byte-identical blobs
+    out2 = str(tmp_path / "tiles2")
+    MVT.write_road_mvt(segs, out2, level=4)
+    a = {(r.tx, r.ty): bytes(r.mvt) for r in back}
+    b = {(r.tx, r.ty): bytes(r.mvt) for r in spark.read.parquet(out2).collect()}
+    assert a == b
