@@ -296,3 +296,36 @@ def ring(cell_id: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     row = np.repeat(np.arange(len(ix), dtype=np.int64), n_per).reshape(-1, n_per)
     lvl = np.repeat(level, n_per).reshape(-1, n_per)
     return row[valid], pack(lvl[valid], nx[valid], ny[valid])
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal index (H3-analogue; numpy twin of sqlgen.hex_cell_steps)
+# ---------------------------------------------------------------------------
+
+
+def hex_cell(x: np.ndarray, y: np.ndarray, size: float) -> np.ndarray:
+    """Pointy-top axial hex id via exact cube rounding — the same
+    arithmetic as the shared SQL fragments (FLOOR(v+0.5) rounding)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    qf = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    yf = -qf - rf
+    rq = np.floor(qf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(rf + 0.5)
+    dq, dy, dz = np.abs(rq - qf), np.abs(ry - yf), np.abs(rz - rf)
+    c1 = (dq > dy) & (dq > dz)
+    q = np.where(c1, -ry - rz, rq)
+    r = np.where(~c1 & ~(dy > dz), -rq - ry, rz)
+    return ((q.astype(np.int64) + 8192) * 16384 + (r.astype(np.int64) + 8192))
+
+
+def hex_center(hex_id: np.ndarray, size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse: axial (q, r) → hex center (x, y)."""
+    hex_id = np.asarray(hex_id, dtype=np.int64)
+    q = (hex_id // 16384 - 8192).astype(np.float64)
+    r = (hex_id % 16384 - 8192).astype(np.float64)
+    x = size * (np.sqrt(3.0) * q + np.sqrt(3.0) / 2.0 * r)
+    y = size * (1.5 * r)
+    return x, y

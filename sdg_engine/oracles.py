@@ -23,7 +23,13 @@ from .harness import (
     PY,
     edges_values_sql,
 )
-from .sqlgen import chain_select, grid_index_expr, point_cell_steps, point_seg_dist_steps
+from .sqlgen import (
+    chain_select,
+    grid_index_expr,
+    hex_cell_steps,
+    point_cell_steps,
+    point_seg_dist_steps,
+)
 
 # note: column "by" is reserved-ish in SQL; oracles use "byy"
 _PTS = f"SELECT o_orderkey AS point_id, {PX} AS lon, {PY} AS lat FROM orders"
@@ -123,6 +129,14 @@ FROM fullset f
 WHERE ((CAST((f.anc >> 54) - 1 AS BIGINT) << 54) | ((f.anc & {_CODE_MASK}) >> 2))
       NOT IN (SELECT anc FROM fullset)
 """
+
+SPATIAL_HEX_COVER = f"""
+WITH pts AS ({_PTS}),
+hx AS ({chain_select("SELECT * FROM pts", hex_cell_steps("lon", "lat", 0.05, "hex_id"), ["point_id", "hex_id"])})
+SELECT hex_id, COUNT(*) AS n_points, MIN(point_id) AS min_point
+FROM hx GROUP BY hex_id
+"""
+
 
 # --- S3: way assembly length (independent formulation: window LEAD +
 # RUNNING sum in ref order — the running window reproduces Spark's
@@ -435,6 +449,7 @@ ORACLES = {
     "spatial_pip_country": SPATIAL_PIP_COUNTRY,
     "spatial_compact_cover": SPATIAL_COMPACT_COVER,
     "osm_way_assembly": OSM_WAY_ASSEMBLY,
+    "spatial_hex_cover": SPATIAL_HEX_COVER,
     "spatial_join_cells": SPATIAL_JOIN_CELLS,
     "spatial_kring_cells": SPATIAL_KRING_CELLS,
     # spatial_compact_cover: rows-only (compaction is quadtree-recursive,

@@ -192,7 +192,23 @@ SELECT point_id, road_id, ROUND(dist_m, 6) AS dist_m FROM ranked WHERE rn = 1
 """
 
 
+
+STREAMING_HOURLY_CLOSED = """
+WITH mx AS (SELECT MAX(epoch(ts)) AS m FROM events),
+agg AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type,
+         COUNT(*) AS n,
+         CAST(FLOOR(SUM(value)) AS BIGINT) AS sum_value_floor
+  FROM events GROUP BY 1, 2
+)
+SELECT a.hour_epoch, a.event_type, a.n, a.sum_value_floor
+FROM agg a, mx
+WHERE a.hour_epoch + 3600 <= mx.m - 7200
+"""
+
 ORACLES_EXT = {
+    "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,
     "token_bpe_counts": TOKEN_BPE_COUNTS,

@@ -156,6 +156,22 @@ def spatial_compact_cover(spark, sf_dir):
     return SP.compact_cover(dense, 7).select("cell_id", "level")
 
 
+def spatial_hex_cover(spark, sf_dir):
+    """C1 hex variant (the north star's H3-style index): pointy-top
+    axial hex binning with exact cube rounding — shared SQL fragments,
+    bit-identical in DuckDB; also twinned in numpy (cells.hex_cell,
+    nearest-center property test)."""
+    _prep(spark)
+    from .sqlgen import apply_steps, hex_cell_steps
+
+    steps = hex_cell_steps("lon", "lat", 0.05, "hex_id")
+    pts = apply_steps(points_df(spark, sf_dir), steps)
+    return pts.groupBy("hex_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("point_id").alias("min_point"),
+    )
+
+
 def osm_way_assembly(spark, sf_dir):
     """S3: way assembly (nodes+ways → ordered coords → length) through
     the real osm.assemble_ways operator, over nodes/ways DERIVED from
@@ -547,6 +563,7 @@ QUERIES = {
     "spatial_kring_cells": spatial_kring_cells,
     "spatial_compact_cover": spatial_compact_cover,
     "osm_way_assembly": osm_way_assembly,
+    "spatial_hex_cover": spatial_hex_cover,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_big_building_orders": q3_big_building_orders,
     "q5_nation_revenue": q5_nation_revenue,

@@ -380,6 +380,31 @@ def multimodal_audio_features(spark, sf_dir):
     return audio_features(synth_audio_table(spark, 64))
 
 
+def streaming_hourly_closed(spark, sf_dir):
+    """§2.10: a REAL Structured Streaming run (file source → watermarked
+    hourly window agg → availableNow → parquet sink), returned as the
+    sink's contents.  Oracle-checked: the append-mode output is exactly
+    the windows closed at the final watermark, which DuckDB computes
+    relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import streaming as STR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix="sdg_stream_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    STR.stream_events_hourly(spark, in_dir, out, ck)
+    return spark.read.parquet(out).select(
+        F.unix_timestamp("hour_start").alias("hour_epoch"),
+        "event_type", "n", "sum_value_floor",
+    )
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink shape: road segments → tile cut → per-tile encoded
     vector-tile blob; emits (z, tx, ty, n_features, mvt_bytes) stats
@@ -412,6 +437,7 @@ QUERIES_EXT = {
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
     "mvt_tile_stats": mvt_tile_stats,
+    "streaming_hourly_closed": streaming_hourly_closed,
     "dedup_exact": dedup_exact,
     "simhash60": simhash60,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

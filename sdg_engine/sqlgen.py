@@ -120,6 +120,52 @@ def point_seg_dist_expr(px: str, py: str, ax: str, ay: str, bx: str, by: str) ->
     return f"(SQRT(({ex} * {ex}) + ({ey} * {ey})) * {METERS_SQL})"
 
 
+def hex_cell_steps(px: str, py: str, size: float, out: str = "hex_id") -> list[tuple[str, str]]:
+    """Hexagonal cell id (the H3-analogue index): pointy-top axial hex
+    binning with exact cube rounding, as shared dialect fragments.
+
+    Axial transform (hex circumradius ``size`` degrees):
+        q = (√3/3·x − 1/3·y) / size,  r = (2/3·y) / size
+    then classic cube rounding (round each of q, −q−r, r; re-derive the
+    coordinate with the largest rounding error).  Every op is
+    IEEE-exact and shared-text (SQRT/FLOOR/ABS/CASE/± only), so Spark
+    and DuckDB agree bit-for-bit including boundary ties.  FLOOR(v+0.5)
+    is used instead of ROUND (engines disagree on half-rounding).
+    Packed id: (q+8192)·16384 + (r+8192) — single positive int64.
+    """
+    s = repr(float(size))
+    sq3 = "SQRT(CAST(3 AS DOUBLE))"
+    third = "CAST(3 AS DOUBLE)"
+    p = out
+    return [
+        (f"{p}_qf", f"((({sq3} / {third}) * ({px}) - ({py}) / {third}) / CAST({s} AS DOUBLE))"),
+        (f"{p}_rf", f"(((CAST(2 AS DOUBLE) / {third}) * ({py})) / CAST({s} AS DOUBLE))"),
+        (f"{p}_yf", f"(-({p}_qf) - ({p}_rf))"),
+        (f"{p}_rq", f"FLOOR({p}_qf + CAST(0.5 AS DOUBLE))"),
+        (f"{p}_ry", f"FLOOR({p}_yf + CAST(0.5 AS DOUBLE))"),
+        (f"{p}_rz", f"FLOOR({p}_rf + CAST(0.5 AS DOUBLE))"),
+        (f"{p}_dq", f"ABS({p}_rq - {p}_qf)"),
+        (f"{p}_dy", f"ABS({p}_ry - {p}_yf)"),
+        (f"{p}_dz", f"ABS({p}_rz - {p}_rf)"),
+        (
+            f"{p}_q",
+            f"(CASE WHEN {p}_dq > {p}_dy AND {p}_dq > {p}_dz "
+            f"THEN (-({p}_ry) - ({p}_rz)) ELSE {p}_rq END)",
+        ),
+        (
+            f"{p}_r",
+            f"(CASE WHEN NOT ({p}_dq > {p}_dy AND {p}_dq > {p}_dz) "
+            f"AND NOT ({p}_dy > {p}_dz) THEN (-({p}_rq) - ({p}_ry)) "
+            f"ELSE {p}_rz END)",
+        ),
+        (
+            out,
+            f"((CAST({p}_q AS BIGINT) + 8192) * 16384 + "
+            f"(CAST({p}_r AS BIGINT) + 8192))",
+        ),
+    ]
+
+
 def pip_crossing_expr(px: str, py: str, x0: str, y0: str, x1: str, y1: str) -> str:
     """J2: 1 if the +x ray from (px,py) crosses edge (x0,y0)-(x1,y1).
 

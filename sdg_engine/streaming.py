@@ -1,0 +1,181 @@
+"""§2.10 Structured Streaming surface (beyond the batch-only reference).
+
+The reference pipeline is batch; its resume story is lineage.py.  This
+module adds the Spark-native streaming shape a continuously-ingesting
+deployment would run — same operators, declared as a streaming plan:
+
+* :func:`stream_events_hourly` — file-source ingest → watermarked
+  event-time window aggregation → parquet sink with checkpoint.  The
+  ``availableNow`` trigger drains whatever input exists and stops, so
+  the same code is both the backfill batch and the live stream (the
+  lakehouse pattern); the checkpoint makes re-runs incremental.
+* :func:`stream_sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: per-user session assembly with a 30-min
+  gap timeout, the streaming twin of the batch ``sessionize_users``
+  window chain.
+
+Both are verified in tests against the BATCH implementations of the
+same semantics (streaming result == batch oracle on the same rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Watermarked hourly counts per event_type, file source → parquet
+    sink, availableNow trigger (drain-and-stop).
+
+    Watermark bounds state: windows older than max(event time) −
+    ``watermark`` are finalized and evicted — late rows beyond it are
+    dropped, which is the documented streaming-vs-batch difference.
+    Append output mode emits each window exactly once, on close."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("value")).cast("long").alias("sum_value_floor"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"), "event_type", "n",
+            "sum_value_floor",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )
+
+
+_SESSION_STATE_SCHEMA = "start long, last long, n int"
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events int"
+)
+GAP_S = 1800
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """applyInPandasWithState body: fold this batch's events into the
+    open session; emit every CLOSED session (gap > 30 min between
+    consecutive events, or state timeout at the watermark)."""
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]],
+             "session_start": [pd.Timestamp(start, unit="s")],
+             "session_end": [pd.Timestamp(last, unit="s")],
+             "n_events": [n]}
+        )
+        return
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    # normalize to ns first — parquet timestamps may arrive as
+    # datetime64[us], whose int64 view is MICROseconds
+    ts = rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    out = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = int(ts.iloc[0])
+        n = 0
+    for t in ts:
+        t = int(t)
+        if n > 0 and t - last > GAP_S:
+            out.append((key[0], start, last, n))
+            n = 0
+        if n == 0:
+            start = t
+        last = t
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutTimestamp((last + GAP_S) * 1000)
+    yield pd.DataFrame(
+        {"user_id": [r[0] for r in out],
+         "session_start": [pd.Timestamp(r[1], unit="s") for r in out],
+         "session_end": [pd.Timestamp(r[2], unit="s") for r in out],
+         "n_events": [r[3] for r in out]}
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Custom stateful streaming operator: per-user sessionization with
+    a 30-min gap, state timeout driven by the event-time watermark."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    sessions = (
+        src.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            _SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )
+
+
+def batch_hourly_closed(spark: SparkSession, events: DataFrame,
+                        watermark_s: int = 7200) -> DataFrame:
+    """Batch twin of stream_events_hourly's APPEND output: only windows
+    CLOSED at the final watermark (max ts − watermark) are emitted."""
+    max_ts = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    cutoff = max_ts - watermark_s
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("value")).cast("long").alias("sum_value_floor"),
+        )
+        .filter(F.unix_timestamp(F.col("win.end")) <= cutoff)
+        .select(
+            F.col("win.start").alias("hour_start"), "event_type", "n",
+            "sum_value_floor",
+        )
+    )

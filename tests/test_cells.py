@@ -134,3 +134,29 @@ def test_kring_clips_world_edge():
     a = C.point_cell(np.array([0.0]), np.array([0.0]), 10)  # corner cell
     _, cids = C.kring(a, 1)
     assert len(cids) == 4  # 2x2 corner neighborhood
+
+
+def test_hex_cell_nearest_center():
+    """Every point's assigned hex center is the nearest hex center
+    (within float ties) and within the circumradius."""
+    import numpy as np
+
+    from sdg_engine import cells as C
+
+    rng = np.random.default_rng(5)
+    size = 0.05
+    x = rng.uniform(0, 10, 5000)
+    y = rng.uniform(0, 10, 5000)
+    h = C.hex_cell(x, y, size)
+    cx, cy = C.hex_center(h, size)
+    d_own = np.hypot(x - cx, y - cy)
+    assert (d_own <= size + 1e-9).all()
+    # nearest among the 7-cell neighborhood (own + 6 axial neighbors)
+    q = h // 16384 - 8192
+    r = h % 16384 - 8192
+    best = d_own.copy()
+    for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+        nid = ((q + dq) + 8192) * 16384 + ((r + dr) + 8192)
+        nx, ny = C.hex_center(nid, size)
+        best = np.minimum(best, np.hypot(x - nx, y - ny))
+    assert (d_own <= best + 1e-9).all()

@@ -1,0 +1,99 @@
+"""§2.10 streaming: watermarked window agg + custom stateful operator,
+each verified against the batch implementation of the same semantics."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sdg_engine import streaming as STR
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_events(tmp_path, n_files=5):
+    """Events parquet split into n time-ordered files (micro-batches)."""
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values("ts")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    step = (len(t) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = t.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(os.path.join(in_dir, f"part{i}.parquet"))
+    return in_dir
+
+
+def test_stream_hourly_matches_batch_closed_windows(spark, tmp_path):
+    in_dir = _split_events(tmp_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    STR.stream_events_hourly(spark, in_dir, out, ck)
+    got = spark.read.parquet(out)
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    want = STR.batch_hourly_closed(spark, events)
+    assert got.count() > 0
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_stream_hourly_checkpoint_incremental(spark, tmp_path):
+    """Re-running over the same input with the same checkpoint emits
+    nothing new (exactly-once over the file source)."""
+    in_dir = _split_events(tmp_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    STR.stream_events_hourly(spark, in_dir, out, ck)
+    n1 = spark.read.parquet(out).count()
+    STR.stream_events_hourly(spark, in_dir, out, ck)  # no new input
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions from the stateful streaming operator equal the
+    batch window-chain sessionization, for sessions that END before the
+    final watermark (the streaming-visible subset)."""
+    in_dir = _split_events(tmp_path)
+    out = str(tmp_path / "out_s")
+    ck = str(tmp_path / "ck_s")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    STR.stream_sessionize(spark, in_dir, out, ck)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+
+    # batch oracle: same 30-min-gap sessionization in pandas
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    max_ts = ev["ts"].max().value // 1_000_000_000
+    cutoff = max_ts - 7200  # watermark
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        ts = (g["ts"].astype("datetime64[ns]").astype("int64")
+              // 1_000_000_000).tolist()
+        start = last = ts[0]
+        n = 0
+        for t in ts:
+            if n > 0 and t - last > STR.GAP_S:
+                want.append((uid, start, last, n))
+                n = 0
+            if n == 0:
+                start = t
+            last = t
+            n += 1
+        if n > 0:
+            want.append((uid, start, last, n))  # open tail
+    want_all = set(want)
+    got_set = {
+        (r.user_id, r.session_start.value // 10**9,
+         r.session_end.value // 10**9, r.n_events)
+        for r in got.itertuples(index=False)
+    }
+    # nothing the stream emitted may disagree with the batch oracle
+    assert got_set <= want_all
+    # every session whose timeout fires before the final watermark MUST
+    # have been emitted
+    must = {(u, s, e, n) for u, s, e, n in want if e + STR.GAP_S <= cutoff}
+    assert must <= got_set
