@@ -207,7 +207,78 @@ FROM agg a, mx
 WHERE a.hour_epoch + 3600 <= mx.m - 7200
 """
 
+
+def _ivf_d2(j: int) -> str:
+    return (
+        "list_sum(list_transform(generate_series(1, len(embedding)), "
+        f"i -> (CAST(embedding[i] AS DOUBLE) - (CAST((i * 11 + {j} * 37) % 16 - 8 AS DOUBLE) "
+        "/ CAST(4 AS DOUBLE))) * (CAST(embedding[i] AS DOUBLE) - "
+        f"(CAST((i * 11 + {j} * 37) % 16 - 8 AS DOUBLE) / CAST(4 AS DOUBLE)))))"
+    )
+
+
+_IVF_DS = ", ".join(f"{_ivf_d2(j)} AS _d{j}" for j in range(8))
+_IVF_BEST = "LEAST(" + ", ".join(f"_d{j}" for j in range(8)) + ")"
+_IVF_CID = "CASE " + " ".join(f"WHEN _d{j} = _best THEN {j}" for j in range(8)) + " END"
+
+ANN_IVF_TOPK = f"""
+WITH d AS (
+  SELECT vec_id, embedding, {_IVF_DS},
+         SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, embedding, nrm, CAST({_IVF_CID.replace("_best", _IVF_BEST)} AS INT) AS ivf_cell
+  FROM d
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DOT_AB} / (a.nrm * b.nrm) AS cos_sim
+  FROM base a JOIN base b ON a.ivf_cell = b.ivf_cell AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rnk, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rnk <= 3
+"""
+
+_SH_DUCK = (
+    "list_distinct(list_transform("
+    "generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)), "
+    "i -> string_split(text, ' ')[i] || ' ' || "
+    "string_split(text, ' ')[LEAST(i + 1, len(string_split(text, ' ')))] || ' ' || "
+    "string_split(text, ' ')[LEAST(i + 2, len(string_split(text, ' ')))]))"
+)
+
+NGRAM_JACCARD_INDEXED = f"""
+WITH sets AS (SELECT doc_id, {_SH_DUCK} AS sh FROM documents),
+inv AS (SELECT doc_id, UNNEST(sh) AS s FROM sets),
+rare AS (SELECT s FROM (SELECT s, COUNT(*) AS nf FROM inv GROUP BY s) f
+         WHERE nf >= 2 AND nf <= 10),
+postings AS (SELECT i.doc_id, i.s FROM inv i JOIN rare r ON i.s = r.s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.doc_a
+JOIN sets sb ON sb.doc_id = c.doc_b
+WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) >= 0.2
+"""
+
 ORACLES_EXT = {
+    "ann_ivf_topk": ANN_IVF_TOPK,
+    "ngram_jaccard_indexed": NGRAM_JACCARD_INDEXED,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

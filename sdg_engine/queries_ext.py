@@ -177,6 +177,123 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+_N_IVF = 8
+
+
+def _ivf_dist2_expr(j: int) -> str:
+    """Squared L2 to deterministic centroid j: c[i] = ((i·11 + j·37) %
+    16 − 8)/4 — exact quarters, regenerable in DuckDB."""
+    return (
+        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        f"transform(sequence(1, size(embedding)), i -> "
+        f"CAST((i * 11 + {j} * 37) % 16 - 8 AS DOUBLE) / CAST(4 AS DOUBLE)), "
+        f"(x, c) -> (x - c) * (x - c)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _with_ivf_cell(df):
+    for j in range(_N_IVF):
+        df = df.withColumn(f"_d{j}", F.expr(_ivf_dist2_expr(j)))
+    best = F.expr("LEAST(" + ", ".join(f"_d{j}" for j in range(_N_IVF)) + ")")
+    df = df.withColumn("_best", best)
+    cid = "CASE " + " ".join(
+        f"WHEN _d{j} = _best THEN {j}" for j in range(_N_IVF)
+    ) + " END"
+    return df.withColumn("ivf_cell", F.expr(cid).cast("int")).drop(
+        *[f"_d{j}" for j in range(_N_IVF)], "_best"
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: vectors assigned to the nearest of 8 deterministic
+    coarse centroids (exact-argmin, lowest-index tie-break); cosine
+    top-3 restricted to the query's IVF cell — the inverted-file
+    counterpart of the sign-LSH scale path (both replace brute force
+    with a bucket equi-join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    base = _with_ivf_cell(emb).select(
+        "vec_id", "embedding", "ivf_cell", norm.alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") < 20).alias("a")
+    t = base.alias("b")
+    dot = (
+        "aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>), "
+        "CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        q.join(t, (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(f"{dot} / (a.nrm * b.nrm)").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
+    "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
+)
+
+
+def ngram_jaccard_indexed(spark, sf_dir, max_shingle_freq: int = 10,
+                          min_jaccard: float = 0.2):
+    """n-gram Jaccard WITHOUT the cross join (the scale path): an
+    inverted shingle index generates candidate pairs — only docs
+    sharing a shingle rarer than ``max_shingle_freq`` meet (stop-shingle
+    drop bounds the worst bucket at freq² pairs) — then the exact
+    Jaccard runs on candidates only.  Exactness caveat vs the
+    brute-force baseline is PRECISELY characterized: a pair is missed
+    iff every shared shingle is a stop-shingle."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    inv = sets.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        inv.groupBy("s").agg(F.count(F.lit(1)).alias("nf"))
+        .filter((F.col("nf") >= 2) & (F.col("nf") <= max_shingle_freq))
+        .select("s")
+    )
+    postings = inv.join(rare, "s")
+    cand = (
+        postings.alias("a")
+        .join(postings.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
+                / F.expr("size(array_union(sh_a, sh_b))").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= min_jaccard)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth
 # ---------------------------------------------------------------------------
@@ -443,6 +560,8 @@ QUERIES_EXT = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_lsh_buckets": embedding_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ngram_jaccard_indexed": ngram_jaccard_indexed,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,
     "strings_parts": strings_parts,
