@@ -182,3 +182,50 @@ def seg_bbox_dist_sq(
     dx = np.maximum(0.0, np.maximum(xmin - sxmax, sxmin - xmax))
     dy = np.maximum(0.0, np.maximum(ymin - symax, symin - ymax))
     return dx * dx + dy * dy
+
+
+# ---------------------------------------------------------------------------
+# Reprojection (EPSG:4326 ⇄ EPSG:3857 Web Mercator) — the reference
+# reprojects WorldPop rasters between CRSs; the engine's derived
+# footprints stay in plate carrée, so this is the standalone transform
+# operators a user applies at ingest.  Spherical Mercator, public
+# formulas.  Transcendentals (log/tan) are NOT cross-engine bit-exact,
+# so these are pytest-verified (round-trip < 1e-9 m) rather than
+# DuckDB-oracle-checked.
+# ---------------------------------------------------------------------------
+
+_R_MERC = 6378137.0  # WGS84 spherical radius used by EPSG:3857
+
+
+def lonlat_to_webmercator(lon: np.ndarray, lat: np.ndarray):
+    """(degrees) → EPSG:3857 meters.  |lat| must be < 85.051129."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R_MERC * np.radians(lon)
+    y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_MERC)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2.0)
+    return lon, lat
+
+
+MERC_X_SQL = f"(CAST({_R_MERC!r} AS DOUBLE) * RADIANS({{lon}}))"
+MERC_Y_SQL = (
+    f"(CAST({_R_MERC!r} AS DOUBLE) * LN(TAN(PI() / CAST(4 AS DOUBLE) "
+    f"+ RADIANS({{lat}}) / CAST(2 AS DOUBLE))))"
+)
+
+
+def with_webmercator(df, lon: str = "lon", lat: str = "lat",
+                     x: str = "merc_x", y: str = "merc_y"):
+    """JVM-side forward transform as generated SQL (codegen; no UDF)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(x, F.expr(MERC_X_SQL.format(lon=lon))).withColumn(
+        y, F.expr(MERC_Y_SQL.format(lat=lat))
+    )

@@ -99,3 +99,33 @@ def test_seg_bbox_dist_zero_when_overlap():
         0.0, 0.0, 3.0, 3.0,
     )
     assert d2[0] == 0.0
+
+
+def test_webmercator_roundtrip_and_spark_parity(spark):
+    """Forward/inverse round-trip < 1e-9 deg; the Spark JVM expression
+    matches numpy to float64 precision on the fixture points."""
+    import numpy as np
+
+    from sdg_engine.geom import (
+        lonlat_to_webmercator,
+        webmercator_to_lonlat,
+        with_webmercator,
+    )
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-84, 84, 2000)
+    x, y = lonlat_to_webmercator(lon, lat)
+    lon2, lat2 = webmercator_to_lonlat(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # known anchor: (0,0) -> (0,0); 180° -> ~20037508.34 m
+    ax, _ = lonlat_to_webmercator(np.array([180.0]), np.array([0.0]))
+    assert abs(ax[0] - 20037508.342789244) < 1e-6
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got = with_webmercator(df).orderBy("lon").toPandas()
+    order = np.argsort(lon)
+    assert np.abs(got["merc_x"].to_numpy() - x[order]).max() < 1e-6
+    assert np.abs(got["merc_y"].to_numpy() - y[order]).max() < 1e-6
