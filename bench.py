@@ -146,7 +146,7 @@ def main() -> None:
         # engine plan is map-side/broadcast-only over the fact table,
         # so added executors add throughput until hardware saturates.
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "192"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         lo = os.environ.get("SPARK_GRAFT_SCALE_N", "2")
         hi = os.environ.get("SPARK_GRAFT_SCALE_4N", "8")
         n_scaled = n_input * mult

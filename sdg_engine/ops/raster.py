@@ -115,6 +115,93 @@ def chamfer_distance(mask: np.ndarray) -> np.ndarray:
     return d / 3.0
 
 
+def chamfer_distance_batch(masks: np.ndarray) -> np.ndarray:
+    """A2 batched: 3-4 chamfer over a (N, h, w) stack of masks.
+
+    Same pushbroom as chamfer_distance but each row step operates on
+    (N, w) slabs — per-row numpy call overhead is amortized N× (the
+    per-tile variant spends ~0.7 ms/tile at 64×64 mostly on ~800 tiny
+    numpy calls).  Values are bit-identical: all ops are elementwise
+    minima / accumulates applied per tile independently."""
+    n, h, w = masks.shape
+    big = np.float64(1e18)
+    d = np.where(masks, 0.0, big)
+    idx = np.arange(w) * 3.0
+    for r in range(h):
+        row = d[:, r]
+        if r > 0:
+            up = d[:, r - 1]
+            row = np.minimum(row, up + 3.0)
+            row[:, 1:] = np.minimum(row[:, 1:], up[:, :-1] + 4.0)
+            row[:, :-1] = np.minimum(row[:, :-1], up[:, 1:] + 4.0)
+        row = np.minimum.accumulate(row - idx, axis=1) + idx
+        d[:, r] = row
+    for r in range(h - 1, -1, -1):
+        row = d[:, r]
+        if r < h - 1:
+            dn = d[:, r + 1]
+            row = np.minimum(row, dn + 3.0)
+            row[:, 1:] = np.minimum(row[:, 1:], dn[:, :-1] + 4.0)
+            row[:, :-1] = np.minimum(row[:, :-1], dn[:, 1:] + 4.0)
+        rev = row[:, ::-1]
+        rev = np.minimum.accumulate(rev - idx, axis=1) + idx
+        d[:, r] = rev[:, ::-1]
+    return d / 3.0
+
+
+def summarize_tile_rows(rows, segs_of, cutoff: float):
+    """Shared batched kernel for both burn strategies: ``rows`` is an
+    iterable of row tuples (image_id, bytes, fmt, w, h, fp_*…),
+    ``segs_of(i, row)`` returns the candidate segment array for row i.
+
+    Decode/burn/sums stay per-tile (bit-identical to tile_summary, the
+    golden oracle); the chamfer transform runs BATCHED per (h, w) group.
+    Yields (pop_total, pop_near, px_total, px_near, n_segs) per row in
+    input order."""
+    rows = list(rows)
+    lums: list[np.ndarray] = []
+    masks: list[np.ndarray] = []
+    metas = []
+    for i, row in enumerate(rows):
+        img = decode_image(bytes(row.bytes), row.fmt, int(row.w), int(row.h))
+        lum = (
+            0.299 * img[:, :, 0].astype(np.float64)
+            + 0.587 * img[:, :, 1].astype(np.float64)
+            + 0.114 * img[:, :, 2].astype(np.float64)
+        )
+        segs = segs_of(i, row)
+        mask = burn_mask(int(row.w), int(row.h),
+                         row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax,
+                         segs)
+        lums.append(lum)
+        masks.append(mask)
+        metas.append((int(row.w), int(row.h),
+                      (row.fp_xmax - row.fp_xmin) / int(row.w) * METERS_PER_DEG,
+                      len(segs)))
+    # batch chamfer per (h, w) shape over tiles with a non-empty mask
+    near = [None] * len(rows)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, m in enumerate(masks):
+        if m.any():
+            by_shape.setdefault(m.shape, []).append(i)
+        else:
+            near[i] = np.zeros(m.shape, dtype=bool)
+    for shape, idxs in by_shape.items():
+        stack = np.stack([masks[i] for i in idxs])
+        dist = chamfer_distance_batch(stack)
+        for j, i in enumerate(idxs):
+            near[i] = dist[j] * metas[i][2] <= cutoff
+    for i, row in enumerate(rows):
+        lum = lums[i]
+        yield (
+            float(lum.sum()),
+            float(lum[near[i]].sum()),
+            int(lum.size),
+            int(near[i].sum()),
+            metas[i][3],
+        )
+
+
 def tile_summary(
     image_id: str,
     data: bytes,
@@ -223,21 +310,17 @@ def burn_cost_summaries(
 
         def _map_batches(batches):
             for pdf in batches:
-                out = []
+                rows = list(pdf.itertuples(index=False))
                 extra = [pdf[c].tolist() for c in passthrough]
-                for j, row in enumerate(pdf.itertuples(index=False)):
-                    seg_arr = bc.value.get(int(row.cell_id), empty)
-                    pop_total, pop_near, px_total, px_near = tile_summary(
-                        row.image_id, bytes(row.bytes), row.fmt,
-                        int(row.w), int(row.h),
-                        row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax,
-                        seg_arr, cutoff,
-                    )
-                    out.append(
-                        (row.image_id, int(row.cell_id), pop_total, pop_near,
-                         px_total, px_near, len(seg_arr),
-                         *(col[j] for col in extra))
-                    )
+                sums = summarize_tile_rows(
+                    rows, lambda i, r: bc.value.get(int(r.cell_id), empty),
+                    cutoff,
+                )
+                out = [
+                    (row.image_id, int(row.cell_id), *s[:4], s[4],
+                     *(col[j] for col in extra))
+                    for j, (row, s) in enumerate(zip(rows, sums))
+                ]
                 yield pd.DataFrame(
                     out,
                     columns=["image_id", "cell_id", "pop_total", "pop_near",
@@ -261,18 +344,13 @@ def burn_cost_summaries(
             if len(roads)
             else np.zeros((0, 4))
         )
-        out = []
+        rows = list(imgs.itertuples(index=False))
         extra = [imgs[c].tolist() for c in passthrough]
-        for j, row in enumerate(imgs.itertuples(index=False)):
-            pop_total, pop_near, px_total, px_near = tile_summary(
-                row.image_id, bytes(row.bytes), row.fmt, int(row.w), int(row.h),
-                row.fp_xmin, row.fp_ymin, row.fp_xmax, row.fp_ymax,
-                seg_arr, cutoff,
-            )
-            out.append(
-                (row.image_id, key[0], pop_total, pop_near, px_total, px_near,
-                 len(seg_arr), *(col[j] for col in extra))
-            )
+        sums = summarize_tile_rows(rows, lambda i, r: seg_arr, cutoff)
+        out = [
+            (row.image_id, key[0], *s[:4], s[4], *(col[j] for col in extra))
+            for j, (row, s) in enumerate(zip(rows, sums))
+        ]
         return pd.DataFrame(
             out,
             columns=["image_id", "cell_id", "pop_total", "pop_near",

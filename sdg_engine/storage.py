@@ -90,6 +90,21 @@ def cells_to_buckets(cells, n_buckets: int = N_BUCKETS):
     return sorted({int(b) for b in np.mod(h, n_buckets)})  # np.mod = pmod
 
 
+def read_images_for_cells(
+    spark: SparkSession, path: str, cells, n_buckets: int = N_BUCKETS,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Partition-pruned read of the bucketed images layout for a cell
+    set (e.g. a country's compacted cover uncompacted to BUCKET_LEVEL):
+    the DRIVER computes the bucket set via the xxhash64 twin — no Spark
+    job — and the filter prunes partitions at scan time
+    (PartitionFilters; pinned in test_plans).  The residual exact
+    cell-membership test stays on the query (buckets are a superset)."""
+    buckets = cells_to_buckets(cells, n_buckets)
+    df = read_images_layout(spark, path, fmt)
+    return df.filter(F.col("cell_bucket").isin(buckets))
+
+
 def write_bucketed_table(
     df: DataFrame, table: str, key: str, n_buckets: int = 64,
     sort: bool = True, fmt: str = "parquet",

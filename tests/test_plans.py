@@ -170,3 +170,32 @@ def test_bucketed_near_road_flag_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     b = SP.with_near_road_flag(pts, segs, KNN_CUTOFF_M).select("point_id", "near_road")
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_cells_to_buckets_pruned_read(spark, tmp_path):
+    """Driver-side bucket pruning (storage.read_images_for_cells): the
+    bucket set from the xxhash64 twin reaches the scan as
+    PartitionFilters, and exactly the rows in those cells' buckets
+    come back."""
+    import numpy as np
+
+    import sdg_engine.storage as ST
+    from sdg_engine import cells as C
+
+    ids = [f"img{i:012d}" for i in range(400)]
+    geo = SP.with_geo(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+    path = str(tmp_path / "layout")
+    ST.write_images_layout(geo, path, n_buckets=8)
+    # target cells: the level-7 cells of the first 40 images
+    sample = geo.limit(40).toPandas()
+    cells = C.point_cell(sample["lon"].to_numpy(), sample["lat"].to_numpy(),
+                         ST.BUCKET_LEVEL)
+    df = ST.read_images_for_cells(spark, path, cells, n_buckets=8)
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[.*cell_bucket", plan)
+    got = df.toPandas()
+    want_buckets = set(ST.cells_to_buckets(cells, 8))
+    assert set(got["cell_bucket"]) <= want_buckets
+    # every requested cell's rows are present (superset read)
+    got_cells = set(got["cell_l7"])
+    assert {int(c) for c in cells} <= got_cells
