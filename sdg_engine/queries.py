@@ -422,7 +422,10 @@ _MINHASH_SEEDS = ["s1", "s2", "s3", "s4"]
 
 
 def _minhash_cols():
-    """12-char shingles at stride 4 → 4 md5-order minhashes (JVM-side)."""
+    """12-char shingles at stride 4 → 4 md5-order minhashes as per-row
+    array HOF expressions.  Kept as the compact single-projection form
+    for composition; note HOF lambdas evaluate INTERPRETED (CLAUDE.md
+    gotcha 4) — _minhash_sig_df is the codegen'd aggregation twin."""
     shingles = (
         "transform(sequence(1, greatest(length(text) - 11, 1), 4), "
         "i -> substring(text, i, 12))"
@@ -435,10 +438,34 @@ def _minhash_cols():
     ]
 
 
+def _minhash_sig_df(docs):
+    """Signatures via EXPLODE + codegen aggregation: one shingle row per
+    (doc, position), md5 per seed computed whole-stage-codegen'd, then
+    a single map-side-combined groupBy(doc).min per seed.  Identical
+    values to _minhash_cols (min over the same multiset) but the hash
+    work runs compiled instead of interpreted HOF lambdas, and the
+    shuffle carries one pre-reduced row per (partition, doc)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 11, 1), 4), "
+                "i -> substring(text, i, 12))"
+            )
+        ).alias("s"),
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(seed)))).alias(f"mh{j + 1}")
+            for j, seed in enumerate(_MINHASH_SEEDS)
+        ]
+    )
+
+
 def minhash_signatures(spark, sf_dir):
     """MinHash signature per document (md5-ordered, 4 hashes)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", *_minhash_cols())
+    return _minhash_sig_df(docs)
 
 
 def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
@@ -462,7 +489,7 @@ def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
     from .skew import plan_salts
 
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", *_minhash_cols())
+    sig = _minhash_sig_df(docs)
     bands = sig.selectExpr(
         "doc_id",
         "stack(4, 1, mh1, 2, mh2, 3, mh3, 4, mh4) AS (band, mh)",
