@@ -406,6 +406,34 @@ WHERE a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 """
 
+
+DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id, {_mh("s1")} AS mh1, {_mh("s2")} AS mh2,
+         {_mh("s3")} AS mh3, {_mh("s4")} AS mh4
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, 1 AS band, mh1 AS mh FROM sig UNION ALL
+  SELECT doc_id, 2, mh2 FROM sig UNION ALL
+  SELECT doc_id, 3, mh3 FROM sig UNION ALL
+  SELECT doc_id, 4, mh4 FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
+  WHERE a.doc_id <> b.doc_id
+),
+reach(v, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT label AS keep_doc_id, COUNT(*) AS n_docs
+FROM (SELECT v, MIN(label) AS label FROM reach GROUP BY v) comp
+GROUP BY label HAVING COUNT(*) > 1
+"""
+
 EMBEDDING_NORMS = """
 SELECT vec_id,
        ROUND(SQRT(list_sum(list_transform(embedding,
@@ -469,6 +497,7 @@ ORACLES = {
     "lang_stopword_score": LANG_STOPWORD_SCORE,
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
+    "dedup_clusters": DEDUP_CLUSTERS,
     "embedding_norms": EMBEDDING_NORMS,
     "ann_cosine_topk": ANN_COSINE_TOPK,
 }

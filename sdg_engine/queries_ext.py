@@ -294,6 +294,73 @@ def ngram_jaccard_indexed(spark, sf_dir, max_shingle_freq: int = 10,
     return scored.filter(F.col("jaccard") >= min_jaccard)
 
 
+def connected_components(edges, vertices, id_col: str = "doc_id",
+                         max_iter: int = 20):
+    """Iterative min-label propagation (the dedup-cluster primitive):
+    label(v) converges to min(id) of v's connected component.
+
+    Per round: one groupBy over the (undirected) edge-label join, one
+    join back, persist, driver-side convergence check on the count of
+    changed labels — the same persisted-frontier discipline as
+    knn_ring_iterative.  Rounds needed = graph diameter (near-dup
+    clusters are shallow); at 10^12 rows this is the standard
+    large/small-star shape with labels never wider than the vertex set.
+    """
+    # edges materialized ONCE: without it every iteration's logical plan
+    # embeds a fresh copy of the whole upstream (e.g. the LSH candidate
+    # pipeline) and planning/codegen blows up combinatorially
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # localCheckpoint per round truncates lineage — the iterative-
+    # algorithm discipline (plans stay O(1) per round, not O(round))
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.src == labels.v)
+            .groupBy("dst").agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, labels.v == nbr_min.dst, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("_chg")).isEmpty()
+        labels = new.drop("_chg")
+        if changed:
+            break
+    return labels
+
+
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation) → one row per
+    multi-doc cluster with its canonical keeper (min doc_id) and size.
+    Oracle: DuckDB recursive CTE propagating labels over the same
+    edge set."""
+    from .queries import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, docs.select("doc_id"))
+    return (
+        comp.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.col("label").alias("keep_doc_id"), "n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth
 # ---------------------------------------------------------------------------
@@ -562,6 +629,7 @@ QUERIES_EXT = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ngram_jaccard_indexed": ngram_jaccard_indexed,
+    "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,
     "strings_parts": strings_parts,

@@ -136,3 +136,40 @@ def test_skew_salting_splits_hot_cell(spark):
     )
     assert groups["n"].max() <= 40  # hot cell split into ~target-sized groups
     assert groups["n"].sum() == 1000  # nothing lost
+
+
+def test_connected_components_union_find_oracle(spark):
+    """Iterative min-label propagation == classic union-find on the
+    same edge set (seeded random graph with shallow clusters)."""
+    import numpy as np
+    import pandas as pd
+
+    from sdg_engine.queries_ext import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 300
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (250, 2)) if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+    # min-label invariant: find-root compression above keeps min root
+    roots = {}
+    for v in range(n):
+        r = find(v)
+        roots.setdefault(r, []).append(v)
+    want = {v: min(members) for r, members in roots.items() for v in members}
+
+    e_df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    v_df = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    got = {r.v: r.label for r in connected_components(e_df, v_df).collect()}
+    assert got == want
