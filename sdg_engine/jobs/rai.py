@@ -53,13 +53,20 @@ def rai_summaries(
     geo = SP.with_geo(images)
     cc = SP.assign_countries(geo, FX.get_country_rings(), level=9)
     segs = SP.road_segments(roads)
-    # country_code rides THROUGH the burn (passthrough column) — no
-    # join-back on image_id, no second pass over the geocode/cc stage
-    per_image = RS.burn_cost_summaries(
-        cc.select("image_id", "lon", "lat", "country_code", "bytes", "fmt",
-                  "w", "h", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"),
+    # Deliberately JOIN country back by image_id instead of passing it
+    # through the burn: the passthrough couples the byte-heavy burn
+    # stage with J2's broadcast dims in ONE stage, and the combined
+    # heap peak OOMs a default-1g driver session (measured).  The
+    # join-back keeps the heavy pass dim-free; the country pass is
+    # column-pruned (no bytes) and cheap.
+    tiles = RS.burn_cost_summaries(
+        geo.select("image_id", "lon", "lat", "bytes", "fmt",
+                   "w", "h", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"),
         segs,
         cutoff_m=cutoff_m,
+    )
+    per_image = tiles.join(
+        cc.select("image_id", "country_code"), "image_id", "inner"
     )
     per_country = (
         per_image.groupBy("country_code")

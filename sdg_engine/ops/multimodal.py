@@ -73,11 +73,68 @@ def synth_opaque_audio_table(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, AUDIO_SCHEMA)
 
 
+RAWVID_MAGIC = b"RVID"
+
+
+def encode_rawvid(frames: np.ndarray) -> bytes:
+    """Trivial REAL video container (the from-scratch stand-in built the
+    way WAV/PNG were): magic + (n, h, w) header + uint8 luma frames."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    return (
+        RAWVID_MAGIC
+        + n.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + frames.tobytes()
+    )
+
+
+def decode_rawvid(data: bytes) -> np.ndarray:
+    """→ (n_frames, h, w) uint8 luma stack; validates magic + size."""
+    if data[:4] != RAWVID_MAGIC:
+        raise ValueError("not a rawvid stream")
+    n = int.from_bytes(data[4:8], "little")
+    h = int.from_bytes(data[8:12], "little")
+    w = int.from_bytes(data[12:16], "little")
+    body = np.frombuffer(data, dtype=np.uint8, offset=16)
+    if len(body) != n * h * w:
+        raise ValueError("truncated rawvid payload")
+    return body.reshape(n, h, w)
+
+
 def synth_video_table(spark, n: int = 32) -> DataFrame:
+    """Video fixture with REAL decodable bytes: per-clip deterministic
+    luma frames (moving gradient + seeded noise) in the rawvid
+    container, so frame sampling decodes actual pixels."""
+    rng = np.random.default_rng(4321)
+    rows = []
+    for i in range(n):
+        w, h = 48, 32
+        n_frames = 24 + (i % 4) * 12
+        t = np.arange(n_frames)[:, None, None]
+        yy = np.arange(h)[None, :, None]
+        xx = np.arange(w)[None, None, :]
+        frames = ((xx * 3 + yy * 2 + t * 7 + i * 11) % 256).astype(np.uint8)
+        frames = np.clip(
+            frames.astype(np.int16)
+            + rng.integers(-8, 9, size=frames.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        rows.append(
+            (f"vid{i:08d}", encode_rawvid(frames), "rawvid", w, h,
+             [24.0, 30.0][i % 2], n_frames)
+        )
+    return spark.createDataFrame(rows, VIDEO_SCHEMA)
+
+
+def synth_opaque_video_table(spark, n: int = 8) -> DataFrame:
+    """Opaque compressed-codec video (h264/vp9 bytes are seeded noise):
+    exercises the documented stub path."""
     rng = np.random.default_rng(4321)
     rows = [
         (
-            f"vid{i:08d}",
+            f"ovd{i:08d}",
             rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes(),
             ["h264", "vp9"][i % 2],
             128,
@@ -142,15 +199,26 @@ def audio_features(audio: DataFrame, deterministic_fake: bool = True) -> DataFra
 
 def video_frame_sample(video: DataFrame, every_n: int = 12,
                        deterministic_fake: bool = True) -> DataFrame:
-    """Frame-sample: one row per sampled frame with a luma thumbnail
-    mean — the Spark-side shape of a real frame extractor (explode of
-    per-frame rows out of mapInPandas)."""
+    """Frame-sample: one row per sampled frame with its luma mean —
+    explode of per-frame rows out of mapInPandas.
+
+    ``rawvid`` clips decode FOR REAL (decode_rawvid); compressed codecs
+    (h264/vp9) take the documented stub path (seeded fake frames, or
+    NotImplementedError when ``deterministic_fake=False``)."""
     fake = bool(deterministic_fake)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
+                if r.codec == "rawvid":
+                    stack = decode_rawvid(bytes(r.bytes))
+                    for fi in range(0, len(stack), every_n):
+                        out.append(
+                            (r.media_id, fi, float(fi / r.fps),
+                             float(stack[fi].mean()))
+                        )
+                    continue
                 if not fake:
                     raise NotImplementedError(
                         f"real {r.codec} decode requires ffmpeg (not in "

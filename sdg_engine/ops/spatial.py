@@ -593,7 +593,9 @@ def knn_ring_iterative(
     # parts' lineage references them — unpersisting mid-loop would
     # reintroduce the cascade), then all are dropped.  Frontier size is
     # monotonically shrinking, so peak cache ≈ the ring-1 frontier.
-    frontier = frontier.persist()
+    from pyspark import StorageLevel
+
+    frontier = frontier.persist(StorageLevel.DISK_ONLY)
     to_unpersist = [frontier]
     settled_parts: list[DataFrame] = []
 
@@ -627,7 +629,9 @@ def knn_ring_iterative(
                 F.lit(int(k)).alias("k_settled"),
             )
         )
-        nxt = frontier.join(done.select(id_col), id_col, "left_anti").persist()
+        nxt = frontier.join(done.select(id_col), id_col, "left_anti").persist(
+            StorageLevel.DISK_ONLY
+        )
         to_unpersist.append(nxt)
         empty = nxt.isEmpty()  # driver-side loop control (cheap: persisted)
         frontier = nxt
@@ -656,7 +660,7 @@ def knn_ring_iterative(
         out = out.unionByName(part)
     # materialize the result once, then release every cached frontier —
     # the returned frame no longer depends on them
-    out = out.persist()
+    out = out.persist(StorageLevel.DISK_ONLY)
     out.count()
     for df in to_unpersist:
         df.unpersist()

@@ -422,10 +422,10 @@ bands AS (
 edges AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
-  WHERE a.doc_id <> b.doc_id
+  WHERE a.doc_id <> b.doc_id AND a.doc_id < 300 AND b.doc_id < 300
 ),
 reach(v, label) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
 )

