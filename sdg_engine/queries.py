@@ -51,18 +51,21 @@ def _prep(spark: SparkSession) -> None:
     # (~18 KB/row) hold ~1.4 GB on-heap and OOM the sweep.  1024 keeps
     # peak per-task memory ~18 MB; engine sessions use 4096 (8 GB heap).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-    # Harness queries are independent: drop caches left by PREVIOUS
-    # queries (persisted LSH bands, kNN frontiers, component rounds, …)
-    # and force a JVM GC so the ContextCleaner actually releases their
-    # blocks AND the accumulated broadcast variables (cleanup is
-    # weak-reference-driven — without a GC the blocks linger).  A
-    # 50-query sweep in a default-1g driver session otherwise
-    # accumulates a few hundred MB and the heavy queries OOM the heap
-    # (measured).  Runs before this query builds any cache of its own,
-    # so nothing live is lost.
-    spark.catalog.clearCache()
+    # SMALL-HEAP hygiene (driver-owned default-1g sessions only): drop
+    # caches left by PREVIOUS queries (persisted LSH bands, kNN
+    # frontiers, component rounds, …) and force a JVM GC so the
+    # ContextCleaner actually releases their blocks and the accumulated
+    # broadcasts (cleanup is weak-reference-driven — without a GC the
+    # blocks linger).  A 50-query sweep in a 1g session otherwise
+    # accumulates a few hundred MB and the heavy queries OOM (measured).
+    # Runs before this query builds any cache of its own, so nothing
+    # live is lost.  Skipped on big-heap engine sessions, where a
+    # forced full GC would only add latency.
     try:
-        spark.sparkContext._jvm.System.gc()
+        jvm = spark.sparkContext._jvm
+        if jvm.java.lang.Runtime.getRuntime().maxMemory() < 2 * 1024**3:
+            spark.catalog.clearCache()
+            jvm.System.gc()
     except Exception:
         pass
     from .deploy import ensure_pyfiles
