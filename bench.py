@@ -107,7 +107,7 @@ def main() -> None:
     images, roads = load_inputs(spark, 0.01)
     _materialize(rai_summaries(spark, images, roads)[1])  # warm-up
     img_dts = []
-    for _ in range(2):  # min-of-2: shared-host noise robustness
+    for _ in range(3):  # min-of-3: shared-host noise robustness
         t0 = time.time()
         _materialize(rai_summaries(spark, images, roads)[1])
         img_dts.append(time.time() - t0)
@@ -146,7 +146,7 @@ def main() -> None:
         # engine plan is map-side/broadcast-only over the fact table,
         # so added executors add throughput until hardware saturates.
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "192"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
         lo = os.environ.get("SPARK_GRAFT_SCALE_N", "2")
         hi = os.environ.get("SPARK_GRAFT_SCALE_4N", "8")
         n_scaled = n_input * mult
@@ -169,6 +169,7 @@ def main() -> None:
             scaling[f"local[{par}]"] = {
                 "sec": round(dt, 3),
                 "rows_per_sec": round(n_scaled / dt, 1),
+                "all_reps_sec": [round(d, 3) for d in dts[par]],
             }
         thr_lo = scaling[f"local[{lo}]"]["rows_per_sec"]
         thr_hi = scaling[f"local[{hi}]"]["rows_per_sec"]
