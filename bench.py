@@ -159,7 +159,7 @@ def main() -> None:
         for _ in range(reps):
             for par in (lo, hi):
                 s = _session(par)
-                _materialize(_flagship_scaled(s, sf_dir, 8))  # warm-up (small)
+                _materialize(_flagship_scaled(s, sf_dir, 2))  # warm-up (small)
                 t0 = time.time()
                 _materialize(_flagship_scaled(s, sf_dir, mult))
                 dts[par].append(time.time() - t0)
