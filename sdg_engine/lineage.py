@@ -25,6 +25,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# wall_sec is PASS-level (the wall time of the single partitionBy pass
+# that committed this bucket's data), not per-bucket — all buckets
+# written by one pass share the value.
 LINEAGE_SCHEMA = (
     "bucket int, snapshot_id string, cell_min bigint, cell_max bigint, "
     "n_rows bigint, checksum bigint, wall_sec double"
@@ -61,18 +64,27 @@ def run_bucketed(
     uncommitted buckets that simply rerun (idempotent overwrite).
 
     Already-committed buckets are skipped (resume).  ``fail_at_bucket``
-    injects a crash before that bucket commits — the test harness uses
-    it to prove restartability.  Returns the buckets written this run.
+    injects a crash BEFORE that bucket's data is written: only the
+    buckets preceding it commit (data + lineage), everything from the
+    failure point on is left with NO data on disk — so the resume test
+    proves recovery against genuinely uncommitted work, not just a
+    missing lineage row (ADVICE r02).  Returns the buckets written this
+    run.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = committed_buckets(spark, out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
         return []
+    inject = fail_at_bucket is not None and fail_at_bucket in todo
+    if inject:
+        todo = [b for b in todo if b < fail_at_bucket]
     t0 = time.time()
     bucketed = df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_buckets)).cast("int")
-    ).filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
+    ).filter(F.col("bucket").isin(todo))
+    if not todo:
+        raise RuntimeError(f"injected failure before bucket {fail_at_bucket}")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -97,26 +109,30 @@ def run_bucketed(
         )
         .collect()
     }
-    written: list[int] = []
-    for b in todo:
-        if fail_at_bucket is not None and b == fail_at_bucket:
-            raise RuntimeError(f"injected failure before bucket {b}")
-        s = stats.get(b)
-        rec = spark.createDataFrame(
-            [(
-                b,
-                snapshot_id,
-                s.cell_min if s else None,
-                s.cell_max if s else None,
-                s.n_rows if s else 0,
-                s.checksum if s else 0,
-                wall,
-            )],
-            LINEAGE_SCHEMA,
+    # ONE batched append for all buckets committed by this pass (ADVICE
+    # r02 / VERDICT #5: the per-bucket driver loop was a serial
+    # bottleneck + small-files generator at thousands of buckets).
+    # Records exist only for buckets whose DATA the pass above already
+    # committed, so the crash-consistency contract is unchanged: lineage
+    # strictly after data.
+    recs = [
+        (
+            b,
+            snapshot_id,
+            stats[b].cell_min if b in stats else None,
+            stats[b].cell_max if b in stats else None,
+            stats[b].n_rows if b in stats else 0,
+            stats[b].checksum if b in stats else 0,
+            wall,
         )
-        rec.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
-        written.append(b)
-    return written
+        for b in todo
+    ]
+    spark.createDataFrame(recs, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(out_dir, "_lineage"))
+    if inject:
+        raise RuntimeError(f"injected failure before bucket {fail_at_bucket}")
+    return list(todo)
 
 
 def read_bucketed(spark: SparkSession, out_dir: str) -> DataFrame:

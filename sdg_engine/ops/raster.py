@@ -305,6 +305,14 @@ def burn_cost_summaries(
             int(c): cover_np[s:e]
             for c, s, e in zip(uniq, bounds[:-1], bounds[1:])
         }
+        # Broadcast lifetime (documented leak, ADVICE r02): the LUT must
+        # outlive the RETURNED lazy DataFrame, so it cannot be unpersisted
+        # here.  It is released by Spark's ContextCleaner once the frame
+        # (and this closure) are garbage-collected; small-heap harness
+        # sessions additionally force that GC in queries._prep.  Callers
+        # that loop many distinct road networks through one big-heap
+        # session should materialize the result and call
+        # ``df._sdg_road_lut_bc.unpersist()`` between iterations.
         bc = images_geo.sparkSession.sparkContext.broadcast(lut)
         empty = np.zeros((0, 4))
 
@@ -334,7 +342,9 @@ def burn_cost_summaries(
         par = images_geo.sparkSession.sparkContext.defaultParallelism
         if out.rdd.getNumPartitions() < par:
             out = out.repartition(par)
-        return out.mapInPandas(_map_batches, out_schema)
+        result = out.mapInPandas(_map_batches, out_schema)
+        result._sdg_road_lut_bc = bc  # explicit cleanup handle (see above)
+        return result
 
     img_side = pts.select(*img_cols)
 

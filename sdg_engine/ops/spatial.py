@@ -711,6 +711,41 @@ def _rings_key(rings: dict[str, np.ndarray]) -> tuple:
     return tuple((cc, r.shape[0], float(r.sum())) for cc, r in sorted(rings.items()))
 
 
+def _publish_dim_dir(tag: str, write_fn) -> str:
+    """Atomically publish a small dim-table directory under a PER-USER
+    unique path (ADVICE r02: the old fixed /tmp path + after-the-fact
+    marker file let two concurrent sessions overwrite each other's
+    parquet and pin the corrupted result forever, and was pre-seedable
+    by other users).
+
+    ``write_fn(tmp_dir)`` materializes the content into a fresh private
+    temp dir; the dir is then published with one atomic ``os.rename``.
+    If a concurrent session won the race (or the dir already exists),
+    the freshly written copy is discarded and the committed one is used
+    — both copies are deterministic functions of ``tag``'s inputs, so
+    either is correct, but no reader can ever observe a half-written
+    directory."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"sdg_dims_u{_os.getuid()}", tag
+    )
+    if _os.path.isdir(base):
+        return base
+    _os.makedirs(_os.path.dirname(base), exist_ok=True)
+    tmp = _tempfile.mkdtemp(prefix=f"{tag}.tmp.", dir=_os.path.dirname(base))
+    try:
+        write_fn(tmp)
+        _os.rename(tmp, base)  # atomic publish (same filesystem)
+    except OSError:
+        _shutil.rmtree(tmp, ignore_errors=True)  # lost the race — reuse winner
+        if not _os.path.isdir(base):
+            raise
+    return base
+
+
 def _country_dims(spark, rings: dict[str, np.ndarray], level: int):
     """Cached tiny dimension DataFrames for J2 (per session + rings + level).
 
@@ -738,34 +773,36 @@ def _country_dims(spark, rings: dict[str, np.ndarray], level: int):
     # createDataFrame ExistingRDD re-runs a Python deserialization pass
     # inside EVERY broadcast build (~0.8 s serial per query execution —
     # measured); a parquet scan is JVM-only and OS-cached.  On a real
-    # cluster these are Iceberg dim tables.
+    # cluster these are Iceberg dim tables.  Published atomically via
+    # _publish_dim_dir (per-user path + rename — no concurrent-session
+    # corruption, no pre-seeding).
     import hashlib as _hl
     import os as _os
 
     import pandas as _pd
 
-    tag = _hl.blake2b(repr((_rings_key(rings), level)).encode(),
-                      digest_size=8).hexdigest()
-    base = _os.path.join("/tmp", f"sdg_dims_{tag}")
-    paths = {n: _os.path.join(base, n) for n in ("interior", "boundary", "edges")}
-    if not _os.path.exists(_os.path.join(base, "_done")):
+    tag = "dims_" + _hl.blake2b(repr((_rings_key(rings), level)).encode(),
+                                digest_size=8).hexdigest()
+
+    def _write(tmp: str) -> None:
         spark.createDataFrame(
             _pd.DataFrame(int_rows, columns=["icell", "country_code"]).astype(
                 {"icell": "int64"}
             )
-        ).coalesce(1).write.mode("overwrite").parquet(paths["interior"])
+        ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(tmp, "interior"))
         spark.createDataFrame(
             _pd.DataFrame({"bcell": _pd.array([int(b) for b in boundary],
                                               dtype="int64")})
-        ).coalesce(1).write.mode("overwrite").parquet(paths["boundary"])
+        ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(tmp, "boundary"))
         spark.createDataFrame(
             _pd.DataFrame(edge_rows,
                           columns=["country_code", "x0", "y0", "x1", "y1"])
-        ).coalesce(1).write.mode("overwrite").parquet(paths["edges"])
-        open(_os.path.join(base, "_done"), "w").close()
-    interior_df = spark.read.parquet(paths["interior"])
-    boundary_df = spark.read.parquet(paths["boundary"])
-    edges_df = spark.read.parquet(paths["edges"])
+        ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(tmp, "edges"))
+
+    base = _publish_dim_dir(tag, _write)
+    interior_df = spark.read.parquet(_os.path.join(base, "interior"))
+    boundary_df = spark.read.parquet(_os.path.join(base, "boundary"))
+    edges_df = spark.read.parquet(_os.path.join(base, "edges"))
     result = (interior_df, boundary_df, edges_df)
     _DIMS_CACHE[key] = result
     return result
@@ -873,14 +910,19 @@ def _strip_dim(spark, rings: dict[str, np.ndarray], level: int, hi: int):
 
     import pandas as _pd
 
-    tag = _hl.blake2b(repr((_rings_key(rings), level, hi, "strip")).encode(),
-                      digest_size=8).hexdigest()
-    path = _os.path.join("/tmp", f"sdg_strip_{tag}")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    tag = "strip_" + _hl.blake2b(
+        repr((_rings_key(rings), level, hi, "strip")).encode(), digest_size=8
+    ).hexdigest()
+
+    def _write(tmp: str) -> None:
         pdf = _pd.DataFrame(rows, columns=["scell", "s_cc"])
         pdf["scell"] = pdf["scell"].astype("int64")
-        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
-    df = spark.read.parquet(path)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(tmp, "strip")
+        )
+
+    base = _publish_dim_dir(tag, _write)
+    df = spark.read.parquet(_os.path.join(base, "strip"))
     _DIMS_CACHE[key] = df
     return df
 

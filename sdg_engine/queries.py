@@ -46,11 +46,6 @@ def _prep(spark: SparkSession) -> None:
     engine's proven-non-overflowing expressions) + ship the engine
     package to executor Python workers (deploy.ensure_pyfiles)."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    # Cap Arrow batches for driver-owned DEFAULT-1g sessions: at the
-    # default 10000 rows/batch, 8 concurrent image-bytes batches
-    # (~18 KB/row) hold ~1.4 GB on-heap and OOM the sweep.  1024 keeps
-    # peak per-task memory ~18 MB; engine sessions use 4096 (8 GB heap).
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     # SMALL-HEAP hygiene (driver-owned default-1g sessions only): drop
     # caches left by PREVIOUS queries (persisted LSH bands, kNN
     # frontiers, component rounds, …) and force a JVM GC so the
@@ -64,6 +59,13 @@ def _prep(spark: SparkSession) -> None:
     try:
         jvm = spark.sparkContext._jvm
         if jvm.java.lang.Runtime.getRuntime().maxMemory() < 2 * 1024**3:
+            # Cap Arrow batches for SMALL-HEAP sessions only (ADVICE r02:
+            # the unconditional cap silently quartered pandas-UDF batch
+            # size on 8g engine sessions, which keep session.py's 4096).
+            # At the default 10000 rows/batch, 8 concurrent image-bytes
+            # batches (~18 KB/row) hold ~1.4 GB on-heap and OOM a 1g
+            # sweep; 1024 keeps peak per-task memory ~18 MB.
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
             spark.catalog.clearCache()
             jvm.System.gc()
     except Exception:
@@ -531,7 +533,7 @@ def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
     ).withColumn("salt", F.col("salt").cast("int"))
     a = build.alias("a")
     b = probe.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -544,6 +546,16 @@ def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    # Materialize the (small) pair set while the signature cache is
+    # live, then RELEASE the cache (ADVICE r02: the bands blocks were
+    # never unpersisted — repeated invocations in a long-lived big-heap
+    # session accumulated disk/heap blocks forever).  The persisted
+    # result is bounded (one row per candidate pair, no text/signature
+    # payload) and is what the caller consumes.
+    pairs = pairs.persist(StorageLevel.DISK_ONLY)
+    pairs.count()
+    bands.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------
