@@ -158,6 +158,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_raw(data, w, h)
     if fmt == "qnt":
         return decode_qnt(data, w, h)
+    if fmt == "jpg":
+        from .jpeg import decode_jpeg  # from-scratch baseline JPEG (jpeg.py)
+
+        return decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -171,6 +175,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_raw(img)
     if fmt == "qnt":
         return encode_qnt(img)
+    if fmt == "jpg":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(img)  # quality 92: ≥40 dB on the fixture family
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -33,7 +33,9 @@ CUTOFF_M = 250.0  # sub-footprint cutoff so the burn mask is non-trivial
 
 
 def fixture_dir(sf: float, base: str = "/root/repo/.fixture_cache") -> str:
-    out = os.path.join(base, f"sf{sf:g}")
+    # version-keyed: a fixture-SPEC change (e.g. the v2 jpg fmt mix) must
+    # invalidate cached parquet — the _DONE marker alone would pin stale data
+    out = os.path.join(base, f"v{FX.FIXTURE_SPEC_VERSION}", f"sf{sf:g}")
     FX.write_fixture_parquet(out, sf)
     return out
 

@@ -1,0 +1,87 @@
+"""From-scratch baseline JPEG codec (jpeg.py; VERDICT r02 missing #1).
+
+Pins: round-trip PSNR ≥ 40 dB on the fixture image family (the
+BASELINE.json invariant gate), 4:2:0 general-sampling decode, odd
+(non-multiple-of-8) dimensions, marker-stream structure, byte
+determinism, and the codecs.py dispatch."""
+
+import numpy as np
+import pytest
+
+from sdg_engine import codecs as X
+from sdg_engine.fixtures import make_image_pixels
+from sdg_engine.jpeg import ZIGZAG, UNZIGZAG, decode_jpeg, encode_jpeg
+
+
+@pytest.mark.parametrize("i,size", [(0, 32), (1, 64), (2, 128)])
+def test_roundtrip_psnr_gate(i, size):
+    px = make_image_pixels(i, (i * 1.7) % 10, (i * 3.1) % 10, size, size)
+    rt = decode_jpeg(encode_jpeg(px, 92))
+    assert rt.shape == px.shape and rt.dtype == np.uint8
+    assert X.psnr(px, rt) >= 40.0
+
+
+def test_odd_dimensions_cropped():
+    px = make_image_pixels(7, 1.1, 9.2, 60, 44)
+    rt = decode_jpeg(encode_jpeg(px, 92))
+    assert rt.shape == (44, 60, 3)
+    assert X.psnr(px, rt) >= 40.0
+
+
+def test_420_subsampling_decodes():
+    """The decoder's general (h,v) sampling path: a 4:2:0 stream (the
+    dominant real-world layout) decodes with PSNR above the gate."""
+    px = make_image_pixels(5, 2.5, 3.5, 64, 64)
+    data = encode_jpeg(px, 92, subsample="420")
+    rt = decode_jpeg(data)
+    assert rt.shape == (64, 64, 3)
+    assert X.psnr(px, rt) >= 40.0
+    # 4:2:0 must be smaller than 4:4:4 of the same image
+    assert len(data) < len(encode_jpeg(px, 92, subsample="444"))
+
+
+def test_420_odd_dimensions():
+    px = make_image_pixels(9, 8.8, 0.3, 60, 44)  # not multiples of 16
+    rt = decode_jpeg(encode_jpeg(px, 92, subsample="420"))
+    assert rt.shape == (44, 60, 3)
+    assert X.psnr(px, rt) >= 38.0  # chroma halving costs a little
+
+
+def test_marker_structure():
+    px = make_image_pixels(3, 4.4, 5.5, 32, 32)
+    data = encode_jpeg(px, 92)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"  # SOI/EOI
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data  # APP0/DQT/SOF0/DHT/SOS present
+    # tables come from the STREAM: a decoder with no baked-in assumptions
+    # about quality must round-trip any quality level
+    for q in (75, 99):
+        rt = decode_jpeg(encode_jpeg(px, q))
+        assert rt.shape == (32, 32, 3)
+
+
+def test_deterministic_bytes():
+    px = make_image_pixels(11, 6.6, 7.7, 32, 32)
+    assert encode_jpeg(px, 92) == encode_jpeg(px, 92)
+
+
+def test_zigzag_is_involution():
+    blk = np.arange(64)
+    assert np.array_equal(blk[ZIGZAG][UNZIGZAG], blk)
+    # spec anchors: scan starts 0,1,8,16,9,2 and ends at 63
+    assert list(ZIGZAG[:6]) == [0, 1, 8, 16, 9, 2] and ZIGZAG[-1] == 63
+
+
+def test_codecs_dispatch_jpg():
+    px = make_image_pixels(4, 3.3, 2.2, 32, 32)
+    data = X.encode_image(px, "jpg")
+    rt = X.decode_image(data, "jpg", 32, 32)
+    assert X.psnr(px, rt) >= 40.0
+
+
+def test_flat_image_exact():
+    """A flat block quantizes losslessly (DC only, no AC): decode must be
+    bit-exact up to the ±1 rounding of the color transform."""
+    px = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rt = decode_jpeg(encode_jpeg(px, 92))
+    assert np.abs(rt.astype(int) - 128).max() <= 1

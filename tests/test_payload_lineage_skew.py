@@ -33,7 +33,7 @@ def test_decode_stats_all_ok(spark, images):
 def test_transcode_lossless_invariants(spark, images):
     """PNG round-trip: pixels bit-equal (psnr=inf), caption byte-equal,
     phash identical (BASELINE.json:15)."""
-    lossless = images.filter(F.col("fmt") != "qnt")
+    lossless = images.filter(~F.col("fmt").isin("qnt", "jpg"))
     out = PL.transcode(lossless, "png")
     inv = PL.verify_invariants(lossless, out).toPandas()
     assert len(inv) == lossless.count()
@@ -42,13 +42,30 @@ def test_transcode_lossless_invariants(spark, images):
     assert (inv["phash_hamming"] == 0).all()
 
 
+def test_transcode_jpg_rows_decode_preserving(spark, images):
+    """jpg fixture rows (SPEC v2): a jpg→png transcode preserves the
+    DECODED pixels bit-exactly (psnr=inf) — the decode itself, vs the
+    source pixels, is gated ≥40 dB in tests/test_jpeg.py."""
+    jpgs = images.filter(F.col("fmt") == "jpg")
+    assert jpgs.count() > 0  # the v2 fixture must contain jpg rows
+    out = PL.transcode(jpgs, "png")
+    inv = PL.verify_invariants(jpgs, out).toPandas()
+    assert (inv["psnr"] >= 1e9).all()
+    assert inv["caption_equal"].all()
+
+
 def test_transcode_lossy_psnr_gate(spark, images):
     """qnt path: PSNR >= 40 dB, captions byte-equal."""
     out = PL.transcode(images, "qnt")
     inv = PL.verify_invariants(images, out).toPandas()
     assert (inv["psnr"] >= 40.0).all()
     assert inv["caption_equal"].all()
-    assert (inv["phash_hamming"] <= 12).all()
+    # hamming is vs the SOURCE-pixel phash: jpg rows go through TWO lossy
+    # steps here (jpg decode, then qnt re-quantize) — measured max 16 on
+    # the v2 fixture vs 12 for single-lossy rows
+    fmts = images.select("image_id", "fmt").toPandas().set_index("image_id")["fmt"]
+    bound = inv["image_id"].map(fmts).map(lambda f: 18 if f == "jpg" else 12)
+    assert (inv["phash_hamming"] <= bound).all()
 
 
 def test_phash_near_dup_pairs(spark, images):
