@@ -35,10 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    Only the image/multimodal payload queries have no SQL twin (no
-    relational engine can decode PNG/WAV bytes); each of those is
-    pinned by bit-exact numpy oracles in tests/ instead.
+    47/50 queries have a SQL twin (r03 added mvt_tile_stats,
+    image_decode_stats and image_near_dup_pairs — the latter two run
+    DuckDB directly over the image-fixture parquet + a committed
+    independent-numpy golden).  The remaining three
+    (image_rai_summary, multimodal audio/video) decode binary payloads
+    with no relational twin; each is pinned by bit-exact numpy oracles
+    in tests/ instead.
     """
-    from sdg_engine.oracles import ORACLES
+    from sdg_engine.oracles import all_oracles
 
-    return dict(ORACLES)
+    return all_oracles()

@@ -151,6 +151,57 @@ def main() -> None:
     print(f"goldens written to {OUT}: {len(ids)} assignments, "
           f"{len(nearest)} nearest, {len(join_rows)} join rows, "
           f"{len(summary)} countries")
+    make_decode_stats_golden()
+
+
+def make_decode_stats_golden() -> None:
+    """Golden for the ORACLE-checked image_decode_stats query (r03).
+
+    INDEPENDENT of the engine codecs by construction: pixels come from
+    the fixture generator (the SPEC), and the lossy qnt transform is
+    REIMPLEMENTED here (quantize to 64 levels, decode to bin centers)
+    rather than imported from codecs.py — so a codec decode bug cannot
+    leak into its own oracle.  jpg rows get NULL mean_lum: no
+    independent JPEG decoder can exist in this container (jpeg.py IS
+    the only one); jpg pixel fidelity is gated in tests/test_jpeg.py.
+    Replicates fixtures.images_pdf's deterministic fmt/size assignment
+    (FIXTURES.md: fmt = fmts[i %% 5], w = h = [32, 64, 128][i %% 3] at
+    sf > 0.001) for the harness subset image_id < img…500 at sf0.01.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fmts = FX.FMTS + ["qnt"]
+    size_mix = [32, 64, 128]
+    ids, lums = [], []
+    for i in range(500):
+        image_id = f"img{i:012d}"
+        lon, lat = FX.lonlat_of(image_id)
+        w = h = size_mix[i % len(size_mix)]
+        fmt = fmts[i % len(fmts)]
+        px = FX.make_image_pixels(i, lon, lat, w, h)
+        if fmt == "qnt":
+            # independent qnt twin: 64-level quantize → bin-center decode
+            q = (px.astype(np.uint16) // 4).astype(np.uint8)
+            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        ids.append(image_id)
+        if fmt == "jpg":
+            lums.append(None)
+        else:
+            # EXACT expression shape of ops.payload.decode_stats (first
+            # term astype'd, others upcast) so the float64 bits match
+            lum = (
+                0.299 * px[:, :, 0].astype(np.float64)
+                + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+            lums.append(float(lum.mean()))
+    pq.write_table(
+        pa.table({"image_id": ids, "mean_lum": pa.array(lums, pa.float64())}),
+        os.path.join(OUT, "decode_stats_sf0.01.parquet"),
+    )
+    print(f"decode-stats golden: {len(ids)} rows "
+          f"({sum(l is None for l in lums)} jpg NULLs)")
 
 
 def _image_payload(i: int, lon: float, lat: float):

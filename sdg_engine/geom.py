@@ -160,6 +160,42 @@ def clip_segments_to_rect(
     return keep, cax, cay, cbx, cby
 
 
+def segments_intersect_rect(
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> np.ndarray:
+    """EXACT segment-vs-rect intersection via separating axes — division
+    free, so a DuckDB oracle evaluating the identical ``* - <=``
+    expressions gets bit-identical booleans (the Liang-Barsky accept is
+    mathematically equal but divides, which an oracle can't reproduce
+    exactly).  Axes: x, y (the bbox-overlap test) and the segment's
+    normal (all four rect corners strictly one side ⇒ separated).
+    Touching counts as intersecting (closed comparisons) — same as the
+    LB accept with its q >= 0 boundary rule.
+    """
+    bbox = (
+        (np.minimum(ax, bx) <= xmax)
+        & (np.maximum(ax, bx) >= xmin)
+        & (np.minimum(ay, by) <= ymax)
+        & (np.maximum(ay, by) >= ymin)
+    )
+    dx = bx - ax
+    dy = by - ay
+    s1 = dx * (ymin - ay) - dy * (xmin - ax)
+    s2 = dx * (ymin - ay) - dy * (xmax - ax)
+    s3 = dx * (ymax - ay) - dy * (xmin - ax)
+    s4 = dx * (ymax - ay) - dy * (xmax - ax)
+    smin = np.minimum(np.minimum(s1, s2), np.minimum(s3, s4))
+    smax = np.maximum(np.maximum(s1, s2), np.maximum(s3, s4))
+    return bbox & (smin <= 0.0) & (smax >= 0.0)
+
+
 def seg_bbox_dist_sq(
     ax: np.ndarray,
     ay: np.ndarray,

@@ -287,7 +287,7 @@ def write_road_mvt(
     quantize + encode — the same keyed-cogroup shape as the raster
     burn (A1), so skew salting applies unchanged if a tile runs hot.
     """
-    from .geom import clip_segments_to_rect
+    from .geom import clip_segments_to_rect, segments_intersect_rect
     from .ops.spatial import segments_with_cells
 
     n = 1 << level
@@ -301,10 +301,17 @@ def write_road_mvt(
         tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
         x0 = WORLD_MIN + tx * size
         y0 = WORLD_MIN + ty * size
-        keep, cax, cay, cbx, cby = clip_segments_to_rect(
-            pdf["ax"].to_numpy(), pdf["ay"].to_numpy(),
-            pdf["bx"].to_numpy(), pdf["by"].to_numpy(),
-            x0, y0, x0 + size, y0 + size,
+        sax, say = pdf["ax"].to_numpy(), pdf["ay"].to_numpy()
+        sbx, sby = pdf["bx"].to_numpy(), pdf["by"].to_numpy()
+        # membership by the division-free SAT test (bit-reproducible in
+        # the DuckDB oracle — geom.segments_intersect_rect); coordinates
+        # by Liang-Barsky clip for the kept segments (render-side only,
+        # clamped to the extent below)
+        keep = segments_intersect_rect(
+            sax, say, sbx, sby, x0, y0, x0 + size, y0 + size
+        )
+        _lbkeep, cax, cay, cbx, cby = clip_segments_to_rect(
+            sax, say, sbx, sby, x0, y0, x0 + size, y0 + size
         )
         feats = []
         rid = pdf["road_id"].to_numpy()
@@ -318,7 +325,10 @@ def write_road_mvt(
                 [qx(np.array([cax[j], cbx[j]])), qy(np.array([cay[j], cby[j]]))]
             )
             feats.append({
-                "id": int(rid[j]) * 100000 + int(sid[j]),
+                # disjoint bit ranges: unique per (road, segment) for any
+                # segment count (the old rid*100000+sid collided for roads
+                # with >= 100k segments — MVT ids must be layer-unique)
+                "id": (int(rid[j]) << 32) | int(sid[j]),
                 "type": GEOM_LINESTRING,
                 "lines": [line],
                 "tags": {"road_id": int(rid[j])},

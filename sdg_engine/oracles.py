@@ -505,3 +505,15 @@ ORACLES = {
 from .oracles_ext import ORACLES_EXT  # noqa: E402 — M5 breadth
 
 ORACLES.update(ORACLES_EXT)
+
+
+def all_oracles() -> dict[str, str]:
+    """ORACLES plus the lazily-built image-fixture oracles (they embed
+    the absolute sf0.01 fixture path and ensure it exists — building
+    them at import time would trigger fixture generation on every
+    import)."""
+    from .oracles_ext import image_oracles
+
+    out = dict(ORACLES)
+    out.update(image_oracles())
+    return out

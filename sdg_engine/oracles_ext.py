@@ -276,7 +276,109 @@ WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) >= 0.2
 """
 
+# --- S7 MVT tile stats: bbox cover + division-free SAT membership (the
+# byte-identical twin of geom.segments_intersect_rect — only * - <= on
+# doubles, so booleans match bit-for-bit) ------------------------------------
+
+
+def _mvt_tile_stats_sql(level: int = 4) -> str:
+    from .harness import AX, AY, BX, BY
+    from .sqlgen import grid_index_expr
+
+    s = repr(10.0 / (1 << level))  # tile size (exact binary at level 4)
+    return f"""
+WITH segs AS (SELECT {AX} AS ax, {AY} AS ay, {BX} AS bx, {BY} AS byy FROM supplier),
+idx AS (
+  SELECT *, {grid_index_expr("LEAST(ax, bx)", level)} AS ix0,
+         {grid_index_expr("LEAST(ay, byy)", level)} AS iy0,
+         {grid_index_expr("GREATEST(ax, bx)", level)} AS ix1,
+         {grid_index_expr("GREATEST(ay, byy)", level)} AS iy1
+  FROM segs
+),
+expd AS (
+  SELECT ax, ay, bx, byy,
+         CAST(u1.cix AS INT) AS tx, CAST(u2.ciy AS INT) AS ty,
+         (CAST(0 AS DOUBLE) + u1.cix * CAST({s} AS DOUBLE)) AS x0,
+         (CAST(0 AS DOUBLE) + u2.ciy * CAST({s} AS DOUBLE)) AS y0
+  FROM idx, UNNEST(generate_series(ix0, ix1)) AS u1(cix),
+       UNNEST(generate_series(iy0, iy1)) AS u2(ciy)
+),
+d1 AS (
+  SELECT tx, ty, ax, ay, x0, y0,
+         (x0 + CAST({s} AS DOUBLE)) AS x1, (y0 + CAST({s} AS DOUBLE)) AS y1,
+         (bx - ax) AS dx, (byy - ay) AS dy,
+         LEAST(ax, bx) AS sxmin, GREATEST(ax, bx) AS sxmax,
+         LEAST(ay, byy) AS symin, GREATEST(ay, byy) AS symax
+  FROM expd
+),
+d2 AS (
+  SELECT tx, ty,
+         (sxmin <= x1 AND sxmax >= x0 AND symin <= y1 AND symax >= y0) AS bbox,
+         (dx * (y0 - ay) - dy * (x0 - ax)) AS s1,
+         (dx * (y0 - ay) - dy * (x1 - ax)) AS s2,
+         (dx * (y1 - ay) - dy * (x0 - ax)) AS s3,
+         (dx * (y1 - ay) - dy * (x1 - ax)) AS s4
+  FROM d1
+)
+SELECT {level} AS z, tx, ty,
+       CAST(SUM(CASE WHEN bbox
+                      AND LEAST(s1, s2, s3, s4) <= CAST(0 AS DOUBLE)
+                      AND GREATEST(s1, s2, s3, s4) >= CAST(0 AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS INT) AS n_features
+FROM d2 GROUP BY tx, ty
+"""
+
+
+def image_oracles() -> dict[str, str]:
+    """Oracles over the IMAGE FIXTURE parquet (BASELINE.json input_hint
+    shape) — built lazily because they embed the absolute fixture path
+    for the driver's sf0.01 correctness run (and ensure the fixture
+    exists before DuckDB reads it; generation is cached/idempotent).
+
+    * image_near_dup_pairs — the stored-phash LSH band join, rerun
+      VERBATIM in DuckDB (bit_count/xor/shift semantics verified
+      identical between engines).
+    * image_decode_stats — fmt/byte metadata straight from the fixture
+      parquet + mean_lum from the committed INDEPENDENT-numpy golden
+      (scripts/make_goldens.py) + ok=TRUE asserted for every row: a
+      decode failure or pixel regression on the Spark side flips
+      ok/mean_lum and fails the value hash.
+    """
+    import os
+
+    from .jobs.rai import fixture_dir
+
+    img = os.path.join(fixture_dir(0.01), "images.parquet").replace("'", "''")
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "goldens", "decode_stats_sf0.01.parquet",
+    ).replace("'", "''")
+    near_dup = f"""
+WITH img AS (SELECT image_id, phash FROM read_parquet('{img}')
+             WHERE image_id < 'img000000000400'),
+bands AS (SELECT image_id, phash, u.band, (phash >> (8 * u.band)) & 255 AS sig
+          FROM img, UNNEST(generate_series(0, 7)) AS u(band)),
+cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.image_id < b.image_id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 12
+"""
+    decode_stats = f"""
+SELECT f.image_id, f.fmt, CAST(octet_length(f.bytes) AS INT) AS n_bytes,
+       TRUE AS ok, g.mean_lum
+FROM read_parquet('{img}') f
+JOIN read_parquet('{golden}') g USING (image_id)
+WHERE f.image_id < 'img000000000500'
+"""
+    return {
+        "image_near_dup_pairs": near_dup,
+        "image_decode_stats": decode_stats,
+    }
+
+
 ORACLES_EXT = {
+    "mvt_tile_stats": _mvt_tile_stats_sql(4),
     "ann_ivf_topk": ANN_IVF_TOPK,
     "ngram_jaccard_indexed": NGRAM_JACCARD_INDEXED,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
@@ -294,6 +396,9 @@ ORACLES_EXT = {
     "dates_orders": DATES_ORDERS,
     "anti_join_customers": ANTI_JOIN_CUSTOMERS,
     "semi_join_parts": SEMI_JOIN_PARTS,
-    # image_rai_summary / image_decode_stats / image_near_dup_pairs:
-    # rows-only by design (binary payload; pinned by tests/goldens)
+    # image_decode_stats / image_near_dup_pairs: built lazily by
+    # image_oracles() (they embed the sf0.01 fixture path).
+    # Still rows-only BY DESIGN: image_rai_summary (burn/chamfer numpy,
+    # golden-pinned), multimodal_audio_features / multimodal_video_frames
+    # (WAV/rawvid payloads, bit-exact numpy-oracle pytests).
 }

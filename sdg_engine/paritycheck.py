@@ -63,20 +63,21 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
 
 
 def check_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, str]:
-    from .oracles import ORACLES
+    from .oracles import all_oracles
     from .queries import QUERIES
 
+    oracles = all_oracles()
     results: dict[str, str] = {}
     for name, builder in QUERIES.items():
         if only and name not in only:
             continue
         try:
             sdf = builder(spark, sf_dir)
-            if name not in ORACLES:
+            if name not in oracles:
                 n = sdf.count()
                 results[name] = f"rows-only: {n} rows"
                 continue
-            ok, msg = compare(sdf, run_oracle(ORACLES[name], sf_dir))
+            ok, msg = compare(sdf, run_oracle(oracles[name], sf_dir))
             results[name] = ("PASS " if ok else "FAIL ") + msg
         except Exception as e:  # noqa: BLE001 — report, keep checking
             results[name] = f"ERROR {type(e).__name__}: {str(e)[:300]}"

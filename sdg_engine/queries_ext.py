@@ -501,25 +501,50 @@ def image_rai_summary(spark, sf_dir):
 
 
 def image_decode_stats(spark, sf_dir):
+    """X1 decode stats, ORACLE-CHECKED (r03; was rows-only): every image
+    is REALLY decoded (the ``ok`` flag is load-bearing for all five
+    formats including jpg — a decode regression flips it and fails the
+    hash), and ``mean_lum`` is compared against a committed golden
+    computed by an INDEPENDENT numpy path (scripts/make_goldens.py:
+    generator pixels + a reimplemented qnt quantize twin, never the
+    engine codecs).  jpg rows emit NULL mean_lum — no independent JPEG
+    decoder can exist in this container (that's why jpeg.py was
+    written); their pixel fidelity is gated ≥40 dB in tests/test_jpeg.py.
+    min/max pixel stats stay pytest-pinned (test_decode_stats_all_ok).
+    """
     from .ops import payload as PL
 
     images, _roads = _fixture_images(spark, sf_dir)
     # deterministic subset by key (an unordered LIMIT may pick a
     # different subset across rounds/partitionings)
-    return PL.decode_stats(images.filter(F.col("image_id") < "img000000000500"))
+    subset = images.filter(F.col("image_id") < "img000000000500")
+    stats = PL.decode_stats(subset)
+    meta = subset.select(
+        "image_id", "fmt", F.length("bytes").cast("int").alias("n_bytes")
+    )
+    return meta.join(stats, "image_id").select(
+        "image_id",
+        "fmt",
+        "n_bytes",
+        "ok",
+        F.when(F.col("fmt") != "jpg", F.col("mean_lum")).alias("mean_lum"),
+    )
 
 
 def image_near_dup_pairs(spark, sf_dir):
+    """X4 near-dup pairs over the STORED phash column, ORACLE-CHECKED
+    (r03; was rows-only): banded LSH (8×8-bit bands) + exact
+    ``bit_count(xor)`` hamming — pure relational over the binding
+    ``phash int64`` input column, so DuckDB reruns it verbatim on the
+    same fixture parquet.  The other half of X4 — recomputing phash
+    from decoded bytes through a lossy transcode — cannot be expressed
+    relationally and stays pinned in
+    tests/test_payload_lineage_skew.py::test_phash_near_dup_pairs."""
     from .ops import payload as PL
 
     images, _roads = _fixture_images(spark, sf_dir)
-    subset = images.filter(F.col("image_id") < "img000000000100")
-    both = subset.unionByName(
-        PL.transcode(subset, "qnt").withColumn(
-            "image_id", F.concat(F.col("image_id"), F.lit("_q"))
-        )
-    )
-    return PL.phash_near_dup_pairs(both, max_hamming=12)
+    subset = images.filter(F.col("image_id") < "img000000000400")
+    return PL.phash_near_dup_pairs(subset, max_hamming=12)
 
 
 def doc_rolling_fingerprint(spark, sf_dir):
@@ -599,10 +624,14 @@ def streaming_hourly_closed(spark, sf_dir):
 
 
 def mvt_tile_stats(spark, sf_dir):
-    """S7 MVT sink shape: road segments → tile cut → per-tile encoded
-    vector-tile blob; emits (z, tx, ty, n_features, mvt_bytes) stats
-    (rows-only; blob byte-exactness + geometry round-trip pinned in
-    tests/test_mvt.py — no relational engine can parse protobuf)."""
+    """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
+    tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
+    n_features) where n_features is the count of segments that REALLY
+    intersect the tile (division-free SAT membership,
+    geom.segments_intersect_rect) — DuckDB recomputes the bbox cover +
+    the identical ``* - <=`` SAT expressions and matches bit-for-bit.
+    The protobuf blob bytes (still produced by this same write) have no
+    relational twin and stay pinned byte-exactly in tests/test_mvt.py."""
     import os
     import tempfile
 
@@ -612,9 +641,7 @@ def mvt_tile_stats(spark, sf_dir):
     segs = segments_df(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), "sdg_mvt_harness")
     tiles = MVT.write_road_mvt(segs, out, level=4)
-    return tiles.select(
-        "z", "tx", "ty", "n_features", F.length("mvt").alias("mvt_bytes")
-    )
+    return tiles.select("z", "tx", "ty", "n_features")
 
 
 def multimodal_video_frames(spark, sf_dir):
