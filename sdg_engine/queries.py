@@ -583,14 +583,21 @@ def embedding_norms(spark, sf_dir):
 
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (the exactness baseline
-    for approximate variants; SURVEY.md training-data extras)."""
+    for approximate variants; SURVEY.md training-data extras).
+
+    The cartesian is BOUNDED by construction: the ≤10-row query side is
+    explicitly broadcast, so the plan is one streaming pass over the
+    target table probing a tiny broadcast (BroadcastNestedLoopJoin,
+    pinned in tests/test_plans.py) — never an unbounded shuffle
+    cartesian.  Scale replacements: ann_lsh_topk / ann_ivf_topk (bucket
+    equi-joins, both oracle-checked)."""
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.expr(
         "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
         "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
     with_norm = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    queries_ = with_norm.filter(F.col("vec_id") < 10).alias("a")
+    queries_ = F.broadcast(with_norm.filter(F.col("vec_id") < 10)).alias("a")
     targets = with_norm.alias("b")
     pairs = (
         queries_.crossJoin(targets)

@@ -547,17 +547,54 @@ def image_near_dup_pairs(spark, sf_dir):
     return PL.phash_near_dup_pairs(subset, max_hamming=12)
 
 
+_KR_P = 1_000_000_007
+_KR_MAXBITS = 20  # documents < 2^20 chars; raise for longer corpora
+
+
+def _modpow31_expr(k: str) -> str:
+    """31^(k) mod p as a LINEAR constant-table modpow chain.
+
+    Repeated squaring with the squarings PRECOMPUTED in Python
+    (31^(2^j) mod p are literals), unrolled over k's bits:
+        r_{j+1} = (r_j * IF(bit_j(k), C_j, 1)) % p
+    Each step references r_j exactly ONCE, so CollapseProject inlining
+    keeps the expression linear (CLAUDE.md gotcha 2 — a self-doubling
+    form would explode to 2^20 terms).  r * C < 1e9·1e9 < 2^63 — exact
+    int64 throughout, same in DuckDB."""
+    r = "CAST(1 AS BIGINT)"
+    for j in range(_KR_MAXBITS):
+        c = pow(31, 1 << j, _KR_P)
+        r = (f"(({r}) * (CASE WHEN ((({k}) >> {j}) & 1) = 1 "
+             f"THEN CAST({c} AS BIGINT) ELSE CAST(1 AS BIGINT) END)) % {_KR_P}")
+    return r
+
+
 def doc_rolling_fingerprint(spark, sf_dir):
-    """Karp-Rabin rolling hash of each document (fold over char codes,
-    JVM-side aggregate; mod 1e9+7 keeps the fold in exact int64)."""
+    """Karp-Rabin rolling hash of each document, mod 1e9+7.
+
+    SAME VALUE as the sequential left fold acc = (acc·31 + x) mod p —
+    expanded to Σ_i x_i·31^(n−i) mod p — but computed as an exploded
+    per-character SUM with a constant-table modpow (``_modpow31_expr``),
+    so the whole hot path runs WHOLE-STAGE-CODEGEN'D instead of an
+    interpreted ``aggregate()`` HOF lambda (CLAUDE.md gotcha 4; the same
+    rewrite bought 3× on MinHash).  Partial-sum bound: term < p ≈ 1e9,
+    so a 2^20-char document sums below 2^50 — exact int64.  The DuckDB
+    oracle keeps the original fold formulation (independent shape, same
+    exact integers)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    chars = docs.select(
         "doc_id",
-        F.expr(
-            "aggregate(transform(sequence(1, length(text)), "
-            "i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), "
-            "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
-        ).alias("fingerprint"),
+        F.expr("length(text)").alias("n"),
+        F.posexplode(F.expr("split(text, '')")).alias("i0", "ch"),
+    )
+    term = (
+        f"(CAST(ascii(ch) AS BIGINT) * ({_modpow31_expr('(n - 1 - i0)')}))"
+        f" % {_KR_P}"
+    )
+    return (
+        chars.withColumn("_t", F.expr(term))
+        .groupBy("doc_id")
+        .agg((F.sum("_t") % _KR_P).alias("fingerprint"))
     )
 
 

@@ -102,7 +102,39 @@ def test_assign_countries_is_broadcast_only(spark):
     assert not re.search(r"Condition : isnotnull\(\(\(162", plan)
 
 
-def test_assign_countries_udf_variant(spark):
+def test_assign_countries_auto_flips_to_udf(spark):
+    """VERDICT r02 #1: stage-2 strategy auto-selects.  When the
+    driver-side bound (plan-stats rows × boundary area fraction) exceeds
+    the broadcast-back threshold, the plan switches to the single-pass
+    Arrow ray-cast instead of broadcasting a fact-derived set."""
+    cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
+                             id_col="point_id", broadcast_back_max_rows=0)
+    plan = _plan(cc)
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    # the estimator itself: the fixture input has plan stats, the rings
+    # have a nonzero boundary strip
+    assert SP._estimate_rows(points_df(spark, SF)) > 0
+    assert 0.0 < SP.boundary_fraction(harness_rings(), 9, 12) < 0.05
+
+
+def test_spatial_join_salted_is_row_identical(spark):
+    """J1 salted variant: identical row multiset to the plain cell join
+    on the skewed fixture (dense HOT cell), with a non-trivial salt plan."""
+    from sdg_engine.skew import plan_salts
+
+    ids = [f"img{i:012d}" for i in range(1500)]
+    geo = SP.with_geo(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+    pts = SP.with_point_cell(geo, 5).select("cell_id", "image_id")
+    segs = segments_df(spark, SF)
+    cover = SP.segments_with_cells(segs, 5).select("cell_id", "road_id")
+    hist = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    assert plan_salts(hist, 100).count() > 0  # the hot cell gets split
+    plain = SP.spatial_join(pts, cover)
+    salted = SP.spatial_join_salted(pts, cover, target_rows_per_cell=100)
+    assert salted.columns == plain.columns
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
     cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
                              id_col="point_id", use_udf=True)
     plan = _plan(cc)
