@@ -276,6 +276,111 @@ def compact_cover(dense_cells: DataFrame, level: int, cell: str = "cell_id") -> 
     )
 
 
+def range_join_compacted(
+    points_cells: DataFrame,
+    cover: DataFrame,
+    point_level: int,
+    bin_level: int = 3,
+    cell: str = "cell_id",
+) -> DataFrame:
+    """J6 ★: Z-order RANGE join of fine-level point cells against a
+    compacted mixed-level cover — planned as a HASH equi-join, never a
+    broadcast-nested-loop.
+
+    A compacted cover cell at level ℓ owns the contiguous id range
+    ``[code << 2(L-ℓ), (code+1) << 2(L-ℓ))`` of level-L descendants
+    (cells.range_at_level; the Global-Range-Encoding trick, PAPERS.md).
+    The naive formulation ``pts.join(cover, lo <= cell AND cell < hi)``
+    has no equi-key, so Spark plans a BNLJ/cartesian — the measured
+    degradation that kept J6 a documented fallback through r2.
+
+    This version restores an equi-key by BINNING both sides at a coarse
+    ``bin_level`` B:
+
+    * probe (points): bin = ancestor code at B — exactly 1 bin/row, a
+      pure shift of the already-computed cell id (no explode, no skew
+      amplification on the fact table);
+    * build (cover): a cell at level ℓ >= B maps to exactly 1 bin (its
+      ancestor); a cell at ℓ < B explodes into its 4^(B-ℓ) descendant
+      bins at B (bounded by 4^B total — the build side is the small,
+      already-compacted one).
+
+    The join is then ``ON probe.bin = build.bin AND lo <= cell < hi``:
+    Catalyst hash-partitions (or broadcasts) on ``bin`` and evaluates
+    the range predicate as the join residual.  Every point matches at
+    most one cover cell (covers are disjoint by construction), so the
+    result cardinality equals the contained-point count.  At 10^12
+    rows the shape holds: one shuffle (or none, when the cover
+    broadcasts) keyed on a coarse cell id, AQE skew-split applies, and
+    ``bin_level`` trades build-side duplication (4^(B-ℓ) per coarse
+    cell) against per-bin selectivity.
+
+    Output: the point columns + ``cover_cell`` / ``cover_level``.
+    """
+    from ..sqlgen import LEVEL_SHIFT
+
+    mask = (1 << LEVEL_SHIFT) - 1
+    build = (
+        cover.withColumn("_code", F.expr(f"({cell} & {mask})"))
+        .withColumn(
+            "_lo",
+            F.expr(
+                f"(CAST({point_level} AS BIGINT) << {LEVEL_SHIFT}) | "
+                f"shiftleft(_code, 2 * ({point_level} - level))"
+            ),
+        )
+        .withColumn(
+            "_hi",
+            F.expr(
+                f"(CAST({point_level} AS BIGINT) << {LEVEL_SHIFT}) | "
+                f"shiftleft(_code + 1, 2 * ({point_level} - level))"
+            ),
+        )
+        .withColumn(
+            "_bin_base",
+            F.expr(
+                f"CASE WHEN level >= {bin_level} "
+                f"THEN shiftright(_code, 2 * (level - {bin_level})) "
+                f"ELSE shiftleft(_code, 2 * ({bin_level} - level)) END"
+            ),
+        )
+        .withColumn(
+            "_n_bins",
+            F.expr(
+                f"CASE WHEN level >= {bin_level} THEN CAST(1 AS BIGINT) "
+                f"ELSE shiftleft(CAST(1 AS BIGINT), 2 * ({bin_level} - level)) END"
+            ),
+        )
+        .withColumn("_i", F.explode(F.expr("sequence(CAST(0 AS BIGINT), _n_bins - 1)")))
+        # COALESCE → non-nullable equi-key (see with_point_cell)
+        .withColumn("_bin", F.coalesce(F.expr("_bin_base + _i"), F.lit(-1)))
+        .select(
+            F.col(cell).alias("cover_cell"),
+            F.col("level").alias("cover_level"),
+            "_lo",
+            "_hi",
+            "_bin",
+        )
+    )
+    probe = points_cells.withColumn(
+        "_bin",
+        F.coalesce(
+            F.expr(
+                f"shiftright({cell} & {mask}, 2 * ({point_level} - {bin_level}))"
+            ),
+            F.lit(-1),
+        ),
+    )
+    joined = probe.join(
+        build,
+        (probe["_bin"] == build["_bin"])
+        & (probe[cell] >= build["_lo"])
+        & (probe[cell] < build["_hi"]),
+        "inner",
+    )
+    return joined.drop("_bin", "_lo", "_hi")
+
+
 def spatial_join(images_cells: DataFrame, road_cells: DataFrame) -> DataFrame:
     """J1 ★: the flagship tile×roads equi-join on cell_id.
 

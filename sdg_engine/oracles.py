@@ -130,6 +130,61 @@ WHERE ((CAST((f.anc >> 54) - 1 AS BIGINT) << 54) | ((f.anc & {_CODE_MASK}) >> 2)
       NOT IN (SELECT anc FROM fullset)
 """
 
+# --- J6: Z-order range join (bin equi-join + range residual) ---------------
+# Same compact-cover CTE as SPATIAL_COMPACT_COVER, then the identical
+# shift arithmetic the Spark op runs (range_join_compacted): ranges of
+# level-12 descendants per cover cell, bins at level 3 on both sides.
+
+_CELL12R_STEPS = point_cell_steps("lon", "lat", 12, "cell_id")
+
+SPATIAL_RANGE_JOIN = f"""
+WITH pts AS ({_PTS}),
+cells AS ({chain_select("SELECT * FROM pts", _CELL7_STEPS, ["cell_id"])}),
+dense AS (SELECT DISTINCT cell_id FROM cells),
+anc AS (
+  SELECT ((CAST(7 - ks.k AS BIGINT) << 54)
+          | ((cell_id & {_CODE_MASK}) >> (2 * ks.k))) AS anc
+  FROM dense CROSS JOIN (SELECT UNNEST(range(0, 8)) AS k) ks
+),
+cnt AS (SELECT anc, COUNT(*) AS n FROM anc GROUP BY anc),
+fullset AS (
+  SELECT anc FROM cnt
+  WHERE n = (CAST(1 AS BIGINT) << (2 * (7 - CAST(anc >> 54 AS INT))))
+),
+cover AS (
+  SELECT f.anc AS cell_id, CAST(f.anc >> 54 AS INT) AS level
+  FROM fullset f
+  WHERE ((CAST((f.anc >> 54) - 1 AS BIGINT) << 54) | ((f.anc & {_CODE_MASK}) >> 2))
+        NOT IN (SELECT anc FROM fullset)
+),
+bins AS (
+  SELECT cell_id, level,
+         ((CAST(12 AS BIGINT) << 54)
+          | ((cell_id & {_CODE_MASK}) << (2 * (12 - level)))) AS lo,
+         ((CAST(12 AS BIGINT) << 54)
+          | (((cell_id & {_CODE_MASK}) + 1) << (2 * (12 - level)))) AS hi,
+         CASE WHEN level >= 3 THEN ((cell_id & {_CODE_MASK}) >> (2 * (level - 3)))
+              ELSE ((cell_id & {_CODE_MASK}) << (2 * (3 - level))) END AS bin_base,
+         CASE WHEN level >= 3 THEN CAST(1 AS BIGINT)
+              ELSE (CAST(1 AS BIGINT) << (2 * (3 - level))) END AS n_bins
+  FROM cover
+),
+binned AS (
+  SELECT cell_id, level, lo, hi, bin_base + ks.i AS bin
+  FROM bins, UNNEST(range(0, n_bins)) AS ks(i)
+),
+p12 AS ({chain_select("SELECT * FROM pts", _CELL12R_STEPS, ["point_id", "cell_id"])}),
+probe AS (
+  SELECT point_id, cell_id,
+         ((cell_id & {_CODE_MASK}) >> (2 * (12 - 3))) AS bin
+  FROM p12
+)
+SELECT b.cell_id AS cell_id, b.level AS level, COUNT(*) AS n_points
+FROM probe p JOIN binned b
+  ON p.bin = b.bin AND p.cell_id >= b.lo AND p.cell_id < b.hi
+GROUP BY b.cell_id, b.level
+"""
+
 SPATIAL_HEX_COVER = f"""
 WITH pts AS ({_PTS}),
 hx AS ({chain_select("SELECT * FROM pts", hex_cell_steps("lon", "lat", 0.05, "hex_id"), ["point_id", "hex_id"])})
@@ -476,6 +531,7 @@ ORACLES = {
     "spatial_knn_nearest": SPATIAL_KNN_NEAREST,
     "spatial_pip_country": SPATIAL_PIP_COUNTRY,
     "spatial_compact_cover": SPATIAL_COMPACT_COVER,
+    "spatial_range_join": SPATIAL_RANGE_JOIN,
     "osm_way_assembly": OSM_WAY_ASSEMBLY,
     "spatial_hex_cover": SPATIAL_HEX_COVER,
     "spatial_join_cells": SPATIAL_JOIN_CELLS,

@@ -175,6 +175,36 @@ def spatial_compact_cover(spark, sf_dir):
     return SP.compact_cover(dense, 7).select("cell_id", "level")
 
 
+def spatial_range_join(spark, sf_dir):
+    """J6 ★ (planned, r03 — was a documented fallback): Z-order RANGE
+    join of level-12 point cells against the level-7 compacted cover,
+    executed as a bin equi-join + range residual (never BNLJ — plan
+    pinned in tests/test_plans.py).  Every point lands in exactly one
+    cover cell, so the per-cover-cell counts sum to the input row count
+    (asserted in tests); the DuckDB oracle reruns the identical shift
+    arithmetic over the same compact-cover CTE."""
+    _prep(spark)
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 12)
+    dense = (
+        SP.with_point_cell(points_df(spark, sf_dir), 7)
+        .select("cell_id")
+        .distinct()
+    )
+    cover = SP.compact_cover(dense, 7)
+    joined = SP.range_join_compacted(
+        pts.select("point_id", "cell_id"), cover, point_level=12, bin_level=3
+    )
+    return (
+        joined.groupBy("cover_cell", "cover_level")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            F.col("cover_cell").alias("cell_id"),
+            F.col("cover_level").alias("level"),
+            "n_points",
+        )
+    )
+
+
 def spatial_hex_cover(spark, sf_dir):
     """C1 hex variant (the north star's H3-style index): pointy-top
     axial hex binning with exact cube rounding — shared SQL fragments,
@@ -630,6 +660,7 @@ QUERIES = {
     "spatial_join_cells": spatial_join_cells,
     "spatial_kring_cells": spatial_kring_cells,
     "spatial_compact_cover": spatial_compact_cover,
+    "spatial_range_join": spatial_range_join,
     "osm_way_assembly": osm_way_assembly,
     "spatial_hex_cover": spatial_hex_cover,
     "q1_pricing_summary": q1_pricing_summary,

@@ -142,6 +142,50 @@ def test_spatial_join_salted_is_row_identical(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_range_join_plans_as_hash_join(spark):
+    """J6 ★ (r03): the Z-order range join must plan as a HASH equi-join
+    on the coarse bin — never the BNLJ/cartesian that made the naive
+    range predicate a documented fallback through r2."""
+    pts = SP.with_point_cell(points_df(spark, SF), 12)
+    dense = SP.with_point_cell(points_df(spark, SF), 7).select("cell_id").distinct()
+    cover = SP.compact_cover(dense, 7)
+    joined = SP.range_join_compacted(
+        pts.select("point_id", "cell_id"), cover, point_level=12, bin_level=3
+    )
+    plan = _plan(joined)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_range_join_matches_ancestor_equi_join(spark):
+    """Independent formulation check: point ∈ cover-cell iff the point
+    cell's ancestor at the cover cell's level equals it.  The range
+    join must reproduce that exactly, and cover every point once."""
+    pts = SP.with_point_cell(points_df(spark, SF), 12)
+    dense = SP.with_point_cell(points_df(spark, SF), 7).select("cell_id").distinct()
+    cover = SP.compact_cover(dense, 7)
+    got = SP.range_join_compacted(
+        pts.select("point_id", "cell_id"), cover, point_level=12, bin_level=3
+    ).select("point_id", "cover_cell")
+    n_pts = pts.count()
+    assert got.count() == n_pts  # disjoint cover: each point exactly once
+    mask = (1 << 54) - 1
+    anc = pts.select(
+        "point_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, 12), k -> "
+            f"(CAST(12 - k AS BIGINT) << 54) | shiftright(cell_id & {mask}, 2 * k))"
+        )).alias("anc"),
+    )
+    want = anc.join(
+        cover.select(F.col("cell_id").alias("anc")), "anc", "inner"
+    ).select("point_id", F.col("anc").alias("cover_cell"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_bucketed_layout_partition_pruning(spark, tmp_path):
     """SURVEY.md §4 physical layout: filtering on the bucket column
     prunes partitions at scan time (visible as PartitionFilters)."""
