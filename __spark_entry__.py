@@ -35,13 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    47/50 queries have a SQL twin (r03 added mvt_tile_stats,
-    image_decode_stats and image_near_dup_pairs — the latter two run
+    52/55 queries have a SQL twin (r03 added mvt_tile_stats,
+    image_decode_stats, image_near_dup_pairs — the latter two run
     DuckDB directly over the image-fixture parquet + a committed
-    independent-numpy golden).  The remaining three
-    (image_rai_summary, multimodal audio/video) decode binary payloads
-    with no relational twin; each is pinned by bit-exact numpy oracles
-    in tests/ instead.
+    independent-numpy golden — plus spatial_range_join,
+    embedding_cosine_neardup, kmeans_embeddings, sample_stratified
+    and streaming_dedup_docs, all oracle-checked).  The remaining
+    three (image_rai_summary, multimodal audio/video) decode binary
+    payloads with no relational twin; each is pinned by bit-exact
+    numpy oracles in tests/ instead.
     """
     from sdg_engine.oracles import all_oracles
 

@@ -101,6 +101,111 @@ SELECT query_id, neighbor_id, rnk, ROUND(cos_sim, 4) AS cos_sim
 FROM ranked WHERE rnk <= 3
 """
 
+# --- embedding-cosine near-dup (banded sign-LSH candidates + exact τ) -------
+
+_BAND0 = " + ".join(
+    f"(CASE WHEN {_dot_plane(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+    for j in range(4)
+)
+_BAND1 = " + ".join(
+    f"(CASE WHEN {_dot_plane(j)} > CAST(0 AS DOUBLE) THEN {1 << (j - 4)} ELSE 0 END)"
+    for j in range(4, 8)
+)
+
+EMBEDDING_COSINE_NEARDUP = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(({_BAND0}) AS INT) AS b0, CAST(({_BAND1}) AS INT) AS b1,
+         SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, 0 AS band, b0 AS bval FROM base UNION ALL
+  SELECT vec_id, 1, b1 FROM base
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, ROUND({_DOT_AB} / (a.nrm * b.nrm), 4) AS cos_sim
+FROM cand c
+JOIN base a ON c.vec_a = a.vec_id
+JOIN base b ON c.vec_b = b.vec_id
+WHERE {_DOT_AB} / (a.nrm * b.nrm) > CAST(0.40 AS DOUBLE)
+"""
+
+# --- deterministic 2-iteration Lloyd k-means (k=8, seeds vec_id 0..7) -------
+# Fold parity: list_sum/list_transform here == aggregate/zip_with on the
+# Spark side (both sequential); the centroid AVG is rounded to 6dp in
+# both engines before iteration 2, so assignments match exactly.
+
+_KM_D2_C1 = (
+    "list_sum(list_transform(generate_series(1, len(e.emb)), "
+    "i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])))"
+)
+
+KMEANS_EMBEDDINGS = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c1 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cent FROM emb WHERE vec_id < 8),
+d1 AS (
+  SELECT e.vec_id, c.cid, {_KM_D2_C1} AS d2
+  FROM emb e CROSS JOIN c1 c
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d1
+  ) r WHERE rn = 1
+),
+upd AS (
+  SELECT a.cid, ks.i AS pos, e.emb[ks.i] AS x
+  FROM a1 a JOIN emb e USING (vec_id), UNNEST(generate_series(1, 64)) AS ks(i)
+),
+c2dim AS (SELECT cid, pos, ROUND(AVG(x), 6) AS c FROM upd GROUP BY cid, pos),
+c2 AS (SELECT cid, list(c ORDER BY pos) AS cent FROM c2dim GROUP BY cid),
+d2i AS (
+  SELECT e.vec_id, c.cid, {_KM_D2_C1} AS d2
+  FROM emb e CROSS JOIN c2 c
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2i
+  ) r WHERE rn = 1
+)
+SELECT a2.cid AS cluster_id, COUNT(*) AS n_members, MIN(a2.vec_id) AS min_vec_id,
+       MIN(n.centroid_norm) AS centroid_norm
+FROM a2 JOIN (
+  SELECT cid, ROUND(SQRT(list_sum(list_transform(cent, c -> c * c))), 4)
+         AS centroid_norm
+  FROM c2
+) n ON a2.cid = n.cid
+GROUP BY a2.cid
+"""
+
+SAMPLE_STRATIFIED = """
+SELECT lang, doc_id, smp_rank FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || lang) ASC)
+              AS INT) AS smp_rank
+  FROM documents
+) r
+WHERE smp_rank <= (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)
+"""
+
+STREAMING_DEDUP_DOCS = """
+SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
+FROM documents GROUP BY lang
+"""
+
 WINDOWS_SUITE = """
 SELECT o_custkey, o_orderkey,
        CAST(RANK() OVER w AS INT) AS rnk,
@@ -381,6 +486,10 @@ ORACLES_EXT = {
     "mvt_tile_stats": _mvt_tile_stats_sql(4),
     "ann_ivf_topk": ANN_IVF_TOPK,
     "ngram_jaccard_indexed": NGRAM_JACCARD_INDEXED,
+    "embedding_cosine_neardup": EMBEDDING_COSINE_NEARDUP,
+    "kmeans_embeddings": KMEANS_EMBEDDINGS,
+    "sample_stratified": SAMPLE_STRATIFIED,
+    "streaming_dedup_docs": STREAMING_DEDUP_DOCS,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

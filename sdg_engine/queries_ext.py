@@ -244,6 +244,162 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — the vector-space dedup flavor
+    (exact cos ≥ τ verification over banded sign-LSH candidates).
+
+    Scale shape = minhash_lsh_pairs: each vector emits one row per band
+    (2 bands × 4 hyperplane sign bits), candidates come from the band
+    equi-join (NO crossJoin), pair ids are deduped, and only candidates
+    pay the exact 64-dim cosine.  Banding is the OR-amplification that
+    makes threshold recall tunable (more/narrower bands → higher recall);
+    the DEFINED semantics — pairs sharing ≥1 band AND cos > 0.40 — are
+    deterministic, so the DuckDB oracle matches exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b0 = " + ".join(
+        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    b1 = " + ".join(
+        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << (j - 4)} ELSE 0 END)"
+        for j in range(4, 8)
+    )
+    norm = F.expr(
+        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    base = emb.select(
+        "vec_id", "embedding", norm.alias("nrm"),
+        F.expr(f"({b0})").cast("int").alias("b0"),
+        F.expr(f"({b1})").cast("int").alias("b1"),
+    )
+    bands = base.select(
+        "vec_id", F.expr("stack(2, 0, b0, 1, b1) AS (band, bval)")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    dot = (
+        "aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>), "
+        "CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(base.alias("a"), cand["vec_a"] == F.col("a.vec_id"))
+        .join(base.alias("b"), cand["vec_b"] == F.col("b.vec_id"))
+        .withColumn("cos_sim", F.expr(f"{dot} / (a.nrm * b.nrm)"))
+        .filter(F.col("cos_sim") > 0.40)
+        .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 2):
+    """Deterministic Lloyd k-means over the embedding table (2 unrolled
+    iterations, k=8, seeds = vec_id 0..7) — the canonical iterative
+    clustering shape for a training-data pipeline (topic bucketing /
+    diversity sampling).
+
+    Scale architecture: centroids are the TINY side — each iteration is
+    a broadcast of k rows against the fact table (crossJoin with
+    ``F.broadcast``; k·|V| candidate rows, argmin via min(struct) with
+    map-side partial aggregation — no row_number sort), then a
+    posexplode + (cid, dim) hash agg for the update.  Per CLAUDE.md
+    gotcha 15 a long Lloyd loop must checkpoint per round; with the
+    2 fixed iterations here each round's plan is bounded and the
+    whole thing stays one lazy DAG.
+
+    Oracle parity: squared-L2 folds are sequential in both engines
+    (aggregate/zip_with vs list_sum/list_transform — the proven ANN
+    pattern); the only cross-row float reduce is the centroid AVG,
+    rounded to 6dp in BOTH engines before iteration 2 (full-mantissa
+    values ⇒ no boundary ties), so assignments match exactly."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb")
+    )
+    d2 = (
+        "aggregate(zip_with(emb, cent, (x, c) -> (x - c) * (x - c)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def assign(vectors, cents):
+        return (
+            vectors.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", F.expr(d2))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("_d2", "cid")).alias("_m"))
+            .select("vec_id", F.col("_m.cid").alias("cid"))
+        )
+
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cent")
+    )
+    for _ in range(iters - 1):
+        a = assign(emb, cents)
+        cents = (
+            a.join(emb, "vec_id")
+            .select("cid", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, c))), s -> s.c)"
+                ).alias("cent")
+            )
+        )
+    final = assign(emb, cents)
+    norm = F.expr(
+        "ROUND(SQRT(aggregate(cent, CAST(0 AS DOUBLE), "
+        "(acc, c) -> acc + c * c)), 4)"
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id"))
+        .join(cents.select("cid", norm.alias("centroid_norm")), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_members", "min_vec_id",
+            "centroid_norm",
+        )
+    )
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the reproducible train-set
+    draw every large-scale data pipeline needs: per-language quotas
+    ('en' keeps 20, others 10), ranked by a content-independent md5 key
+    so the draw is stable across runs, engines and partitionings (no
+    rand(), no sample() — those are seed- and partition-dependent).
+
+    Scale shape: one window rank per stratum (hash-partitioned by
+    lang); for 10^12-row strata the same draw becomes a filter on
+    md5 < threshold (no global sort) — quota form kept here because it
+    is exact-n and oracle-checkable row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk")
+    return (
+        keyed.withColumn("smp_rank", F.row_number().over(w).cast("int"))
+        .filter(
+            F.col("smp_rank")
+            <= F.expr("CASE WHEN lang = 'en' THEN 20 ELSE 10 END")
+        )
+        .select("lang", "doc_id", "smp_rank")
+    )
+
+
 _SHINGLES = (
     "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
     "i -> concat(element_at(split(text, ' '), i), ' ', "
@@ -660,6 +816,31 @@ def streaming_hourly_closed(spark, sf_dir):
     )
 
 
+def streaming_dedup_docs(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicates over the file-source
+    stream, availableNow drain): per-language count of distinct
+    (lang, md5(text)) keys.  The aggregate is computed batch-side from
+    the deduped sink, so the result is independent of stream read
+    order and matches the DuckDB COUNT(DISTINCT) oracle exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import streaming as STR
+
+    base = tempfile.mkdtemp(prefix="sdg_sdedup_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet", os.path.join(in_dir, "documents.parquet"))
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    STR.stream_dedup_docs(spark, in_dir, out, ck)
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
     tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
@@ -705,6 +886,10 @@ QUERIES_EXT = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ngram_jaccard_indexed": ngram_jaccard_indexed,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
+    "kmeans_embeddings": kmeans_embeddings,
+    "sample_stratified": sample_stratified,
+    "streaming_dedup_docs": streaming_dedup_docs,
     "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,

@@ -73,6 +73,45 @@ def stream_events_hourly(
     )
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_dedup_docs(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str
+) -> None:
+    """Streaming exact dedup: first occurrence per (lang, md5(text))
+    key, file source → parquet sink, availableNow trigger.
+
+    ``dropDuplicates`` keeps per-key state in the state store, so the
+    same code continues deduplicating across restarts (checkpointed).
+    State here is unbounded by design — the harness drains a finite
+    backlog; a continuously-running deployment with an event-time
+    column bounds it with ``dropDuplicatesWithinWatermark`` instead
+    (first-occurrence semantics within the lateness horizon).  Only
+    the deterministic key columns are emitted — WHICH duplicate row
+    wins depends on read order, so no payload column leaks into the
+    sink."""
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    deduped = src.select("lang", F.md5("text").alias("fp")).dropDuplicates(
+        ["lang", "fp"]
+    )
+    (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )
+
+
 _SESSION_STATE_SCHEMA = "start long, last long, n int"
 _SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events int"
