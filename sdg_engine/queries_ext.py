@@ -209,7 +209,17 @@ def ann_ivf_topk(spark, sf_dir):
     coarse centroids (exact-argmin, lowest-index tie-break); cosine
     top-3 restricted to the query's IVF cell — the inverted-file
     counterpart of the sign-LSH scale path (both replace brute force
-    with a bucket equi-join)."""
+    with a bucket equi-join).
+
+    The base projection is PERSISTED (r03, minhash_lsh_pairs template):
+    the 8 coarse-quantizer distances are interpreted HOF folds
+    (CLAUDE.md gotcha 4 — kept compact on purpose: literal 64-term
+    codegen chains overflow janino's 64 KB method limit once the argmin
+    CASE + LEAST inline them 2×, measured 6.3 s → 70 s interpreted
+    fallback), and the self-join's two branches would otherwise
+    re-evaluate all 8 per side (measured 6.3 s → 2.9 s at sf0.1)."""
+    from pyspark import StorageLevel
+
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.expr(
         "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
@@ -217,7 +227,7 @@ def ann_ivf_topk(spark, sf_dir):
     )
     base = _with_ivf_cell(emb).select(
         "vec_id", "embedding", "ivf_cell", norm.alias("nrm")
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     q = base.filter(F.col("vec_id") < 20).alias("a")
     t = base.alias("b")
     dot = (
