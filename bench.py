@@ -46,6 +46,7 @@ HEADLINE = [
     "spatial_pip_country",
     "spatial_cell_cover",
     "spatial_kring_cells",
+    "spatial_range_join",  # J6 planned range join (r03)
     "q1_pricing_summary",
     "q5_nation_revenue",
     "window_top3_orders",

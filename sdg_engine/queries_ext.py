@@ -71,7 +71,14 @@ def simhash60(spark, sf_dir):
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-token-shingle Jaccard for all doc pairs with id < 60."""
+    """Exact 3-token-shingle Jaccard for all doc pairs with id < 60.
+
+    The exactness baseline for ngram_jaccard_indexed (the inverted-index
+    scale path).  The cartesian is BOUNDED by construction (r03, same
+    treatment as ann_cosine_topk): the id<60 side is explicitly
+    broadcast, so the plan is one streaming pass probing a tiny
+    broadcast — never an unbounded shuffle cartesian (pinned in
+    tests/test_plans.py)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     sh = docs.select(
         "doc_id",
@@ -82,7 +89,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
             "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
         ).alias("sh"),
     )
-    a = sh.alias("a")
+    a = F.broadcast(sh).alias("a")
     b = sh.alias("b")
     return (
         a.crossJoin(b)

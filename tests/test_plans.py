@@ -142,6 +142,18 @@ def test_spatial_join_salted_is_row_identical(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_exactness_baselines_are_broadcast_bounded(spark):
+    """The two deliberate cartesian exactness baselines must plan as a
+    streaming pass probing a tiny BROADCAST side (BroadcastNestedLoopJoin)
+    — never an unbounded shuffle cartesian."""
+    from sdg_engine.queries import QUERIES
+
+    for name in ("ann_cosine_topk", "ngram_jaccard_pairs"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+
+
 def test_range_join_plans_as_hash_join(spark):
     """J6 ★ (r03): the Z-order range join must plan as a HASH equi-join
     on the coarse bin — never the BNLJ/cartesian that made the naive

@@ -97,3 +97,34 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     # have been emitted
     must = {(u, s, e, n) for u, s, e, n in want if e + STR.GAP_S <= cutoff}
     assert must <= got_set
+
+
+def test_stream_dedup_docs_dedupes_across_batches(spark, tmp_path):
+    """Streaming dedup: duplicated input files across micro-batches
+    yield each (lang, fp) key exactly once, and re-running with the
+    same checkpoint (state restored) emits nothing for replayed keys."""
+    import shutil
+
+    docs = f"{SF}/documents.parquet"
+    in_dir = str(tmp_path / "in_d")
+    os.makedirs(in_dir)
+    shutil.copy(docs, os.path.join(in_dir, "a.parquet"))
+    shutil.copy(docs, os.path.join(in_dir, "b.parquet"))  # full duplicate batch
+    out = str(tmp_path / "out_d")
+    ck = str(tmp_path / "ck_d")
+    STR.stream_dedup_docs(spark, in_dir, out, ck)
+    got = spark.read.parquet(out)
+    n1 = got.count()
+    assert n1 == got.select("lang", "fp").distinct().count()  # each key once
+    want = (
+        spark.read.parquet(docs)
+        .select("lang", F.md5("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert n1 == want
+    # third copy of the same rows: state (restored from checkpoint)
+    # suppresses every already-seen key
+    shutil.copy(docs, os.path.join(in_dir, "c.parquet"))
+    STR.stream_dedup_docs(spark, in_dir, out, ck)
+    assert spark.read.parquet(out).count() == n1
