@@ -201,6 +201,16 @@ SELECT lang, doc_id, smp_rank FROM (
 WHERE smp_rank <= (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)
 """
 
+STREAMING_INTERVAL_JOIN = """
+SELECT a.user_id AS user_id, COUNT(*) AS n_pairs,
+       MIN(a.event_id) AS min_click, MAX(b.event_id) AS max_view
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'view'
+  AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+GROUP BY a.user_id
+"""
+
 STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
@@ -490,6 +500,7 @@ ORACLES_EXT = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS,
     "sample_stratified": SAMPLE_STRATIFIED,
     "streaming_dedup_docs": STREAMING_DEDUP_DOCS,
+    "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

@@ -858,6 +858,36 @@ def streaming_dedup_docs(spark, sf_dir):
     )
 
 
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (clicks ⋈ same-user views within the
+    preceding 30 min), drained with availableNow and aggregated
+    batch-side from the emitted pairs — the result is the exact batch
+    interval join, independent of micro-batch boundaries (DuckDB
+    oracle).  State on both sides is watermark-bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import streaming as STR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix="sdg_sij_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    STR.stream_interval_join(spark, in_dir, out, ck)
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("click_id").alias("min_click"),
+            F.max("view_id").alias("max_view"),
+        )
+    )
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
     tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
@@ -907,6 +937,7 @@ QUERIES_EXT = {
     "kmeans_embeddings": kmeans_embeddings,
     "sample_stratified": sample_stratified,
     "streaming_dedup_docs": streaming_dedup_docs,
+    "streaming_interval_join": streaming_interval_join,
     "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,

@@ -112,6 +112,70 @@ def stream_dedup_docs(
     )
 
 
+def stream_interval_join(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+    interval_s: int = 1800,
+) -> None:
+    """Stream-stream INTERVAL join (the canonical two-stream shape):
+    click events joined to the same user's view events from the
+    preceding ``interval_s`` seconds.
+
+    Both sides carry an event-time watermark and the join condition
+    carries the time bound, so each side's state store retains only
+    rows inside ``interval + watermark`` — bounded state, the form
+    Spark's state cleanup requires for stream-stream joins.  Inner
+    join + append mode: every (click, view) match is emitted exactly
+    once; with the 2 h watermark ≫ the 30 min interval no in-range
+    match can be evicted before its partner arrives, so the drained
+    result equals the batch interval join (oracle-checked as
+    ``streaming_interval_join``)."""
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND v_ts >= c_ts - INTERVAL {interval_s} SECOND "
+            f"AND v_ts <= c_ts"
+        ),
+        "inner",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "view_id")
+    (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )
+
+
 _SESSION_STATE_SCHEMA = "start long, last long, n int"
 _SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events int"

@@ -128,3 +128,29 @@ def test_stream_dedup_docs_dedupes_across_batches(spark, tmp_path):
     shutil.copy(docs, os.path.join(in_dir, "c.parquet"))
     STR.stream_dedup_docs(spark, in_dir, out, ck)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join over micro-batched input equals the
+    batch interval join (the 2 h watermark >> 30 min interval means no
+    in-range match is evicted before its partner arrives)."""
+    in_dir = _split_events(tmp_path)
+    out = str(tmp_path / "out_j")
+    ck = str(tmp_path / "ck_j")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    STR.stream_interval_join(spark, in_dir, out, ck)
+    got = spark.read.parquet(out)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    want = clicks.join(
+        views,
+        F.expr("c_user = v_user AND v_ts >= c_ts - INTERVAL 1800 SECOND "
+               "AND v_ts <= c_ts"),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "view_id")
+    assert got.count() > 0
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
