@@ -35,15 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    52/55 queries have a SQL twin (r03 added mvt_tile_stats,
-    image_decode_stats, image_near_dup_pairs — the latter two run
-    DuckDB directly over the image-fixture parquet + a committed
-    independent-numpy golden — plus spatial_range_join,
-    embedding_cosine_neardup, kmeans_embeddings, sample_stratified
-    and streaming_dedup_docs, all oracle-checked).  The remaining
-    three (image_rai_summary, multimodal audio/video) decode binary
-    payloads with no relational twin; each is pinned by bit-exact
-    numpy oracles in tests/ instead.
+    54/57 queries have a SQL twin (r03 added mvt_tile_stats,
+    image_decode_stats, image_near_dup_pairs and image_thumbnails —
+    these run DuckDB directly over the image-fixture parquet plus
+    committed independent-numpy goldens — and spatial_range_join,
+    embedding_cosine_neardup, kmeans_embeddings, sample_stratified,
+    streaming_dedup_docs, streaming_interval_join, all oracle-checked).
+    The remaining three (image_rai_summary, multimodal audio/video)
+    decode binary payloads with no relational twin; each is pinned by
+    bit-exact numpy oracles in tests/ instead.
     """
     from sdg_engine.oracles import all_oracles
 

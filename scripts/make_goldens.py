@@ -152,6 +152,7 @@ def main() -> None:
           f"{len(nearest)} nearest, {len(join_rows)} join rows, "
           f"{len(summary)} countries")
     make_decode_stats_golden()
+    make_thumb_stats_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -201,6 +202,58 @@ def make_decode_stats_golden() -> None:
         os.path.join(OUT, "decode_stats_sf0.01.parquet"),
     )
     print(f"decode-stats golden: {len(ids)} rows "
+          f"({sum(l is None for l in lums)} jpg NULLs)")
+
+
+def make_thumb_stats_golden() -> None:
+    """Golden for the ORACLE-checked image_thumbnails query (r03).
+
+    INDEPENDENT of the engine resize/codecs: pixels come from the
+    fixture generator (the SPEC), the qnt transform is the same
+    reimplemented twin as the decode-stats golden, and the 16×16 box
+    means are computed by RESHAPE block means (not the engine's cumsum
+    inclusion-exclusion).  Fixture sizes 32/64/128 are exact multiples
+    of 16 with power-of-two block areas, so both paths are float64-EXACT
+    and the means match bit-for-bit.  jpg rows NULL (lossy decode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fmts = FX.FMTS + ["qnt"]
+    size_mix = [32, 64, 128]
+    ids, lums = [], []
+    for i in range(500):
+        image_id = f"img{i:012d}"
+        lon, lat = FX.lonlat_of(image_id)
+        w = h = size_mix[i % len(size_mix)]
+        fmt = fmts[i % len(fmts)]
+        px = FX.make_image_pixels(i, lon, lat, w, h)
+        if fmt == "qnt":
+            q = (px.astype(np.uint16) // 4).astype(np.uint8)
+            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        ids.append(image_id)
+        if fmt == "jpg":
+            lums.append(None)
+            continue
+        b = h // 16  # block edge (2 / 4 / 8 — exact power-of-two areas)
+        blocks = (
+            px.astype(np.float64)
+            .reshape(16, b, 16, b, 3)
+            .sum(axis=(1, 3))
+            / float(b * b)
+        )
+        thumb = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+        # EXACT expression shape of ops.payload.thumbnails for bit parity
+        lum = (
+            0.299 * thumb[:, :, 0].astype(np.float64)
+            + 0.587 * thumb[:, :, 1]
+            + 0.114 * thumb[:, :, 2]
+        )
+        lums.append(float(lum.mean()))
+    pq.write_table(
+        pa.table({"image_id": ids, "mean_lum": pa.array(lums, pa.float64())}),
+        os.path.join(OUT, "thumb_stats_sf0.01.parquet"),
+    )
+    print(f"thumb-stats golden: {len(ids)} rows "
           f"({sum(l is None for l in lums)} jpg NULLs)")
 
 

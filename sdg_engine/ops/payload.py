@@ -56,6 +56,56 @@ def decode_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def thumbnails(images: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:
+    """X1 resize surface: area/box-mean thumbnail of every image,
+    re-encoded as lossless PNG (the multimodal "resize" op of the task
+    spec — decode / feature-extract / resize / frame-sample).
+
+    Per-image work is numpy (cumsum block means — exact for the
+    fixture's power-of-two block sizes); the batch loop is Python over
+    whole payloads, amortized like the raster ops.  Output mean_lum is
+    the luminance of the THUMB (post-rint), golden-checked against an
+    independent generator-pixel twin in the oracle (jpg rows NULL —
+    lossy decode, gated by PSNR in tests instead)."""
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image, encode_image
+        from sdg_engine.phash import resize_area
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                    chans = [
+                        resize_area(img[:, :, c].astype(np.float64), th, tw)
+                        for c in range(3)
+                    ]
+                    thumb = np.clip(
+                        np.rint(np.stack(chans, axis=-1)), 0, 255
+                    ).astype(np.uint8)
+                    data = encode_image(thumb, "png")
+                    lum = (
+                        0.299 * thumb[:, :, 0].astype(np.float64)
+                        + 0.587 * thumb[:, :, 1]
+                        + 0.114 * thumb[:, :, 2]
+                    )
+                    out.append(
+                        (r.image_id, data, tw, th, float(lum.mean()), True)
+                    )
+                except Exception:  # noqa: BLE001 — corrupt row -> ok=False
+                    out.append((r.image_id, None, tw, th, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "thumb", "tw", "th", "mean_lum", "ok"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _thumb,
+        "image_id string, thumb binary, tw int, th int, mean_lum double, ok boolean",
+    )
+
+
 def transcode(images: DataFrame, to_fmt: str) -> DataFrame:
     """X1+X2: decode → re-encode every image to ``to_fmt``.
 

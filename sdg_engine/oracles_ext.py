@@ -486,9 +486,23 @@ FROM read_parquet('{img}') f
 JOIN read_parquet('{golden}') g USING (image_id)
 WHERE f.image_id < 'img000000000500'
 """
+    thumb_golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "goldens", "thumb_stats_sf0.01.parquet",
+    ).replace("'", "''")
+    # image_thumbnails: fmt metadata from the fixture parquet, thumb
+    # mean_lum from the committed independent reshape-block-mean golden,
+    # ok=TRUE asserted — a resize/decode regression flips the hash.
+    thumbnails = f"""
+SELECT f.image_id, f.fmt, 16 AS tw, 16 AS th, TRUE AS ok, g.mean_lum
+FROM read_parquet('{img}') f
+JOIN read_parquet('{thumb_golden}') g USING (image_id)
+WHERE f.image_id < 'img000000000500'
+"""
     return {
         "image_near_dup_pairs": near_dup,
         "image_decode_stats": decode_stats,
+        "image_thumbnails": thumbnails,
     }
 
 

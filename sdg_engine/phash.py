@@ -26,11 +26,16 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT = _dct_matrix(_N)
 
 
-def _resize_area(gray: np.ndarray, out: int = _N) -> np.ndarray:
-    """Box/area resample to out×out via block means (integer-safe)."""
+def resize_area(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box/area resample to out_h×out_w via block means (integer-safe).
+
+    2-D cumsum + inclusion-exclusion: each output pixel is the mean of
+    its source block.  For integer-valued inputs whose block sizes are
+    powers of two (the fixture's 32/64/128 → 16 thumbnails) the means
+    are EXACT in float64 — the thumbnail golden relies on this."""
     h, w = gray.shape
-    ys = (np.arange(out + 1, dtype=np.float64) * h / out).astype(np.int64)
-    xs = (np.arange(out + 1, dtype=np.float64) * w / out).astype(np.int64)
+    ys = (np.arange(out_h + 1, dtype=np.float64) * h / out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1, dtype=np.float64) * w / out_w).astype(np.int64)
     ys = np.clip(ys, 0, h)
     xs = np.clip(xs, 0, w)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
@@ -47,6 +52,11 @@ def _resize_area(gray: np.ndarray, out: int = _N) -> np.ndarray:
         + csum[np.ix_(y0, x0)]
     )
     return block / area
+
+
+def _resize_area(gray: np.ndarray, out: int = _N) -> np.ndarray:
+    """Square form used by the pHash pipeline."""
+    return resize_area(gray, out, out)
 
 
 def phash64(img: np.ndarray) -> int:

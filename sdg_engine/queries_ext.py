@@ -704,6 +704,32 @@ def image_decode_stats(spark, sf_dir):
     )
 
 
+def image_thumbnails(spark, sf_dir):
+    """X1 resize surface, ORACLE-CHECKED: every image really decodes and
+    box-mean-resizes to a 16×16 PNG thumb (the ``ok`` flag is
+    load-bearing); thumb mean luminance is compared to a committed
+    golden from an INDEPENDENT twin (scripts/make_goldens.py: generator
+    pixels + reshape block means — block sizes are powers of two so the
+    means are float64-exact on both paths).  jpg rows emit NULL
+    mean_lum (lossy decode; PSNR-gated in tests/test_jpeg.py).  The
+    thumb bytes themselves are pinned in tests/test_codecs.py-style
+    invariants (test_pipeline_ops)."""
+    from .ops import payload as PL
+
+    images, _roads = _fixture_images(spark, sf_dir)
+    subset = images.filter(F.col("image_id") < "img000000000500")
+    th = PL.thumbnails(subset, 16, 16)
+    meta = subset.select("image_id", "fmt")
+    return meta.join(th, "image_id").select(
+        "image_id",
+        "fmt",
+        "tw",
+        "th",
+        "ok",
+        F.when(F.col("fmt") != "jpg", F.col("mean_lum")).alias("mean_lum"),
+    )
+
+
 def image_near_dup_pairs(spark, sf_dir):
     """X4 near-dup pairs over the STORED phash column, ORACLE-CHECKED
     (r03; was rows-only): banded LSH (8×8-bit bands) + exact
@@ -948,4 +974,5 @@ QUERIES_EXT = {
     "image_rai_summary": image_rai_summary,
     "image_decode_stats": image_decode_stats,
     "image_near_dup_pairs": image_near_dup_pairs,
+    "image_thumbnails": image_thumbnails,
 }

@@ -115,3 +115,35 @@ def test_embedding_cosine_neardup_pairs_are_verified(spark):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos > 0.40 - 1e-9
         assert abs(cos - r.cos_sim) < 1e-3  # rounded column
+
+
+def test_thumbnails_decode_and_jpg_closeness(spark):
+    """Thumb PNGs really decode to 16x16x3; jpg thumbs (lossy source)
+    stay within a few luminance units of the independent generator
+    twin."""
+    import numpy as np
+
+    from sdg_engine import fixtures as FX
+    from sdg_engine.codecs import decode_image
+    from sdg_engine.jobs.rai import load_inputs
+    from sdg_engine.ops.payload import thumbnails
+
+    images, _roads = load_inputs(spark, 0.001)
+    images = images.filter(F.col("image_id") < "img000000000060")
+    got = thumbnails(images, 16, 16).toPandas()
+    assert got["ok"].all()
+    meta = images.select("image_id", "fmt", "w", "h").toPandas().set_index("image_id")
+    for _, r in got.iterrows():
+        thumb = decode_image(bytes(r.thumb), "png", 16, 16)
+        assert thumb.shape == (16, 16, 3)
+        if meta.loc[r.image_id, "fmt"] == "jpg":
+            i = int(r.image_id[3:])
+            lon, lat = FX.lonlat_of(r.image_id)
+            w = int(meta.loc[r.image_id, "w"])
+            px = FX.make_image_pixels(i, lon, lat, w, w).astype(np.float64)
+            b = w // 16
+            blocks = px.reshape(16, b, 16, b, 3).sum(axis=(1, 3)) / float(b * b)
+            want = np.clip(np.rint(blocks), 0, 255)
+            lum_w = (0.299 * want[:, :, 0] + 0.587 * want[:, :, 1]
+                     + 0.114 * want[:, :, 2]).mean()
+            assert abs(float(r.mean_lum) - float(lum_w)) < 3.0
