@@ -90,6 +90,7 @@ def main() -> None:
 
     from sdg_engine.queries import QUERIES
 
+    _load0 = os.getloadavg()  # co-tenant context for cross-round compares
     spark = _session(cpus)
     n_input = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     # warm-up (JIT + codegen + shuffle infra), discarded
@@ -116,7 +117,11 @@ def main() -> None:
     n_images = images.count()
     spark.stop()
 
+    import os as _os
+
     result = {
+        "loadavg_start": [round(v, 2) for v in _load0],
+        "loadavg_end": [round(v, 2) for v in _os.getloadavg()],
         "metric": (
             "spatial-join + tile-assignment headline suite wall time "
             "(flagship RAI: points->kNN road->PIP country->agg)"

@@ -192,6 +192,22 @@ SELECT hex_id, COUNT(*) AS n_points, MIN(point_id) AS min_point
 FROM hx GROUP BY hex_id
 """
 
+# --- C3 hex variant: ring-1 neighborhood density (axial offsets as
+# packed-id integer deltas — same arithmetic as the Spark op) ---------------
+
+SPATIAL_HEX_KRING = f"""
+WITH pts AS ({_PTS}),
+hx AS ({chain_select("SELECT * FROM pts", hex_cell_steps("lon", "lat", 0.05, "hex_id"), ["point_id", "hex_id"])}),
+hist AS (SELECT hex_id, COUNT(*) AS n FROM hx GROUP BY hex_id),
+neigh AS (
+  SELECT point_id, hex_id + ks.d AS nhex
+  FROM hx, UNNEST([0, 16384, -16384, 1, -1, 16383, -16383]) AS ks(d)
+)
+SELECT ne.point_id, CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_points_r1
+FROM neigh ne LEFT JOIN hist h ON ne.nhex = h.hex_id
+GROUP BY ne.point_id
+"""
+
 
 # --- S3: way assembly length (independent formulation: window LEAD +
 # RUNNING sum in ref order — the running window reproduces Spark's
@@ -534,6 +550,7 @@ ORACLES = {
     "spatial_range_join": SPATIAL_RANGE_JOIN,
     "osm_way_assembly": OSM_WAY_ASSEMBLY,
     "spatial_hex_cover": SPATIAL_HEX_COVER,
+    "spatial_hex_kring": SPATIAL_HEX_KRING,
     "spatial_join_cells": SPATIAL_JOIN_CELLS,
     "spatial_kring_cells": SPATIAL_KRING_CELLS,
     # spatial_compact_cover: rows-only (compaction is quadtree-recursive,

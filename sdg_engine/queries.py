@@ -221,6 +221,36 @@ def spatial_hex_cover(spark, sf_dir):
     )
 
 
+def spatial_hex_kring(spark, sf_dir):
+    """C3 hex variant (r03): ring-1 neighborhood density on the axial
+    hex grid — per point, how many points fall within hex distance 1
+    (the 7-cell neighborhood).  Axial neighbor offsets are constant
+    (dq, dr) deltas, and the packed id (q+8192)·16384 + (r+8192) makes
+    a neighbor id a pure integer add — the hex twin of the quadtree
+    k-ring's equi-join shape: histogram once, explode 7 offsets,
+    equi-join on the neighbor id.  All int64 arithmetic, bit-identical
+    in DuckDB."""
+    _prep(spark)
+    from .sqlgen import apply_steps, hex_cell_steps
+
+    steps = hex_cell_steps("lon", "lat", 0.05, "hex_id")
+    pts = apply_steps(points_df(spark, sf_dir), steps).select("point_id", "hex_id")
+    hist = pts.groupBy("hex_id").agg(F.count(F.lit(1)).alias("n"))
+    # pointy-top axial ring 1: (0,0) (1,0) (-1,0) (0,1) (0,-1) (1,-1) (-1,1)
+    deltas = [0, 16384, -16384, 1, -1, 16384 - 1, -16384 + 1]
+    neigh = (
+        pts.withColumn("_d", F.explode(F.array(*[F.lit(d) for d in deltas])))
+        .withColumn("nhex", F.col("hex_id") + F.col("_d"))
+        .drop("_d")
+    )
+    joined = neigh.join(
+        hist.select(F.col("hex_id").alias("nhex"), "n"), "nhex", "left"
+    )
+    return joined.groupBy("point_id").agg(
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_points_r1")
+    )
+
+
 def osm_way_assembly(spark, sf_dir):
     """S3: way assembly (nodes+ways → ordered coords → length) through
     the real osm.assemble_ways operator, over nodes/ways DERIVED from
@@ -663,6 +693,7 @@ QUERIES = {
     "spatial_range_join": spatial_range_join,
     "osm_way_assembly": osm_way_assembly,
     "spatial_hex_cover": spatial_hex_cover,
+    "spatial_hex_kring": spatial_hex_kring,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_big_building_orders": q3_big_building_orders,
     "q5_nation_revenue": q5_nation_revenue,
