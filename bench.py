@@ -117,11 +117,9 @@ def main() -> None:
     n_images = images.count()
     spark.stop()
 
-    import os as _os
-
     result = {
         "loadavg_start": [round(v, 2) for v in _load0],
-        "loadavg_end": [round(v, 2) for v in _os.getloadavg()],
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "metric": (
             "spatial-join + tile-assignment headline suite wall time "
             "(flagship RAI: points->kNN road->PIP country->agg)"

@@ -463,8 +463,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_comps = []
             for si in range(ns):
                 cid, tt = payload[1 + 2 * si:3 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 15})
+                k = next(i_ for i_, c in enumerate(comps) if c["id"] == cid)
+                # "_k": index into comps/store — the SOS may list
+                # components in a different order than SOF (spec-legal),
+                # so the MCU loop must NOT assume scan order == SOF order
+                scan_comps.append(
+                    {**comps[k], "_k": k, "td": tt >> 4, "ta": tt & 15}
+                )
             scan = data[pos:]
             break
         # other markers (APPn, COM): skipped via seglen
@@ -518,7 +523,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             else n_mcu - mcu_done
         )
         for _ in range(seg_mcus):
-            for ci, sc in enumerate(scan_comps):
+            for sc in scan_comps:
+                ci = sc["_k"]  # comps/store index (SOS order may differ)
                 dsym, dlen = huff[(0, sc["td"])]
                 asym, alen = huff[(1, sc["ta"])]
                 for by in range(sc["v"]):

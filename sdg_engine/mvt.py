@@ -310,9 +310,6 @@ def write_road_mvt(
         keep = segments_intersect_rect(
             sax, say, sbx, sby, x0, y0, x0 + size, y0 + size
         )
-        _lbkeep, cax, cay, cbx, cby = clip_segments_to_rect(
-            sax, say, sbx, sby, x0, y0, x0 + size, y0 + size
-        )
         feats = []
         rid = pdf["road_id"].to_numpy()
         sid = pdf["seg_id"].to_numpy()
@@ -320,9 +317,25 @@ def write_road_mvt(
         qy = lambda y: np.clip(np.round((y0 + size - y) / size * EXTENT), 0, EXTENT).astype(np.int64)  # noqa: E731 — MVT y is screen-down
         idx = np.flatnonzero(keep)
         order = np.lexsort((sid[idx], rid[idx]))  # deterministic bytes
-        for j in idx[order]:
+        sel = idx[order]
+        # Liang-Barsky only over the KEPT subset (r03 review: the full
+        # clip ran over every segment).  Where LB disagrees with the
+        # SAT membership on a float-boundary graze (t0 > t1 → inverted
+        # parameters), fall back to the RAW endpoints — qx/qy clamp
+        # them into the extent, which is the right rendering for a
+        # segment that only touches the tile edge.
+        lbk, cax, cay, cbx, cby = clip_segments_to_rect(
+            sax[sel], say[sel], sbx[sel], sby[sel],
+            x0, y0, x0 + size, y0 + size,
+        )
+        bad = ~lbk
+        cax = np.where(bad, sax[sel], cax)
+        cay = np.where(bad, say[sel], cay)
+        cbx = np.where(bad, sbx[sel], cbx)
+        cby = np.where(bad, sby[sel], cby)
+        for k, j in enumerate(sel):
             line = np.column_stack(
-                [qx(np.array([cax[j], cbx[j]])), qy(np.array([cay[j], cby[j]]))]
+                [qx(np.array([cax[k], cbx[k]])), qy(np.array([cay[k], cby[k]]))]
             )
             feats.append({
                 # disjoint bit ranges: unique per (road, segment) for any

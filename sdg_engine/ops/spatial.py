@@ -413,23 +413,20 @@ def spatial_join_salted(
     (pinned in tests).  Cost: one extra map-side-combined count agg
     over the probe side for the histogram.
     """
-    from ..skew import plan_salts
+    from ..skew import cell_histogram, plan_salts, with_salt
 
-    hist = points_cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    salts = plan_salts(hist, target_rows_per_cell)
-
-    def _with_n_salt(df):
-        return (
-            df.join(F.broadcast(salts), df.cell_id == salts["_salt_cell"], "left")
-            .drop("_salt_cell")
-            .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
-        )
-
-    probe = _with_n_salt(points_cells).withColumn(
-        "salt", F.pmod(F.xxhash64(id_col), F.col("n_salt")).cast("int")
-    ).drop("n_salt")
+    salts = plan_salts(cell_histogram(points_cells), target_rows_per_cell)
+    # probe side: the shared salting helper (r03 review: this logic was
+    # re-implemented here — pmod(xxhash64(id), n_salt), cold cells 0)
+    probe = with_salt(points_cells, salts, id_col)
+    # build side: EXPLODE over all n_salt values so every original pair
+    # matches exactly once — the only part with_salt can't express
     build = (
-        _with_n_salt(road_cells)
+        road_cells.join(
+            F.broadcast(salts), road_cells.cell_id == salts["_salt_cell"], "left"
+        )
+        .drop("_salt_cell")
+        .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
         .withColumn("salt", F.explode(F.expr("sequence(0, n_salt - 1)")))
         .withColumn("salt", F.col("salt").cast("int"))
         .drop("n_salt")
@@ -895,6 +892,11 @@ def _publish_dim_dir(tag: str, write_fn) -> str:
         _shutil.rmtree(tmp, ignore_errors=True)  # lost the race — reuse winner
         if not _os.path.isdir(base):
             raise
+    except Exception:
+        # r03 review: a Spark write failure (Py4JJavaError/Analysis…)
+        # is not an OSError — still remove the half-written private dir
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return base
 
 

@@ -254,11 +254,19 @@ def ann_ivf_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    result = (
         pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 4).alias("cos_sim"))
     )
+    # materialize the (tiny) top-k while the base cache is live, then
+    # RELEASE it (r03 review: same leak class minhash_lsh_pairs fixed —
+    # repeated invocations in a big-heap session otherwise accumulate
+    # one persisted RDD per call forever)
+    result = result.persist(StorageLevel.DISK_ONLY)
+    result.count()
+    base.unpersist()
+    return result
 
 
 def embedding_cosine_neardup(spark, sf_dir):
@@ -644,12 +652,17 @@ def _fixture_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.001
 
 
-def _fixture_images(spark, sf_dir):
+def _fixture_images(spark, sf_dir, pin_sf: float | None = None):
+    """Image fixture tables.  ``pin_sf`` pins a FIXED scale factor
+    regardless of sf_dir — required for the three oracle-checked image
+    queries, whose DuckDB oracles and committed goldens embed the
+    sf0.01 fixture (r03 review: following sf_dir made Spark and oracle
+    read different fixtures at any other scale)."""
     import os
 
     from .jobs.rai import fixture_dir
 
-    d = fixture_dir(_fixture_sf(sf_dir))
+    d = fixture_dir(pin_sf if pin_sf is not None else _fixture_sf(sf_dir))
     return (
         spark.read.parquet(os.path.join(d, "images.parquet")),
         spark.read.parquet(os.path.join(d, "roads.parquet")),
@@ -687,7 +700,7 @@ def image_decode_stats(spark, sf_dir):
     """
     from .ops import payload as PL
 
-    images, _roads = _fixture_images(spark, sf_dir)
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
     # deterministic subset by key (an unordered LIMIT may pick a
     # different subset across rounds/partitionings)
     subset = images.filter(F.col("image_id") < "img000000000500")
@@ -716,7 +729,7 @@ def image_thumbnails(spark, sf_dir):
     invariants (test_pipeline_ops)."""
     from .ops import payload as PL
 
-    images, _roads = _fixture_images(spark, sf_dir)
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
     subset = images.filter(F.col("image_id") < "img000000000500")
     th = PL.thumbnails(subset, 16, 16)
     meta = subset.select("image_id", "fmt")
@@ -741,7 +754,7 @@ def image_near_dup_pairs(spark, sf_dir):
     tests/test_payload_lineage_skew.py::test_phash_near_dup_pairs."""
     from .ops import payload as PL
 
-    images, _roads = _fixture_images(spark, sf_dir)
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
     subset = images.filter(F.col("image_id") < "img000000000400")
     return PL.phash_near_dup_pairs(subset, max_hamming=12)
 
@@ -834,6 +847,22 @@ def multimodal_audio_features(spark, sf_dir):
     return audio_features(synth_audio_table(spark, 64))
 
 
+
+def _drain_and_cleanup(spark, base: str, result_df):
+    """Materialize a (small) streaming-query aggregate into the driver,
+    delete the whole mkdtemp tree (input copy + checkpoint + sink), and
+    return a DataFrame over the collected rows (r03 review: each
+    invocation leaked tens of MB of /tmp copies otherwise).  Safe
+    because every streaming harness result is an aggregate over the
+    sink — a few rows to a few thousand."""
+    import shutil
+
+    rows = result_df.collect()
+    schema = result_df.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def streaming_hourly_closed(spark, sf_dir):
     """§2.10: a REAL Structured Streaming run (file source → watermarked
     hourly window agg → availableNow → parquet sink), returned as the
@@ -853,10 +882,11 @@ def streaming_hourly_closed(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     STR.stream_events_hourly(spark, in_dir, out, ck)
-    return spark.read.parquet(out).select(
+    res = spark.read.parquet(out).select(
         F.unix_timestamp("hour_start").alias("hour_epoch"),
         "event_type", "n", "sum_value_floor",
     )
+    return _drain_and_cleanup(spark, base, res)
 
 
 def streaming_dedup_docs(spark, sf_dir):
@@ -877,11 +907,12 @@ def streaming_dedup_docs(spark, sf_dir):
     shutil.copy(f"{sf_dir}/documents.parquet", os.path.join(in_dir, "documents.parquet"))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     STR.stream_dedup_docs(spark, in_dir, out, ck)
-    return (
+    res = (
         spark.read.parquet(out)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+    return _drain_and_cleanup(spark, base, res)
 
 
 def streaming_interval_join(spark, sf_dir):
@@ -903,7 +934,7 @@ def streaming_interval_join(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     STR.stream_interval_join(spark, in_dir, out, ck)
-    return (
+    res = (
         spark.read.parquet(out)
         .groupBy("user_id")
         .agg(
@@ -912,6 +943,7 @@ def streaming_interval_join(spark, sf_dir):
             F.max("view_id").alias("max_view"),
         )
     )
+    return _drain_and_cleanup(spark, base, res)
 
 
 def mvt_tile_stats(spark, sf_dir):

@@ -135,6 +135,12 @@ def test_spatial_join_salted_is_row_identical(spark):
     assert salted.columns == plain.columns
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_assign_countries_udf_variant(spark):
+    """Explicit use_udf=True: the boundary PIP runs as one Arrow-batched
+    stage (no broadcast-back, no sort-merge join).  Was accidentally
+    absorbed into the salted-join test in r2 (r03 review finding)."""
     cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
                              id_col="point_id", use_udf=True)
     plan = _plan(cc)
