@@ -150,7 +150,7 @@ def main() -> None:
         # engine plan is map-side/broadcast-only over the fact table,
         # so added executors add throughput until hardware saturates.
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "192"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
         lo = os.environ.get("SPARK_GRAFT_SCALE_N", "2")
         hi = os.environ.get("SPARK_GRAFT_SCALE_4N", "8")
         n_scaled = n_input * mult
@@ -159,6 +159,10 @@ def main() -> None:
         # a fixed repetition count with min per level — no outcome-
         # conditioned retries (that would bias the estimate), and the
         # interleaving spreads co-tenant load spikes across both levels.
+        # reps default raised 4 -> 6 in r03 (still unconditional): a
+        # sustained co-tenant burst starves local[8] harder than
+        # local[2] and a min-of-4 once read 0.796 under a loadavg-13
+        # spike; six samples per level reach quieter moments for BOTH.
         dts: dict[str, list] = {lo: [], hi: []}
         for _ in range(reps):
             for par in (lo, hi):
