@@ -233,7 +233,12 @@ def compact(cells: np.ndarray) -> np.ndarray:
         if full.size:
             keep_mask = ~np.isin(par, full)
             out.append(cur[keep_mask])
-            cells = np.concatenate([rest, full])
+            # re-unique: an OVERLAPPING mixed-level input (parent already
+            # present alongside its children) would otherwise duplicate
+            # the parent here and inflate the next level's sibling
+            # counts, wrongly compacting an incomplete quartet (r03
+            # review; pinned in tests/test_cells.py)
+            cells = np.unique(np.concatenate([rest, full]))
         else:
             out.append(cur)
             cells = rest

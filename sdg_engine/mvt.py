@@ -354,4 +354,7 @@ def write_road_mvt(
 
     tiles = covered.groupBy("cell_id").applyInPandas(_encode, _TILE_SCHEMA)
     tiles.write.mode("overwrite").parquet(out_dir)
-    return tiles
+    # return the READ-BACK, not the lazy plan (r03 review: returning
+    # `tiles` made every consumer re-run the whole cover + shuffle +
+    # per-tile Python encode a second time)
+    return tiles.sparkSession.read.schema(_TILE_SCHEMA).parquet(out_dir)

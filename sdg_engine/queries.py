@@ -289,6 +289,13 @@ def osm_way_assembly(spark, sf_dir):
 
 
 def q1_pricing_summary(spark, sf_dir):
+    # ROUND(avg, 6) here is a DELIBERATE exception to gotcha 8's
+    # "never ROUND(avg, k) on few-decimal data": l_discount doubles are
+    # binary-INEXACT (0.0x has no exact float64 form), so group
+    # averages carry full-mantissa noise ~1e-16 that cannot land on a
+    # 5e-7 rounding boundary; groups are thousands of rows.  Stable
+    # across every driver run since r1.  (Same argument for
+    # agg_stats_orders' ROUND(avg, 2).)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
@@ -611,7 +618,10 @@ def minhash_lsh_pairs(spark, sf_dir, target_rows_per_bucket: int = 8):
     # never unpersisted — repeated invocations in a long-lived big-heap
     # session accumulated disk/heap blocks forever).  The persisted
     # result is bounded (one row per candidate pair, no text/signature
-    # payload) and is what the caller consumes.
+    # payload) and is what the caller consumes.  CONTRACT: the returned
+    # DataFrame stays cached for the consumer; a long-lived session
+    # re-invoking this should df.unpersist() the previous result (the
+    # harness's small-heap _prep clearCache covers driver sweeps).
     pairs = pairs.persist(StorageLevel.DISK_ONLY)
     pairs.count()
     bands.unpersist()

@@ -70,6 +70,17 @@ def simhash60(spark, sf_dir):
     )
 
 
+# 3-token shingle set — ONE definition shared by the brute-force
+# baseline and the inverted-index scale path (they must stay textually
+# identical for the exactness-baseline relationship to hold)
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
+    "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
+)
+
+
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-token-shingle Jaccard for all doc pairs with id < 60.
 
@@ -80,15 +91,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     broadcast — never an unbounded shuffle cartesian (pinned in
     tests/test_plans.py)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sh = docs.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-            "i -> concat(element_at(split(text, ' '), i), ' ', "
-            "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
-            "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
-        ).alias("sh"),
-    )
+    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("sh"))
     a = F.broadcast(sh).alias("a")
     b = sh.alias("b")
     return (
@@ -266,6 +269,9 @@ def ann_ivf_topk(spark, sf_dir):
     result = result.persist(StorageLevel.DISK_ONLY)
     result.count()
     base.unpersist()
+    # CONTRACT: the returned (tiny) top-k stays cached for the consumer
+    # — re-invoking callers should unpersist the previous result; the
+    # harness's small-heap _prep clearCache covers driver sweeps.
     return result
 
 
@@ -425,14 +431,6 @@ def sample_stratified(spark, sf_dir):
     )
 
 
-_SHINGLES = (
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
-    "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
-)
-
-
 def ngram_jaccard_indexed(spark, sf_dir, max_shingle_freq: int = 10,
                           min_jaccard: float = 0.2):
     """n-gram Jaccard WITHOUT the cross join (the scale path): an
@@ -518,10 +516,18 @@ def connected_components(edges, vertices, id_col: str = "doc_id",
             )
             .localCheckpoint()
         )
-        changed = new.filter(F.col("_chg")).isEmpty()
+        converged = new.filter(F.col("_chg")).isEmpty()
         labels = new.drop("_chg")
-        if changed:
+        if converged:
             break
+    else:
+        # r03 review: silently returning unconverged labels diverges
+        # from the fully-converged recursive-CTE oracle with no hint —
+        # a >max_iter-diameter component must fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter — raise max_iter)"
+        )
     return labels
 
 
@@ -962,9 +968,14 @@ def mvt_tile_stats(spark, sf_dir):
     from .harness import segments_df
 
     segs = segments_df(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "sdg_mvt_harness")
+    # per-invocation private dir (r03 review: the fixed shared /tmp path
+    # was pre-seedable by other users and raced concurrent sessions —
+    # the same class ADVICE r02 removed from the dim tables)
+    out = tempfile.mkdtemp(prefix="sdg_mvt_harness_")
     tiles = MVT.write_road_mvt(segs, out, level=4)
-    return tiles.select("z", "tx", "ty", "n_features")
+    return _drain_and_cleanup(
+        spark, out, tiles.select("z", "tx", "ty", "n_features")
+    )
 
 
 def multimodal_video_frames(spark, sf_dir):

@@ -217,7 +217,17 @@ def _sessionize_fn(key, pdfs, state: GroupState):
         last = t
         n += 1
     state.update((start, last, n))
-    state.setTimeoutTimestamp((last + GAP_S) * 1000)
+    # clamp above the current watermark: Spark rejects an event-time
+    # timeout <= watermark with IllegalArgumentException (r03 review —
+    # reachable when a user's newest event is already older than
+    # watermark - GAP_S in a later micro-batch)
+    timeout_ms = (last + GAP_S) * 1000
+    try:
+        wm = state.getCurrentWatermarkMs()
+        timeout_ms = max(timeout_ms, wm + 1)
+    except Exception:
+        pass
+    state.setTimeoutTimestamp(timeout_ms)
     yield pd.DataFrame(
         {"user_id": [r[0] for r in out],
          "session_start": [pd.Timestamp(r[1], unit="s") for r in out],

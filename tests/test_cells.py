@@ -160,3 +160,25 @@ def test_hex_cell_nearest_center():
         nx, ny = C.hex_center(nid, size)
         best = np.minimum(best, np.hypot(x - nx, y - ny))
     assert (d_own <= best + 1e-9).all()
+
+
+def test_compact_overlapping_mixed_level_input():
+    """r03 review: a parent present ALONGSIDE its own children must not
+    be duplicated (and must not inflate the next level's sibling count
+    into compacting an incomplete quartet)."""
+    import numpy as np
+
+    from sdg_engine import cells as C
+
+    p = C.pack(2, np.array([1]), np.array([1]))  # one level-2 cell
+    kids = C.children(p).ravel()
+    out = C.compact(np.concatenate([p, kids]))
+    assert out.tolist() == sorted(p.tolist())  # just the parent, once
+
+    # parent + children of sibling A, plus siblings B, C (sibling D
+    # absent): the cover must NOT merge up to the grandparent
+    g = C.pack(1, np.array([0]), np.array([0]))
+    a, b, c, _d = C.children(g).ravel()
+    a_kids = C.children(np.array([a])).ravel()
+    got = C.compact(np.concatenate([[a], a_kids, [b], [c]]))
+    assert got.tolist() == sorted([int(a), int(b), int(c)])
