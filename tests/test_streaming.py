@@ -154,3 +154,54 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     ).select(F.col("c_user").alias("user_id"), "click_id", "view_id")
     assert got.count() > 0
     assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_stream_sessionize_late_event_does_not_crash(spark, tmp_path):
+    """r03 review regression pin: a user whose (late-arriving) newest
+    event satisfies last + GAP <= watermark used to make _sessionize_fn
+    set an event-time timeout at/below the watermark — Spark rejects
+    that with IllegalArgumentException and kills the query.  The clamp
+    (max(timeout, watermark+1)) must let the stream drain cleanly."""
+    import numpy as np
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    in_dir = str(tmp_path / "in_late")
+    os.makedirs(in_dir)
+
+    def _write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(
+            os.path.join(in_dir, name),
+            coerce_timestamps="us",  # Spark reads TIMESTAMP(us), not ns INT64
+            allow_truncated_timestamps=True,
+        )
+
+    # batch 1 (files ordered by name; maxFilesPerTrigger=4): user 1 at
+    # t=0 plus user 2 far in the future -> watermark jumps ~3 days
+    _write("a1.parquet", [(1, 0, 1), (2, 3 * 86400, 2)])
+    _write("a2.parquet", [(3, 3 * 86400 + 60, 2)])
+    _write("a3.parquet", [(4, 3 * 86400 + 120, 2)])
+    _write("a4.parquet", [(5, 3 * 86400 + 180, 2)])
+    # batch 2: a LATE event for user 1 (t=60s — far below the watermark;
+    # last + GAP is ~3 days below it too) — pre-fix this crashed with
+    # 'timeout timestamp cannot be earlier than watermark'
+    _write("b5.parquet", [(6, 60, 1)])
+    # batch 3: advance the watermark further so user 1's (clamped)
+    # timeout fires and the merged session is emitted
+    _write("c6.parquet", [(7, 6 * 86400, 3)])
+
+    out = str(tmp_path / "out_late")
+    ck = str(tmp_path / "ck_late")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    STR.stream_sessionize(spark, in_dir, out, ck)  # must not raise
+    got = spark.read.parquet(out)
+    # user 1's t=0 session was closed by the event-time timeout
+    assert got.filter(F.col("user_id") == 1).count() >= 1
