@@ -211,6 +211,20 @@ WHERE a.event_type = 'click' AND b.event_type = 'view'
 GROUP BY a.user_id
 """
 
+JSONL_ROUNDTRIP_DOCS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM documents GROUP BY lang
+"""
+
+CSV_ROUNDTRIP_DOCS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+"""
+
 STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
@@ -515,6 +529,8 @@ ORACLES_EXT = {
     "sample_stratified": SAMPLE_STRATIFIED,
     "streaming_dedup_docs": STREAMING_DEDUP_DOCS,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
+    "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
+    "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

@@ -957,6 +957,57 @@ def streaming_interval_join(spark, sf_dir):
     return _drain_and_cleanup(spark, base, res)
 
 
+
+def jsonl_roundtrip_docs(spark, sf_dir):
+    """S8 source-format breadth: parquet → JSON-lines sink → JSON source
+    (explicit schema — schema inference would cost an extra pass) →
+    aggregate.  Columns restricted to strings + bigints so the textual
+    round-trip is value-exact; the oracle aggregates the original
+    parquet directly, so a serialization bug on either leg flips the
+    hash.  JSONL is the interchange format most training-data dumps
+    arrive in — reading it with an explicit schema + column pruning is
+    the same scan discipline as parquet, minus the pushdown."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="sdg_jsonl_")
+    out = os.path.join(base, "out")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+    res = back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    return _drain_and_cleanup(spark, base, res)
+
+
+def csv_roundtrip_docs(spark, sf_dir):
+    """S8 source-format breadth, CSV flavor: same shape as the JSONL
+    round-trip (explicit schema, header on, bigint/string columns only
+    — doc text stays OUT of the CSV leg: free-text quoting/escaping is
+    exactly the class of bug this query would mask, not test)."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="sdg_csv_")
+    out = os.path.join(base, "out")
+    docs.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .csv(out)
+    )
+    res = back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    return _drain_and_cleanup(spark, base, res)
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
     tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
@@ -1012,6 +1063,8 @@ QUERIES_EXT = {
     "sample_stratified": sample_stratified,
     "streaming_dedup_docs": streaming_dedup_docs,
     "streaming_interval_join": streaming_interval_join,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "csv_roundtrip_docs": csv_roundtrip_docs,
     "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,
