@@ -225,6 +225,37 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM documents GROUP BY lang
 """
 
+DOC_QUALITY_FILTER = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a', 'of', 'in', 'and'))) AS INT) AS n_stop
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[LEAST(i + 1, len(string_split(text, ' ')))] || ' ' ||
+                string_split(text, ' ')[LEAST(i + 2, len(string_split(text, ' ')))]
+         )) AS sh_raw
+  FROM documents
+),
+freq AS (
+  SELECT doc_id, CAST(MAX(f) AS INT) AS max_sh_freq, CAST(SUM(f) AS BIGINT) AS n_sh
+  FROM (SELECT doc_id, sh_raw, COUNT(*) AS f FROM sh GROUP BY doc_id, sh_raw) g
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, f.max_sh_freq,
+       ROUND(CAST(f.max_sh_freq AS DOUBLE) / CAST(f.n_sh AS DOUBLE), 6) AS rep_frac,
+       ROUND(CAST(b.n_stop AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS stop_frac,
+       (b.n_tokens >= 20 AND b.n_tokens <= 10000
+        AND (CAST(f.max_sh_freq AS DOUBLE) / CAST(f.n_sh AS DOUBLE)) < CAST(0.2 AS DOUBLE)
+        AND (CAST(b.n_stop AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)) >= CAST(0.02 AS DOUBLE)) AS keep
+FROM base b JOIN freq f USING (doc_id)
+"""
+
 STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
@@ -531,6 +562,7 @@ ORACLES_EXT = {
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,
+    "doc_quality_filter": DOC_QUALITY_FILTER,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

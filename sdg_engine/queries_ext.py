@@ -1008,6 +1008,65 @@ def csv_roundtrip_docs(spark, sf_dir):
     return _drain_and_cleanup(spark, base, res)
 
 
+
+def doc_quality_filter(spark, sf_dir):
+    """Gopher/RefinedWeb-style QUALITY FILTER — the standard
+    pre-training culling pass, composed from deterministic rules so the
+    keep decision is oracle-checkable bit-for-bit:
+
+    * length rule: 20 <= n_tokens <= 10000;
+    * repetition rule: most frequent 3-token shingle covers < 20% of
+      the doc's shingles (explode + two hash aggs — the max-frequency
+      n-gram is the classic boilerplate/repetition signal);
+    * language-signal rule: stopword ratio >= 2%.
+
+    All-JVM: split/explode/groupBy; one shuffle keyed on doc_id.  At
+    10^12 docs this is a map-side-combined agg per rule joined on the
+    (hash-partitioned) doc key — no rule needs global state."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ')")
+    stop_list = "'the', 'a', 'of', 'in', 'and'"
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.expr(
+            f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+        ).cast("int").alias("n_stop"),
+    )
+    # RAW (multiset) shingles — the shared _SHINGLES is array_distinct'd
+    # for Jaccard; repetition needs the frequencies, so no dedup here
+    shingles_raw = (
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
+        "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) )"
+    )
+    sh_freq = (
+        docs.select("doc_id", F.explode(F.expr(shingles_raw)).alias("sh_raw"))
+        .groupBy("doc_id", "sh_raw")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("f").cast("int").alias("max_sh_freq"),
+            F.sum("f").cast("long").alias("n_sh"),
+        )
+    )
+    out = base.join(sh_freq, "doc_id")
+    rep_frac = F.col("max_sh_freq").cast("double") / F.col("n_sh").cast("double")
+    stop_frac = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "max_sh_freq",
+        F.round(rep_frac, 6).alias("rep_frac"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        (
+            (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 10000)
+            & (rep_frac < 0.2) & (stop_frac >= 0.02)
+        ).alias("keep"),
+    )
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
     tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
@@ -1065,6 +1124,7 @@ QUERIES_EXT = {
     "streaming_interval_join": streaming_interval_join,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
+    "doc_quality_filter": doc_quality_filter,
     "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,
