@@ -256,6 +256,30 @@ SELECT b.doc_id, b.n_tokens, f.max_sh_freq,
 FROM base b JOIN freq f USING (doc_id)
 """
 
+TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df_ AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) d GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf AS BIGINT)
+           * CAST(FLOOR((SELECT COUNT(*) FROM documents) * 1000 / f.df) AS BIGINT)
+           AS score
+  FROM tf t JOIN df_ f USING (term)
+)
+SELECT doc_id, rnk, term, score FROM (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS INT) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+"""
+
 STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
@@ -563,6 +587,7 @@ ORACLES_EXT = {
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,
     "doc_quality_filter": DOC_QUALITY_FILTER,
+    "tfidf_top_terms": TFIDF_TOP_TERMS,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

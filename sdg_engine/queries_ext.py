@@ -1067,6 +1067,41 @@ def doc_quality_filter(spark, sf_dir):
     )
 
 
+
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction (feature-extraction pass): per document
+    the top-3 terms by tf · idf with a deterministic tie-break.
+
+    idf uses an INTEGER-EXACT proxy — FLOOR(N·1000 / df) — instead of
+    log(N/df): same ordering for ranking purposes, zero transcendental
+    parity risk (CLAUDE.md gotcha 8).  Shape: tokens explode → per-doc
+    tf agg → distinct-doc df agg (the corpus-level side, one row per
+    term) joined back — at 10^12 docs the df table is vocabulary-sized
+    (≪ corpus) and broadcasts; both aggs are map-side combined."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny driver-side scalar (metadata-count)
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.col("tf") * F.expr(f"CAST(FLOOR({n_docs} * 1000 / df) AS BIGINT)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+    )
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
     tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
@@ -1125,6 +1160,7 @@ QUERIES_EXT = {
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
+    "tfidf_top_terms": tfidf_top_terms,
     "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,
