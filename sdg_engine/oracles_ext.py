@@ -280,6 +280,24 @@ SELECT doc_id, rnk, term, score FROM (
 ) r WHERE rnk <= 3
 """
 
+PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc
+FROM c GROUP BY 1
+"""
+
 STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
@@ -588,6 +606,7 @@ ORACLES_EXT = {
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,
     "doc_quality_filter": DOC_QUALITY_FILTER,
     "tfidf_top_terms": TFIDF_TOP_TERMS,
+    "pack_sequences": PACK_SEQUENCES,
     "streaming_hourly_closed": STREAMING_HOURLY_CLOSED,
     "spatial_knn_unbounded": _knn_unbounded_sql(),
     "doc_rolling_fingerprint": DOC_ROLLING_FINGERPRINT,

@@ -1102,6 +1102,38 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+
+def pack_sequences(spark, sf_dir):
+    """Sequence PACKING — the pre-training batching step: documents are
+    packed in deterministic (doc_id) order into fixed token-budget bins
+    of 2048, by bucketing the RUNNING token total (a doc whose window
+    sum crosses bin k starts bin k's successor — the classic cumsum
+    formulation, exact in integers).
+
+    Scale note: the running sum is a global-order window — Spark plans
+    it as a range-partitioned sort, the one legitimately global stage
+    in the pipeline (every packing implementation pays an order
+    somewhere; range partitioning keeps it parallel until the per-range
+    prefix merge).  Output: per bin → doc count, token total, first
+    doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("size(split(text, ' '))").cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    binned = (
+        docs.select("doc_id", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "seq_id",
+            F.expr("CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT)"),
+        )
+    )
+    return binned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def mvt_tile_stats(spark, sf_dir):
     """S7 MVT sink, ORACLE-CHECKED (r03; was rows-only): road segments →
     tile cut → per-tile encoded vector-tile blob.  Emits (z, tx, ty,
@@ -1161,6 +1193,7 @@ QUERIES_EXT = {
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,
+    "pack_sequences": pack_sequences,
     "dedup_clusters": dedup_clusters,
     "windows_suite": windows_suite,
     "cube_lineitem": cube_lineitem,
