@@ -247,9 +247,7 @@ freq AS (
   FROM (SELECT doc_id, sh_raw, COUNT(*) AS f FROM sh GROUP BY doc_id, sh_raw) g
   GROUP BY doc_id
 )
-SELECT b.doc_id, b.n_tokens, f.max_sh_freq,
-       ROUND(CAST(f.max_sh_freq AS DOUBLE) / CAST(f.n_sh AS DOUBLE), 6) AS rep_frac,
-       ROUND(CAST(b.n_stop AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS stop_frac,
+SELECT b.doc_id, b.n_tokens, f.max_sh_freq, f.n_sh, b.n_stop,
        (b.n_tokens >= 20 AND b.n_tokens <= 10000
         AND (CAST(f.max_sh_freq AS DOUBLE) / CAST(f.n_sh AS DOUBLE)) < CAST(0.2 AS DOUBLE)
         AND (CAST(b.n_stop AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)) >= CAST(0.02 AS DOUBLE)) AS keep

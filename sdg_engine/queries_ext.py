@@ -320,12 +320,13 @@ def embedding_cosine_neardup(spark, sf_dir):
         )
         .distinct()
     )
-    # pair dot as a SINGLE-USE literal codegen chain: unlike the
-    # multi-referenced chains gotcha 16 forbids, this one appears once
-    # in one projection (compiles clean) and runs per CANDIDATE PAIR —
-    # the volume-dominated path where compiled beats interpreted HOF
-    # (measured 2.66 s -> 2.22 s at sf0.1, values bit-identical:
-    # left-assoc + == the oracle's 0-seeded sequential fold).
+    # pair dot as a literal codegen chain — it runs per CANDIDATE
+    # PAIR, the volume-dominated path where compiled beats interpreted
+    # HOF.  NOTE (r03 review): the cos_sim > τ filter is an alias
+    # filter, so Catalyst inlines the chain into the pushed predicate
+    # and it evaluates ~2× per row (gotcha 13); the measured 2.66 s →
+    # 2.22 s at sf0.1 INCLUDES that duplication and still nets 17%.
+    # Values bit-identical: left-assoc + == the 0-seeded fold.
     dot = "(" + " + ".join(
         f"(CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE))"
         for i in range(64)  # fixture embeddings are fixed 64-dim
@@ -958,55 +959,54 @@ def streaming_interval_join(spark, sf_dir):
 
 
 
-def jsonl_roundtrip_docs(spark, sf_dir):
-    """S8 source-format breadth: parquet → JSON-lines sink → JSON source
-    (explicit schema — schema inference would cost an extra pass) →
-    aggregate.  Columns restricted to strings + bigints so the textual
-    round-trip is value-exact; the oracle aggregates the original
-    parquet directly, so a serialization bug on either leg flips the
-    hash.  JSONL is the interchange format most training-data dumps
-    arrive in — reading it with an explicit schema + column pruning is
-    the same scan discipline as parquet, minus the pushdown."""
+def _format_roundtrip(spark, sf_dir, fmt: str, last_agg):
+    """Shared sink→source round-trip shape for the text formats: write
+    (doc_id, lang, n_chars) with the given format, read back with an
+    EXPLICIT schema (no inference pass), aggregate, clean up the temp
+    tree.  CSV legs pin nullValue to a sentinel on BOTH legs so empty
+    strings survive (Spark's CSV default reads '' back as NULL — r03
+    review; JSON has no such asymmetry)."""
     import os
     import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    base = tempfile.mkdtemp(prefix="sdg_jsonl_")
+    base = tempfile.mkdtemp(prefix=f"sdg_{fmt}_")
     out = os.path.join(base, "out")
-    docs.write.mode("overwrite").json(out)
-    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    if fmt == "json":
+        docs.write.mode("overwrite").json(out)
+        back = spark.read.schema(schema).json(out)
+    else:
+        docs.write.mode("overwrite").option("header", True).option(
+            "nullValue", "\\N"
+        ).csv(out)
+        back = (
+            spark.read.option("header", True).option("nullValue", "\\N")
+            .schema(schema).csv(out)
+        )
     res = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
-        F.min("doc_id").alias("min_doc"),
+        last_agg,
     )
     return _drain_and_cleanup(spark, base, res)
+
+
+def jsonl_roundtrip_docs(spark, sf_dir):
+    """S8 source-format breadth: parquet → JSON-lines sink → JSON source
+    (explicit schema) → aggregate; the oracle aggregates the original
+    parquet directly, so a serialization bug on either leg flips the
+    hash.  JSONL is the interchange format most training-data dumps
+    arrive in."""
+    return _format_roundtrip(spark, sf_dir, "json", F.min("doc_id").alias("min_doc"))
 
 
 def csv_roundtrip_docs(spark, sf_dir):
-    """S8 source-format breadth, CSV flavor: same shape as the JSONL
-    round-trip (explicit schema, header on, bigint/string columns only
-    — doc text stays OUT of the CSV leg: free-text quoting/escaping is
-    exactly the class of bug this query would mask, not test)."""
-    import os
-    import tempfile
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    base = tempfile.mkdtemp(prefix="sdg_csv_")
-    out = os.path.join(base, "out")
-    docs.write.mode("overwrite").option("header", True).csv(out)
-    back = (
-        spark.read.option("header", True)
-        .schema("doc_id bigint, lang string, n_chars bigint")
-        .csv(out)
-    )
-    res = back.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
-        F.max("doc_id").alias("max_doc"),
-    )
-    return _drain_and_cleanup(spark, base, res)
-
+    """S8 source-format breadth, CSV flavor (see _format_roundtrip for
+    the empty-string-safe nullValue handling; doc text stays OUT of the
+    CSV leg — free-text quoting is exactly the bug class this aggregate
+    would mask, not test)."""
+    return _format_roundtrip(spark, sf_dir, "csv", F.max("doc_id").alias("max_doc"))
 
 
 def doc_quality_filter(spark, sf_dir):
@@ -1054,12 +1054,17 @@ def doc_quality_filter(spark, sf_dir):
     out = base.join(sh_freq, "doc_id")
     rep_frac = F.col("max_sh_freq").cast("double") / F.col("n_sh").cast("double")
     stop_frac = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    # ratio columns emitted as EXACT integer numerators/denominators —
+    # ROUND(ratio, 6) on small-int fractions is the gotcha-8 boundary-tie
+    # class (r03 review reproduced 41/640 rounding differently per
+    # engine); the keep flag compares the unrounded doubles, which are
+    # bit-identical (single / of identical ints)
     return out.select(
         "doc_id",
         "n_tokens",
         "max_sh_freq",
-        F.round(rep_frac, 6).alias("rep_frac"),
-        F.round(stop_frac, 6).alias("stop_frac"),
+        "n_sh",
+        "n_stop",
         (
             (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 10000)
             & (rep_frac < 0.2) & (stop_frac >= 0.02)
@@ -1079,15 +1084,14 @@ def tfidf_top_terms(spark, sf_dir):
     term) joined back — at 10^12 docs the df table is vocabulary-sized
     (≪ corpus) and broadcasts; both aggs are map-side combined."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny driver-side scalar (metadata-count)
+    n_docs = docs.count()  # one extra count job, paid at build time
     toks = docs.select(
         "doc_id", F.explode(F.expr("split(text, ' ')")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # document frequency FROM tf (one row per (doc, term) already) —
+    # not a second explode+distinct over the corpus (r03 review)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "term").withColumn(
         "score",
         F.col("tf") * F.expr(f"CAST(FLOOR({n_docs} * 1000 / df) AS BIGINT)"),
@@ -1110,18 +1114,34 @@ def pack_sequences(spark, sf_dir):
     sum crosses bin k starts bin k's successor — the classic cumsum
     formulation, exact in integers).
 
-    Scale note: the running sum is a global-order window — Spark plans
-    it as a range-partitioned sort, the one legitimately global stage
-    in the pipeline (every packing implementation pays an order
-    somewhere; range partitioning keeps it parallel until the per-range
-    prefix merge).  Output: per bin → doc count, token total, first
-    doc."""
+    Scale note: a bare global-order window would move EVERYTHING to
+    one partition (Spark's 'No Partition Defined' warning), so the
+    prefix sum is computed in two levels — parallel within doc_id-range
+    buckets, then a tiny bucket-offset window broadcast back.  Output:
+    per bin → doc count, token total, first doc."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.expr("size(split(text, ' '))").cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    t = docs.select("doc_id", toks.alias("n_tokens")).withColumn(
+        "_b", F.expr("CAST(FLOOR(doc_id / 4096) AS BIGINT)")
+    )
+    # TWO-LEVEL prefix sum (r03 review: a bare Window.orderBy moves the
+    # WHOLE table to one partition — Spark warns 'No Partition Defined').
+    # Level 1: running sum within each doc_id-range bucket (parallel);
+    # level 2: bucket totals (one row per bucket) get the single-
+    # partition window — tiny by construction — and broadcast back as
+    # offsets.  cum is identical to the naive global window.
+    wb = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = t.withColumn("_lcum", F.sum("n_tokens").over(wb))
+    btot = t.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wo), F.lit(0)).cast("long")
+    ).select("_b", "_off")
     binned = (
-        docs.select("doc_id", toks.alias("n_tokens"))
-        .withColumn("cum", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offs), "_b")
+        .withColumn("cum", F.col("_lcum") + F.col("_off"))
         .withColumn(
             "seq_id",
             F.expr("CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT)"),

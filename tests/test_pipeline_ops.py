@@ -147,3 +147,34 @@ def test_thumbnails_decode_and_jpg_closeness(spark):
             lum_w = (0.299 * want[:, :, 0] + 0.587 * want[:, :, 1]
                      + 0.114 * want[:, :, 2]).mean()
             assert abs(float(r.mean_lum) - float(lum_w)) < 3.0
+
+
+def test_pack_sequences_two_level_prefix_equals_naive(spark):
+    """The two-level prefix sum (parallel within doc_id buckets + tiny
+    bucket-offset window) must equal the naive single-partition global
+    window bit-for-bit, and the big table's window must be PARTITIONED
+    (no 'move everything to one partition' plan)."""
+    from pyspark.sql import Window
+
+    from sdg_engine.queries_ext import pack_sequences
+
+    got = pack_sequences(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.expr("size(split(text, ' '))").cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        docs.select("doc_id", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("seq_id", F.expr("CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT)"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    assert got.exceptAll(naive).count() + naive.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the doc-level window is keyed by the bucket column; only the tiny
+    # bucket-offset window (one row per 4096 doc ids) is unpartitioned
+    assert "_b" in plan  # bucket key present in the window/exchange keys

@@ -162,8 +162,6 @@ def test_stream_sessionize_late_event_does_not_crash(spark, tmp_path):
     set an event-time timeout at/below the watermark — Spark rejects
     that with IllegalArgumentException and kills the query.  The clamp
     (max(timeout, watermark+1)) must let the stream drain cleanly."""
-    import numpy as np
-
     base = pd.Timestamp("2024-01-01 00:00:00")
     in_dir = str(tmp_path / "in_late")
     os.makedirs(in_dir)
