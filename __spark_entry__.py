@@ -35,7 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    60/63 queries have a SQL twin (r03 added mvt_tile_stats,
+    61/64 queries have a SQL twin (r03 added mvt_tile_stats,
     image_decode_stats, image_near_dup_pairs and image_thumbnails —
     these run DuckDB directly over the image-fixture parquet plus
     committed independent-numpy goldens — and spatial_range_join,

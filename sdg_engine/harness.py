@@ -173,3 +173,16 @@ def edges_values_sql() -> str:
         for cc, x0, y0, x1, y1 in ring_edge_rows()
     )
     return f"(VALUES {rows}) AS edges(country_code, x0, y0, x1, y1)"
+
+
+def edges_values_sql_indexed() -> str:
+    """Same edges with a per-country ring-order index — lets area/length
+    folds run in a FIXED order on both engines (running window)."""
+    idx: dict[str, int] = {}
+    parts = []
+    for cc, x0, y0, x1, y1 in ring_edge_rows():
+        i = idx.get(cc, 0)
+        idx[cc] = i + 1
+        parts.append(f"('{cc}', {i}, {x0!r}, {y0!r}, {x1!r}, {y1!r})")
+    rows = ", ".join(parts)
+    return f"(VALUES {rows}) AS edges(country_code, i, x0, y0, x1, y1)"

@@ -22,6 +22,7 @@ from .harness import (
     PX,
     PY,
     edges_values_sql,
+    edges_values_sql_indexed,
 )
 from .sqlgen import (
     chain_select,
@@ -212,6 +213,29 @@ GROUP BY ne.point_id
 # --- S3: way assembly length (independent formulation: window LEAD +
 # RUNNING sum in ref order — the running window reproduces Spark's
 # left-fold order exactly, so the doubles are bit-identical) ------------------
+
+COUNTRY_AREAS = f"""
+WITH e AS (SELECT * FROM {edges_values_sql_indexed()}),
+t AS (
+  SELECT country_code, i,
+         (x0 * y1 - x1 * y0) / CAST(2 AS DOUBLE) AS a_term,
+         SQRT((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS len_deg
+  FROM e
+),
+run AS (
+  SELECT country_code, i,
+         SUM(a_term) OVER (PARTITION BY country_code ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+         SUM(len_deg) OVER (PARTITION BY country_code ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rl,
+         ROW_NUMBER() OVER (PARTITION BY country_code ORDER BY i DESC) AS rn
+  FROM t
+)
+SELECT country_code,
+       ABS(ra) AS area_deg2,
+       rl * CAST(111320 AS DOUBLE) AS perimeter_m
+FROM run WHERE rn = 1
+"""
 
 OSM_WAY_ASSEMBLY = f"""
 WITH n AS (
@@ -549,6 +573,7 @@ ORACLES = {
     "spatial_compact_cover": SPATIAL_COMPACT_COVER,
     "spatial_range_join": SPATIAL_RANGE_JOIN,
     "osm_way_assembly": OSM_WAY_ASSEMBLY,
+    "country_areas": COUNTRY_AREAS,
     "spatial_hex_cover": SPATIAL_HEX_COVER,
     "spatial_hex_kring": SPATIAL_HEX_KRING,
     "spatial_join_cells": SPATIAL_JOIN_CELLS,

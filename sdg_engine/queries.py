@@ -251,6 +251,42 @@ def spatial_hex_kring(spark, sf_dir):
     )
 
 
+def country_areas(spark, sf_dir):
+    """Polygon geodesy over the country rings: exact shoelace AREA and
+    perimeter per country — the zonal-geometry surface of the reference
+    (ref computes per-country zonal stats over admin polygons).
+
+    Float parity by construction: BOTH engines evaluate the identical
+    VALUES literal + the identical running-window fold in ring-edge
+    order (the OSM way-length trick) — shoelace terms are ``* - +``
+    only, perimeter adds SQRT; no transcendentals, no reassociation."""
+    _prep(spark)
+    from .harness import edges_values_sql_indexed
+
+    return spark.sql(f"""
+WITH e AS (SELECT * FROM {edges_values_sql_indexed()}),
+t AS (
+  SELECT country_code, i,
+         (x0 * y1 - x1 * y0) / CAST(2 AS DOUBLE) AS a_term,
+         SQRT((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS len_deg
+  FROM e
+),
+run AS (
+  SELECT country_code, i,
+         SUM(a_term) OVER (PARTITION BY country_code ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+         SUM(len_deg) OVER (PARTITION BY country_code ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rl,
+         ROW_NUMBER() OVER (PARTITION BY country_code ORDER BY i DESC) AS rn
+  FROM t
+)
+SELECT country_code,
+       ABS(ra) AS area_deg2,
+       rl * CAST(111320 AS DOUBLE) AS perimeter_m
+FROM run WHERE rn = 1
+""")
+
+
 def osm_way_assembly(spark, sf_dir):
     """S3: way assembly (nodes+ways → ordered coords → length) through
     the real osm.assemble_ways operator, over nodes/ways DERIVED from
@@ -702,6 +738,7 @@ QUERIES = {
     "spatial_compact_cover": spatial_compact_cover,
     "spatial_range_join": spatial_range_join,
     "osm_way_assembly": osm_way_assembly,
+    "country_areas": country_areas,
     "spatial_hex_cover": spatial_hex_cover,
     "spatial_hex_kring": spatial_hex_kring,
     "q1_pricing_summary": q1_pricing_summary,
