@@ -32,7 +32,6 @@ from .. import cells as C
 from ..sqlgen import (
     apply_steps,
     grid_index_expr,
-    pip_crossing_expr,
     point_cell_steps,
     point_seg_dist_steps,
 )

@@ -20,10 +20,6 @@ from pyspark.sql import functions as F
 
 from . import cells as C
 from .harness import (
-    AX,
-    AY,
-    BX,
-    BY,
     KNN_CUTOFF_M,
     harness_rings,
     points_df,
