@@ -195,10 +195,7 @@ class _BitWriter:
         ends = np.cumsum(lens)
         starts = ends - lens
         bits = np.zeros(((total + 7) // 8) * 8, dtype=np.uint8)
-        # positions of each code's bits: start + (0..len-1), MSB first
-        idx = np.repeat(starts, lens) + (
-            np.arange(total) - np.repeat(starts, lens)
-        )
+        # each code's bits land at start..start+len-1 in order, MSB first
         shift = np.repeat(lens, lens) - 1 - (np.arange(total) - np.repeat(starts, lens))
         bits[:total] = (np.repeat(vals, lens) >> shift) & 1
         bits[total:] = 1  # pad final byte with 1s (spec)
@@ -416,6 +413,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[dict] = []
     while pos + 4 <= len(data):
         assert data[pos] == 0xFF, f"marker sync lost at {pos}"
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2): the marker byte is the first non-FF after the run
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -460,6 +461,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
             ns = payload[0]
+            if ns != len(comps):
+                # T.81 allows several non-interleaved scans (one comp
+                # each); the MCU loop below decodes a SINGLE interleaved
+                # scan only — fail loudly instead of misdecoding
+                raise ValueError(
+                    f"non-interleaved baseline JPEG (scan has {ns} of "
+                    f"{len(comps)} components) is not supported"
+                )
             scan_comps = []
             for si in range(ns):
                 cid, tt = payload[1 + 2 * si:3 + 2 * si]

@@ -280,7 +280,18 @@ def burn_cost_summaries(
     """
     cutoff = float(cutoff_m)
     if strategy == "auto":
-        strategy = "broadcast" if segs.count() <= broadcast_max_segs else "cogroup"
+        # plan-stats bound, NOT segs.count() (r03 verdict: the eager
+        # count was a full extra Spark job before the returned plan even
+        # ran).  None (stats unavailable) ⇒ cogroup, the path with no
+        # broadcast requirement — safe at any scale.
+        from .spatial import _estimate_rows
+
+        est = _estimate_rows(segs)
+        strategy = (
+            "broadcast"
+            if est is not None and est <= broadcast_max_segs
+            else "cogroup"
+        )
 
     pts = with_point_cell(images_geo, level, "lon", "lat", "cell_id")
     passthrough = [c for c in ("country_code",) if c in images_geo.columns]

@@ -1067,18 +1067,28 @@ def boundary_fraction(rings: dict[str, np.ndarray], level: int, hi: int) -> floa
     return n_undecided / float((1 << hi) ** 2)
 
 
-def _estimate_rows(df: DataFrame) -> int:
+def _estimate_rows(df: DataFrame) -> int | None:
     """Cheap driver-side row estimate from Catalyst plan statistics
     (rowCount when the CBO has one, else sizeInBytes / 64 — a
     deliberately LOW bytes-per-row guess so wide tables overestimate
-    rows and flip to the safe strategy early).  0 when unavailable."""
+    rows and flip to the safe strategy early).  ``None`` when the stats
+    are unavailable — callers MUST treat None as "unbounded" and pick
+    their scale-safe strategy (ADVICE r03: returning 0 here silently
+    selected the broadcast-back path, the exact direction the auto mode
+    exists to prevent)."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         if stats.rowCount().isDefined():
             return int(str(stats.rowCount().get()))
         return int(str(stats.sizeInBytes())) // 64
     except Exception:  # noqa: BLE001 — stats are advisory
-        return 0
+        import warnings
+
+        warnings.warn(
+            "plan-stats row estimate unavailable; auto strategy falls "
+            "back to the scale-safe path", stacklevel=2,
+        )
+        return None
 
 
 def _strip_dim(spark, rings: dict[str, np.ndarray], level: int, hi: int):
@@ -1170,8 +1180,12 @@ def assign_countries(
     spark = images_geo.sparkSession
     if use_udf is None:
         hi_auto = level + min(3, C.MAX_LEVEL - level)
-        est = _estimate_rows(images_geo) * boundary_fraction(rings, level, hi_auto)
-        use_udf = est > broadcast_back_max_rows
+        n_rows = _estimate_rows(images_geo)
+        if n_rows is None:
+            use_udf = True  # unbounded ⇒ the scale-safe Arrow ray-cast
+        else:
+            est = n_rows * boundary_fraction(rings, level, hi_auto)
+            use_udf = est > broadcast_back_max_rows
     interior_df, boundary_df, edges_df = _country_dims(spark, rings, level)
 
     in_cols = list(images_geo.columns)

@@ -1084,7 +1084,13 @@ def tfidf_top_terms(spark, sf_dir):
     term) joined back — at 10^12 docs the df table is vocabulary-sized
     (≪ corpus) and broadcasts; both aggs are map-side combined."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # one extra count job, paid at build time
+    # N as a RELATIONAL one-row aggregate broadcast-cross-joined into the
+    # scored frame (r03 verdict: docs.count() here was an eager full-scan
+    # Spark job at BUILD time — at 100 TB a whole extra pass over
+    # `documents` before the returned plan even ran).  The one-row frame
+    # rides the same plan and the join is a broadcast nested loop over a
+    # single row — free.
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("_nd"))
     toks = docs.select(
         "doc_id", F.explode(F.expr("split(text, ' ')")).alias("term")
     )
@@ -1092,9 +1098,13 @@ def tfidf_top_terms(spark, sf_dir):
     # document frequency FROM tf (one row per (doc, term) already) —
     # not a second explode+distinct over the corpus (r03 review)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").withColumn(
-        "score",
-        F.col("tf") * F.expr(f"CAST(FLOOR({n_docs} * 1000 / df) AS BIGINT)"),
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr("CAST(FLOOR(_nd * 1000 / df) AS BIGINT)"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
