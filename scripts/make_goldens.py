@@ -153,6 +153,8 @@ def main() -> None:
           f"{len(summary)} countries")
     make_decode_stats_golden()
     make_thumb_stats_golden()
+    make_multimodal_goldens()
+    make_rai_per_image_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -255,6 +257,287 @@ def make_thumb_stats_golden() -> None:
     )
     print(f"thumb-stats golden: {len(ids)} rows "
           f"({sum(l is None for l in lums)} jpg NULLs)")
+
+
+def make_multimodal_goldens() -> None:
+    """Goldens for the ORACLE-checked multimodal audio/video queries (r04).
+
+    INDEPENDENT of the engine codecs: the clip waveforms / frame stacks
+    are regenerated from the fixture SPEC (the seeded formulas documented
+    in ops/multimodal.synth_audio_table / synth_video_table), the PCM16
+    quantize rule is REIMPLEMENTED here (clip/round to int16 — never
+    codecs.encode_wav), and no RIFF/rawvid container bytes are built or
+    parsed.  A WAV/rawvid encode-decode bug or a feature-math regression
+    on the Spark side therefore fails the driver's value hash.  Feature
+    expressions mirror ops/multimodal.audio_features /
+    video_frame_sample op-for-op so the float64 bits match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # --- audio: seeded sine+noise clips → PCM16 twin → RMS/ZCR/peak ---
+    rng = np.random.default_rng(1234)
+    a_ids, a_rms, a_zcr, a_peak, a_n = [], [], [], [], []
+    for i in range(64):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        # independent PCM16 twin of the encode_wav quantize rule
+        pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+        mono = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
+        a_ids.append(f"aud{i:08d}")
+        a_rms.append(float(np.sqrt(np.mean(mono * mono))))
+        a_zcr.append(float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))))
+        a_peak.append(float(np.abs(mono).max()))
+        a_n.append(len(mono))
+    pq.write_table(
+        pa.table({
+            "media_id": a_ids,
+            "rms": pa.array(a_rms, pa.float64()),
+            "zcr": pa.array(a_zcr, pa.float64()),
+            "peak": pa.array(a_peak, pa.float64()),
+            "n_samples": pa.array(a_n, pa.int64()),
+        }),
+        os.path.join(OUT, "audio_features.parquet"),
+    )
+
+    # --- video: seeded gradient+noise frame stacks → every-12th luma ---
+    rng = np.random.default_rng(4321)
+    v_ids, v_fi, v_t, v_lum = [], [], [], []
+    for i in range(32):
+        w, h = 48, 32
+        n_frames = 24 + (i % 4) * 12
+        tt = np.arange(n_frames)[:, None, None]
+        yy = np.arange(h)[None, :, None]
+        xx = np.arange(w)[None, None, :]
+        frames = ((xx * 3 + yy * 2 + tt * 7 + i * 11) % 256).astype(np.uint8)
+        frames = np.clip(
+            frames.astype(np.int16)
+            + rng.integers(-8, 9, size=frames.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        fps = [24.0, 30.0][i % 2]
+        for fi in range(0, n_frames, 12):
+            v_ids.append(f"vid{i:08d}")
+            v_fi.append(fi)
+            v_t.append(float(fi / fps))
+            v_lum.append(float(frames[fi].mean()))
+    pq.write_table(
+        pa.table({
+            "media_id": v_ids,
+            "frame_idx": pa.array(v_fi, pa.int32()),
+            "t_sec": pa.array(v_t, pa.float64()),
+            "mean_luma": pa.array(v_lum, pa.float64()),
+        }),
+        os.path.join(OUT, "video_frames.parquet"),
+    )
+    print(f"multimodal goldens: {len(a_ids)} audio clips, "
+          f"{len(v_ids)} sampled video frames")
+
+
+# ---------------------------------------------------------------------------
+# RAI per-image golden — INDEPENDENT twin of the full burn/cost-distance
+# pipeline (r04; closes the last rows-only image query).
+# ---------------------------------------------------------------------------
+
+
+def _lb_clip_scalar(ax, ay, bx, by, xmin, ymin, xmax, ymax):
+    """Liang-Barsky clip, SCALAR reimplementation of the spec formulas
+    (geom.clip_segments_to_rect is the vectorized engine form).  The op
+    sequence is identical per segment, so kept endpoints match the
+    engine bit-for-bit; independent code path."""
+    dx = bx - ax
+    dy = by - ay
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, ax - xmin), (dx, xmax - ax),
+                 (-dy, ay - ymin), (dy, ymax - ay)):
+        if p == 0.0 and q < 0.0:
+            return None
+        r = q / p if p != 0.0 else 0.0
+        if p < 0.0:
+            t0 = max(t0, r)
+        elif p > 0.0:
+            t1 = min(t1, r)
+    if t0 > t1:
+        return None
+    return ax + t0 * dx, ay + t0 * dy, ax + t1 * dx, ay + t1 * dy
+
+
+def _burn_twin(w, h, xmin, ymin, xmax, ymax, cand):
+    """Rasterize-by-dense-sampling twin of ops/raster.burn_mask: the
+    documented sampling rule (n = max(2, ceil(2·length_px)+1) samples at
+    t = i/(n-1)) implemented per segment in scalar Python instead of the
+    engine's flattened cross-segment arrays.  Identical IEEE ops per
+    sample ⇒ identical pixel sets."""
+    mask = np.zeros((h, w), dtype=bool)
+    pxw = (xmax - xmin) / w
+    pxh = (ymax - ymin) / h
+    for ax, ay, bx, by in cand:
+        c = _lb_clip_scalar(ax, ay, bx, by, xmin, ymin, xmax, ymax)
+        if c is None:
+            continue
+        cax, cay, cbx, cby = c
+        length_px = max(abs(cbx - cax) / pxw, abs(cby - cay) / pxh)
+        n = max(2, int(np.ceil(length_px * 2.0)) + 1)
+        ddx = cbx - cax
+        ddy = cby - cay
+        for s in range(n):
+            t = s / (n - 1)
+            xs = cax + t * ddx
+            ys = cay + t * ddy
+            cs = min(max(int((xs - xmin) / pxw), 0), w - 1)
+            rs = min(max(int((ymax - ys) / pxh), 0), h - 1)
+            mask[rs, cs] = True
+    return mask
+
+
+def _chamfer34_twin(stack: np.ndarray) -> np.ndarray:
+    """Exact 3-4 chamfer DT over an (N, h, w) mask stack via TRANSPOSED
+    (column-major) pushbroom scans — the 3-4 DT is scan-order exact
+    (Borgefors 1986), so values equal the engine's row-major transform
+    bit-for-bit (all intermediates are integer-valued float64).  The
+    engine transform itself is certified against a brute-force Dijkstra
+    in tests/test_pipeline_ops.py."""
+    t = np.where(stack, 0.0, np.float64(1e18)).transpose(0, 2, 1).copy()
+    n, w, h = t.shape
+    idx = np.arange(h) * 3.0
+    for c in range(w):
+        col = t[:, c]
+        if c > 0:
+            left = t[:, c - 1]
+            col = np.minimum(col, left + 3.0)
+            col[:, 1:] = np.minimum(col[:, 1:], left[:, :-1] + 4.0)
+            col[:, :-1] = np.minimum(col[:, :-1], left[:, 1:] + 4.0)
+        col = np.minimum.accumulate(col - idx, axis=1) + idx
+        t[:, c] = col
+    for c in range(w - 1, -1, -1):
+        col = t[:, c]
+        if c < w - 1:
+            right = t[:, c + 1]
+            col = np.minimum(col, right + 3.0)
+            col[:, 1:] = np.minimum(col[:, 1:], right[:, :-1] + 4.0)
+            col[:, :-1] = np.minimum(col[:, :-1], right[:, 1:] + 4.0)
+        rev = col[:, ::-1]
+        rev = np.minimum.accumulate(rev - idx, axis=1) + idx
+        t[:, c] = rev[:, ::-1]
+    return t.transpose(0, 2, 1) / 3.0
+
+
+def rai_per_image_twin(sf: float, cutoff_m: float = 250.0):
+    """Independent per-image RAI twin at scale ``sf``: returns a list of
+    (image_id, country_code, pop_total_mils, pop_near_mils).
+
+    Independence inventory (what a Spark-side regression here fails):
+    pixels from the fixture GENERATOR (never decoded through the engine
+    codecs — png/ppm/raw are lossless so generator pixels ARE the
+    decode; qnt uses the reimplemented quantize twin); candidate
+    segments by brute-force bbox prefilter over ALL roads (never the
+    engine's cell cover/k-ring halo — so halo bugs fail the hash);
+    scalar Liang-Barsky + sampling twins (above); transposed-scan
+    chamfer; countries from fixtures.country_of_points (never the
+    engine's two-stage cell+ray-cast assign).  The ONE self-referential
+    slice: jpg pixels round-trip through the engine JPEG codec (no
+    independent JPEG decoder can exist in this container — jpeg.py IS
+    the only one); jpg fidelity is separately gated >= 40 dB against
+    generator pixels in tests/test_jpeg.py."""
+    import math
+
+    from sdg_engine import METERS_PER_DEG as MPD
+    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
+
+    n_images, _ = FX._sizes(sf)
+    roads = FX.roads_records(sf)
+    segs = []
+    for r in roads:
+        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
+        for s in range(len(pts) - 1):
+            segs.append((pts[s, 0], pts[s, 1], pts[s + 1, 0], pts[s + 1, 1]))
+    seg_arr = np.array(segs, dtype=np.float64)
+    sxmin = np.minimum(seg_arr[:, 0], seg_arr[:, 2])
+    sxmax = np.maximum(seg_arr[:, 0], seg_arr[:, 2])
+    symin = np.minimum(seg_arr[:, 1], seg_arr[:, 3])
+    symax = np.maximum(seg_arr[:, 1], seg_arr[:, 3])
+
+    fmts = FX.FMTS + ["qnt"]
+    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
+    rows = []
+    pend = []  # (row_idx, lum, mask, px_m) for tiles needing the DT
+    for i in range(n_images):
+        image_id = f"img{i:012d}"
+        lon, lat = FX.lonlat_of(image_id)
+        w = h = size_mix[i % len(size_mix)]
+        fmt = fmts[i % len(fmts)]
+        px = FX.make_image_pixels(i, lon, lat, w, h)
+        if fmt == "qnt":
+            q = (px.astype(np.uint16) // 4).astype(np.uint8)
+            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        elif fmt == "jpg":
+            px = decode_jpeg(encode_jpeg(px))  # documented self-cert slice
+        lum = (
+            0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1].astype(np.float64)
+            + 0.114 * px[:, :, 2].astype(np.float64)
+        )
+        half = 0.004 * (1.0 + (i % 5) / 4.0)
+        fx0, fy0, fx1, fy1 = lon - half, lat - half, lon + half, lat + half
+        cand_idx = np.nonzero(
+            (sxmin <= fx1) & (sxmax >= fx0) & (symin <= fy1) & (symax >= fy0)
+        )[0]
+        mask = _burn_twin(w, h, fx0, fy0, fx1, fy1, seg_arr[cand_idx])
+        cc = str(FX.country_of_points(np.array([lon]), np.array([lat]))[0])
+        pop_total = float(lum.sum())
+        if mask.any():
+            px_m = (fx1 - fx0) / w * MPD
+            pend.append((len(rows), lum, mask, px_m))
+            rows.append([image_id, cc, pop_total, None])
+        else:
+            rows.append([image_id, cc, pop_total, 0.0])
+    # batch the DT per shape (matches the engine's batching; values are
+    # shape-independent)
+    by_shape: dict[tuple, list[int]] = {}
+    for j, (_, _, mask, _) in enumerate(pend):
+        by_shape.setdefault(mask.shape, []).append(j)
+    for shape, idxs in by_shape.items():
+        dist = _chamfer34_twin(np.stack([pend[j][2] for j in idxs]))
+        for k, j in enumerate(idxs):
+            ridx, lum, _mask, px_m = pend[j]
+            near = dist[k] * px_m <= cutoff_m
+            rows[ridx][3] = float(lum[near].sum())
+    out = []
+    for image_id, cc, pt, pn in rows:
+        out.append((
+            image_id, cc,
+            int(math.floor(pt * 1000.0 + 0.5)),
+            int(math.floor(pn * 1000.0 + 0.5)),
+        ))
+    return out
+
+
+def make_rai_per_image_golden(sf: float = 0.01) -> None:
+    """Golden for the ORACLE-checked image_rai_summary query (r04; was
+    rows-only): one row per image with integer-mils population sums —
+    FLOOR(pop·1000 + 0.5), pure IEEE ops replicated by the Spark query —
+    so the DuckDB oracle can aggregate per country EXACTLY (bigint sums,
+    order-independent) while every per-image double is pinned
+    bit-for-bit against the independent twin above."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = rai_per_image_twin(sf)
+    pq.write_table(
+        pa.table({
+            "image_id": [r[0] for r in rows],
+            "country_code": [r[1] for r in rows],
+            "pop_total_mils": pa.array([r[2] for r in rows], pa.int64()),
+            "pop_near_mils": pa.array([r[3] for r in rows], pa.int64()),
+        }),
+        os.path.join(OUT, f"rai_per_image_sf{sf:g}.parquet"),
+    )
+    n_near = sum(1 for r in rows if r[3] > 0)
+    print(f"rai per-image golden: {len(rows)} rows ({n_near} near a road)")
 
 
 def _image_payload(i: int, lon: float, lat: float):

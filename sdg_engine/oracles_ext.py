@@ -584,10 +584,44 @@ FROM read_parquet('{img}') f
 JOIN read_parquet('{thumb_golden}') g USING (image_id)
 WHERE f.image_id < 'img000000000500'
 """
+    goldens_dir = os.path.dirname(golden).replace("'", "''")
+    # image_rai_summary (r04; was rows-only): aggregate the committed
+    # INDEPENDENT per-image golden (generator pixels + scalar clip/burn
+    # twins + transposed-scan chamfer + generator-side countries —
+    # scripts/make_goldens.py) per country.  Integer-mils sums are exact
+    # bigints on both engines; the only float ops are / and FLOOR on
+    # identical inputs (gotcha-8-approved).
+    rai_summary = f"""
+SELECT country_code,
+       COUNT(*) AS n_images,
+       CAST(SUM(CASE WHEN pop_near_mils > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near,
+       CAST(SUM(pop_total_mils) AS BIGINT) / 1000.0 AS pop_total,
+       CAST(SUM(pop_near_mils) AS BIGINT) / 1000.0 AS pop_near,
+       FLOOR((CAST(SUM(pop_near_mils) AS BIGINT) / 1000.0)
+             / (CAST(SUM(pop_total_mils) AS BIGINT) / 1000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS rai
+FROM read_parquet('{goldens_dir}/rai_per_image_sf0.01.parquet')
+GROUP BY country_code
+"""
+    # multimodal audio/video (r04; was rows-only): the committed goldens
+    # regenerate the clip/frame SPEC and reimplement the PCM16 quantize —
+    # the engine WAV/rawvid codecs never touch the oracle side.
+    audio_features = f"""
+SELECT media_id, rms, zcr, peak, CAST(n_samples AS BIGINT) AS n_samples
+FROM read_parquet('{goldens_dir}/audio_features.parquet')
+"""
+    video_frames = f"""
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, t_sec, mean_luma
+FROM read_parquet('{goldens_dir}/video_frames.parquet')
+"""
     return {
         "image_near_dup_pairs": near_dup,
         "image_decode_stats": decode_stats,
         "image_thumbnails": thumbnails,
+        "image_rai_summary": rai_summary,
+        "multimodal_audio_features": audio_features,
+        "multimodal_video_frames": video_frames,
     }
 
 
@@ -620,9 +654,8 @@ ORACLES_EXT = {
     "dates_orders": DATES_ORDERS,
     "anti_join_customers": ANTI_JOIN_CUSTOMERS,
     "semi_join_parts": SEMI_JOIN_PARTS,
-    # image_decode_stats / image_near_dup_pairs: built lazily by
-    # image_oracles() (they embed the sf0.01 fixture path).
-    # Still rows-only BY DESIGN: image_rai_summary (burn/chamfer numpy,
-    # golden-pinned), multimodal_audio_features / multimodal_video_frames
-    # (WAV/rawvid payloads, bit-exact numpy-oracle pytests).
+    # image_decode_stats / image_near_dup_pairs / image_rai_summary /
+    # multimodal audio+video: built lazily by image_oracles() (they
+    # embed absolute fixture/golden paths).  As of r04 every registered
+    # query has an oracle — zero rows-only entries remain.
 }

@@ -666,8 +666,8 @@ def _fixture_sf(sf_dir: str) -> float:
 
 def _fixture_images(spark, sf_dir, pin_sf: float | None = None):
     """Image fixture tables.  ``pin_sf`` pins a FIXED scale factor
-    regardless of sf_dir — required for the three oracle-checked image
-    queries, whose DuckDB oracles and committed goldens embed the
+    regardless of sf_dir — required for the golden-backed oracle-checked
+    image queries, whose DuckDB oracles and committed goldens embed the
     sf0.01 fixture (r03 review: following sf_dir made Spark and oracle
     read different fixtures at any other scale)."""
     import os
@@ -683,19 +683,44 @@ def _fixture_images(spark, sf_dir, pin_sf: float | None = None):
 
 def image_rai_summary(spark, sf_dir):
     """Flagship over the FULL IMAGES fixture: geocode → country →
-    burn/cost-distance → per-country RAI (rows-only; pinned by
-    tests/goldens).
+    burn/cost-distance → per-country RAI.  ORACLE-CHECKED (r04; was
+    rows-only): per-image population sums are snapped to integer mils —
+    ``FLOOR(pop·1000 + 0.5)``, pure IEEE ops — and aggregated as BIGINT
+    sums, so the result is independent of Spark's nondeterministic
+    float-sum order and the DuckDB oracle aggregates the committed
+    INDEPENDENT per-image golden (scripts/make_goldens.py:
+    rai_per_image_twin — generator pixels, brute-force candidate segs,
+    scalar clip/burn twins, transposed-scan chamfer, generator-side
+    country assignment) to the identical rows.  Any regression in the
+    halo exchange, spatial join, burn, distance transform, masking, PIP
+    country assignment, or the codecs flips a per-image mils value and
+    fails the driver's value hash.
 
     Safe in the driver's default-1g session because rai_summaries'
     auto strategy picks the MAP-ONLY broadcast burn (road cover →
-    cell-keyed dict; image bytes never shuffle, peak task memory = one
+    cell-keyed dict; image bytes never shuffle, peak task memory is one
     Arrow batch) — the old cogroup path loaded whole cell groups and
     needed a limit(2000) cap here."""
     from .jobs.rai import rai_summaries
 
-    images, roads = _fixture_images(spark, sf_dir)
-    _per_image, per_country = rai_summaries(spark, images, roads)
-    return per_country
+    images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    per_image, _per_country = rai_summaries(spark, images, roads)
+    mils = per_image.select(
+        "country_code",
+        F.expr("CAST(FLOOR(pop_total * 1000 + 0.5) AS BIGINT)").alias("pt"),
+        F.expr("CAST(FLOOR(pop_near * 1000 + 0.5) AS BIGINT)").alias("pn"),
+    )
+    agg = mils.groupBy("country_code").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("pn") > 0, 1).otherwise(0)).alias("n_near"),
+        (F.sum("pt") / F.lit(1000.0)).alias("pop_total"),
+        (F.sum("pn") / F.lit(1000.0)).alias("pop_near"),
+    )
+    return agg.select(
+        "country_code", "n_images", "n_near", "pop_total", "pop_near",
+        (F.expr("FLOOR(pop_near / pop_total * 1000000.0 + 0.5)")
+         / F.lit(1000000.0)).alias("rai"),
+    )
 
 
 def image_decode_stats(spark, sf_dir):

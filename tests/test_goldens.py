@@ -80,6 +80,94 @@ def test_golden_join_rows(spark, images_geo, segs):
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
 
 
+def _make_goldens_mod():
+    import importlib.util
+    import sys
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "scripts", "make_goldens.py")
+    spec = importlib.util.spec_from_file_location("make_goldens", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("make_goldens", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_chamfer_equals_dijkstra():
+    """Certify the 3-4 chamfer DT (engine AND the golden's transposed
+    twin) against a genuinely different algorithm: brute-force Dijkstra
+    on the 8-neighbour pixel graph with 3/4 edge weights.  The 2-scan
+    transform is exact for this metric (Borgefors), so all three must
+    agree BIT-FOR-BIT (integer-valued float64 costs, same final /3.0)."""
+    import heapq
+
+    import numpy as np
+
+    from sdg_engine.ops.raster import chamfer_distance
+
+    def dijkstra34(mask):
+        h, w = mask.shape
+        INF = float("inf")
+        dist = np.full((h, w), INF)
+        pq = []
+        for r, c in zip(*np.nonzero(mask)):
+            dist[r, c] = 0.0
+            heapq.heappush(pq, (0.0, int(r), int(c)))
+        while pq:
+            d, r, c = heapq.heappop(pq)
+            if d > dist[r, c]:
+                continue
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < h and 0 <= cc < w:
+                        nd = d + (4.0 if dr and dc else 3.0)
+                        if nd < dist[rr, cc]:
+                            dist[rr, cc] = nd
+                            heapq.heappush(pq, (nd, rr, cc))
+        return dist / 3.0
+
+    twin = _make_goldens_mod()._chamfer34_twin
+    rng = __import__("numpy").random.default_rng(7)
+    for shape, p in [((13, 17), 0.02), ((24, 9), 0.08), ((16, 16), 0.15)]:
+        for _ in range(4):
+            mask = rng.random(shape) < p
+            if not mask.any():
+                mask[shape[0] // 2, shape[1] // 2] = True
+            want = dijkstra34(mask)
+            got_engine = chamfer_distance(mask)
+            got_twin = twin(mask[None])[0]
+            assert (got_engine == want).all()
+            assert (got_twin == want).all()
+
+
+def test_rai_per_image_twin_matches_engine(spark):
+    """The INDEPENDENT per-image RAI twin (the sf0.01 oracle golden's
+    generator) must match the distributed engine pipeline bit-exactly at
+    sf0.001: same integer-mils pops and same country for every image —
+    the end-to-end certification behind the image_rai_summary oracle."""
+    from sdg_engine.jobs.rai import load_inputs, rai_summaries
+
+    twin = _make_goldens_mod().rai_per_image_twin(SF)
+    want = {r[0]: r[1:] for r in twin}
+    images, roads = load_inputs(spark, SF)
+    per_image, _ = rai_summaries(spark, images, roads)
+    got = per_image.select(
+        "image_id", "country_code",
+        F.expr("CAST(FLOOR(pop_total * 1000 + 0.5) AS BIGINT)").alias("pt"),
+        F.expr("CAST(FLOOR(pop_near * 1000 + 0.5) AS BIGINT)").alias("pn"),
+    ).toPandas()
+    assert len(got) == len(want)
+    bad = []
+    for row in got.itertuples(index=False):
+        w = want[row.image_id]
+        if (row.country_code, row.pt, row.pn) != w:
+            bad.append((row.image_id, (row.country_code, row.pt, row.pn), w))
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
 def test_golden_rai_summary(spark):
     """Full image pipeline vs the numpy-oracle per-country summary."""
     from sdg_engine.jobs.rai import load_inputs, rai_summaries
