@@ -155,6 +155,7 @@ def main() -> None:
     make_thumb_stats_golden()
     make_multimodal_goldens()
     make_rai_per_image_golden()
+    make_cost_distance_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -514,6 +515,130 @@ def rai_per_image_twin(sf: float, cutoff_m: float = 250.0):
             int(math.floor(pn * 1000.0 + 0.5)),
         ))
     return out
+
+
+def _weighted_cost_twin(mask: np.ndarray, f: np.ndarray,
+                        max_sweeps: int = 16) -> np.ndarray:
+    """Single-tile twin of ops/raster.weighted_cost_batch (same iterated
+    weighted-sweep recurrence, independently written, identical IEEE op
+    order — per-tile 1-D ops equal the engine's batched slab ops
+    elementwise).  The genuinely-different-algorithm certification is
+    the brute-force Dijkstra in tests/test_pipeline_ops.py."""
+    h, w = mask.shape
+    d = np.where(mask, 0.0, np.float64(1e18))
+    wstep = 3.0 * (f[:, :-1] + f[:, 1:]) / 2.0
+    W = np.zeros_like(f)
+    W[:, 1:] = np.cumsum(wstep, axis=1)
+    Wrev = np.zeros_like(f)
+    Wrev[:, 1:] = np.cumsum(wstep[:, ::-1], axis=1)
+    for _ in range(max_sweeps):
+        before = d.copy()
+        for r in range(h):
+            row = d[r]
+            if r > 0:
+                up = d[r - 1]
+                row = np.minimum(row, up + 3.0 * (f[r - 1] + f[r]) / 2.0)
+                row[1:] = np.minimum(
+                    row[1:], up[:-1] + 4.0 * (f[r - 1, :-1] + f[r, 1:]) / 2.0)
+                row[:-1] = np.minimum(
+                    row[:-1], up[1:] + 4.0 * (f[r - 1, 1:] + f[r, :-1]) / 2.0)
+            row = np.minimum.accumulate(row - W[r]) + W[r]
+            d[r] = row
+        for r in range(h - 1, -1, -1):
+            row = d[r]
+            if r < h - 1:
+                dn = d[r + 1]
+                row = np.minimum(row, dn + 3.0 * (f[r + 1] + f[r]) / 2.0)
+                row[1:] = np.minimum(
+                    row[1:], dn[:-1] + 4.0 * (f[r + 1, :-1] + f[r, 1:]) / 2.0)
+                row[:-1] = np.minimum(
+                    row[:-1], dn[1:] + 4.0 * (f[r + 1, 1:] + f[r, :-1]) / 2.0)
+            rev = row[::-1]
+            rev = np.minimum.accumulate(rev - Wrev[r]) + Wrev[r]
+            d[r] = rev[::-1]
+        if np.array_equal(before, d):
+            break
+    return d / 3.0
+
+
+def cost_distance_per_image_twin(sf: float, n_limit: int,
+                                 cutoff: float = 250.0):
+    """Independent per-image twin for the friction cost-distance query:
+    (image_id, pop_near_mils, px_near) for the first ``n_limit`` images.
+    Friction = 1 + lum/255 from GENERATOR pixels (qnt reimplemented,
+    jpg via the documented engine-codec slice); candidates, clip, burn
+    as in rai_per_image_twin."""
+    import math
+
+    from sdg_engine import METERS_PER_DEG as MPD
+    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
+
+    roads = FX.roads_records(sf)
+    segs = []
+    for r in roads:
+        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
+        for s in range(len(pts) - 1):
+            segs.append((pts[s, 0], pts[s, 1], pts[s + 1, 0], pts[s + 1, 1]))
+    seg_arr = np.array(segs, dtype=np.float64)
+    sxmin = np.minimum(seg_arr[:, 0], seg_arr[:, 2])
+    sxmax = np.maximum(seg_arr[:, 0], seg_arr[:, 2])
+    symin = np.minimum(seg_arr[:, 1], seg_arr[:, 3])
+    symax = np.maximum(seg_arr[:, 1], seg_arr[:, 3])
+
+    fmts = FX.FMTS + ["qnt"]
+    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
+    out = []
+    for i in range(n_limit):
+        image_id = f"img{i:012d}"
+        lon, lat = FX.lonlat_of(image_id)
+        w = h = size_mix[i % len(size_mix)]
+        fmt = fmts[i % len(fmts)]
+        px = FX.make_image_pixels(i, lon, lat, w, h)
+        if fmt == "qnt":
+            q = (px.astype(np.uint16) // 4).astype(np.uint8)
+            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        elif fmt == "jpg":
+            px = decode_jpeg(encode_jpeg(px))
+        lum = (
+            0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1].astype(np.float64)
+            + 0.114 * px[:, :, 2].astype(np.float64)
+        )
+        half = 0.004 * (1.0 + (i % 5) / 4.0)
+        fx0, fy0, fx1, fy1 = lon - half, lat - half, lon + half, lat + half
+        cand_idx = np.nonzero(
+            (sxmin <= fx1) & (sxmax >= fx0) & (symin <= fy1) & (symax >= fy0)
+        )[0]
+        mask = _burn_twin(w, h, fx0, fy0, fx1, fy1, seg_arr[cand_idx])
+        if mask.any():
+            cost = _weighted_cost_twin(mask, 1.0 + lum / 255.0)
+            px_m = (fx1 - fx0) / w * MPD
+            near = cost * px_m <= cutoff
+            pop_near = float(lum[near].sum())
+            px_near = int(near.sum())
+        else:
+            pop_near, px_near = 0.0, 0
+        out.append((image_id, int(math.floor(pop_near * 1000.0 + 0.5)), px_near))
+    return out
+
+
+def make_cost_distance_golden(sf: float = 0.01, n_limit: int = 2000) -> None:
+    """Golden for the ORACLE-checked image_cost_distance query (r04):
+    the A2 non-uniform-friction cost-distance surface, per image."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = cost_distance_per_image_twin(sf, n_limit)
+    pq.write_table(
+        pa.table({
+            "image_id": [r[0] for r in rows],
+            "pop_near_mils": pa.array([r[1] for r in rows], pa.int64()),
+            "px_near": pa.array([r[2] for r in rows], pa.int32()),
+        }),
+        os.path.join(OUT, f"cost_distance_sf{sf:g}.parquet"),
+    )
+    n_near = sum(1 for r in rows if r[2] > 0)
+    print(f"cost-distance golden: {len(rows)} rows ({n_near} with reachable px)")
 
 
 def make_rai_per_image_golden(sf: float = 0.01) -> None:

@@ -9,8 +9,11 @@ graft's raster-tile payload, BASELINE.json:15).  Four formats:
 * ``ppm``  — binary P6.  Lossless.
 * ``raw``  — bare h*w*3 bytes (shape carried by the table's w/h).
              Lossless.
-* ``qnt``  — 16-level quantized raw: the deterministic LOSSY path
+* ``qnt``  — 64-level quantized raw: the deterministic LOSSY path
              that exercises the PSNR >= 40 dB invariant gate.
+* ``jpg``  — from-scratch ITU-T T.81 baseline JPEG (jpeg.py).  Lossy.
+* ``tif``  — from-scratch TIFF 6.0 baseline (tiff.py): strips/tiles,
+             none/deflate, GeoTIFF grid tags.  Lossless.
 
 All functions operate on uint8 ndarrays (h, w, 3) and are designed to
 be called per-row *inside an Arrow batch loop* (the per-image work is
@@ -162,6 +165,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from .jpeg import decode_jpeg  # from-scratch baseline JPEG (jpeg.py)
 
         return decode_jpeg(data)
+    if fmt == "tif":
+        from .tiff import decode_tiff  # from-scratch baseline TIFF (tiff.py)
+
+        return decode_tiff(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -179,6 +186,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         from .jpeg import encode_jpeg
 
         return encode_jpeg(img)  # quality 92: ≥40 dB on the fixture family
+    if fmt == "tif":
+        from .tiff import encode_tiff
+
+        return encode_tiff(img)  # deflate strips; lossless
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -149,13 +149,90 @@ def chamfer_distance_batch(masks: np.ndarray) -> np.ndarray:
     return d / 3.0
 
 
-def summarize_tile_rows(rows, segs_of, cutoff: float):
+def weighted_cost_batch(
+    masks: np.ndarray, frictions: np.ndarray, max_sweeps: int = 16
+) -> np.ndarray:
+    """A2 FULL: cost-distance accumulation over a NON-UNIFORM friction
+    surface — the real GeoTrellis ``CostDistance`` semantic the uniform
+    chamfer approximated.
+
+    Accumulated cost(p) = min over 8-connected paths from any True cell
+    of Σ step·(f(a)+f(b))/2 with step = 1 axial / 4/3 diagonal in pixel
+    units (the friction-MEAN edge weight on 3-4 chamfer geometry), so
+    ``frictions ≡ 1`` reduces BIT-FOR-BIT to ``chamfer_distance_batch``
+    (pinned in tests).  Computed by ITERATED forward/backward weighted
+    pushbroom sweeps to fixpoint — Bellman-Ford over scan orders; the
+    in-row sequential relaxation uses the prefix-sum identity
+    ``min_{j<=i}(d_j + W_i - W_j) = min-accumulate(d_j - W_j) + W_i``
+    so every row step stays a vectorized (N, w) slab op.  Uniform and
+    smooth surfaces converge in 2 sweeps (the second proves the
+    fixpoint); the certified-exact twin is the brute-force Dijkstra in
+    tests/test_pipeline_ops.py.  Values are cost/3.0 like the chamfer
+    (multiply by metres-per-pixel for metre·friction units).
+    """
+    n, h, w = masks.shape
+    f = np.asarray(frictions, dtype=np.float64)
+    big = np.float64(1e18)
+    d = np.where(masks, 0.0, big)
+    # in-row step weights → forward/reverse prefix sums, per row
+    wstep = 3.0 * (f[:, :, :-1] + f[:, :, 1:]) / 2.0
+    W = np.zeros_like(f)
+    np.cumsum(wstep, axis=2, out=W[:, :, 1:])
+    Wrev = np.zeros_like(f)
+    np.cumsum(wstep[:, :, ::-1], axis=2, out=Wrev[:, :, 1:])
+    for _sweep in range(max_sweeps):
+        before = d.copy()
+        for r in range(h):
+            row = d[:, r]
+            if r > 0:
+                up = d[:, r - 1]
+                row = np.minimum(row, up + 3.0 * (f[:, r - 1] + f[:, r]) / 2.0)
+                row[:, 1:] = np.minimum(
+                    row[:, 1:],
+                    up[:, :-1] + 4.0 * (f[:, r - 1, :-1] + f[:, r, 1:]) / 2.0,
+                )
+                row[:, :-1] = np.minimum(
+                    row[:, :-1],
+                    up[:, 1:] + 4.0 * (f[:, r - 1, 1:] + f[:, r, :-1]) / 2.0,
+                )
+            Wr = W[:, r]
+            row = np.minimum.accumulate(row - Wr, axis=1) + Wr
+            d[:, r] = row
+        for r in range(h - 1, -1, -1):
+            row = d[:, r]
+            if r < h - 1:
+                dn = d[:, r + 1]
+                row = np.minimum(row, dn + 3.0 * (f[:, r + 1] + f[:, r]) / 2.0)
+                row[:, 1:] = np.minimum(
+                    row[:, 1:],
+                    dn[:, :-1] + 4.0 * (f[:, r + 1, :-1] + f[:, r, 1:]) / 2.0,
+                )
+                row[:, :-1] = np.minimum(
+                    row[:, :-1],
+                    dn[:, 1:] + 4.0 * (f[:, r + 1, 1:] + f[:, r, :-1]) / 2.0,
+                )
+            Wrr = Wrev[:, r]
+            rev = row[:, ::-1]
+            rev = np.minimum.accumulate(rev - Wrr, axis=1) + Wrr
+            d[:, r] = rev[:, ::-1]
+        if np.array_equal(before, d):
+            break
+    return d / 3.0
+
+
+def summarize_tile_rows(rows, segs_of, cutoff: float,
+                        friction_from_lum: bool = False):
     """Shared batched kernel for both burn strategies: ``rows`` is an
     iterable of row tuples (image_id, bytes, fmt, w, h, fp_*…),
     ``segs_of(i, row)`` returns the candidate segment array for row i.
 
     Decode/burn/sums stay per-tile (bit-identical to tile_summary, the
     golden oracle); the chamfer transform runs BATCHED per (h, w) group.
+    ``friction_from_lum=True`` switches A2 to the NON-UNIFORM
+    cost-distance (weighted_cost_batch) over the tile's own luminance-
+    derived friction surface f = 1 + lum/255 — the graft's stand-in for
+    a co-registered friction raster band (denser population ⇒ slower
+    traversal), so ``cutoff`` then bounds metre·friction cost.
     Yields (pop_total, pop_near, px_total, px_near, n_segs) per row in
     input order."""
     rows = list(rows)
@@ -188,7 +265,11 @@ def summarize_tile_rows(rows, segs_of, cutoff: float):
             near[i] = np.zeros(m.shape, dtype=bool)
     for shape, idxs in by_shape.items():
         stack = np.stack([masks[i] for i in idxs])
-        dist = chamfer_distance_batch(stack)
+        if friction_from_lum:
+            fr = np.stack([1.0 + lums[i] / 255.0 for i in idxs])
+            dist = weighted_cost_batch(stack, fr)
+        else:
+            dist = chamfer_distance_batch(stack)
         for j, i in enumerate(idxs):
             near[i] = dist[j] * metas[i][2] <= cutoff
     for i, row in enumerate(rows):
@@ -249,6 +330,7 @@ def burn_cost_summaries(
     level: int = 6,
     strategy: str = "auto",
     broadcast_max_segs: int = 2_000_000,
+    friction_from_lum: bool = False,
 ) -> DataFrame:
     """A1+A2 distributed: per-image burn/cost-distance/masked-sum.
 
@@ -279,6 +361,7 @@ def burn_cost_summaries(
     → bigger per-group candidate seg lists (level 4: 40s); level 6 ≈ 8s.
     """
     cutoff = float(cutoff_m)
+    friction = bool(friction_from_lum)  # plain local for the UDF closures
     if strategy == "auto":
         # plan-stats bound, NOT segs.count() (r03 verdict: the eager
         # count was a full extra Spark job before the returned plan even
@@ -333,7 +416,7 @@ def burn_cost_summaries(
                 extra = [pdf[c].tolist() for c in passthrough]
                 sums = summarize_tile_rows(
                     rows, lambda i, r: bc.value.get(int(r.cell_id), empty),
-                    cutoff,
+                    cutoff, friction_from_lum=friction,
                 )
                 out = [
                     (row.image_id, int(row.cell_id), *s[:4], s[4],
@@ -367,7 +450,8 @@ def burn_cost_summaries(
         )
         rows = list(imgs.itertuples(index=False))
         extra = [imgs[c].tolist() for c in passthrough]
-        sums = summarize_tile_rows(rows, lambda i, r: seg_arr, cutoff)
+        sums = summarize_tile_rows(rows, lambda i, r: seg_arr, cutoff,
+                                   friction_from_lum=friction)
         out = [
             (row.image_id, key[0], *s[:4], s[4], *(col[j] for col in extra))
             for j, (row, s) in enumerate(zip(rows, sums))

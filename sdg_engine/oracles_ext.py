@@ -604,6 +604,13 @@ SELECT country_code,
 FROM read_parquet('{goldens_dir}/rai_per_image_sf0.01.parquet')
 GROUP BY country_code
 """
+    # image_cost_distance (r04): the A2 non-uniform-friction surface,
+    # certified by the independent per-image golden (Dijkstra-checked
+    # recurrence, generator pixels).
+    cost_distance = f"""
+SELECT image_id, pop_near_mils, CAST(px_near AS INT) AS px_near
+FROM read_parquet('{goldens_dir}/cost_distance_sf0.01.parquet')
+"""
     # multimodal audio/video (r04; was rows-only): the committed goldens
     # regenerate the clip/frame SPEC and reimplement the PCM16 quantize —
     # the engine WAV/rawvid codecs never touch the oracle side.
@@ -620,6 +627,7 @@ FROM read_parquet('{goldens_dir}/video_frames.parquet')
         "image_decode_stats": decode_stats,
         "image_thumbnails": thumbnails,
         "image_rai_summary": rai_summary,
+        "image_cost_distance": cost_distance,
         "multimodal_audio_features": audio_features,
         "multimodal_video_frames": video_frames,
     }

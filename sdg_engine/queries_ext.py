@@ -723,6 +723,37 @@ def image_rai_summary(spark, sf_dir):
     )
 
 
+def image_cost_distance(spark, sf_dir):
+    """A2 FULL — cost-distance over a NON-UNIFORM friction surface
+    (r04): per-tile accumulated cost from the burned road mask with
+    friction f = 1 + lum/255 derived from the tile's own pixels
+    (ops/raster.weighted_cost_batch — iterated weighted pushbroom
+    sweeps; reduces bit-for-bit to the 3-4 chamfer at f≡1, certified
+    against brute-force Dijkstra in tests).  ORACLE-CHECKED against the
+    committed independent per-image golden (scripts/make_goldens.py:
+    cost_distance_per_image_twin); integer-mils / pixel-count outputs
+    make the hash float-order-proof."""
+    from .ops import raster as RS
+    from .ops import spatial as SP
+
+    images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    subset = images.filter(F.col("image_id") < "img000000002000")
+    geo = SP.with_geo(subset)
+    tiles = RS.burn_cost_summaries(
+        geo.select("image_id", "lon", "lat", "bytes", "fmt", "w", "h",
+                   "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"),
+        SP.road_segments(roads),
+        cutoff_m=250.0,
+        friction_from_lum=True,
+    )
+    return tiles.select(
+        "image_id",
+        F.expr("CAST(FLOOR(pop_near * 1000 + 0.5) AS BIGINT)")
+        .alias("pop_near_mils"),
+        "px_near",
+    )
+
+
 def image_decode_stats(spark, sf_dir):
     """X1 decode stats, ORACLE-CHECKED (r03; was rows-only): every image
     is REALLY decoded (the ``ok`` flag is load-bearing for all five
@@ -1257,6 +1288,7 @@ QUERIES_EXT = {
     "anti_join_customers": anti_join_customers,
     "semi_join_parts": semi_join_parts,
     "image_rai_summary": image_rai_summary,
+    "image_cost_distance": image_cost_distance,
     "image_decode_stats": image_decode_stats,
     "image_near_dup_pairs": image_near_dup_pairs,
     "image_thumbnails": image_thumbnails,

@@ -9,6 +9,103 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
+def test_weighted_cost_uniform_reduces_to_chamfer():
+    """A2 full: friction ≡ 1 must reproduce the 3-4 chamfer transform
+    BIT-FOR-BIT (same sweep ops, prefix sums of constant 3.0 are the
+    exact integers arange·3)."""
+    import numpy as np
+
+    from sdg_engine.ops.raster import chamfer_distance_batch, weighted_cost_batch
+
+    rng = np.random.default_rng(11)
+    masks = rng.random((5, 29, 37)) < 0.05
+    masks[0] = False
+    masks[0, 14, 18] = True
+    got = weighted_cost_batch(masks, np.ones(masks.shape))
+    want = chamfer_distance_batch(masks)
+    assert (got == want).all()
+
+
+def test_weighted_cost_matches_dijkstra():
+    """A2 full vs a genuinely different algorithm: brute-force Dijkstra
+    on the 8-neighbour graph with friction-mean edge weights.  The
+    iterated sweeps must converge to the same fixpoint (tolerance for
+    float association order, which differs between prefix-sum sweeps
+    and path-order accumulation)."""
+    import heapq
+
+    import numpy as np
+
+    from sdg_engine.ops.raster import weighted_cost_batch
+
+    def dijkstra(mask, f):
+        h, w = mask.shape
+        dist = np.full((h, w), np.inf)
+        pq = []
+        for r, c in zip(*np.nonzero(mask)):
+            dist[r, c] = 0.0
+            heapq.heappush(pq, (0.0, int(r), int(c)))
+        while pq:
+            d, r, c = heapq.heappop(pq)
+            if d > dist[r, c]:
+                continue
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < h and 0 <= cc < w:
+                        base = 4.0 if dr and dc else 3.0
+                        nd = d + base * (f[r, c] + f[rr, cc]) / 2.0
+                        if nd < dist[rr, cc]:
+                            dist[rr, cc] = nd
+                            heapq.heappush(pq, (nd, rr, cc))
+        return dist / 3.0
+
+    rng = np.random.default_rng(23)
+    for _ in range(5):
+        mask = rng.random((22, 26)) < 0.04
+        if not mask.any():
+            mask[11, 13] = True
+        # smooth friction in [1, 3]: a blurred random field
+        f = rng.random((22, 26))
+        for _s in range(3):
+            f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+                 + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+        f = 1.0 + 2.0 * (f - f.min()) / (f.max() - f.min())
+        got = weighted_cost_batch(mask[None], f[None])[0]
+        want = dijkstra(mask, f)
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_weighted_cost_twin_matches_engine():
+    """The golden generator's per-tile twin equals the engine's batched
+    form bit-for-bit (slab ops vs 1-D ops, same IEEE sequence)."""
+    import importlib.util
+    import os
+    import sys
+
+    import numpy as np
+
+    from sdg_engine.ops.raster import weighted_cost_batch
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "scripts", "make_goldens.py")
+    spec = importlib.util.spec_from_file_location("make_goldens", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("make_goldens", mod)
+    spec.loader.exec_module(mod)
+    rng = np.random.default_rng(31)
+    masks = rng.random((3, 33, 17)) < 0.06
+    fr = 1.0 + rng.random((3, 33, 17))
+    got = weighted_cost_batch(masks, fr)
+    for k in range(3):
+        m = masks[k].copy()
+        if not m.any():
+            continue
+        assert (mod._weighted_cost_twin(m, fr[k]) == got[k]).all()
+
+
 def test_kmeans_lloyd_monotonicity(spark):
     """Each Lloyd iteration cannot increase total within-cluster squared
     distance (assignment and update steps are both argmin/mean optimal).
