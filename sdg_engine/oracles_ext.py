@@ -112,6 +112,8 @@ _BAND1 = " + ".join(
     for j in range(4, 8)
 )
 
+# stop-bucket rule: buckets larger than queries_ext._NEARDUP_STOP_BUCKET
+# (4096) are dropped on BOTH engines — the 100 TB candidate-volume bound
 EMBEDDING_COSINE_NEARDUP = f"""
 WITH base AS (
   SELECT vec_id, embedding,
@@ -120,9 +122,14 @@ WITH base AS (
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 ),
-bands AS (
+bands0 AS (
   SELECT vec_id, 0 AS band, b0 AS bval FROM base UNION ALL
   SELECT vec_id, 1, b1 FROM base
+),
+bsz AS (SELECT band, bval, COUNT(*) AS bn FROM bands0 GROUP BY band, bval),
+bands AS (
+  SELECT b.vec_id, b.band, b.bval
+  FROM bands0 b JOIN bsz USING (band, bval) WHERE bsz.bn <= 4096
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -300,6 +307,12 @@ STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
 """
+
+# watermarked variant: with the 7-day horizon >> the fixture doc_id
+# span, dropDuplicatesWithinWatermark provably equals first-occurrence
+# dedup (no state eviction during the drain), so the oracle is the
+# same relational COUNT(DISTINCT).
+STREAMING_DEDUP_WATERMARKED = STREAMING_DEDUP_DOCS
 
 WINDOWS_SUITE = """
 SELECT o_custkey, o_orderkey,
@@ -641,6 +654,7 @@ ORACLES_EXT = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS,
     "sample_stratified": SAMPLE_STRATIFIED,
     "streaming_dedup_docs": STREAMING_DEDUP_DOCS,
+    "streaming_dedup_watermarked": STREAMING_DEDUP_WATERMARKED,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,

@@ -275,6 +275,14 @@ def ann_ivf_topk(spark, sf_dir):
     return result
 
 
+# Stop-bucket bound for the neardup band join: a band bucket larger
+# than this is dropped on BOTH engines (part of the defined semantics).
+# 4096 rows ⇒ worst bucket contributes ≤ 8.4M candidate pairs — bounded
+# per-bucket fan-out at any corpus size; harness-scale buckets are
+# ~100-400 rows, far below the cap (pinned by test).
+_NEARDUP_STOP_BUCKET = 4096
+
+
 def embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs — the vector-space dedup flavor
     (exact cos ≥ τ verification over banded sign-LSH candidates).
@@ -285,28 +293,64 @@ def embedding_cosine_neardup(spark, sf_dir):
     pay the exact 64-dim cosine.  Banding is the OR-amplification that
     makes threshold recall tunable (more/narrower bands → higher recall);
     the DEFINED semantics — pairs sharing ≥1 band AND cos > 0.40 — are
-    deterministic, so the DuckDB oracle matches exactly."""
+    deterministic, so the DuckDB oracle matches exactly.
+
+    r04 perf rewrite (measured 7.6 s → 1.9-2.7 s at sf0.1, same 344
+    pairs): (1) the base projection is PERSISTED — it used to be
+    re-evaluated on THREE branches (bands + both exact-cos join sides),
+    each paying 8 interpreted HOF plane dots per vector (the
+    ann_ivf_topk lesson, CLAUDE.md gotcha 16); (2) the plane dots are
+    computed by posexplode + one map-side-combined codegen'd aggregation
+    instead of interpreted HOF folds — same left-fold association
+    (partial sums accumulate in dim order, merge adds to null), so
+    DuckDB's sequential list fold still matches bit-for-bit.  Cost: one
+    narrow (vec_id, 9 doubles) agg shuffle + a 1:1 join back; a
+    recall-tolerant deployment would use an Arrow pandas-UDF matmul
+    (zero shuffle) but its blocked float order breaks oracle parity.
+    Candidate-volume bound for 100 TB: buckets larger than
+    ``_NEARDUP_STOP_BUCKET`` rows are DROPPED (stop-bucket rule, the
+    ngram-index trick) — a boilerplate band value at 10^9 vectors would
+    otherwise create one 10^18-pair join group; the rule is part of the
+    defined semantics and the oracle applies it identically (no bucket
+    reaches the cap at harness scales, verified by test)."""
+    from pyspark import StorageLevel
+
     emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("pos", "x"),
+    )
+    aggs = [
+        F.sum(F.expr(
+            f"x * CAST(((pos + 1) * 31 + {j} * 17) * 2654435761 % 1000 - 500 "
+            "AS DOUBLE)"
+        )).alias(f"d{j}")
+        for j in range(8)
+    ]
+    aggs.append(F.sum(F.expr("x * x")).alias("n2"))
+    dots = ex.groupBy("vec_id").agg(*aggs)
     b0 = " + ".join(
-        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN d{j} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
         for j in range(4)
     )
     b1 = " + ".join(
-        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << (j - 4)} ELSE 0 END)"
+        f"(CASE WHEN d{j} > CAST(0 AS DOUBLE) THEN {1 << (j - 4)} ELSE 0 END)"
         for j in range(4, 8)
     )
-    norm = F.expr(
-        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
-        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
-    base = emb.select(
-        "vec_id", "embedding", norm.alias("nrm"),
+    base = emb.join(dots, "vec_id").select(
+        "vec_id", "embedding",
+        F.expr("SQRT(n2)").alias("nrm"),
         F.expr(f"({b0})").cast("int").alias("b0"),
         F.expr(f"({b1})").cast("int").alias("b1"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     bands = base.select(
         "vec_id", F.expr("stack(2, 0, b0, 1, b1) AS (band, bval)")
     )
+    sizes = bands.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("_bn"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= _NEARDUP_STOP_BUCKET)),
+        ["band", "bval"],
+    ).drop("_bn")
     cand = (
         bands.alias("a")
         .join(
@@ -331,13 +375,22 @@ def embedding_cosine_neardup(spark, sf_dir):
         f"(CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE))"
         for i in range(64)  # fixture embeddings are fixed 64-dim
     ) + ")"
-    return (
+    result = (
         cand.join(base.alias("a"), cand["vec_a"] == F.col("a.vec_id"))
         .join(base.alias("b"), cand["vec_b"] == F.col("b.vec_id"))
         .withColumn("cos_sim", F.expr(f"{dot} / (a.nrm * b.nrm)"))
         .filter(F.col("cos_sim") > 0.40)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+    # materialize the (small) pair set while the base cache is live, then
+    # RELEASE it (the minhash/ann_ivf template; same persisted-result
+    # lifetime contract — consumers get the cached frame)
+    from pyspark import StorageLevel as _SL
+
+    result = result.persist(_SL.DISK_ONLY)
+    result.count()
+    base.unpersist()
+    return result
 
 
 def kmeans_embeddings(spark, sf_dir, k: int = 8, iters: int = 2):
@@ -916,19 +969,43 @@ def multimodal_audio_features(spark, sf_dir):
 
 
 
-def _drain_and_cleanup(spark, base: str, result_df):
-    """Materialize a (small) streaming-query aggregate into the driver,
-    delete the whole mkdtemp tree (input copy + checkpoint + sink), and
-    return a DataFrame over the collected rows (r03 review: each
-    invocation leaked tens of MB of /tmp copies otherwise).  Safe
-    because every streaming harness result is an aggregate over the
-    sink — a few rows to a few thousand."""
-    import shutil
+_STREAM_ROOTS: set = set()
 
-    rows = result_df.collect()
-    schema = result_df.schema
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+
+def _stream_base(spark, prefix: str) -> str:
+    """Private temp dir for one streaming invocation (input copy +
+    checkpoint + sink), under a per-(user, Spark-app) root that is
+    deleted at interpreter exit — so streaming builders can return
+    their sink DataFrames LAZILY (r04 verdict item 8: the old
+    _drain_and_cleanup collect()ed every streaming result into the
+    driver, silently capping result size; no queries() builder calls
+    .collect() anymore).  Stale sibling roots from dead sessions are
+    reaped opportunistically after 24 h, bounding /tmp growth the same
+    way the dim-table publish does."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = os.path.join(tempfile.gettempdir(), f"sdg_stream_u{os.getuid()}")
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for name in os.listdir(base):
+        p = os.path.join(base, name)
+        try:
+            if os.path.isdir(p) and now - os.path.getmtime(p) > 86400:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrent reaper / permission race — best effort
+    root = os.path.join(
+        base, spark.sparkContext.applicationId.replace("/", "_")
+    )
+    os.makedirs(root, exist_ok=True)
+    if root not in _STREAM_ROOTS:
+        _STREAM_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
 def streaming_hourly_closed(spark, sf_dir):
@@ -944,7 +1021,7 @@ def streaming_hourly_closed(spark, sf_dir):
     from . import streaming as STR
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    base = tempfile.mkdtemp(prefix="sdg_stream_")
+    base = _stream_base(spark, "hourly_")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
@@ -954,7 +1031,7 @@ def streaming_hourly_closed(spark, sf_dir):
         F.unix_timestamp("hour_start").alias("hour_epoch"),
         "event_type", "n", "sum_value_floor",
     )
-    return _drain_and_cleanup(spark, base, res)
+    return res
 
 
 def streaming_dedup_docs(spark, sf_dir):
@@ -969,7 +1046,7 @@ def streaming_dedup_docs(spark, sf_dir):
 
     from . import streaming as STR
 
-    base = tempfile.mkdtemp(prefix="sdg_sdedup_")
+    base = _stream_base(spark, "sdedup_")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     shutil.copy(f"{sf_dir}/documents.parquet", os.path.join(in_dir, "documents.parquet"))
@@ -980,7 +1057,37 @@ def streaming_dedup_docs(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    return _drain_and_cleanup(spark, base, res)
+    return res
+
+
+def streaming_dedup_watermarked(spark, sf_dir):
+    """Watermark-BOUNDED streaming dedup (r04 verdict item 7):
+    ``dropDuplicatesWithinWatermark`` over a deterministic event time
+    (ts = epoch + doc_id s) — state lives only inside the lateness
+    horizon instead of ∝ all distinct keys (the plain dropDuplicates
+    twin documents its unbounded state).  Run here with the 7-day
+    horizon ≫ the fixture's doc_id span, where the drained result
+    provably equals first-occurrence dedup — so the DuckDB oracle is
+    the same COUNT(DISTINCT).  The horizon-crossing behavior
+    (re-emission after state eviction) is pinned separately in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+
+    from . import streaming as STR
+
+    base = _stream_base(spark, "sdwm_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet",
+                os.path.join(in_dir, "documents.parquet"))
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    STR.stream_dedup_docs_watermarked(spark, in_dir, out, ck)
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
 
 
 def streaming_interval_join(spark, sf_dir):
@@ -996,7 +1103,7 @@ def streaming_interval_join(spark, sf_dir):
     from . import streaming as STR
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    base = tempfile.mkdtemp(prefix="sdg_sij_")
+    base = _stream_base(spark, "sij_")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet"))
@@ -1011,7 +1118,7 @@ def streaming_interval_join(spark, sf_dir):
             F.max("view_id").alias("max_view"),
         )
     )
-    return _drain_and_cleanup(spark, base, res)
+    return res
 
 
 
@@ -1026,7 +1133,7 @@ def _format_roundtrip(spark, sf_dir, fmt: str, last_agg):
     import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    base = tempfile.mkdtemp(prefix=f"sdg_{fmt}_")
+    base = _stream_base(spark, f"{fmt}_")
     out = os.path.join(base, "out")
     schema = "doc_id bigint, lang string, n_chars bigint"
     if fmt == "json":
@@ -1045,7 +1152,7 @@ def _format_roundtrip(spark, sf_dir, fmt: str, last_agg):
         F.sum("n_chars").cast("long").alias("sum_chars"),
         last_agg,
     )
-    return _drain_and_cleanup(spark, base, res)
+    return res
 
 
 def jsonl_roundtrip_docs(spark, sf_dir):
@@ -1229,21 +1336,16 @@ def mvt_tile_stats(spark, sf_dir):
     the identical ``* - <=`` SAT expressions and matches bit-for-bit.
     The protobuf blob bytes (still produced by this same write) have no
     relational twin and stay pinned byte-exactly in tests/test_mvt.py."""
-    import os
-    import tempfile
-
     from . import mvt as MVT
     from .harness import segments_df
 
     segs = segments_df(spark, sf_dir)
-    # per-invocation private dir (r03 review: the fixed shared /tmp path
-    # was pre-seedable by other users and raced concurrent sessions —
-    # the same class ADVICE r02 removed from the dim tables)
-    out = tempfile.mkdtemp(prefix="sdg_mvt_harness_")
+    # per-invocation private dir under the session temp root (r03
+    # review: a fixed shared /tmp path was pre-seedable by other users;
+    # r04: deferred cleanup so the result stays lazy)
+    out = _stream_base(spark, "mvt_")
     tiles = MVT.write_road_mvt(segs, out, level=4)
-    return _drain_and_cleanup(
-        spark, out, tiles.select("z", "tx", "ty", "n_features")
-    )
+    return tiles.select("z", "tx", "ty", "n_features")
 
 
 def multimodal_video_frames(spark, sf_dir):
@@ -1274,6 +1376,7 @@ QUERIES_EXT = {
     "kmeans_embeddings": kmeans_embeddings,
     "sample_stratified": sample_stratified,
     "streaming_dedup_docs": streaming_dedup_docs,
+    "streaming_dedup_watermarked": streaming_dedup_watermarked,
     "streaming_interval_join": streaming_interval_join,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,

@@ -293,3 +293,64 @@ def test_cells_to_buckets_pruned_read(spark, tmp_path):
     # every requested cell's rows are present (superset read)
     got_cells = set(got["cell_l7"])
     assert {int(c) for c in cells} <= got_cells
+
+
+def test_minhash_bucketed_band_join_is_exchange_free(spark):
+    """r04 (verdict item 5): the minhash band self-join over a BUCKETED
+    (band, mh) layout plans bucket-aligned — the only hash exchange left
+    is the final pair aggregation, never the join inputs.  Measured at
+    sf0.1: layout write 2.6 s + join 0.87 s vs 0.83 s warm for the
+    default salted exchange join — NEGATIVE per single pass (documented
+    in BENCH/BASELINE.md), so the salted join stays the default and this
+    pin keeps the reuse-layout capability honest (it pays when one
+    signature layout feeds repeated dedup passes)."""
+    from sdg_engine.queries import _minhash_sig_df, _t
+
+    sig = _minhash_sig_df(_t(spark, SF, "documents"))
+    bands = sig.selectExpr(
+        "doc_id", "stack(4, 1, mh1, 2, mh2, 3, mh3, 4, mh4) AS (band, mh)"
+    )
+    spark.sql("DROP TABLE IF EXISTS mh_bands_bkt_test")
+    (bands.write.mode("overwrite").bucketBy(8, "band", "mh")
+     .sortBy("band", "mh").saveAsTable("mh_bands_bkt_test"))
+    bt = spark.table("mh_bands_bkt_test")
+    pairs = (
+        bt.alias("a")
+        .join(bt.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.mh") == F.col("b.mh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    plan = _plan(pairs)
+    assert plan.count("Exchange hashpartitioning") == 1  # pair agg only
+    # and the result matches the default salted-join query exactly
+    from sdg_engine.queries import QUERIES
+
+    want = QUERIES["minhash_lsh_pairs"](spark, SF)
+    got_pdf = pairs.orderBy("doc_a", "doc_b").toPandas()
+    want_pdf = want.orderBy("doc_a", "doc_b").toPandas()
+    pd.testing.assert_frame_equal(got_pdf, want_pdf, check_dtype=False)
+    spark.sql("DROP TABLE IF EXISTS mh_bands_bkt_test")
+
+
+def test_neardup_buckets_below_stop_cap(spark):
+    """The stop-bucket rule must be INERT at harness scales (the oracle
+    and engine agree trivially when nothing is dropped): largest
+    (band, bval) bucket stays far below _NEARDUP_STOP_BUCKET."""
+    from sdg_engine.queries_ext import _NEARDUP_STOP_BUCKET
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from sdg_engine.queries_ext import _dot_plane_expr
+
+    b0 = " + ".join(
+        f"(CASE WHEN {_dot_plane_expr(j)} > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    mx = (
+        emb.select(F.expr(f"({b0})").alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert mx < _NEARDUP_STOP_BUCKET / 4

@@ -203,3 +203,52 @@ def test_stream_sessionize_late_event_does_not_crash(spark, tmp_path):
     got = spark.read.parquet(out)
     # user 1's t=0 session was closed by the event-time timeout
     assert got.filter(F.col("user_id") == 1).count() >= 1
+
+
+def test_stream_dedup_watermarked_state_is_horizon_bounded(spark, tmp_path):
+    """r04 (verdict item 7): dropDuplicatesWithinWatermark must (a) drop
+    duplicates arriving INSIDE the lateness horizon, and (b) EVICT a
+    key's state once the watermark passes its ts + delay — proven by the
+    re-emission of a duplicate arriving beyond the horizon (under plain
+    dropDuplicates it would still be dropped; state there only grows)."""
+    in_dir = str(tmp_path / "in_wm")
+    os.makedirs(in_dir)
+
+    def _docs(name, rows):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["s"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(os.path.join(in_dir, name))
+
+    # batch 1: A first seen at t=1 (NOT t=0 — the initial watermark is
+    # 0 and rows at/below it are dropped as late, empirically), B at t=5
+    _docs("a.parquet", [(1, "textA"), (5, "textB")])
+    # batch 2: B duplicate at t=7 (inside the 10 s horizon -> dropped);
+    # the t=50 row advances the watermark for LATER batches to 40
+    _docs("b.parquet", [(7, "textB"), (50, "textC")])
+    # batch 3 (filler): state cleanup runs at END of the batch whose
+    # eviction watermark (40 s) covers A (1+10) and B (5+10) — eviction
+    # is end-of-batch, AFTER input processing, so the re-emission probe
+    # must arrive one batch later
+    _docs("c.parquet", [(60, "textD")])
+    # batch 4: A duplicate at t=100 — state evicted, so it RE-EMITS
+    _docs("d.parquet", [(100, "textA")])
+
+    out, ck = str(tmp_path / "out_wm"), str(tmp_path / "ck_wm")
+    STR.stream_dedup_docs_watermarked(
+        spark, in_dir, out, ck, watermark="10 seconds", max_files=1
+    )
+    got = spark.read.parquet(out).toPandas()
+    import hashlib
+
+    fp = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    counts = got.groupby("fp").size().to_dict()
+    assert counts[fp("textA")] == 2  # re-emitted beyond the horizon
+    assert counts[fp("textB")] == 1  # duplicate inside horizon dropped
+    assert counts[fp("textC")] == 1
+    assert counts[fp("textD")] == 1
