@@ -156,6 +156,7 @@ def main() -> None:
     make_multimodal_goldens()
     make_rai_per_image_golden()
     make_cost_distance_golden()
+    make_warp_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -639,6 +640,50 @@ def make_cost_distance_golden(sf: float = 0.01, n_limit: int = 2000) -> None:
     )
     n_near = sum(1 for r in rows if r[2] > 0)
     print(f"cost-distance golden: {len(rows)} rows ({n_near} with reachable px)")
+
+
+def make_warp_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_warp_utm query (r04): per
+    image (non-jpg), the UTM-zone-31 nearest-neighbour warp checksums
+    computed from GENERATOR pixels (qnt via the reimplemented quantize
+    twin) — the engine side decodes fixture bytes through the codecs,
+    so a codec or footprint regression flips the integer sums."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.crs import warp_tile
+
+    fmts = FX.FMTS + ["qnt"]
+    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
+    ids, sums, fills = [], [], []
+    for i in range(n_limit):
+        image_id = f"img{i:012d}"
+        fmt = fmts[i % len(fmts)]
+        if fmt == "jpg":
+            continue
+        lon, lat = FX.lonlat_of(image_id)
+        w = h = size_mix[i % len(size_mix)]
+        px = FX.make_image_pixels(i, lon, lat, w, h)
+        if fmt == "qnt":
+            q = (px.astype(np.uint16) // 4).astype(np.uint8)
+            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        half = 0.004 * (1.0 + (i % 5) / 4.0)
+        warped = warp_tile(
+            px, (lon - half, lat - half, lon + half, lat + half),
+            "UTM:31", 32, 32,
+        )
+        ids.append(image_id)
+        sums.append(int(warped.astype(np.int64).sum()))
+        fills.append(int((warped != 0).any(axis=2).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "warp_sum": pa.array(sums, pa.int64()),
+            "n_nonfill": pa.array(fills, pa.int32()),
+        }),
+        os.path.join(OUT, f"warp_utm_sf{sf:g}.parquet"),
+    )
+    print(f"warp golden: {len(ids)} rows")
 
 
 def make_rai_per_image_golden(sf: float = 0.01) -> None:

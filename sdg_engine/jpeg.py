@@ -303,13 +303,16 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 92,
-                subsample: str = "444") -> bytes:
+                subsample: str = "444", interleaved: bool = True) -> bytes:
     """Baseline JFIF encode of an (h, w, 3) uint8 RGB array.
 
     ``subsample``: "444" (no chroma subsampling — the fidelity default
     for the PSNR≥40 dB gate) or "420" (2×2-averaged chroma, the
     dominant real-world layout — exercises the decoder's general
-    sampling-factor path)."""
+    sampling-factor path).  ``interleaved=False`` writes one scan per
+    component (spec-legal non-interleaved baseline, T.81 §A.2.2 — some
+    real-world encoders emit this; exercises the decoder's multi-scan
+    path added r04)."""
     h, w, c = img.shape
     assert c == 3 and img.dtype == np.uint8
     assert subsample in ("444", "420")
@@ -349,24 +352,46 @@ def encode_jpeg(img: np.ndarray, quality: int = 92,
         comp_zz.append(q.reshape(-1, 64)[:, ZIGZAG])
         grids.append((mcuy * cv, mcux * cw_))
 
-    # interleaved MCU scan: per MCU, h×v blocks per component in raster
-    # order within the MCU (spec interleave)
-    bw = _BitWriter()
-    prev_dc = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(3):
-                t = 0 if ci == 0 else 1
-                ch_, cv = hv[ci]
-                _bh, bw_cols = grids[ci]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        row = my * cv + by
-                        col = mx * ch_ + bx
-                        zz = comp_zz[ci][row * bw_cols + col]
-                        prev_dc[ci] = _encode_block(
-                            bw, zz, prev_dc[ci], dc_codes[t], ac_codes[t]
-                        )
+    if interleaved:
+        # interleaved MCU scan: per MCU, h×v blocks per component in
+        # raster order within the MCU (spec interleave)
+        bw = _BitWriter()
+        prev_dc = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    t = 0 if ci == 0 else 1
+                    ch_, cv = hv[ci]
+                    _bh, bw_cols = grids[ci]
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            row = my * cv + by
+                            col = mx * ch_ + bx
+                            zz = comp_zz[ci][row * bw_cols + col]
+                            prev_dc[ci] = _encode_block(
+                                bw, zz, prev_dc[ci], dc_codes[t], ac_codes[t]
+                            )
+        scans = [bw]
+    else:
+        # one scan per component; T.81 A.2.2: a non-interleaved scan
+        # codes exactly ceil(ceil(dim·h_c/hmax)/8) blocks per axis of
+        # the DECLARED (unpadded) dimensions — the padded block grid
+        # may be wider (420 luma), those blocks are simply not coded
+        scans = []
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            bwr = _BitWriter()
+            _bh, bw_cols = grids[ci]
+            x_c = -(-(w * hv[ci][0]) // hmax)  # ceil(w·h_c/hmax)
+            y_c = -(-(h * hv[ci][1]) // vmax)
+            bw_c = -(-x_c // 8)
+            bh_c = -(-y_c // 8)
+            prev = 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    zz = comp_zz[ci][by * bw_cols + bx]
+                    prev = _encode_block(bwr, zz, prev, dc_codes[t], ac_codes[t])
+            scans.append(bwr)
 
     # --- marker stream ---
     out = bytearray(b"\xff\xd8")  # SOI
@@ -387,12 +412,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 92,
     ):
         payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
-    for ci in range(3):
-        t = 0 if ci == 0 else 1
-        out += bytes([ci + 1, (t << 4) | t])
-    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-    out += bw.tobytes()
+    if interleaved:
+        out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (t << 4) | t])
+        out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+        out += scans[0].tobytes()
+    else:
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            out += bytes([ci + 1, (t << 4) | t])
+            out += b"\x00\x3f\x00"
+            out += scans[ci].tobytes()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -400,8 +433,150 @@ def encode_jpeg(img: np.ndarray, quality: int = 92,
 # --- decoder ------------------------------------------------------------------
 
 
+def _entropy_segments(scan: bytes) -> list[bytes]:
+    """Unstuff FF00 and split on restart markers (segment boundaries
+    reset DC prediction + bit alignment)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    end = len(scan)
+    while i < end:
+        b0 = scan[i]
+        if b0 == 0xFF:
+            b1 = scan[i + 1] if i + 1 < end else 0xD9
+            if b1 == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= b1 <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # next true marker
+        cur.append(b0)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_block(win, bp, blk, dsym, dlen, asym, alen, prev_dc):
+    """Huffman-decode one 8×8 data unit into ``blk`` (zigzag order);
+    returns (new bit position, new DC predictor)."""
+    wv = int(win[bp])
+    s = int(dsym[wv])
+    bp += int(dlen[wv])
+    if s:
+        v = int(win[bp]) >> (16 - s)
+        bp += s
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+    else:
+        v = 0
+    prev_dc += v
+    blk[0] = prev_dc
+    k = 1
+    while k < 64:
+        wv = int(win[bp])
+        rs = int(asym[wv])
+        bp += int(alen[wv])
+        if rs == 0:  # EOB
+            break
+        run = rs >> 4
+        size = rs & 15
+        if size == 0:
+            k += 16 if run == 15 else 64  # ZRL / EOB-ish
+            continue
+        k += run
+        v = int(win[bp]) >> (16 - size)
+        bp += size
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        blk[k] = v
+        k += 1
+    return bp, prev_dc
+
+
+def _decode_scan_segments(scan, scan_comps, comps, huff, restart_interval,
+                          store, mcux, mcuy, hmax, vmax, w, h) -> None:
+    """Entropy-decode ONE scan (T.81 §A.2): fully-interleaved (MCU
+    loop) or non-interleaved single-component (data-unit raster over
+    the component's OWN ceil(x_c/8) × ceil(y_c/8) block grid — which
+    may be narrower than the padded MCU grid; uncoded padding blocks
+    stay zero and are cropped after IDCT).  r04: multi-scan baseline
+    JPEGs (one scan per component) decode through this path."""
+    segments = _entropy_segments(scan)
+    if len(scan_comps) == len(comps):
+        n_units = mcux * mcuy
+        done = 0
+        for seg in segments:
+            if done >= n_units:
+                break
+            win, nbits = _bit_windows(seg)
+            bp = 0
+            prev_dc = [0] * len(comps)
+            seg_mcus = (
+                min(restart_interval, n_units - done)
+                if restart_interval
+                else n_units - done
+            )
+            for _ in range(seg_mcus):
+                for sc in scan_comps:
+                    ci = sc["_k"]  # comps/store index (SOS order may differ)
+                    dsym, dlen = huff[(0, sc["td"])]
+                    asym, alen = huff[(1, sc["ta"])]
+                    for by in range(sc["v"]):
+                        for bx in range(sc["h"]):
+                            mx = done % mcux
+                            my = done // mcux
+                            row = my * sc["v"] + by
+                            col = mx * sc["h"] + bx
+                            blk = store[ci][row * (mcux * sc["h"]) + col]
+                            bp, prev_dc[ci] = _decode_block(
+                                win, bp, blk, dsym, dlen, asym, alen,
+                                prev_dc[ci],
+                            )
+                done += 1
+            if bp > nbits:
+                raise ValueError("bitstream overrun")
+        return
+    # non-interleaved: one component, data units in raster order
+    sc = scan_comps[0]
+    ci = sc["_k"]
+    dsym, dlen = huff[(0, sc["td"])]
+    asym, alen = huff[(1, sc["ta"])]
+    grid_cols = mcux * sc["h"]
+    x_c = -(-(w * sc["h"]) // hmax)
+    y_c = -(-(h * sc["v"]) // vmax)
+    bw_c = -(-x_c // 8)
+    bh_c = -(-y_c // 8)
+    n_units = bw_c * bh_c
+    done = 0
+    for seg in segments:
+        if done >= n_units:
+            break
+        win, nbits = _bit_windows(seg)
+        bp = 0
+        prev_dc = 0
+        seg_units = (
+            min(restart_interval, n_units - done)
+            if restart_interval
+            else n_units - done
+        )
+        for _ in range(seg_units):
+            by, bx = divmod(done, bw_c)
+            blk = store[ci][by * grid_cols + bx]
+            bp, prev_dc = _decode_block(
+                win, bp, blk, dsym, dlen, asym, alen, prev_dc
+            )
+            done += 1
+        if bp > nbits:
+            raise ValueError("bitstream overrun")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline-sequential decode → (h, w, 3) uint8 RGB."""
+    """Baseline-sequential decode → (h, w, 3) uint8 RGB.  Interleaved
+    and (r04) non-interleaved multi-scan baseline streams."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (no SOI)"
     pos = 2
     qt: dict[int, np.ndarray] = {}
@@ -409,7 +584,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
-    scan: bytes | None = None
+    store: list[np.ndarray] | None = None
+    hmax = vmax = mcux = mcuy = 0
+    n_scans = 0
     scan_comps: list[dict] = []
     while pos + 4 <= len(data):
         assert data[pos] == 0xFF, f"marker sync lost at {pos}"
@@ -459,126 +636,54 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows until EOI
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
             ns = payload[0]
-            if ns != len(comps):
-                # T.81 allows several non-interleaved scans (one comp
-                # each); the MCU loop below decodes a SINGLE interleaved
-                # scan only — fail loudly instead of misdecoding
+            if ns not in (1, len(comps)):
                 raise ValueError(
-                    f"non-interleaved baseline JPEG (scan has {ns} of "
-                    f"{len(comps)} components) is not supported"
+                    f"unsupported scan interleave ({ns} of {len(comps)} "
+                    "components; baseline supports fully-interleaved or "
+                    "one-component scans)"
                 )
             scan_comps = []
             for si in range(ns):
                 cid, tt = payload[1 + 2 * si:3 + 2 * si]
                 k = next(i_ for i_, c in enumerate(comps) if c["id"] == cid)
                 # "_k": index into comps/store — the SOS may list
-                # components in a different order than SOF (spec-legal),
-                # so the MCU loop must NOT assume scan order == SOF order
+                # components in a different order than SOF (spec-legal)
                 scan_comps.append(
                     {**comps[k], "_k": k, "td": tt >> 4, "ta": tt & 15}
                 )
-            scan = data[pos:]
-            break
+            if store is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # per-component quantized coefficient store (zigzag)
+                store = [
+                    np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
+                             dtype=np.int32)
+                    for c in comps
+                ]
+            # entropy data runs to the next true marker (FF00 stuffing
+            # and RSTn belong to the scan)
+            epos = pos
+            end = len(data)
+            while epos < end:
+                if data[epos] == 0xFF and epos + 1 < end:
+                    nxt = data[epos + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        epos += 2
+                        continue
+                    break
+                epos += 1
+            _decode_scan_segments(
+                data[pos:epos], scan_comps, comps, huff, restart_interval,
+                store, mcux, mcuy, hmax, vmax, w, h,
+            )
+            n_scans += 1
+            pos = epos
         # other markers (APPn, COM): skipped via seglen
-    assert scan is not None and comps, "no scan data"
-
-    # unstuff + strip restart markers (segment boundaries reset DC + bits,
-    # but our windows are rebuilt per segment below)
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    end = len(scan)
-    while i < end:
-        b0 = scan[i]
-        if b0 == 0xFF:
-            b1 = scan[i + 1] if i + 1 < end else 0xD9
-            if b1 == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= b1 <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b0)
-        i += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-    # per-component quantized coefficient store (zigzag order)
-    store = [
-        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
-        for c in comps
-    ]
-
-    mcu_done = 0
-    for seg in segments:
-        if mcu_done >= n_mcu:
-            break
-        win, nbits = _bit_windows(seg)
-        bp = 0
-        prev_dc = [0] * len(comps)
-        seg_mcus = (
-            min(restart_interval, n_mcu - mcu_done)
-            if restart_interval
-            else n_mcu - mcu_done
-        )
-        for _ in range(seg_mcus):
-            for sc in scan_comps:
-                ci = sc["_k"]  # comps/store index (SOS order may differ)
-                dsym, dlen = huff[(0, sc["td"])]
-                asym, alen = huff[(1, sc["ta"])]
-                for by in range(sc["v"]):
-                    for bx in range(sc["h"]):
-                        mx = mcu_done % mcux
-                        my = mcu_done // mcux
-                        row = my * sc["v"] + by
-                        col = mx * sc["h"] + bx
-                        blk = store[ci][row * (mcux * sc["h"]) + col]
-                        # DC
-                        wv = int(win[bp])
-                        s = int(dsym[wv])
-                        bp += int(dlen[wv])
-                        if s:
-                            v = int(win[bp]) >> (16 - s)
-                            bp += s
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                        else:
-                            v = 0
-                        prev_dc[ci] += v
-                        blk[0] = prev_dc[ci]
-                        # AC
-                        k = 1
-                        while k < 64:
-                            wv = int(win[bp])
-                            rs = int(asym[wv])
-                            bp += int(alen[wv])
-                            if rs == 0:  # EOB
-                                break
-                            run = rs >> 4
-                            size = rs & 15
-                            if size == 0:
-                                k += 16 if run == 15 else 64  # ZRL / EOB-ish
-                                continue
-                            k += run
-                            v = int(win[bp]) >> (16 - size)
-                            bp += size
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                            blk[k] = v
-                            k += 1
-            mcu_done += 1
-        if bp > nbits:
-            raise ValueError("bitstream overrun")
+    assert n_scans > 0 and comps, "no scan data"
 
     # dequant + IDCT per component (vectorized over blocks), then upsample
     planes = []

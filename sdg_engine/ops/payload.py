@@ -224,3 +224,42 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 12) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def warp_checksums(images_geo: DataFrame, dst_crs: str,
+                   out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """X6 reprojection surface (r04): decode each tile and WARP it from
+    its plate-carrée footprint onto a regular ``dst_crs`` grid
+    (crs.warp_tile, nearest-neighbour — the GeoTrellis tile.reproject
+    analogue).  Emits INTEGER checksums (sum of all warped channel
+    bytes, count of non-fill pixels), which are hash-stable, so the
+    harness query over this op is golden-oracle-checked.
+
+    Needs fp_xmin..fp_ymax from ops.spatial.with_geo."""
+
+    def _warp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+        from sdg_engine.crs import warp_tile
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                warped = warp_tile(
+                    img, (r.fp_xmin, r.fp_ymin, r.fp_xmax, r.fp_ymax),
+                    dst_crs, out_w, out_h,
+                )
+                out.append((
+                    r.image_id,
+                    int(warped.astype(np.int64).sum()),
+                    int((warped != 0).any(axis=2).sum()),
+                ))
+            yield pd.DataFrame(
+                out, columns=["image_id", "warp_sum", "n_nonfill"]
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h",
+            "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    return images_geo.select(*cols).mapInPandas(
+        _warp, "image_id string, warp_sum bigint, n_nonfill int"
+    )

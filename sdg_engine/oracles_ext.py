@@ -624,6 +624,12 @@ GROUP BY country_code
 SELECT image_id, pop_near_mils, CAST(px_near AS INT) AS px_near
 FROM read_parquet('{goldens_dir}/cost_distance_sf0.01.parquet')
 """
+    # image_warp_utm (r04): general-CRS raster warp, integer checksums
+    # vs the generator-pixel golden.
+    warp_utm = f"""
+SELECT image_id, warp_sum, CAST(n_nonfill AS INT) AS n_nonfill
+FROM read_parquet('{goldens_dir}/warp_utm_sf0.01.parquet')
+"""
     # multimodal audio/video (r04; was rows-only): the committed goldens
     # regenerate the clip/frame SPEC and reimplement the PCM16 quantize —
     # the engine WAV/rawvid codecs never touch the oracle side.
@@ -641,6 +647,7 @@ FROM read_parquet('{goldens_dir}/video_frames.parquet')
         "image_thumbnails": thumbnails,
         "image_rai_summary": rai_summary,
         "image_cost_distance": cost_distance,
+        "image_warp_utm": warp_utm,
         "multimodal_audio_features": audio_features,
         "multimodal_video_frames": video_frames,
     }

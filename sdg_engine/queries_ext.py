@@ -807,6 +807,25 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def image_warp_utm(spark, sf_dir):
+    """X6 GENERAL-CRS reprojection surface (r04): every tile is decoded
+    and WARPED from its plate-carrée footprint onto a regular UTM
+    zone-31 grid (crs.warp_tile — ellipsoidal Transverse Mercator, the
+    projection behind every UTM EPSG code; nearest-neighbour, the
+    GeoTrellis tile.reproject analogue).  Integer checksums make the
+    result hash-stable; ORACLE-CHECKED against a committed golden from
+    generator pixels (jpg rows excluded — lossy, engine-decoded; their
+    pixel fidelity is PSNR-gated separately)."""
+    from .ops import payload as PL
+    from .ops import spatial as SP
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    subset = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return PL.warp_checksums(SP.with_geo(subset), "UTM:31")
+
+
 def image_decode_stats(spark, sf_dir):
     """X1 decode stats, ORACLE-CHECKED (r03; was rows-only): every image
     is REALLY decoded (the ``ok`` flag is load-bearing for all five
@@ -1392,6 +1411,7 @@ QUERIES_EXT = {
     "semi_join_parts": semi_join_parts,
     "image_rai_summary": image_rai_summary,
     "image_cost_distance": image_cost_distance,
+    "image_warp_utm": image_warp_utm,
     "image_decode_stats": image_decode_stats,
     "image_near_dup_pairs": image_near_dup_pairs,
     "image_thumbnails": image_thumbnails,

@@ -85,3 +85,38 @@ def test_flat_image_exact():
     px = np.full((16, 16, 3), 128, dtype=np.uint8)
     rt = decode_jpeg(encode_jpeg(px, 92))
     assert np.abs(rt.astype(int) - 128).max() <= 1
+
+
+def test_non_interleaved_multi_scan_decodes():
+    """r04 (ADVICE): spec-legal non-interleaved baseline (one scan per
+    component, T.81 A.2.2) must decode IDENTICALLY to the interleaved
+    encoding of the same coefficients — both subsampling layouts, plus
+    an odd size where the 420 luma scan grid (ceil(w/8)) is narrower
+    than the padded MCU grid."""
+    import numpy as np
+
+    from sdg_engine.fixtures import make_image_pixels
+    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
+
+    for size, sub in [((32, 32), "444"), ((32, 32), "420"),
+                      ((24, 40), "420"), ((33, 57), "444")]:
+        w, h = size
+        px = make_image_pixels(w * h, 1.1, 2.2, w, h)
+        inter = decode_jpeg(encode_jpeg(px, subsample=sub, interleaved=True))
+        multi = decode_jpeg(encode_jpeg(px, subsample=sub, interleaved=False))
+        assert (inter == multi).all(), (size, sub)
+
+
+def test_fill_bytes_before_markers_decode():
+    """r04 (ADVICE): 0xFF fill/padding bytes before a marker are
+    spec-legal (T.81 B.1.1.2) and must not desync the marker loop."""
+    from sdg_engine.fixtures import make_image_pixels
+    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
+
+    px = make_image_pixels(5, 1.0, 1.0, 32, 32)
+    data = encode_jpeg(px)
+    want = decode_jpeg(data)
+    # inject fill bytes before the SOF0 and SOS markers
+    padded = data.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    assert (decode_jpeg(padded) == want).all()
