@@ -97,6 +97,11 @@ def forgotten_sink(
     forgotten = images.join(forgotten_ids, "image_id", "left_semi")
     out = PL.transcode(forgotten, "png")
     out.write.mode("overwrite").parquet(os.path.join(out_dir, "forgotten_png"))
+    # S6 full (r04): the reference's raster sink is GEOREFERENCED TIFF —
+    # same tiles with GeoTIFF grid tags derived from the footprint
+    PL.transcode_geotiff(SP.with_geo(forgotten)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "forgotten_geotiff")
+    )
     return out
 
 

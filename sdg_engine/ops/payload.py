@@ -263,3 +263,38 @@ def warp_checksums(images_geo: DataFrame, dst_crs: str,
     return images_geo.select(*cols).mapInPandas(
         _warp, "image_id string, warp_sum bigint, n_nonfill int"
     )
+
+
+def transcode_geotiff(images_geo: DataFrame) -> DataFrame:
+    """S6 full (r04): re-encode tiles as GEOREFERENCED TIFFs — deflate
+    strips + the GeoTIFF grid tags (ModelPixelScale = footprint
+    degrees-per-pixel, ModelTiepoint = footprint top-left), the
+    reference's actual raster sink format (WorldPop-style GeoTIFF).
+    Lossless: decode(bytes) round-trips exactly (invariant-tested) and
+    decode_tiff(..., return_geo=True) recovers the grid.
+
+    Needs fp_xmin..fp_ymax from ops.spatial.with_geo."""
+
+    def _tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+        from sdg_engine.tiff import encode_tiff
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                ps = ((r.fp_xmax - r.fp_xmin) / int(r.w),
+                      (r.fp_ymax - r.fp_ymin) / int(r.h))
+                data = encode_tiff(
+                    img, pixel_scale=ps, tiepoint=(r.fp_xmin, r.fp_ymax)
+                )
+                out.append((r.image_id, data, int(r.w), int(r.h), "tif"))
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h",
+            "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"]
+    return images_geo.select(*cols).mapInPandas(
+        _tx, "image_id string, bytes binary, w int, h int, fmt string"
+    )

@@ -598,6 +598,16 @@ JOIN read_parquet('{thumb_golden}') g USING (image_id)
 WHERE f.image_id < 'img000000000500'
 """
     goldens_dir = os.path.dirname(golden).replace("'", "''")
+    roads_pq = os.path.join(fixture_dir(0.01), "roads.parquet").replace("'", "''")
+    # geojson_roundtrip_roads (r04): aggregate the ORIGINAL roads
+    # parquet — the Spark side aggregates the GeoJSON round-trip.
+    geojson_roads = f"""
+SELECT kind, COUNT(*) AS n_roads,
+       CAST(SUM(len(coords)) AS BIGINT) AS sum_pts,
+       CAST(SUM(CAST(FLOOR(coords[1].x * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_x_mils
+FROM read_parquet('{roads_pq}') GROUP BY kind
+"""
     # image_rai_summary (r04; was rows-only): aggregate the committed
     # INDEPENDENT per-image golden (generator pixels + scalar clip/burn
     # twins + transposed-scan chamfer + generator-side countries —
@@ -648,6 +658,7 @@ FROM read_parquet('{goldens_dir}/video_frames.parquet')
         "image_rai_summary": rai_summary,
         "image_cost_distance": cost_distance,
         "image_warp_utm": warp_utm,
+        "geojson_roundtrip_roads": geojson_roads,
         "multimodal_audio_features": audio_features,
         "multimodal_video_frames": video_frames,
     }

@@ -807,6 +807,52 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def geojson_roundtrip_roads(spark, sf_dir):
+    """S8 source-format breadth (r04): ROADS → GeoJSON Feature lines
+    (LineString geometry, JVM `to_json`) → text sink → text source →
+    `from_json` with an explicit schema → per-kind aggregate.  The
+    oracle aggregates the ORIGINAL roads parquet, so any coordinate or
+    property serialization bug on either leg flips the hash — doubles
+    survive exactly because Jackson prints shortest-roundtrip decimals.
+    GeoJSON is the interchange format the reference's country
+    boundaries and OSM extracts commonly arrive in."""
+    import os
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    feat = F.to_json(F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("LineString").alias("type"),
+            F.expr("transform(coords, c -> array(c.x, c.y))")
+            .alias("coordinates"),
+        ).alias("geometry"),
+        F.struct("road_id", "kind").alias("properties"),
+    ))
+    base = _stream_base(spark, "geojson_")
+    out = os.path.join(base, "features")
+    roads.select(feat.alias("value")).write.mode("overwrite").text(out)
+    schema = (
+        "type string, geometry struct<type: string, "
+        "coordinates: array<array<double>>>, "
+        "properties struct<road_id: bigint, kind: string>"
+    )
+    back = (
+        spark.read.text(out)
+        .select(F.from_json("value", schema).alias("f"))
+        .select(
+            F.col("f.properties.kind").alias("kind"),
+            F.col("f.geometry.coordinates").alias("coordinates"),
+        )
+    )
+    return back.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_roads"),
+        F.sum(F.size("coordinates")).cast("long").alias("sum_pts"),
+        F.sum(F.expr(
+            "CAST(FLOOR(coordinates[0][0] * 1000) AS BIGINT)"
+        )).cast("long").alias("sum_x_mils"),
+    )
+
+
 def image_warp_utm(spark, sf_dir):
     """X6 GENERAL-CRS reprojection surface (r04): every tile is decoded
     and WARPED from its plate-carrée footprint onto a regular UTM
@@ -1398,6 +1444,7 @@ QUERIES_EXT = {
     "streaming_dedup_watermarked": streaming_dedup_watermarked,
     "streaming_interval_join": streaming_interval_join,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "geojson_roundtrip_roads": geojson_roundtrip_roads,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,

@@ -115,3 +115,28 @@ def test_fixture_integration_via_codecs():
     px = _px(21, 64, 64)
     data = encode_image(px, "tif")
     assert (decode_image(data, "tif", 64, 64) == px).all()
+
+
+def test_geotiff_sink_georeference_roundtrip(spark):
+    """S6 full: the forgotten-set GeoTIFF sink rows must decode to the
+    original pixels AND carry recoverable georeferencing (grid origin =
+    footprint top-left, pixel scale = degrees/pixel)."""
+    from sdg_engine.codecs import decode_image
+    from sdg_engine.jobs.rai import load_inputs
+    from sdg_engine.ops import payload as PL
+    from sdg_engine.ops import spatial as SP
+
+    images, _roads = load_inputs(spark, 0.001)
+    sub = SP.with_geo(images.limit(12))
+    rows = PL.transcode_geotiff(sub).collect()
+    assert len(rows) == 12
+    src = {r["image_id"]: r for r in sub.collect()}
+    for r in rows:
+        img, geo = decode_tiff(bytes(r.bytes), return_geo=True)
+        s = src[r.image_id]
+        want = decode_image(bytes(s.bytes), s.fmt, s.w, s.h)
+        assert (img == want).all()
+        assert geo is not None
+        assert abs(geo["origin"][0] - s.fp_xmin) < 1e-12
+        assert abs(geo["origin"][1] - s.fp_ymax) < 1e-12
+        assert abs(geo["pixel_scale"][0] - (s.fp_xmax - s.fp_xmin) / s.w) < 1e-15
