@@ -303,6 +303,23 @@ SELECT CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
 FROM c GROUP BY 1
 """
 
+DOC_LENGTH_QUANTILES = """
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = CAST(FLOOR((n * 50 + 99) / 100) AS BIGINT)
+                THEN n_chars END) AS p50,
+       MAX(CASE WHEN rn = CAST(FLOOR((n * 90 + 99) / 100) AS BIGINT)
+                THEN n_chars END) AS p90,
+       MAX(CASE WHEN rn = CAST(FLOOR((n * 99 + 99) / 100) AS BIGINT)
+                THEN n_chars END) AS p99
+FROM r GROUP BY lang
+"""
+
 STREAMING_DEDUP_DOCS = """
 SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY lang
@@ -450,6 +467,53 @@ pairs AS (
          {_DOT_AB} / (a.nrm * b.nrm) AS cos_sim
   FROM base a JOIN base b ON a.ivf_cell = b.ivf_cell AND a.vec_id <> b.vec_id
   WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rnk, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rnk <= 3
+"""
+
+_IVF_MASKED = [
+    f"CASE WHEN {j} = ivf_cell THEN CAST(1e308 AS DOUBLE) ELSE _d{j} END"
+    for j in range(8)
+]
+_IVF_CELL2 = "CASE " + " ".join(
+    f"WHEN ({m}) = _b2 THEN {j}" for j, m in enumerate(_IVF_MASKED)
+) + " END"
+
+ANN_IVF_MULTIPROBE = f"""
+WITH d AS (
+  SELECT vec_id, embedding, {_IVF_DS},
+         SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, embedding, nrm,
+         CAST({_IVF_CID.replace("_best", _IVF_BEST)} AS INT) AS ivf_cell
+  FROM d
+),
+q AS (
+  SELECT vec_id, embedding, nrm, ivf_cell, {_IVF_DS}
+  FROM base WHERE vec_id < 20
+),
+q2 AS (
+  SELECT *, LEAST({", ".join(_IVF_MASKED)}) AS _b2 FROM q
+),
+probes AS (
+  SELECT vec_id, embedding, nrm,
+         UNNEST([ivf_cell, CAST({_IVF_CELL2} AS INT)]) AS pcell
+  FROM q2
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DOT_AB} / (a.nrm * b.nrm) AS cos_sim
+  FROM probes a JOIN base b ON a.pcell = b.ivf_cell AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
@@ -667,12 +731,14 @@ FROM read_parquet('{goldens_dir}/video_frames.parquet')
 ORACLES_EXT = {
     "mvt_tile_stats": _mvt_tile_stats_sql(4),
     "ann_ivf_topk": ANN_IVF_TOPK,
+    "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE,
     "ngram_jaccard_indexed": NGRAM_JACCARD_INDEXED,
     "embedding_cosine_neardup": EMBEDDING_COSINE_NEARDUP,
     "kmeans_embeddings": KMEANS_EMBEDDINGS,
     "sample_stratified": SAMPLE_STRATIFIED,
     "streaming_dedup_docs": STREAMING_DEDUP_DOCS,
     "streaming_dedup_watermarked": STREAMING_DEDUP_WATERMARKED,
+    "doc_length_quantiles": DOC_LENGTH_QUANTILES,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,

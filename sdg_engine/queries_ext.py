@@ -283,6 +283,73 @@ def ann_ivf_topk(spark, sf_dir):
 _NEARDUP_STOP_BUCKET = 4096
 
 
+def ann_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with MULTI-PROBE (r04): each query probes its own coarse
+    cell AND the second-nearest one — the standard recall lever real
+    IVF indexes use (nprobe > 1) without touching brute force.  The
+    second cell is the exact second-argmin (first-argmin's distance
+    masked to 1e308, lowest-index tie-break) — deterministic, so the
+    DuckDB oracle reproduces it.  Scale shape: the tiny query side
+    EXPLODES into (query, probe_cell) rows and equi-joins the persisted
+    base on the cell — never an OR-join (which would plan as BNLJ)."""
+    from pyspark import StorageLevel
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    base = _with_ivf_cell(emb).select(
+        "vec_id", "embedding", "ivf_cell", norm.alias("nrm")
+    ).persist(StorageLevel.DISK_ONLY)
+    q = base.filter(F.col("vec_id") < 20)
+    for j in range(_N_IVF):
+        q = q.withColumn(f"_d{j}", F.expr(_ivf_dist2_expr(j)))
+    masked = [
+        f"CASE WHEN {j} = ivf_cell THEN CAST(1e308 AS DOUBLE) ELSE _d{j} END"
+        for j in range(_N_IVF)
+    ]
+    q = q.withColumn("_b2", F.expr("LEAST(" + ", ".join(masked) + ")"))
+    cell2 = "CASE " + " ".join(
+        f"WHEN ({m}) = _b2 THEN {j}" for j, m in enumerate(masked)
+    ) + " END"
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(
+            F.array(F.col("ivf_cell"), F.expr(cell2).cast("int"))
+        ).alias("pcell"),
+    )
+    dot = (
+        "aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), "
+        "CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = probes.join(
+        base.alias("b"),
+        (F.col("pcell") == F.col("b.ivf_cell"))
+        & (F.col("query_id") != F.col("b.vec_id")),
+    ).select(
+        "query_id",
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.expr(f"{dot} / (q_nrm * b.nrm)").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    result = (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk",
+                F.round("cos_sim", 4).alias("cos_sim"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    result.count()
+    base.unpersist()
+    return result
+
+
 def embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs — the vector-space dedup flavor
     (exact cos ≥ τ verification over banded sign-LSH candidates).
@@ -805,6 +872,35 @@ def image_cost_distance(spark, sf_dir):
         .alias("pop_near_mils"),
         "px_near",
     )
+
+
+def doc_length_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (r04): per-language p50/p90/p99 of
+    document length via the RANK method — ROW_NUMBER within the
+    language partition + the integer ceil-index ``FLOOR((n·k+99)/100)``
+    (never ``CEIL(0.9·n)``: 0.9 is binary-inexact and tips the index at
+    exact multiples — gotcha 8 family).  Windows are per-language
+    partitions (partition-parallel at any corpus size); a single giant
+    stratum would switch to the two-level prefix trick (pack_sequences)
+    or ``approx_percentile`` where cross-engine exactness isn't needed.
+    Value-exact in DuckDB: ranks and picked values are integers."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "lang", "n_chars", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST(FLOOR((n * {k} + 99) / 100) AS BIGINT)"),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{k}")
+        for k in (50, 90, 99)
+    ]
+    return r.groupBy("lang").agg(F.max("n").alias("n_docs"), *picks)
 
 
 def geojson_roundtrip_roads(spark, sf_dir):
@@ -1436,6 +1532,7 @@ QUERIES_EXT = {
     "embedding_lsh_buckets": embedding_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "ngram_jaccard_indexed": ngram_jaccard_indexed,
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "kmeans_embeddings": kmeans_embeddings,
@@ -1445,6 +1542,7 @@ QUERIES_EXT = {
     "streaming_interval_join": streaming_interval_join,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "geojson_roundtrip_roads": geojson_roundtrip_roads,
+    "doc_length_quantiles": doc_length_quantiles,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,
