@@ -663,6 +663,35 @@ WHERE f.image_id < 'img000000000500'
 """
     goldens_dir = os.path.dirname(golden).replace("'", "''")
     roads_pq = os.path.join(fixture_dir(0.01), "roads.parquet").replace("'", "''")
+    countries_pq = os.path.join(
+        fixture_dir(0.01), "countries.parquet"
+    ).replace("'", "''")
+    # osm_relation_rings (r04): recompute the stitched-ring invariants
+    # from the ORIGINAL country rings (relation_id = dense code order;
+    # micro-rounding absorbs the summation-order float delta between
+    # the stitched rotation/orientation and the original sequence).
+    relation_rings = f"""
+WITH c AS (
+  SELECT ring,
+         CAST(ROW_NUMBER() OVER (ORDER BY country_code) - 1 AS INT)
+           AS relation_id
+  FROM read_parquet('{countries_pq}')
+)
+SELECT relation_id,
+       CAST(3 + relation_id % 3 AS INT) AS n_members,
+       CAST(len(ring) AS INT) AS n_points,
+       TRUE AS closed,
+       CAST(FLOOR(ABS(0.5 * list_sum(list_transform(
+            generate_series(1, len(ring) - 1),
+            i -> ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y)))
+            * 1000000 + 0.5) AS BIGINT) AS area_mic,
+       CAST(FLOOR(list_sum(list_transform(
+            generate_series(1, len(ring) - 1),
+            i -> SQRT((ring[i+1].x - ring[i].x) * (ring[i+1].x - ring[i].x)
+                    + (ring[i+1].y - ring[i].y) * (ring[i+1].y - ring[i].y))))
+            * 1000000 + 0.5) AS BIGINT) AS perim_mic
+FROM c
+"""
     # geojson_roundtrip_roads (r04): aggregate the ORIGINAL roads
     # parquet — the Spark side aggregates the GeoJSON round-trip.
     geojson_roads = f"""
@@ -723,6 +752,7 @@ FROM read_parquet('{goldens_dir}/video_frames.parquet')
         "image_cost_distance": cost_distance,
         "image_warp_utm": warp_utm,
         "geojson_roundtrip_roads": geojson_roads,
+        "osm_relation_rings": relation_rings,
         "multimodal_audio_features": audio_features,
         "multimodal_video_frames": video_frames,
     }

@@ -110,3 +110,128 @@ def read_osm_orc(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.orc(os.path.join(path, "nodes.orc")),
         spark.read.orc(os.path.join(path, "ways.orc")),
     )
+
+
+REL_RING_SCHEMA = (
+    "relation_id int, n_members int, n_points int, closed boolean, "
+    "area_mic bigint, perim_mic bigint"
+)
+
+
+def assemble_relation_rings(member_ways: DataFrame,
+                            relations: DataFrame) -> DataFrame:
+    """S3b (r04): OSM boundary/multipolygon RELATION assembly — stitch
+    UNORDERED, arbitrarily-ORIENTED member ways into closed rings by
+    endpoint matching (the osm2pgsql/VectorPipe step that turns admin
+    relations into polygons; the reference's country boundaries come
+    from exactly this shape).
+
+    member_ways: (way_id bigint, coords array<struct<x,y>>)
+    relations:   (relation_id int, way_ids array<bigint>)
+
+    Shape: explode members → equi-join ways → one cogroup per relation
+    (members per relation are bounded — admin rings are a few hundred
+    ways); the stitcher is deterministic: start from the member whose
+    smaller endpoint is lexicographically least (oriented that way),
+    then repeatedly append the unique member continuing the open end,
+    flipping orientation as needed.  Emits rotation/orientation-proof
+    integer invariants (micro-rounded |shoelace| area + perimeter), so
+    the DuckDB oracle recomputes them from the ORIGINAL rings.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def _stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ways = [
+            np.array([[p["x"], p["y"]] for p in c], dtype=np.float64)
+            for c in pdf["coords"]
+        ]
+        # deterministic start: orient every way toward its smaller
+        # endpoint, pick the one with the least endpoint
+        def endpoints(a):
+            return (tuple(a[0]), tuple(a[-1]))
+
+        oriented = []
+        for a in ways:
+            e0, e1 = endpoints(a)
+            oriented.append(a if e0 <= e1 else a[::-1])
+        start_i = min(range(len(oriented)),
+                      key=lambda i: tuple(oriented[i][0]))
+        ring = oriented[start_i]
+        remaining = [w for i, w in enumerate(ways) if i != start_i]
+        while remaining:
+            end = tuple(ring[-1])
+            hit = None
+            for i, a in enumerate(remaining):
+                if tuple(a[0]) == end:
+                    hit, nxt = i, a
+                    break
+                if tuple(a[-1]) == end:
+                    hit, nxt = i, a[::-1]
+                    break
+            if hit is None:
+                raise ValueError(
+                    f"relation {key[0]}: no member continues at {end} — "
+                    "broken ring"
+                )
+            ring = np.concatenate([ring, nxt[1:]])
+            remaining.pop(hit)
+        closed = bool((ring[0] == ring[-1]).all())
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        d = np.diff(ring, axis=0)
+        perim = float(np.sqrt((d * d).sum(axis=1)).sum())
+        return pd.DataFrame([
+            (
+                int(key[0]), len(ways), len(ring), closed,
+                int(math.floor(abs(area) * 1e6 + 0.5)),
+                int(math.floor(perim * 1e6 + 0.5)),
+            )
+        ], columns=["relation_id", "n_members", "n_points", "closed",
+                    "area_mic", "perim_mic"])
+
+    mem = relations.select(
+        "relation_id", F.explode("way_ids").alias("way_id")
+    )
+    joined = mem.join(member_ways, "way_id")
+    return joined.groupBy("relation_id").applyInPandas(
+        _stitch, REL_RING_SCHEMA
+    )
+
+
+def relation_fixture(spark: SparkSession):
+    """Deterministic relation fixture from the COUNTRY rings: each ring
+    cut into 3-5 member ways, members shuffled and every other one
+    reversed — so assembly must genuinely match endpoints.  Returns
+    (member_ways, relations) DataFrames."""
+    from . import fixtures as FX
+
+    ways_rows, rel_rows = [], []
+    wid = 0
+    for rid, (cc, ring) in enumerate(sorted(FX.get_country_rings().items())):
+        pts = ring[:-1]  # drop the closing duplicate
+        m = len(pts)
+        k = 3 + rid % 3
+        cuts = [(j * m) // k for j in range(k)] + [m]
+        way_ids = []
+        for j in range(k):
+            idx = list(range(cuts[j], cuts[j + 1])) + [cuts[j + 1] % m]
+            coords = pts[idx]
+            if (rid + j) % 2:
+                coords = coords[::-1]
+            ways_rows.append(
+                (wid, [{"x": float(x), "y": float(y)} for x, y in coords])
+            )
+            way_ids.append(wid)
+            wid += 1
+        order = [(j + rid) % k for j in reversed(range(k))]
+        rel_rows.append((rid, [way_ids[o] for o in order]))
+    member_ways = spark.createDataFrame(
+        ways_rows, "way_id bigint, coords array<struct<x: double, y: double>>"
+    )
+    relations = spark.createDataFrame(
+        rel_rows, "relation_id int, way_ids array<bigint>"
+    )
+    return member_ways, relations

@@ -874,6 +874,20 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def osm_relation_rings(spark, sf_dir):
+    """S3b (r04): OSM boundary-relation assembly — unordered, mixed-
+    orientation member ways stitched into closed rings by endpoint
+    matching (osm.assemble_relation_rings), over the deterministic
+    relation fixture cut from the COUNTRY rings.  Emits rotation/
+    orientation-proof integer invariants; the DuckDB oracle recomputes
+    them from the ORIGINAL country rings parquet — a stitching bug
+    (wrong member, missed flip, unclosed ring) flips the hash."""
+    from .osm import assemble_relation_rings, relation_fixture
+
+    member_ways, relations = relation_fixture(spark)
+    return assemble_relation_rings(member_ways, relations)
+
+
 def doc_length_quantiles(spark, sf_dir):
     """Exact distributed quantiles (r04): per-language p50/p90/p99 of
     document length via the RANK method — ROW_NUMBER within the
@@ -1543,6 +1557,7 @@ QUERIES_EXT = {
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "geojson_roundtrip_roads": geojson_roundtrip_roads,
     "doc_length_quantiles": doc_length_quantiles,
+    "osm_relation_rings": osm_relation_rings,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,

@@ -354,3 +354,15 @@ def test_neardup_buckets_below_stop_cap(spark):
         .groupBy("b").count().agg(F.max("count")).collect()[0][0]
     )
     assert mx < _NEARDUP_STOP_BUCKET / 4
+
+
+def test_new_ann_queries_never_nested_loop(spark):
+    """r04: multiprobe IVF and the rewritten neardup must stay
+    equi-join-planned — a probe-cell OR-join or a missing band key
+    would silently fall back to BroadcastNestedLoopJoin/cartesian."""
+    from sdg_engine.queries import QUERIES
+
+    for name in ("ann_ivf_multiprobe", "embedding_cosine_neardup"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
