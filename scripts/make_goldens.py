@@ -448,47 +448,15 @@ def rai_per_image_twin(sf: float, cutoff_m: float = 250.0):
     import math
 
     from sdg_engine import METERS_PER_DEG as MPD
-    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
 
-    n_images, _ = FX._sizes(sf)
-    roads = FX.roads_records(sf)
-    segs = []
-    for r in roads:
-        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
-        for s in range(len(pts) - 1):
-            segs.append((pts[s, 0], pts[s, 1], pts[s + 1, 0], pts[s + 1, 1]))
-    seg_arr = np.array(segs, dtype=np.float64)
-    sxmin = np.minimum(seg_arr[:, 0], seg_arr[:, 2])
-    sxmax = np.maximum(seg_arr[:, 0], seg_arr[:, 2])
-    symin = np.minimum(seg_arr[:, 1], seg_arr[:, 3])
-    symax = np.maximum(seg_arr[:, 1], seg_arr[:, 3])
-
-    fmts = FX.FMTS + ["qnt"]
-    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
+    seg_arr, bbox = _seg_index(sf)
     rows = []
     pend = []  # (row_idx, lum, mask, px_m) for tiles needing the DT
-    for i in range(n_images):
-        image_id = f"img{i:012d}"
-        lon, lat = FX.lonlat_of(image_id)
-        w = h = size_mix[i % len(size_mix)]
-        fmt = fmts[i % len(fmts)]
-        px = FX.make_image_pixels(i, lon, lat, w, h)
-        if fmt == "qnt":
-            q = (px.astype(np.uint16) // 4).astype(np.uint8)
-            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
-        elif fmt == "jpg":
-            px = decode_jpeg(encode_jpeg(px))  # documented self-cert slice
-        lum = (
-            0.299 * px[:, :, 0].astype(np.float64)
-            + 0.587 * px[:, :, 1].astype(np.float64)
-            + 0.114 * px[:, :, 2].astype(np.float64)
-        )
-        half = 0.004 * (1.0 + (i % 5) / 4.0)
+    for i, image_id, _fmt, lon, lat, w, h, px, half in _fixture_image_iter(sf):
+        lum = _lum_raster(px)
         fx0, fy0, fx1, fy1 = lon - half, lat - half, lon + half, lat + half
-        cand_idx = np.nonzero(
-            (sxmin <= fx1) & (sxmax >= fx0) & (symin <= fy1) & (symax >= fy0)
-        )[0]
-        mask = _burn_twin(w, h, fx0, fy0, fx1, fy1, seg_arr[cand_idx])
+        mask = _burn_twin(w, h, fx0, fy0, fx1, fy1,
+                          _candidate_segs(seg_arr, bbox, fx0, fy0, fx1, fy1))
         cc = str(FX.country_of_points(np.array([lon]), np.array([lat]))[0])
         pop_total = float(lum.sum())
         if mask.any():
@@ -518,14 +486,86 @@ def rai_per_image_twin(sf: float, cutoff_m: float = 250.0):
     return out
 
 
+def _fixture_image_iter(sf: float, n_limit: int | None = None,
+                        jpg: str = "engine"):
+    """ONE copy of the per-image fixture SPEC shared by every golden
+    twin (r04 review: three generators had copy-pasted fmt cycle / qnt
+    twin / jpg slice / footprint logic — a future FIXTURE_SPEC_VERSION
+    bump must land in exactly one place).  Yields
+    (i, image_id, fmt, lon, lat, w, h, px, half): pixels from the
+    generator, qnt via the reimplemented quantize twin, jpg via the
+    documented engine-codec slice (``jpg='skip'`` omits jpg rows)."""
+    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
+
+    n_images, _ = FX._sizes(sf)
+    if n_limit is not None:
+        n_images = min(n_images, n_limit)
+    fmts = FX.FMTS + ["qnt"]
+    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
+    for i in range(n_images):
+        image_id = f"img{i:012d}"
+        fmt = fmts[i % len(fmts)]
+        if fmt == "jpg" and jpg == "skip":
+            continue
+        lon, lat = FX.lonlat_of(image_id)
+        w = h = size_mix[i % len(size_mix)]
+        px = FX.make_image_pixels(i, lon, lat, w, h)
+        if fmt == "qnt":
+            q = (px.astype(np.uint16) // 4).astype(np.uint8)
+            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        elif fmt == "jpg":
+            px = decode_jpeg(encode_jpeg(px))
+        half = 0.004 * (1.0 + (i % 5) / 4.0)
+        yield i, image_id, fmt, lon, lat, w, h, px, half
+
+
+def _lum_raster(px: np.ndarray) -> np.ndarray:
+    """Luminance in ops/raster's exact expression shape (all three
+    channels astype'd) — bit parity with summarize_tile_rows."""
+    return (
+        0.299 * px[:, :, 0].astype(np.float64)
+        + 0.587 * px[:, :, 1].astype(np.float64)
+        + 0.114 * px[:, :, 2].astype(np.float64)
+    )
+
+
+def _seg_index(sf: float):
+    """All road segments + bbox arrays for the brute-force candidate
+    prefilter (shared by the rai and cost twins)."""
+    roads = FX.roads_records(sf)
+    segs = []
+    for r in roads:
+        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
+        for s in range(len(pts) - 1):
+            segs.append((pts[s, 0], pts[s, 1], pts[s + 1, 0], pts[s + 1, 1]))
+    seg_arr = np.array(segs, dtype=np.float64)
+    return seg_arr, (
+        np.minimum(seg_arr[:, 0], seg_arr[:, 2]),
+        np.maximum(seg_arr[:, 0], seg_arr[:, 2]),
+        np.minimum(seg_arr[:, 1], seg_arr[:, 3]),
+        np.maximum(seg_arr[:, 1], seg_arr[:, 3]),
+    )
+
+
+def _candidate_segs(seg_arr, bbox, fx0, fy0, fx1, fy1):
+    sxmin, sxmax, symin, symax = bbox
+    idx = np.nonzero(
+        (sxmin <= fx1) & (sxmax >= fx0) & (symin <= fy1) & (symax >= fy0)
+    )[0]
+    return seg_arr[idx]
+
+
 def _weighted_cost_twin(mask: np.ndarray, f: np.ndarray,
-                        max_sweeps: int = 16) -> np.ndarray:
+                        max_sweeps: int | None = None) -> np.ndarray:
     """Single-tile twin of ops/raster.weighted_cost_batch (same iterated
     weighted-sweep recurrence, independently written, identical IEEE op
     order — per-tile 1-D ops equal the engine's batched slab ops
-    elementwise).  The genuinely-different-algorithm certification is
-    the brute-force Dijkstra in tests/test_pipeline_ops.py."""
+    elementwise; same fixpoint contract incl. the 4·(h+w)+8 bound).
+    The genuinely-different-algorithm certification is the brute-force
+    Dijkstra in tests/test_pipeline_ops.py."""
     h, w = mask.shape
+    if max_sweeps is None:
+        max_sweeps = 4 * (h + w) + 8
     d = np.where(mask, 0.0, np.float64(1e18))
     wstep = 3.0 * (f[:, :-1] + f[:, 1:]) / 2.0
     W = np.zeros_like(f)
@@ -559,6 +599,8 @@ def _weighted_cost_twin(mask: np.ndarray, f: np.ndarray,
             d[r] = rev[::-1]
         if np.array_equal(before, d):
             break
+    else:
+        raise ValueError("cost twin did not converge — raise max_sweeps")
     return d / 3.0
 
 
@@ -572,45 +614,16 @@ def cost_distance_per_image_twin(sf: float, n_limit: int,
     import math
 
     from sdg_engine import METERS_PER_DEG as MPD
-    from sdg_engine.jpeg import decode_jpeg, encode_jpeg
 
-    roads = FX.roads_records(sf)
-    segs = []
-    for r in roads:
-        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
-        for s in range(len(pts) - 1):
-            segs.append((pts[s, 0], pts[s, 1], pts[s + 1, 0], pts[s + 1, 1]))
-    seg_arr = np.array(segs, dtype=np.float64)
-    sxmin = np.minimum(seg_arr[:, 0], seg_arr[:, 2])
-    sxmax = np.maximum(seg_arr[:, 0], seg_arr[:, 2])
-    symin = np.minimum(seg_arr[:, 1], seg_arr[:, 3])
-    symax = np.maximum(seg_arr[:, 1], seg_arr[:, 3])
-
-    fmts = FX.FMTS + ["qnt"]
-    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
+    seg_arr, bbox = _seg_index(sf)
     out = []
-    for i in range(n_limit):
-        image_id = f"img{i:012d}"
-        lon, lat = FX.lonlat_of(image_id)
-        w = h = size_mix[i % len(size_mix)]
-        fmt = fmts[i % len(fmts)]
-        px = FX.make_image_pixels(i, lon, lat, w, h)
-        if fmt == "qnt":
-            q = (px.astype(np.uint16) // 4).astype(np.uint8)
-            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
-        elif fmt == "jpg":
-            px = decode_jpeg(encode_jpeg(px))
-        lum = (
-            0.299 * px[:, :, 0].astype(np.float64)
-            + 0.587 * px[:, :, 1].astype(np.float64)
-            + 0.114 * px[:, :, 2].astype(np.float64)
-        )
-        half = 0.004 * (1.0 + (i % 5) / 4.0)
+    for i, image_id, _fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit
+    ):
+        lum = _lum_raster(px)
         fx0, fy0, fx1, fy1 = lon - half, lat - half, lon + half, lat + half
-        cand_idx = np.nonzero(
-            (sxmin <= fx1) & (sxmax >= fx0) & (symin <= fy1) & (symax >= fy0)
-        )[0]
-        mask = _burn_twin(w, h, fx0, fy0, fx1, fy1, seg_arr[cand_idx])
+        mask = _burn_twin(w, h, fx0, fy0, fx1, fy1,
+                          _candidate_segs(seg_arr, bbox, fx0, fy0, fx1, fy1))
         if mask.any():
             cost = _weighted_cost_twin(mask, 1.0 + lum / 255.0)
             px_m = (fx1 - fx0) / w * MPD
@@ -653,21 +666,10 @@ def make_warp_golden(sf: float = 0.01, n_limit: int = 500) -> None:
 
     from sdg_engine.crs import warp_tile
 
-    fmts = FX.FMTS + ["qnt"]
-    size_mix = [64] if sf <= 0.001 else [32, 64, 128]
     ids, sums, fills = [], [], []
-    for i in range(n_limit):
-        image_id = f"img{i:012d}"
-        fmt = fmts[i % len(fmts)]
-        if fmt == "jpg":
-            continue
-        lon, lat = FX.lonlat_of(image_id)
-        w = h = size_mix[i % len(size_mix)]
-        px = FX.make_image_pixels(i, lon, lat, w, h)
-        if fmt == "qnt":
-            q = (px.astype(np.uint16) // 4).astype(np.uint8)
-            px = np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
-        half = 0.004 * (1.0 + (i % 5) / 4.0)
+    for _i, image_id, _fmt, lon, lat, _w, _h, px, half in _fixture_image_iter(
+        sf, n_limit, jpg="skip"
+    ):
         warped = warp_tile(
             px, (lon - half, lat - half, lon + half, lat + half),
             "UTM:31", 32, 32,

@@ -129,10 +129,24 @@ def utm_zone(lon: float) -> int:
 
 def utm_forward(lon, lat, zone: int | None = None):
     """→ (easting, northing, zone).  Northern-hemisphere convention for
-    the engine's 0..10° world patch (FN=0)."""
+    the engine's 0..10° world patch (FN=0).
+
+    ``zone=None`` derives the zone from the data and RAISES if the
+    batch spans more than one zone (r04 review: silently projecting a
+    straddling batch in the first point's zone puts the others hundreds
+    of km off) — pass an explicit zone to project a straddling batch
+    into one grid deliberately."""
     lon = _asarr(lon)
     if zone is None:
-        zone = utm_zone(float(np.atleast_1d(lon)[0]))
+        zones = np.unique(
+            (np.floor((np.atleast_1d(lon) + 180.0) / 6.0) % 60 + 1).astype(int)
+        )
+        if len(zones) > 1:
+            raise ValueError(
+                f"points span UTM zones {zones.tolist()} — pass an "
+                "explicit zone to project into a single grid"
+            )
+        zone = int(zones[0])
     lon0 = zone * 6.0 - 183.0
     e, n = tmerc_forward(lon, _asarr(lat), lon0)
     return e, n, zone

@@ -150,7 +150,7 @@ def chamfer_distance_batch(masks: np.ndarray) -> np.ndarray:
 
 
 def weighted_cost_batch(
-    masks: np.ndarray, frictions: np.ndarray, max_sweeps: int = 16
+    masks: np.ndarray, frictions: np.ndarray, max_sweeps: int | None = None
 ) -> np.ndarray:
     """A2 FULL: cost-distance accumulation over a NON-UNIFORM friction
     surface — the real GeoTrellis ``CostDistance`` semantic the uniform
@@ -169,8 +169,18 @@ def weighted_cost_batch(
     fixpoint); the certified-exact twin is the brute-force Dijkstra in
     tests/test_pipeline_ops.py.  Values are cost/3.0 like the chamfer
     (multiply by metres-per-pixel for metre·friction units).
+
+    Convergence contract (r04 review): sweeps run TO THE FIXPOINT —
+    ``max_sweeps`` defaults to the 4·(h+w)+8 bound (an optimal path's
+    vertical direction changes are what each fwd+bwd pair resolves, and
+    a simple path cannot reverse more often than the grid perimeter);
+    a pathological surface that still hasn't converged RAISES instead
+    of silently returning wrong accessibility numbers (a serpentine
+    wall/gap friction contrast needs >16 alternations — measured).
     """
     n, h, w = masks.shape
+    if max_sweeps is None:
+        max_sweeps = 4 * (h + w) + 8
     f = np.asarray(frictions, dtype=np.float64)
     big = np.float64(1e18)
     d = np.where(masks, 0.0, big)
@@ -217,6 +227,12 @@ def weighted_cost_batch(
             d[:, r] = rev[:, ::-1]
         if np.array_equal(before, d):
             break
+    else:
+        raise ValueError(
+            f"weighted cost-distance did not reach its fixpoint within "
+            f"{max_sweeps} sweeps — pass a larger max_sweeps (surface "
+            "has pathological friction alternation)"
+        )
     return d / 3.0
 
 

@@ -157,25 +157,30 @@ def assemble_relation_rings(member_ways: DataFrame,
         for a in ways:
             e0, e1 = endpoints(a)
             oriented.append(a if e0 <= e1 else a[::-1])
+        # start tie-break on FULL oriented content, not list position
+        # (r04 review: two members always share the minimal endpoint —
+        # row order from the shuffle must not pick the direction)
         start_i = min(range(len(oriented)),
-                      key=lambda i: tuple(oriented[i][0]))
+                      key=lambda i: oriented[i].tobytes())
         ring = oriented[start_i]
         remaining = [w for i, w in enumerate(ways) if i != start_i]
         while remaining:
             end = tuple(ring[-1])
-            hit = None
+            hits = []
             for i, a in enumerate(remaining):
                 if tuple(a[0]) == end:
-                    hit, nxt = i, a
-                    break
+                    hits.append((a.tobytes(), i, a))
                 if tuple(a[-1]) == end:
-                    hit, nxt = i, a[::-1]
-                    break
-            if hit is None:
+                    rev = a[::-1]
+                    hits.append((rev.tobytes(), i, rev))
+            if not hits:
                 raise ValueError(
                     f"relation {key[0]}: no member continues at {end} — "
                     "broken ring"
                 )
+            # valid admin rings have a unique continuation; shared
+            # touch-points resolve by content order (deterministic)
+            _, hit, nxt = min(hits)
             ring = np.concatenate([ring, nxt[1:]])
             remaining.pop(hit)
         closed = bool((ring[0] == ring[-1]).all())

@@ -367,13 +367,17 @@ def embedding_cosine_neardup(spark, sf_dir):
     re-evaluated on THREE branches (bands + both exact-cos join sides),
     each paying 8 interpreted HOF plane dots per vector (the
     ann_ivf_topk lesson, CLAUDE.md gotcha 16); (2) the plane dots are
-    computed by posexplode + one map-side-combined codegen'd aggregation
-    instead of interpreted HOF folds — same left-fold association
-    (partial sums accumulate in dim order, merge adds to null), so
-    DuckDB's sequential list fold still matches bit-for-bit.  Cost: one
-    narrow (vec_id, 9 doubles) agg shuffle + a 1:1 join back; a
-    recall-tolerant deployment would use an Arrow pandas-UDF matmul
-    (zero shuffle) but its blocked float order breaks oracle parity.
+    computed by posexplode + one map-side-combined codegen'd
+    aggregation instead of interpreted HOF folds.  Float-parity
+    caveat (r04 review): the left-fold association holds while one
+    vector's 64 rows are consumed by a SINGLE partial aggregate — true
+    at every oracle/bench scale here (the hash agg never spills
+    mid-key), but a spill-to-sort fallback at extreme scale could
+    split a key into two partials whose merged sum differs in the last
+    ulp, flipping a sign bit on a dot that is exactly 0-adjacent; a
+    deployment at that scale should prefer the Arrow pandas-UDF matmul
+    (zero shuffle, no cross-engine-parity requirement).  Cost here:
+    one narrow (vec_id, 9 doubles) agg shuffle + a 1:1 join back.
     Candidate-volume bound for 100 TB: buckets larger than
     ``_NEARDUP_STOP_BUCKET`` rows are DROPPED (stop-bucket rule, the
     ngram-index trick) — a boilerplate band value at 10^9 vectors would
@@ -452,9 +456,7 @@ def embedding_cosine_neardup(spark, sf_dir):
     # materialize the (small) pair set while the base cache is live, then
     # RELEASE it (the minhash/ann_ivf template; same persisted-result
     # lifetime contract — consumers get the cached frame)
-    from pyspark import StorageLevel as _SL
-
-    result = result.persist(_SL.DISK_ONLY)
+    result = result.persist(StorageLevel.DISK_ONLY)
     result.count()
     base.unpersist()
     return result
@@ -1165,18 +1167,25 @@ def _stream_base(spark, prefix: str) -> str:
 
     base = os.path.join(tempfile.gettempdir(), f"sdg_stream_u{os.getuid()}")
     os.makedirs(base, exist_ok=True)
-    now = time.time()
-    for name in os.listdir(base):
-        p = os.path.join(base, name)
-        try:
-            if os.path.isdir(p) and now - os.path.getmtime(p) > 86400:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass  # concurrent reaper / permission race — best effort
     root = os.path.join(
         base, spark.sparkContext.applicationId.replace("/", "_")
     )
     os.makedirs(root, exist_ok=True)
+    os.utime(root)  # heartbeat: a live session keeps its root fresh
+    now = time.time()
+    for name in os.listdir(base):
+        p = os.path.join(base, name)
+        # NEVER the current session's root (r04 review: an idle-then-
+        # resumed session used to reap its OWN sink files out from
+        # under lazily-returned DataFrames); 7-day TTL + the heartbeat
+        # above keeps the cross-session window theoretical
+        if p == root:
+            continue
+        try:
+            if os.path.isdir(p) and now - os.path.getmtime(p) > 7 * 86400:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrent reaper / permission race — best effort
     if root not in _STREAM_ROOTS:
         _STREAM_ROOTS.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -1191,7 +1200,6 @@ def streaming_hourly_closed(spark, sf_dir):
     relationally."""
     import os
     import shutil
-    import tempfile
 
     from . import streaming as STR
 
@@ -1217,7 +1225,6 @@ def streaming_dedup_docs(spark, sf_dir):
     order and matches the DuckDB COUNT(DISTINCT) oracle exactly."""
     import os
     import shutil
-    import tempfile
 
     from . import streaming as STR
 
@@ -1273,7 +1280,6 @@ def streaming_interval_join(spark, sf_dir):
     oracle).  State on both sides is watermark-bounded."""
     import os
     import shutil
-    import tempfile
 
     from . import streaming as STR
 
@@ -1300,12 +1306,12 @@ def streaming_interval_join(spark, sf_dir):
 def _format_roundtrip(spark, sf_dir, fmt: str, last_agg):
     """Shared sink→source round-trip shape for the text formats: write
     (doc_id, lang, n_chars) with the given format, read back with an
-    EXPLICIT schema (no inference pass), aggregate, clean up the temp
-    tree.  CSV legs pin nullValue to a sentinel on BOTH legs so empty
+    EXPLICIT schema (no inference pass), aggregate.  The temp tree
+    lives under the session stream root (deferred cleanup at exit —
+    the returned DataFrame stays lazily re-readable).  CSV legs pin nullValue to a sentinel on BOTH legs so empty
     strings survive (Spark's CSV default reads '' back as NULL — r03
     review; JSON has no such asymmetry)."""
     import os
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     base = _stream_base(spark, f"{fmt}_")
