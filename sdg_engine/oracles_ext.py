@@ -303,6 +303,17 @@ SELECT CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
 FROM c GROUP BY 1
 """
 
+# snapshot 1 = overwrite('en'); snapshot 2 = append('de') — the as-of-1
+# read must equal the 'en' leg alone, the head read the union.
+SNAPSHOT_TIME_TRAVEL = """
+SELECT 1 AS snap, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT), MIN(doc_id)
+FROM documents WHERE lang IN ('en', 'de')
+"""
+
 DOC_LENGTH_QUANTILES = """
 WITH r AS (
   SELECT lang, n_chars,
@@ -769,6 +780,7 @@ ORACLES_EXT = {
     "streaming_dedup_docs": STREAMING_DEDUP_DOCS,
     "streaming_dedup_watermarked": STREAMING_DEDUP_WATERMARKED,
     "doc_length_quantiles": DOC_LENGTH_QUANTILES,
+    "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,

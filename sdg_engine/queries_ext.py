@@ -876,6 +876,36 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def snapshot_time_travel(spark, sf_dir):
+    """Iceberg-style snapshot commits + TIME-TRAVEL read
+    (storage.write_snapshot / read_snapshot, r04): snapshot 1 =
+    overwrite with the 'en' documents, snapshot 2 = append of the 'de'
+    documents; reading AS OF 1 must see only the first commit even
+    though the table has moved on — immutable per-snapshot data dirs +
+    atomic manifest commits make the old read reproducible.  The
+    DuckDB oracle states both reads relationally over `documents`."""
+    import os
+
+    from .storage import read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _stream_base(spark, "snap_")
+    tbl = os.path.join(base, "docs_table")
+    write_snapshot(docs.filter(F.col("lang") == "en"), tbl, mode="overwrite")
+    write_snapshot(docs.filter(F.col("lang") == "de"), tbl, mode="append")
+    legs = []
+    for snap in (1, 2):
+        legs.append(
+            read_snapshot(spark, tbl, as_of=snap).agg(
+                F.lit(snap).alias("snap"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
 def osm_relation_rings(spark, sf_dir):
     """S3b (r04): OSM boundary-relation assembly — unordered, mixed-
     orientation member ways stitched into closed rings by endpoint
@@ -1564,6 +1594,7 @@ QUERIES_EXT = {
     "geojson_roundtrip_roads": geojson_roundtrip_roads,
     "doc_length_quantiles": doc_length_quantiles,
     "osm_relation_rings": osm_relation_rings,
+    "snapshot_time_travel": snapshot_time_travel,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,

@@ -131,3 +131,92 @@ def write_bucketed_table(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot commits + time travel (Iceberg metadata shape on local parquet;
+# r04).  The real catalog path stays config-gated (module docstring) —
+# this is the metadata PROTOCOL: immutable data directories + an atomic
+# manifest commit per snapshot, so readers get time travel and writers
+# get safe concurrent commits, without any table service.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(path: str) -> str:
+    import os
+
+    d = os.path.join(path, "manifests")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def snapshot_history(path: str) -> list[int]:
+    """Committed snapshot ids, ascending (empty for a fresh table)."""
+    import os
+
+    out = []
+    for name in os.listdir(_manifest_dir(path)):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_manifest(path: str, snap_id: int) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(_manifest_dir(path), f"{snap_id}.json")) as f:
+        return json.load(f)
+
+
+def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    Data files land in an immutable per-snapshot directory
+    (``data/snap-<uuid>``); the snapshot is COMMITTED by hard-linking a
+    manifest JSON into ``manifests/<id>.json`` — link(2) fails with
+    EEXIST if another writer took the id, and the loser retries against
+    the newer parent (optimistic concurrency, the Iceberg commit
+    protocol in miniature).  ``append`` snapshots reference the
+    parent's data dirs + the new one; ``overwrite`` references only the
+    new one.  Returns the committed snapshot id (1-based)."""
+    import json
+    import os
+    import uuid
+
+    assert mode in ("append", "overwrite")
+    data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
+    df.write.mode("error").parquet(data_dir)
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    while True:
+        hist = snapshot_history(path)
+        snap_id = (hist[-1] + 1) if hist else 1
+        dirs = [data_dir]
+        if mode == "append" and hist:
+            dirs = _read_manifest(path, hist[-1])["dirs"] + dirs
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snap_id,
+                       "parent": hist[-1] if hist else None,
+                       "mode": mode, "dirs": dirs}, f)
+        try:
+            os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+            os.remove(tmp)
+            return snap_id
+        except FileExistsError:
+            continue  # lost the race — recompute against the new head
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  as_of: int | None = None) -> DataFrame:
+    """Time-travel read: the table AS OF snapshot ``as_of`` (default:
+    current head).  Reads exactly the data directories the manifest
+    committed — later snapshots never touch them (immutability is what
+    makes the old read reproducible)."""
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots committed at {path!r}")
+    snap_id = hist[-1] if as_of is None else as_of
+    if snap_id not in hist:
+        raise ValueError(f"snapshot {snap_id} not in history {hist}")
+    return spark.read.parquet(*_read_manifest(path, snap_id)["dirs"])

@@ -190,3 +190,41 @@ def test_connected_components_union_find_oracle(spark):
     v_df = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
     got = {r.v: r.label for r in connected_components(e_df, v_df).collect()}
     assert got == want
+
+
+def test_snapshot_commits_and_time_travel(spark, tmp_path):
+    """r04: snapshot protocol — append chains reference parent dirs,
+    overwrite starts fresh, as-of reads are immutable, commit ids are
+    race-safe (EEXIST retry), and bad as-of raises."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sdg_engine.storage import (read_snapshot, snapshot_history,
+                                    write_snapshot)
+
+    tbl = str(tmp_path / "snap_tbl")
+    df1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"k": [3]}))
+    df3 = spark.createDataFrame(pd.DataFrame({"k": [9]}))
+    assert write_snapshot(df1, tbl, mode="overwrite") == 1
+    assert write_snapshot(df2, tbl, mode="append") == 2
+    assert snapshot_history(tbl) == [1, 2]
+    assert sorted(r.k for r in read_snapshot(spark, tbl, as_of=1).collect()) == [1, 2]
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) == [1, 2, 3]
+    # overwrite drops history going forward but as-of still sees the past
+    assert write_snapshot(df3, tbl, mode="overwrite") == 3
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) == [9]
+    assert sorted(r.k for r in read_snapshot(spark, tbl, as_of=2).collect()) == [1, 2, 3]
+    with _pytest.raises(ValueError, match="not in history"):
+        read_snapshot(spark, tbl, as_of=99)
+    # commit-race: pre-take the next id; the writer must retry to 5
+    import json
+    import os
+
+    mdir = os.path.join(tbl, "manifests")
+    with open(os.path.join(mdir, "4.json"), "w") as f:
+        json.dump({"snapshot_id": 4, "parent": 3, "mode": "overwrite",
+                   "dirs": []}, f)
+    assert write_snapshot(df1, tbl, mode="append") == 5
+    # the append-after-race chains off the REAL head it observed (4)
+    assert snapshot_history(tbl) == [1, 2, 3, 4, 5]
