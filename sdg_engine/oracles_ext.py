@@ -303,6 +303,37 @@ SELECT CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
 FROM c GROUP BY 1
 """
 
+LANG_NGRAM_ID = """
+WITH tri AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(generate_series(1, GREATEST(length(text) - 2, 1)),
+                i -> substr(text, i, 3))) AS tri
+  FROM documents
+),
+pc AS (SELECT lang AS cand_lang, tri, COUNT(*) AS cnt FROM tri GROUP BY 1, 2),
+prof AS (
+  SELECT cand_lang, tri FROM (
+    SELECT cand_lang, tri,
+           ROW_NUMBER() OVER (PARTITION BY cand_lang
+                              ORDER BY cnt DESC, tri ASC) AS rk
+    FROM pc
+  ) r WHERE rk <= 64
+),
+dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+sc AS (SELECT doc_id, cand_lang, COUNT(*) AS score
+       FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand_lang ASC) AS rk
+    FROM sc
+  ) r WHERE rk = 1
+)
+SELECT b.doc_id, d.lang, b.pred_lang, CAST(b.score AS BIGINT) AS score,
+       d.lang = b.pred_lang AS correct
+FROM best b JOIN documents d USING (doc_id)
+"""
+
 # snapshot 1 = overwrite('en'); snapshot 2 = append('de') — the as-of-1
 # read must equal the 'en' leg alone, the head read the union.
 SNAPSHOT_TIME_TRAVEL = """
@@ -781,6 +812,7 @@ ORACLES_EXT = {
     "streaming_dedup_watermarked": STREAMING_DEDUP_WATERMARKED,
     "doc_length_quantiles": DOC_LENGTH_QUANTILES,
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL,
+    "lang_ngram_id": LANG_NGRAM_ID,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,

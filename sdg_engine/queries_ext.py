@@ -876,6 +876,67 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def lang_ngram_id(spark, sf_dir):
+    """REAL n-gram language-ID (r04; the task spec's "language-ID
+    (n-gram heuristic)" beyond the stopword ratio): Cavnar-Trenkle-lite
+    profile intersection — per language, the top-64 character trigrams
+    by occurrence count (deterministic count-desc/trigram-asc rank)
+    form the profile; each document is classified to the language whose
+    profile shares the most of its DISTINCT trigrams (tie → lang asc).
+    Integer scores end-to-end ⇒ hash-exact in DuckDB.
+
+    Honesty note: the driver's synthetic documents are only weakly
+    language-marked, so accuracy reads ~26% over 5 labels (chance 20%)
+    — the oracle certifies the PIPELINE (profile build, intersection
+    scoring, deterministic argmax), not a linguistic claim.
+
+    Scale shape: profiles are vocabulary-sized (langs × 64 rows) and
+    broadcast; the document side pays one explode + distinct + one
+    doc-keyed aggregation; the argmax is ``min(struct(-score, lang))``
+    with map-side partial aggregation — no row_number sort over the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), "
+            "i -> substring(text, i, 3))"
+        )).alias("tri"),
+    )
+    pc = tri.groupBy(F.col("lang").alias("cand_lang"), "tri").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = Window.partitionBy("cand_lang").orderBy(
+        F.col("cnt").desc(), F.col("tri").asc()
+    )
+    prof = (
+        pc.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 64)
+        .select("cand_lang", "tri")
+    )
+    doc_tri = tri.select("doc_id", "tri").distinct()
+    scores = (
+        doc_tri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    best = (
+        scores.groupBy("doc_id")
+        .agg(F.min(F.struct(
+            (-F.col("score")).alias("ns"), F.col("cand_lang").alias("cl")
+        )).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.cl").alias("pred_lang"),
+            (-F.col("m.ns")).alias("score"),
+        )
+    )
+    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "pred_lang", F.col("score").cast("long"),
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
 def snapshot_time_travel(spark, sf_dir):
     """Iceberg-style snapshot commits + TIME-TRAVEL read
     (storage.write_snapshot / read_snapshot, r04): snapshot 1 =
@@ -1595,6 +1656,7 @@ QUERIES_EXT = {
     "doc_length_quantiles": doc_length_quantiles,
     "osm_relation_rings": osm_relation_rings,
     "snapshot_time_travel": snapshot_time_travel,
+    "lang_ngram_id": lang_ngram_id,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,
