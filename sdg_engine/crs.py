@@ -122,9 +122,11 @@ def tmerc_inverse(easting, northing, lon0: float, k0: float = 0.9996,
     return np.degrees(lon), np.degrees(lat)
 
 
-def utm_zone(lon: float) -> int:
-    """UTM zone number for a longitude (1..60)."""
-    return int(np.floor((lon + 180.0) / 6.0)) % 60 + 1
+def utm_zone(lon) -> np.ndarray | int:
+    """UTM zone number for longitude(s) (1..60) — the ONE copy of the
+    zone formula (scalar in, int out; array in, int array out)."""
+    z = (np.floor((_asarr(lon) + 180.0) / 6.0).astype(np.int64)) % 60 + 1
+    return int(z) if z.ndim == 0 else z
 
 
 def utm_forward(lon, lat, zone: int | None = None):
@@ -138,9 +140,7 @@ def utm_forward(lon, lat, zone: int | None = None):
     into one grid deliberately."""
     lon = _asarr(lon)
     if zone is None:
-        zones = np.unique(
-            (np.floor((np.atleast_1d(lon) + 180.0) / 6.0) % 60 + 1).astype(int)
-        )
+        zones = np.unique(np.atleast_1d(utm_zone(lon)))
         if len(zones) > 1:
             raise ValueError(
                 f"points span UTM zones {zones.tolist()} — pass an "

@@ -131,10 +131,12 @@ def assemble_relation_rings(member_ways: DataFrame,
 
     Shape: explode members → equi-join ways → one cogroup per relation
     (members per relation are bounded — admin rings are a few hundred
-    ways); the stitcher is deterministic: start from the member whose
-    smaller endpoint is lexicographically least (oriented that way),
-    then repeatedly append the unique member continuing the open end,
-    flipping orientation as needed.  Emits rotation/orientation-proof
+    ways); the stitcher is deterministic: members are oriented toward
+    their smaller endpoint, the start member is picked by oriented-
+    array byte order (content-deterministic, partition-order
+    independent — see the module note below), then the unique member
+    continuing the open end is appended repeatedly, flipping
+    orientation as needed.  Emits rotation/orientation-proof
     integer invariants (micro-rounded |shoelace| area + perimeter), so
     the DuckDB oracle recomputes them from the ORIGINAL rings.
     """
@@ -166,23 +168,26 @@ def assemble_relation_rings(member_ways: DataFrame,
         remaining = [w for i, w in enumerate(ways) if i != start_i]
         while remaining:
             end = tuple(ring[-1])
-            hits = []
+            hits = {}
             for i, a in enumerate(remaining):
                 if tuple(a[0]) == end:
-                    hits.append((a.tobytes(), i, a))
+                    hits.setdefault((a.tobytes(), i), a)
                 if tuple(a[-1]) == end:
                     rev = a[::-1]
-                    hits.append((rev.tobytes(), i, rev))
+                    hits.setdefault((rev.tobytes(), i), rev)
             if not hits:
                 raise ValueError(
                     f"relation {key[0]}: no member continues at {end} — "
                     "broken ring"
                 )
             # valid admin rings have a unique continuation; shared
-            # touch-points resolve by content order (deterministic)
-            _, hit, nxt = min(hits)
+            # touch-points resolve by oriented content bytes (keys are
+            # (bytes, index) so min() never compares ndarrays — a
+            # palindromic member yields one dict entry, review r04)
+            kmin = min(hits)
+            nxt = hits[kmin]
             ring = np.concatenate([ring, nxt[1:]])
-            remaining.pop(hit)
+            remaining.pop(kmin[1])
         closed = bool((ring[0] == ring[-1]).all())
         x, y = ring[:, 0], ring[:, 1]
         area = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
@@ -204,6 +209,14 @@ def assemble_relation_rings(member_ways: DataFrame,
     return joined.groupBy("relation_id").applyInPandas(
         _stitch, REL_RING_SCHEMA
     )
+
+
+# NOTE on the stitcher's determinism rule: start/continuation picks are
+# by ORIENTED-ARRAY BYTE ORDER (float64 tobytes — content-deterministic
+# and partition-order independent on a given platform; byte order, not
+# numeric endpoint order).  The emitted invariants are rotation/
+# orientation-proof, so results do not depend on which deterministic
+# pick wins.
 
 
 def relation_fixture(spark: SparkSession):

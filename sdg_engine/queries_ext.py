@@ -895,14 +895,20 @@ def lang_ngram_id(spark, sf_dir):
     doc-keyed aggregation; the argmax is ``min(struct(-score, lang))``
     with map-side partial aggregation — no row_number sort over the
     corpus."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
+    # persist the exploded trigram base: BOTH branches (profile build +
+    # document side) read it, and the explode lambda is interpreted
+    # (gotcha 4) — without the persist each branch re-runs the full
+    # corpus explode (r04 review; the minhash DISK_ONLY template)
     tri = docs.select(
         "doc_id", "lang",
         F.explode(F.expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), "
             "i -> substring(text, i, 3))"
         )).alias("tri"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     pc = tri.groupBy(F.col("lang").alias("cand_lang"), "tri").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -931,10 +937,13 @@ def lang_ngram_id(spark, sf_dir):
             (-F.col("m.ns")).alias("score"),
         )
     )
-    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+    result = best.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "pred_lang", F.col("score").cast("long"),
         (F.col("lang") == F.col("pred_lang")).alias("correct"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    result.count()  # materialize while tri is live, then release it
+    tri.unpersist()
+    return result
 
 
 def snapshot_time_travel(spark, sf_dir):
@@ -1248,8 +1257,9 @@ def _stream_base(spark, prefix: str) -> str:
     _drain_and_cleanup collect()ed every streaming result into the
     driver, silently capping result size; no queries() builder calls
     .collect() anymore).  Stale sibling roots from dead sessions are
-    reaped opportunistically after 24 h, bounding /tmp growth the same
-    way the dim-table publish does."""
+    reaped opportunistically after 7 days — never the current session's
+    root, whose mtime heartbeats on every call — bounding /tmp growth
+    the same way the dim-table publish does."""
     import atexit
     import os
     import shutil

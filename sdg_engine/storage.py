@@ -143,19 +143,23 @@ def write_bucketed_table(
 
 
 def _manifest_dir(path: str) -> str:
+    """Pure path helper — READS must not create directories as a side
+    effect (r04 review: read_snapshot on a typo'd path used to mkdir
+    it before raising)."""
     import os
 
-    d = os.path.join(path, "manifests")
-    os.makedirs(d, exist_ok=True)
-    return d
+    return os.path.join(path, "manifests")
 
 
 def snapshot_history(path: str) -> list[int]:
     """Committed snapshot ids, ascending (empty for a fresh table)."""
     import os
 
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
     out = []
-    for name in os.listdir(_manifest_dir(path)):
+    for name in os.listdir(d):
         if name.endswith(".json") and name[:-5].isdigit():
             out.append(int(name[:-5]))
     return sorted(out)
@@ -188,23 +192,27 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(data_dir)
     mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)  # writes may create; reads never do
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
-    while True:
-        hist = snapshot_history(path)
-        snap_id = (hist[-1] + 1) if hist else 1
-        dirs = [data_dir]
-        if mode == "append" and hist:
-            dirs = _read_manifest(path, hist[-1])["dirs"] + dirs
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_id": snap_id,
-                       "parent": hist[-1] if hist else None,
-                       "mode": mode, "dirs": dirs}, f)
-        try:
-            os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+    try:
+        while True:
+            hist = snapshot_history(path)
+            snap_id = (hist[-1] + 1) if hist else 1
+            dirs = [data_dir]
+            if mode == "append" and hist:
+                dirs = _read_manifest(path, hist[-1])["dirs"] + dirs
+            with open(tmp, "w") as f:
+                json.dump({"snapshot_id": snap_id,
+                           "parent": hist[-1] if hist else None,
+                           "mode": mode, "dirs": dirs}, f)
+            try:
+                os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+                return snap_id
+            except FileExistsError:
+                continue  # lost the race — recompute against the new head
+    finally:
+        if os.path.exists(tmp):  # never leave a .tmp behind (review)
             os.remove(tmp)
-            return snap_id
-        except FileExistsError:
-            continue  # lost the race — recompute against the new head
 
 
 def read_snapshot(spark: SparkSession, path: str,

@@ -217,14 +217,36 @@ def test_snapshot_commits_and_time_travel(spark, tmp_path):
     assert sorted(r.k for r in read_snapshot(spark, tbl, as_of=2).collect()) == [1, 2, 3]
     with _pytest.raises(ValueError, match="not in history"):
         read_snapshot(spark, tbl, as_of=99)
-    # commit-race: pre-take the next id; the writer must retry to 5
+    # commit-race: inject a CONFLICTING manifest between the writer's
+    # snapshot_history() read and its os.link commit (r04 review: a
+    # pre-written manifest was visible to history already, so the
+    # EEXIST retry branch had zero coverage) — the writer must lose
+    # id 4, retry against the new head, and commit as 5
     import json
     import os
 
+    import sdg_engine.storage as ST
+
     mdir = os.path.join(tbl, "manifests")
-    with open(os.path.join(mdir, "4.json"), "w") as f:
-        json.dump({"snapshot_id": 4, "parent": 3, "mode": "overwrite",
-                   "dirs": []}, f)
-    assert write_snapshot(df1, tbl, mode="append") == 5
+    real_link = os.link
+    fired = {"n": 0}
+
+    def racing_link(src, dst):
+        if fired["n"] == 0 and dst.endswith("4.json"):
+            fired["n"] += 1
+            with open(os.path.join(mdir, "4.json"), "w") as f:
+                json.dump({"snapshot_id": 4, "parent": 3,
+                           "mode": "overwrite", "dirs": []}, f)
+        return real_link(src, dst)
+
+    os.link = racing_link
+    try:
+        assert write_snapshot(df1, tbl, mode="append") == 5
+    finally:
+        os.link = real_link
+    assert fired["n"] == 1  # the conflict really fired mid-commit
     # the append-after-race chains off the REAL head it observed (4)
     assert snapshot_history(tbl) == [1, 2, 3, 4, 5]
+    assert ST._read_manifest(tbl, 5)["parent"] == 4
+    # no .tmp manifest left behind
+    assert not [n for n in os.listdir(mdir) if n.startswith(".tmp")]
