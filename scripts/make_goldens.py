@@ -306,9 +306,44 @@ def make_multimodal_goldens() -> None:
         os.path.join(OUT, "audio_features.parquet"),
     )
 
-    # --- video: seeded gradient+noise frame stacks → every-12th luma ---
+    # --- audio spectral twin (r04): same regenerated pcm → rfft ---
+    # (second pass over the same seeded rng stream — rebuild it)
+    rng = np.random.default_rng(1234)
+    s_ids, s_cen, s_peak, s_en, s_nb = [], [], [], [], []
+    for i in range(64):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+        mono = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
+        mag = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(len(mono), 1.0 / sr)
+        total = float(mag.sum())
+        s_ids.append(f"aud{i:08d}")
+        s_cen.append(float((freqs * mag).sum() / total) if total > 0 else 0.0)
+        s_peak.append(float(freqs[int(np.argmax(mag))]))
+        s_en.append(float((mag * mag).sum()))
+        s_nb.append(len(mag))
+    pq.write_table(
+        pa.table({
+            "media_id": s_ids,
+            "centroid_hz": pa.array(s_cen, pa.float64()),
+            "peak_hz": pa.array(s_peak, pa.float64()),
+            "energy": pa.array(s_en, pa.float64()),
+            "n_bins": pa.array(s_nb, pa.int32()),
+        }),
+        os.path.join(OUT, "audio_spectral.parquet"),
+    )
+
+    # --- video: seeded gradient+noise frame stacks → every-12th luma
+    # + scene-cut invariants (r04) ---
     rng = np.random.default_rng(4321)
     v_ids, v_fi, v_t, v_lum = [], [], [], []
+    c_ids, c_nf, c_nc, c_fc = [], [], [], []
     for i in range(32):
         w, h = 48, 32
         n_frames = 24 + (i % 4) * 12
@@ -327,6 +362,22 @@ def make_multimodal_goldens() -> None:
             v_fi.append(fi)
             v_t.append(float(fi / fps))
             v_lum.append(float(frames[fi].mean()))
+        means = frames.reshape(len(frames), -1).mean(axis=1)
+        jumps = np.abs(np.diff(means))
+        cut_idx = np.nonzero(jumps > 3.0)[0] + 1
+        c_ids.append(f"vid{i:08d}")
+        c_nf.append(n_frames)
+        c_nc.append(int(len(cut_idx)))
+        c_fc.append(int(cut_idx[0]) if len(cut_idx) else -1)
+    pq.write_table(
+        pa.table({
+            "media_id": c_ids,
+            "n_frames": pa.array(c_nf, pa.int32()),
+            "n_cuts": pa.array(c_nc, pa.int32()),
+            "first_cut": pa.array(c_fc, pa.int32()),
+        }),
+        os.path.join(OUT, "video_cuts.parquet"),
+    )
     pq.write_table(
         pa.table({
             "media_id": v_ids,

@@ -239,3 +239,83 @@ def video_frame_sample(video: DataFrame, every_n: int = 12,
         _frames,
         "media_id string, frame_idx int, t_sec double, mean_luma double",
     )
+
+
+def audio_spectral_features(audio: DataFrame,
+                            deterministic_fake: bool = True) -> DataFrame:
+    """Spectral feature extraction (r04): decode → mono → real FFT →
+    magnitude spectrum → centroid (Hz), peak bin frequency, total
+    energy.  numpy's rfft is deterministic for a given input, and the
+    golden twin regenerates the identical waveform from the fixture
+    SPEC — so the oracle compares float-exactly, like RMS/ZCR."""
+    fake = bool(deterministic_fake)
+
+    def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n_samples = int(r.sample_rate * r.duration_ms / 1000)
+                wav = _decode_audio(bytes(r.bytes), r.codec, r.sample_rate,
+                                    int(r.n_channels), n_samples, fake)
+                mono = wav.mean(axis=1)
+                mag = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(len(mono), 1.0 / r.sample_rate)
+                total = float(mag.sum())
+                centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+                peak_bin = int(np.argmax(mag))  # first max (deterministic)
+                out.append((r.media_id, centroid, float(freqs[peak_bin]),
+                            float((mag * mag).sum()), len(mag)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "centroid_hz", "peak_hz",
+                              "energy", "n_bins"]
+            )
+
+    return audio.mapInPandas(
+        _spec,
+        "media_id string, centroid_hz double, peak_hz double, "
+        "energy double, n_bins int",
+    )
+
+
+def video_scene_cuts(video: DataFrame, threshold: float = 3.0,
+                     deterministic_fake: bool = True) -> DataFrame:
+    """Scene-cut detection (r04): per clip, frames whose mean-luma jump
+    from the previous frame exceeds ``threshold`` gray levels — the
+    keyframe-selection primitive of a video training pipeline.  Emits
+    (n_frames, n_cuts, first_cut) per clip; ``first_cut`` is −1 when
+    the clip has none."""
+    fake = bool(deterministic_fake)
+    thr = float(threshold)
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.codec == "rawvid":
+                    stack = decode_rawvid(bytes(r.bytes))
+                elif fake:
+                    seed = int.from_bytes(bytes(r.bytes)[:8], "big") % (2**32)
+                    rng = np.random.default_rng(seed)
+                    stack = rng.integers(
+                        0, 256, size=(int(r.n_frames), int(r.h), int(r.w))
+                    ).astype(np.uint8)
+                else:
+                    raise NotImplementedError(
+                        f"real {r.codec} decode requires ffmpeg (not in "
+                        "this container); pass deterministic_fake=True"
+                    )
+                means = stack.reshape(len(stack), -1).mean(axis=1)
+                jumps = np.abs(np.diff(means))
+                cut_idx = np.nonzero(jumps > thr)[0] + 1
+                out.append((
+                    r.media_id, len(stack), int(len(cut_idx)),
+                    int(cut_idx[0]) if len(cut_idx) else -1,
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_frames", "n_cuts", "first_cut"]
+            )
+
+    return video.mapInPandas(
+        _cuts,
+        "media_id string, n_frames int, n_cuts int, first_cut int",
+    )

@@ -786,6 +786,15 @@ FROM read_parquet('{goldens_dir}/audio_features.parquet')
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, t_sec, mean_luma
 FROM read_parquet('{goldens_dir}/video_frames.parquet')
 """
+    audio_spectral = f"""
+SELECT media_id, centroid_hz, peak_hz, energy, CAST(n_bins AS INT) AS n_bins
+FROM read_parquet('{goldens_dir}/audio_spectral.parquet')
+"""
+    video_cuts = f"""
+SELECT media_id, CAST(n_frames AS INT) AS n_frames,
+       CAST(n_cuts AS INT) AS n_cuts, CAST(first_cut AS INT) AS first_cut
+FROM read_parquet('{goldens_dir}/video_cuts.parquet')
+"""
     return {
         "image_near_dup_pairs": near_dup,
         "image_decode_stats": decode_stats,
@@ -797,6 +806,8 @@ FROM read_parquet('{goldens_dir}/video_frames.parquet')
         "osm_relation_rings": relation_rings,
         "multimodal_audio_features": audio_features,
         "multimodal_video_frames": video_frames,
+        "multimodal_audio_spectral": audio_spectral,
+        "multimodal_video_cuts": video_cuts,
     }
 
 

@@ -1246,6 +1246,27 @@ def multimodal_audio_features(spark, sf_dir):
 
 
 
+def multimodal_audio_spectral(spark, sf_dir):
+    """Spectral feature extraction over REAL WAV bytes (r04): rfft
+    magnitude → centroid/peak/energy, oracle-checked against the
+    independent spec-twin golden (same numpy FFT on the regenerated
+    waveform — the WAV container round-trip is what the engine side
+    adds and the oracle certifies)."""
+    from .ops.multimodal import audio_spectral_features, synth_audio_table
+
+    return audio_spectral_features(synth_audio_table(spark, 64))
+
+
+def multimodal_video_cuts(spark, sf_dir):
+    """Scene-cut detection over REAL rawvid bytes (r04): mean-luma jump
+    threshold per frame — the keyframe-selection primitive;
+    oracle-checked against the independent spec-twin golden (integer
+    cut counts/indices)."""
+    from .ops.multimodal import synth_video_table, video_scene_cuts
+
+    return video_scene_cuts(synth_video_table(spark, 32))
+
+
 _STREAM_ROOTS: set = set()
 
 
@@ -1645,6 +1666,8 @@ QUERIES_EXT = {
     "spatial_knn_unbounded": spatial_knn_unbounded,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_frames": multimodal_video_frames,
+    "multimodal_audio_spectral": multimodal_audio_spectral,
+    "multimodal_video_cuts": multimodal_video_cuts,
     "mvt_tile_stats": mvt_tile_stats,
     "streaming_hourly_closed": streaming_hourly_closed,
     "dedup_exact": dedup_exact,
