@@ -303,6 +303,20 @@ SELECT CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
 FROM c GROUP BY 1
 """
 
+DQ_DOCUMENTS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_text,
+       COUNT(DISTINCT doc_id) AS distinct_ids,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS chars_mismatch
+FROM documents
+"""
+
 LANG_NGRAM_ID = """
 WITH tri AS (
   SELECT doc_id, lang,
@@ -824,6 +838,7 @@ ORACLES_EXT = {
     "doc_length_quantiles": DOC_LENGTH_QUANTILES,
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL,
     "lang_ngram_id": LANG_NGRAM_ID,
+    "dq_documents": DQ_DOCUMENTS,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,

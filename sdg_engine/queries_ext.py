@@ -876,6 +876,30 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def dq_documents(spark, sf_dir):
+    """Data-quality/profiling report (r04) — the expectations gate every
+    training-data ingest runs before a corpus is admitted: per column,
+    row/null/distinct counts and integer min/max (doc_id, n_chars) plus
+    referential sanity (n_chars == length(text) violation count) and
+    domain checks (lang/source cardinalities).  One pass, all built-in
+    aggregates (map-side combined); DuckDB states it identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.countDistinct("doc_id").alias("distinct_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("chars_mismatch"),
+    )
+
+
 def lang_ngram_id(spark, sf_dir):
     """REAL n-gram language-ID (r04; the task spec's "language-ID
     (n-gram heuristic)" beyond the stopword ratio): Cavnar-Trenkle-lite
@@ -1690,6 +1714,7 @@ QUERIES_EXT = {
     "osm_relation_rings": osm_relation_rings,
     "snapshot_time_travel": snapshot_time_travel,
     "lang_ngram_id": lang_ngram_id,
+    "dq_documents": dq_documents,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,
