@@ -303,6 +303,23 @@ SELECT CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
 FROM c GROUP BY 1
 """
 
+SUBSTRING_DUP_PAIRS = """
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(
+           generate_series(1, GREATEST(length(text) - 31, 1), 8),
+           i -> substr(text, i, 32))) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS nf FROM w GROUP BY w),
+keep AS (SELECT w.doc_id, w.w FROM w JOIN freq USING (w)
+         WHERE nf >= 2 AND nf <= 16)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_windows
+FROM keep a JOIN keep b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
 DQ_DOCUMENTS = """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -839,6 +856,7 @@ ORACLES_EXT = {
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL,
     "lang_ngram_id": LANG_NGRAM_ID,
     "dq_documents": DQ_DOCUMENTS,
+    "substring_dup_pairs": SUBSTRING_DUP_PAIRS,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_DOCS,
     "csv_roundtrip_docs": CSV_ROUNDTRIP_DOCS,

@@ -876,6 +876,41 @@ def image_cost_distance(spark, sf_dir):
     )
 
 
+def substring_dup_pairs(spark, sf_dir):
+    """EXACT-SUBSTRING dedup (r04) — the Lee-et-al. training-data
+    flavor the shingle/minhash family approximates: document pairs
+    sharing an IDENTICAL 32-char window (windows at stride 8).  Scale
+    shape: distinct (doc, window) → window-frequency filter (a window
+    is a dedup candidate only with 2..16 holders — the ≤16 cap is the
+    stop-window bound; boilerplate windows at corpus scale would
+    otherwise make one n² join group) → window equi-join → pair
+    aggregate.  The join compares the actual window STRINGS (no hash
+    collisions to argue about); DuckDB mirrors every step."""
+    docs = _t(spark, sf_dir, "documents")
+    win = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 31, 1), 8), "
+            "i -> substring(text, i, 32))"
+        )).alias("w"),
+    ).distinct()
+    freq = win.groupBy("w").agg(F.count(F.lit(1)).alias("nf"))
+    keep = win.join(
+        freq.filter((F.col("nf") >= 2) & (F.col("nf") <= 16)), "w"
+    ).drop("nf")
+    return (
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
 def dq_documents(spark, sf_dir):
     """Data-quality/profiling report (r04) — the expectations gate every
     training-data ingest runs before a corpus is admitted: per column,
@@ -1715,6 +1750,7 @@ QUERIES_EXT = {
     "snapshot_time_travel": snapshot_time_travel,
     "lang_ngram_id": lang_ngram_id,
     "dq_documents": dq_documents,
+    "substring_dup_pairs": substring_dup_pairs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_quality_filter": doc_quality_filter,
     "tfidf_top_terms": tfidf_top_terms,
