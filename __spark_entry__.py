@@ -35,15 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    61/64 queries have a SQL twin (r03 added mvt_tile_stats,
-    image_decode_stats, image_near_dup_pairs and image_thumbnails —
-    these run DuckDB directly over the image-fixture parquet plus
-    committed independent-numpy goldens — and spatial_range_join,
-    embedding_cosine_neardup, kmeans_embeddings, sample_stratified,
-    streaming_dedup_docs, streaming_interval_join, all oracle-checked).
-    The remaining three (image_rai_summary, multimodal audio/video)
-    decode binary payloads with no relational twin; each is pinned by
-    bit-exact numpy oracles in tests/ instead.
+    ALL 77 registered queries have an oracle entry as of r04 — zero
+    rows-only remain.  Queries whose content is binary payload math
+    (RAI burn/cost-distance, warp, multimodal audio/video features)
+    compare against COMMITTED goldens produced by INDEPENDENT twins
+    (scripts/make_goldens.py — generator pixels/waveforms, reimplemented
+    lossy transforms, brute-force candidates, transposed-scan /
+    Dijkstra-certified distance transforms), which DuckDB reads via
+    read_parquet and, where meaningful, aggregates relationally.
     """
     from sdg_engine.oracles import all_oracles
 
