@@ -104,6 +104,20 @@ cells AS ({chain_select("SELECT * FROM pts", _CELL12_STEPS, ["point_id", "cell_i
 SELECT cell_id, COUNT(*) AS n_points FROM cells GROUP BY cell_id
 """
 
+# C1b pyramid rollup (r04): packed-id parent truncation, bit ops only
+SPATIAL_PYRAMID = f"""
+WITH pts AS ({_PTS}),
+cells AS ({chain_select("SELECT * FROM pts", _CELL12_STEPS, ["point_id", "cell_id"])}),
+ex AS (SELECT cell_id, UNNEST([0, 1, 2, 3]) AS s FROM cells),
+p AS (
+  SELECT CAST(12 - s AS INT) AS level,
+         (CAST(12 - s AS BIGINT) << 54)
+           | ((cell_id & {(1 << 54) - 1}) >> (2 * s)) AS cell
+  FROM ex
+)
+SELECT level, cell, COUNT(*) AS n_points FROM p GROUP BY 1, 2
+"""
+
 # --- C2: distributed compact cover (same ancestor-count formulation the
 # Spark op runs: full node = descendant count 4^(L-lvl); compacted =
 # full nodes whose parent is not full) --------------------------------------
@@ -568,6 +582,7 @@ FROM ranked WHERE rnk <= 5
 ORACLES = {
     "flagship_rai": FLAGSHIP_RAI,
     "spatial_cell_cover": SPATIAL_CELL_COVER,
+    "spatial_pyramid": SPATIAL_PYRAMID,
     "spatial_knn_nearest": SPATIAL_KNN_NEAREST,
     "spatial_pip_country": SPATIAL_PIP_COUNTRY,
     "spatial_compact_cover": SPATIAL_COMPACT_COVER,

@@ -117,6 +117,32 @@ def spatial_cell_cover(spark, sf_dir):
     return pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def spatial_pyramid(spark, sf_dir):
+    _prep(spark)
+    """C1b (r04): tile PYRAMID build — the GeoTrellis Pyramid.up
+    analogue: per-cell point counts rolled up levels 12→9 by packed-id
+    parent truncation ((level−s)<<54 | code>>2s).  ONE pass: a 4-row
+    explode per point then a single (level, cell) aggregation — never a
+    union of per-level branches, which would re-plan and re-scan the
+    upstream per level (CLAUDE.md gotcha 3).  Bit ops only ⇒ DuckDB
+    recomputes the identical ids."""
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 12)
+    mask = (1 << 54) - 1
+    ex = pts.select(
+        "cell_id", F.explode(F.expr("array(0, 1, 2, 3)")).alias("s")
+    )
+    cells = ex.select(
+        (F.lit(12) - F.col("s")).cast("int").alias("level"),
+        F.expr(
+            f"(CAST(12 - s AS BIGINT) << 54) | "
+            f"((cell_id & CAST({mask} AS BIGINT)) >> (2 * s))"
+        ).alias("cell"),
+    )
+    return cells.groupBy("level", "cell").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
 def spatial_knn_nearest(spark, sf_dir):
     _prep(spark)
     """J4 ★: nearest road per point (exact; verified vs brute-force SQL)."""
@@ -727,6 +753,7 @@ def ann_cosine_topk(spark, sf_dir):
 QUERIES = {
     "flagship_rai": flagship_rai,
     "spatial_cell_cover": spatial_cell_cover,
+    "spatial_pyramid": spatial_pyramid,
     "spatial_knn_nearest": spatial_knn_nearest,
     "spatial_pip_country": spatial_pip_country,
     "spatial_join_cells": spatial_join_cells,
