@@ -35,8 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
-    ALL 77 registered queries have an oracle entry as of r04 — zero
-    rows-only remain.  Queries whose content is binary payload math
+    EVERY registered query has an oracle entry as of r04 — zero
+    rows-only remain (`set(oracle_sql()) == set(queries())`, pinned by
+    tests/test_spark_pipeline.py::test_entry_contract).  Queries whose content is binary payload math
     (RAI burn/cost-distance, warp, multimodal audio/video features)
     compare against COMMITTED goldens produced by INDEPENDENT twins
     (scripts/make_goldens.py — generator pixels/waveforms, reimplemented

@@ -886,19 +886,24 @@ def substring_dup_pairs(spark, sf_dir):
     otherwise make one n² join group) → window equi-join → pair
     aggregate.  The join compares the actual window STRINGS (no hash
     collisions to argue about); DuckDB mirrors every step."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
+    # persist the window-explode base: it feeds freq PLUS both self-join
+    # sides — without it the interpreted transform/explode lambda and
+    # the distinct shuffle execute 4× (r04 review; gotcha 16 template)
     win = docs.select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, greatest(length(text) - 31, 1), 8), "
             "i -> substring(text, i, 32))"
         )).alias("w"),
-    ).distinct()
+    ).distinct().persist(StorageLevel.DISK_ONLY)
     freq = win.groupBy("w").agg(F.count(F.lit(1)).alias("nf"))
     keep = win.join(
         freq.filter((F.col("nf") >= 2) & (F.col("nf") <= 16)), "w"
     ).drop("nf")
-    return (
+    result = (
         keep.alias("a")
         .join(
             keep.alias("b"),
@@ -908,7 +913,11 @@ def substring_dup_pairs(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .persist(StorageLevel.DISK_ONLY)
     )
+    result.count()  # materialize while win is live, then release it
+    win.unpersist()
+    return result
 
 
 def dq_documents(spark, sf_dir):

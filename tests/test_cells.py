@@ -182,3 +182,22 @@ def test_compact_overlapping_mixed_level_input():
     a_kids = C.children(np.array([a])).ravel()
     got = C.compact(np.concatenate([[a], a_kids, [b], [c]]))
     assert got.tolist() == sorted([int(a), int(b), int(c)])
+
+
+def test_pyramid_rollup_conserves_counts(spark):
+    """C1b (r04): every pyramid level's per-cell counts must sum to the
+    point total, and each level's cell ids must carry that level in the
+    packed high bits."""
+    from pyspark.sql import functions as F
+
+    from sdg_engine.queries import QUERIES
+
+    df = QUERIES["spatial_pyramid"](spark, "/root/testdata/sf0.001")
+    per_level = {
+        r["level"]: r["total"]
+        for r in df.groupBy("level").agg(F.sum("n_points").alias("total")).collect()
+    }
+    assert set(per_level) == {9, 10, 11, 12}
+    assert len(set(per_level.values())) == 1  # same total at every level
+    bad = df.filter(F.expr("(cell >> 54) != level")).count()
+    assert bad == 0

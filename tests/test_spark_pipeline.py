@@ -136,7 +136,9 @@ def test_entry_contract(spark):
     assert {"country_code", "n_points", "n_near", "rai"} <= cols
     q = E.queries()
     o = E.oracle_sql()
-    assert set(o) <= set(q)
+    # EQUALITY since r04: every registered query must have an oracle
+    # (zero rows-only) — and no orphan oracles
+    assert set(o) == set(q), set(o) ^ set(q)
     assert len(q) >= 20
 
 
