@@ -104,6 +104,36 @@ cells AS ({chain_select("SELECT * FROM pts", _CELL12_STEPS, ["point_id", "cell_i
 SELECT cell_id, COUNT(*) AS n_points FROM cells GROUP BY cell_id
 """
 
+# J2b ad-hoc region query (r04): ray-cast over the SAME pentagon edge
+# literals the Spark query embeds (queries.AOI_RING)
+
+
+def _aoi_edges_sql() -> str:
+    from .queries import AOI_RING
+
+    rows = ", ".join(
+        f"({AOI_RING[k][0]!r}, {AOI_RING[k][1]!r}, "
+        f"{AOI_RING[k + 1][0]!r}, {AOI_RING[k + 1][1]!r})"
+        for k in range(len(AOI_RING) - 1)
+    )
+    return f"(VALUES {rows}) AS e(x0, y0, x1, y1)"
+
+
+def _spatial_region_query_sql() -> str:
+    return f"""
+WITH pts AS ({_PTS}),
+cross_counts AS (
+  SELECT p.point_id,
+         SUM(CASE WHEN ((e.y0 <= p.lat) <> (e.y1 <= p.lat))
+                   AND ((e.x0 + ((p.lat - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0))) > p.lon)
+                  THEN 1 ELSE 0 END) AS n_cross
+  FROM pts p CROSS JOIN {_aoi_edges_sql()}
+  GROUP BY p.point_id
+)
+SELECT point_id FROM cross_counts WHERE n_cross % 2 = 1
+"""
+
+
 # C1b pyramid rollup (r04): packed-id parent truncation, bit ops only
 SPATIAL_PYRAMID = f"""
 WITH pts AS ({_PTS}),
@@ -583,6 +613,7 @@ ORACLES = {
     "flagship_rai": FLAGSHIP_RAI,
     "spatial_cell_cover": SPATIAL_CELL_COVER,
     "spatial_pyramid": SPATIAL_PYRAMID,
+    "spatial_region_query": _spatial_region_query_sql(),
     "spatial_knn_nearest": SPATIAL_KNN_NEAREST,
     "spatial_pip_country": SPATIAL_PIP_COUNTRY,
     "spatial_compact_cover": SPATIAL_COMPACT_COVER,

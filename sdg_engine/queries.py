@@ -117,6 +117,39 @@ def spatial_cell_cover(spark, sf_dir):
     return pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+# Ad-hoc area-of-interest for spatial_region_query: an irregular
+# pentagon inside the world patch.  Driver-side constants — the SAME
+# literals are embedded in the Spark rings dict and the DuckDB edges
+# VALUES, so parity never depends on how they were generated.
+import math as _math
+
+AOI_RING = [
+    (
+        6.3 + (1.7 + 0.2 * ((k * 7) % 3)) * _math.cos(2 * _math.pi * k / 5 + 0.3),
+        3.7 + (1.4 + 0.2 * ((k * 7) % 3)) * _math.sin(2 * _math.pi * k / 5 + 0.3),
+    )
+    for k in range(5)
+]
+AOI_RING.append(AOI_RING[0])  # closed
+
+
+def spatial_region_query(spark, sf_dir):
+    _prep(spark)
+    """J2b (r04): ad-hoc REGION query — which points fall inside a
+    user-supplied polygon (the reusable form of the country machinery:
+    ``assign_countries`` with a one-ring dict runs the same compacted
+    interior dims + boundary-strip + exact ray-cast pipeline for any
+    AOI).  Returns the inside point ids; the oracle ray-casts the same
+    pentagon edges relationally."""
+    import numpy as np
+
+    ring = np.array(AOI_RING, dtype=np.float64)
+    pts = points_df(spark, sf_dir)
+    assigned = SP.assign_countries(pts, {"AOI": ring}, level=7,
+                                   id_col="point_id")
+    return assigned.filter(F.col("country_code") == "AOI").select("point_id")
+
+
 def spatial_pyramid(spark, sf_dir):
     _prep(spark)
     """C1b (r04): tile PYRAMID build — the GeoTrellis Pyramid.up
@@ -754,6 +787,7 @@ QUERIES = {
     "flagship_rai": flagship_rai,
     "spatial_cell_cover": spatial_cell_cover,
     "spatial_pyramid": spatial_pyramid,
+    "spatial_region_query": spatial_region_query,
     "spatial_knn_nearest": spatial_knn_nearest,
     "spatial_pip_country": spatial_pip_country,
     "spatial_join_cells": spatial_join_cells,
