@@ -23,7 +23,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -513,6 +513,71 @@ def knn_nearest_road(
         F.col("_b.road_id").alias("road_id"),
         F.col("_b.dist_m").alias("dist_m"),
         F.col("_b.k_ring").cast("int").alias("k_ring"),
+    )
+
+
+def knn_topk_roads(
+    images_geo: DataFrame,
+    segs: DataFrame,
+    cutoff_m: float = 2000.0,
+    k: int = 3,
+    level: int | None = None,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """J4b (r05): the k NEAREST roads per point within ``cutoff_m``,
+    exact, deterministic tie-break (dist, road_id).
+
+    Candidate completeness is the same 3×3-block proof as
+    knn_nearest_road (cell size >= cutoff ⇒ every segment within cutoff
+    of a point covers one of its Chebyshev-1 neighbor cells), so the
+    top-k *roads* among the candidates are the true top-k within the
+    cutoff — no ring iteration needed when a cutoff exists.
+
+    Execution shape: candidate equi-join (no probe-side blowup) →
+    per-(point, road) MIN over the road's segments (map-side-combined
+    partial agg — a multi-segment road contributes its closest segment)
+    → per-point rank window over the already-reduced (point, road)
+    rows.  Two keyed exchanges, both over pre-reduced data, keys
+    uniformly distributed; the window input per point is bounded by the
+    road density inside the cutoff disc.  min(struct) can't express
+    top-k>1, hence the window — but only AFTER the reduction, so the
+    exchange never carries raw candidate pairs.
+
+    Emits: id_col, road_id, dist_m, rnk (1-based, rnk <= k); points
+    with fewer than k roads in range emit fewer rows.
+    """
+    if level is None:
+        level = level_for_cutoff(cutoff_m)
+    probe = with_point_cell(images_geo, level, "lon", "lat", "cell_id")
+    build = segments_with_cells(segs, level, k_expand=0)
+    build = with_kring(
+        build, level, 1, "cell_id", "ring_cell_id",
+        idx_cols=("cell_id_ix", "cell_id_iy"),
+    )
+    build = (
+        build.select(
+            F.col("ring_cell_id").alias("cell_id"),
+            "road_id", "seg_id", "ax", "ay", "bx", "by",
+        )
+        # a segment reaches the same ring cell from several covering
+        # cells; endpoints are functionally dependent on (road, seg)
+        .dropDuplicates(["cell_id", "road_id", "seg_id"])
+    )
+    joined = probe.select(id_col, "lon", "lat", "cell_id").join(
+        build, "cell_id", "inner"
+    )
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "by", "dist_m")
+    joined = apply_steps(joined, steps).drop(*[n for n, _ in steps[:-1]])
+    joined = joined.filter(F.col("dist_m") <= F.lit(float(cutoff_m)))
+    per_road = joined.groupBy(id_col, "road_id").agg(
+        F.min("dist_m").alias("dist_m")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist_m").asc(), F.col("road_id").asc()
+    )
+    return (
+        per_road.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
     )
 
 

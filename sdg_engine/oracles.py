@@ -59,6 +59,15 @@ SPATIAL_KNN_NEAREST = (
     + "SELECT point_id, road_id, ROUND(dist_m, 6) AS dist_m FROM ranked WHERE rn = 1"
 )
 
+# J4b top-k: the harness roads are single-segment, so the per-segment
+# rank IS the per-road rank; the Spark side's per-road MIN is exercised
+# generically and degenerates to identity here.
+SPATIAL_KNN_TOPK = (
+    _KNN_RANKED
+    + "SELECT point_id, road_id, ROUND(dist_m, 6) AS dist_m, "
+      "CAST(rn AS INT) AS rnk FROM ranked WHERE rn <= 3"
+)
+
 _PIP_CC = f"""
 cc AS (
   SELECT point_id, country_code
@@ -615,6 +624,7 @@ ORACLES = {
     "spatial_pyramid": SPATIAL_PYRAMID,
     "spatial_region_query": _spatial_region_query_sql(),
     "spatial_knn_nearest": SPATIAL_KNN_NEAREST,
+    "spatial_knn_topk": SPATIAL_KNN_TOPK,
     "spatial_pip_country": SPATIAL_PIP_COUNTRY,
     "spatial_compact_cover": SPATIAL_COMPACT_COVER,
     "spatial_range_join": SPATIAL_RANGE_JOIN,

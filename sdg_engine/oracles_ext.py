@@ -376,6 +376,22 @@ SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT), MIN(doc_id)
 FROM documents WHERE lang IN ('en', 'de')
 """
 
+# r05 add-column evolution: snap 1 = en docs without lang (reads back
+# NULL → '<pre-evolution>' under the merged schema), snap 2 appends de
+# docs with lang.  Leg snap=1 is the old-data-under-new-schema read.
+SNAPSHOT_SCHEMA_EVOLUTION = """
+SELECT 1 AS snap, '<pre-evolution>' AS lang_key, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 2, '<pre-evolution>', COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT), MIN(doc_id)
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 2, 'de', COUNT(*), CAST(SUM(n_chars) AS BIGINT), MIN(doc_id)
+FROM documents WHERE lang = 'de'
+"""
+
 DOC_LENGTH_QUANTILES = """
 WITH r AS (
   SELECT lang, n_chars,
@@ -679,6 +695,62 @@ FROM d2 GROUP BY tx, ty
 """
 
 
+def _qatile_roads_sql(level: int = 4) -> str:
+    """S2 QA-tile round trip: same bbox cover + SAT membership as the
+    MVT sink oracle, with road ids threaded through; only tiles with a
+    kept feature appear (the reader emits FEATURE rows — a tile whose
+    cover candidates all SAT-reject holds an empty layer)."""
+    from .harness import AX, AY, BX, BY
+    from .sqlgen import grid_index_expr
+
+    s = repr(10.0 / (1 << level))
+    return f"""
+WITH segs AS (SELECT s_suppkey AS road_id, {AX} AS ax, {AY} AS ay,
+                     {BX} AS bx, {BY} AS byy FROM supplier),
+idx AS (
+  SELECT *, {grid_index_expr("LEAST(ax, bx)", level)} AS ix0,
+         {grid_index_expr("LEAST(ay, byy)", level)} AS iy0,
+         {grid_index_expr("GREATEST(ax, bx)", level)} AS ix1,
+         {grid_index_expr("GREATEST(ay, byy)", level)} AS iy1
+  FROM segs
+),
+expd AS (
+  SELECT road_id, ax, ay, bx, byy,
+         CAST(u1.cix AS INT) AS tx, CAST(u2.ciy AS INT) AS ty,
+         (CAST(0 AS DOUBLE) + u1.cix * CAST({s} AS DOUBLE)) AS x0,
+         (CAST(0 AS DOUBLE) + u2.ciy * CAST({s} AS DOUBLE)) AS y0
+  FROM idx, UNNEST(generate_series(ix0, ix1)) AS u1(cix),
+       UNNEST(generate_series(iy0, iy1)) AS u2(ciy)
+),
+d1 AS (
+  SELECT road_id, tx, ty, ax, ay, x0, y0,
+         (x0 + CAST({s} AS DOUBLE)) AS x1, (y0 + CAST({s} AS DOUBLE)) AS y1,
+         (bx - ax) AS dx, (byy - ay) AS dy,
+         LEAST(ax, bx) AS sxmin, GREATEST(ax, bx) AS sxmax,
+         LEAST(ay, byy) AS symin, GREATEST(ay, byy) AS symax
+  FROM expd
+),
+d2 AS (
+  SELECT road_id, tx, ty,
+         (sxmin <= x1 AND sxmax >= x0 AND symin <= y1 AND symax >= y0) AS bbox,
+         (dx * (y0 - ay) - dy * (x0 - ax)) AS s1,
+         (dx * (y0 - ay) - dy * (x1 - ax)) AS s2,
+         (dx * (y1 - ay) - dy * (x0 - ax)) AS s3,
+         (dx * (y1 - ay) - dy * (x1 - ax)) AS s4
+  FROM d1
+),
+kept AS (
+  SELECT road_id, tx, ty FROM d2
+  WHERE bbox AND LEAST(s1, s2, s3, s4) <= CAST(0 AS DOUBLE)
+            AND GREATEST(s1, s2, s3, s4) >= CAST(0 AS DOUBLE)
+)
+SELECT {level} AS z, tx, ty,
+       CAST(COUNT(*) AS INT) AS n_features,
+       CAST(SUM(road_id) AS BIGINT) AS sum_road_id
+FROM kept GROUP BY tx, ty
+"""
+
+
 def image_oracles() -> dict[str, str]:
     """Oracles over the IMAGE FIXTURE parquet (BASELINE.json input_hint
     shape) — built lazily because they embed the absolute fixture path
@@ -844,6 +916,7 @@ FROM read_parquet('{goldens_dir}/video_cuts.parquet')
 
 ORACLES_EXT = {
     "mvt_tile_stats": _mvt_tile_stats_sql(4),
+    "osm_qatile_roads": _qatile_roads_sql(4),
     "ann_ivf_topk": ANN_IVF_TOPK,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE,
     "ngram_jaccard_indexed": NGRAM_JACCARD_INDEXED,
@@ -854,6 +927,7 @@ ORACLES_EXT = {
     "streaming_dedup_watermarked": STREAMING_DEDUP_WATERMARKED,
     "doc_length_quantiles": DOC_LENGTH_QUANTILES,
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL,
+    "snapshot_schema_evolution": SNAPSHOT_SCHEMA_EVOLUTION,
     "lang_ngram_id": LANG_NGRAM_ID,
     "dq_documents": DQ_DOCUMENTS,
     "substring_dup_pairs": SUBSTRING_DUP_PAIRS,

@@ -112,6 +112,170 @@ def read_osm_orc(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+# ---------------------------------------------------------------------------
+# S2 (real form, r05): OSM QA-tile source — MbTiles (SQLite) of Mapbox
+# vector tiles (SURVEY.md §2.1 S2, ref≈`qatiles/OsmQaTiles.scala` — the
+# reference's secondary road source).  MbTiles is the public spec:
+# a SQLite db with `tiles(zoom_level, tile_column, tile_row, tile_data)`
+# where tile_row is TMS (row 0 = south — flipped vs XYZ), and vector
+# tile_data blobs are gzip-compressed MVT.
+# ---------------------------------------------------------------------------
+
+
+def write_mbtiles(tiles: DataFrame, path: str, name: str = "roads",
+                  layer: str = "roads") -> int:
+    """Commit a (z, tx, ty, mvt) tile DataFrame as an MbTiles file.
+
+    ``ty`` arrives in the engine's south-origin cell orientation, which
+    IS the TMS row — stored as-is; readers addressing tiles in XYZ must
+    flip (``read_qatiles`` round-trips the flip both ways, pinned in
+    tests).  Blobs are gzip'd (mtime=0 ⇒ deterministic bytes, the spec
+    framing for vector tilesets).
+
+    A single SQLite file is an inherently single-writer artifact — the
+    DISTRIBUTED work (tile cut + clip + MVT encode) happened upstream
+    in write_road_mvt; this driver-side pass streams the finished blobs
+    (≤4^z rows, orders of magnitude smaller than the source) into the
+    db in one transaction, the same shape as any one-file sink.
+    Returns the number of tiles written."""
+    import gzip
+    import os
+    import sqlite3
+
+    rows = tiles.select("z", "tx", "ty", "mvt").toLocalIterator()
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("CREATE TABLE metadata (name text, value text)")
+        con.execute(
+            "CREATE TABLE tiles (zoom_level integer, tile_column integer, "
+            "tile_row integer, tile_data blob)"
+        )
+        con.execute(
+            "CREATE UNIQUE INDEX tile_index ON tiles "
+            "(zoom_level, tile_column, tile_row)"
+        )
+        meta = [("name", name), ("format", "pbf"), ("version", "1"),
+                ("type", "baselayer"), ("json",
+                 '{"vector_layers": [{"id": "%s"}]}' % layer)]
+        con.executemany("INSERT INTO metadata VALUES (?, ?)", meta)
+        n = 0
+        for r in rows:
+            blob = gzip.compress(bytes(r.mvt), mtime=0)
+            con.execute(
+                "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                (int(r.z), int(r.tx), int(r.ty), sqlite3.Binary(blob)),
+            )
+            n += 1
+        con.commit()
+        return n
+    finally:
+        con.close()
+
+
+QATILE_FEATURE_SCHEMA = (
+    "z int, tx int, ty int, xyz_y int, feat_id bigint, road_id bigint, "
+    "n_vertices int, coords array<struct<x: double, y: double>>"
+)
+
+
+def read_qatiles(spark: SparkSession, path: str,
+                 n_splits: int | None = None) -> DataFrame:
+    """Distributed MbTiles → road-feature DataFrame (S2's real form).
+
+    The driver opens the db once for ONLY min/max rowid (two index
+    lookups, no tile bytes); tile decoding is distributed by rowid
+    RANGE: each task opens the file read-only (SQLite is multi-reader
+    safe), scans its range, gunzips, MVT-decodes (mvt.decode_tile — the
+    same from-scratch decoder the round-trip tests pin), and emits one
+    row per road feature with world-coordinate geometry (dequantized
+    from tile-local EXTENT ints; exact double math, error bounded by
+    the encoder's quantization step).
+
+    100 TB shape: the planet QA-tiles archive is one ~50 GB SQLite file
+    per snapshot; rowid-range tasks read disjoint byte ranges of the
+    btree, so parallelism is bounded only by n_splits — no driver
+    bottleneck, no shuffle (map-only until the caller aggregates).
+    ``xyz_y`` carries the XYZ (north-origin) row alongside the engine's
+    south-origin ``ty`` — the TMS flip both ways."""
+    import gzip
+
+    import pandas as pd
+
+    from . import WORLD_MIN, WORLD_SIZE
+    from . import mvt as MVT
+
+    if n_splits is None:
+        n_splits = spark.sparkContext.defaultParallelism
+    lo, hi = _rowid_bounds(path)
+    if lo is None:
+        return spark.createDataFrame([], QATILE_FEATURE_SCHEMA)
+    bounds = [lo + ((hi - lo + 1) * i) // n_splits for i in range(n_splits)]
+    bounds.append(hi + 1)
+    ranges = [(bounds[i], bounds[i + 1] - 1) for i in range(n_splits)
+              if bounds[i] <= bounds[i + 1] - 1]
+    rdf = spark.createDataFrame(ranges, "lo bigint, hi bigint").repartition(
+        len(ranges), "lo"
+    )
+
+    def _scan(batches):
+        import sqlite3
+
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            for pdf in batches:
+                out = []
+                for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                    cur = con.execute(
+                        "SELECT zoom_level, tile_column, tile_row, tile_data "
+                        "FROM tiles WHERE rowid BETWEEN ? AND ?",
+                        (int(lo_), int(hi_)),
+                    )
+                    for z, tx, tms_row, blob in cur:
+                        n = 1 << z
+                        size = WORLD_SIZE / n
+                        x0 = WORLD_MIN + tx * size
+                        y0 = WORLD_MIN + tms_row * size
+                        decoded = MVT.decode_tile(gzip.decompress(blob))
+                        for lyr in decoded.values():
+                            ext = float(lyr.get("extent", MVT.EXTENT))
+                            for ft in lyr["features"]:
+                                pts = ft["lines"][0] if ft["lines"] else []
+                                coords = [
+                                    {"x": x0 + float(px) * size / ext,
+                                     # MVT y is screen-down within the tile
+                                     "y": y0 + size - float(py) * size / ext}
+                                    for px, py in pts
+                                ]
+                                out.append((
+                                    int(z), int(tx), int(tms_row),
+                                    (n - 1) - int(tms_row),
+                                    int(ft["id"]),
+                                    int(ft["tags"].get("road_id", -1)),
+                                    len(coords), coords,
+                                ))
+                yield pd.DataFrame(
+                    out, columns=["z", "tx", "ty", "xyz_y", "feat_id",
+                                  "road_id", "n_vertices", "coords"],
+                )
+        finally:
+            con.close()
+
+    return rdf.mapInPandas(_scan, QATILE_FEATURE_SCHEMA)
+
+
+def _rowid_bounds(path: str) -> tuple[int | None, int | None]:
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        row = con.execute("SELECT MIN(rowid), MAX(rowid) FROM tiles").fetchone()
+        return (row[0], row[1]) if row and row[0] is not None else (None, None)
+    finally:
+        con.close()
+
+
 REL_RING_SCHEMA = (
     "relation_id int, n_members int, n_points int, closed boolean, "
     "area_mic bigint, perim_mic bigint"

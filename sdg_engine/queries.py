@@ -188,6 +188,21 @@ def spatial_knn_nearest(spark, sf_dir):
     )
 
 
+def spatial_knn_topk(spark, sf_dir):
+    _prep(spark)
+    """J4b (r05): 3 nearest roads per point within the cutoff — exact
+    top-k via candidate equi-join + per-road min + rank window; the
+    DuckDB oracle is brute-force cross-join ranked top-3 (VERDICT r04
+    item 6)."""
+    near = SP.knn_topk_roads(
+        points_df(spark, sf_dir), segments_df(spark, sf_dir), KNN_CUTOFF_M,
+        k=3, id_col="point_id",
+    )
+    return near.select(
+        "point_id", "road_id", F.round("dist_m", 6).alias("dist_m"), "rnk"
+    )
+
+
 def spatial_pip_country(spark, sf_dir):
     _prep(spark)
     """J2 ★: compacted-cell candidates + exact ray-cast assignment."""
@@ -789,6 +804,7 @@ QUERIES = {
     "spatial_pyramid": spatial_pyramid,
     "spatial_region_query": spatial_region_query,
     "spatial_knn_nearest": spatial_knn_nearest,
+    "spatial_knn_topk": spatial_knn_topk,
     "spatial_pip_country": spatial_pip_country,
     "spatial_join_cells": spatial_join_cells,
     "spatial_kring_cells": spatial_kring_cells,

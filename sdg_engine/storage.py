@@ -173,6 +173,32 @@ def _read_manifest(path: str, snap_id: int) -> dict:
         return json.load(f)
 
 
+def _merge_schema(parent_json: dict | None, new_schema) -> dict:
+    """Iceberg-style ADD-COLUMN schema evolution (r05): the committed
+    table schema is the parent's fields (in their original order) plus
+    any fields the new snapshot introduces, appended.  A name collision
+    with a DIFFERENT type is a real evolution conflict and raises —
+    silent type widening is how tables rot.  Returns schema JSON for
+    the manifest."""
+    from pyspark.sql.types import StructType
+
+    if parent_json is None:
+        return new_schema.jsonValue()
+    parent = StructType.fromJson(parent_json)
+    have = {f.name: f for f in parent.fields}
+    out = list(parent.fields)
+    for f in new_schema.fields:
+        if f.name in have:
+            if have[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution conflict on {f.name!r}: "
+                    f"{have[f.name].dataType} vs {f.dataType}"
+                )
+        else:
+            out.append(f)
+    return StructType(out).jsonValue()
+
+
 def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -199,12 +225,20 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
             hist = snapshot_history(path)
             snap_id = (hist[-1] + 1) if hist else 1
             dirs = [data_dir]
+            schema_json = df.schema.jsonValue()
             if mode == "append" and hist:
-                dirs = _read_manifest(path, hist[-1])["dirs"] + dirs
+                parent_m = _read_manifest(path, hist[-1])
+                dirs = parent_m["dirs"] + dirs
+                # add-column evolution: appends commit the MERGED schema
+                # so every snapshot's manifest is self-describing (r05)
+                schema_json = _merge_schema(
+                    parent_m.get("schema"), df.schema
+                )
             with open(tmp, "w") as f:
                 json.dump({"snapshot_id": snap_id,
                            "parent": hist[-1] if hist else None,
-                           "mode": mode, "dirs": dirs}, f)
+                           "mode": mode, "dirs": dirs,
+                           "schema": schema_json}, f)
             try:
                 os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
                 return snap_id
@@ -216,15 +250,35 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
 
 
 def read_snapshot(spark: SparkSession, path: str,
-                  as_of: int | None = None) -> DataFrame:
+                  as_of: int | None = None,
+                  schema_as_of: int | None = None) -> DataFrame:
     """Time-travel read: the table AS OF snapshot ``as_of`` (default:
     current head).  Reads exactly the data directories the manifest
     committed — later snapshots never touch them (immutability is what
-    makes the old read reproducible)."""
+    makes the old read reproducible).
+
+    ``schema_as_of`` (r05): read ``as_of``'s DATA under a different
+    snapshot's committed schema — Iceberg's 'old snapshot, current
+    schema' read; columns added after ``as_of`` come back NULL."""
     hist = snapshot_history(path)
     if not hist:
         raise ValueError(f"no snapshots committed at {path!r}")
     snap_id = hist[-1] if as_of is None else as_of
     if snap_id not in hist:
         raise ValueError(f"snapshot {snap_id} not in history {hist}")
-    return spark.read.parquet(*_read_manifest(path, snap_id)["dirs"])
+    m = _read_manifest(path, snap_id)
+    if schema_as_of is not None:
+        if schema_as_of not in hist:
+            raise ValueError(f"snapshot {schema_as_of} not in history {hist}")
+        m["schema"] = _read_manifest(path, schema_as_of).get("schema")
+    if m.get("schema") is not None:
+        # read under the manifest's (evolution-merged) schema: files
+        # from pre-evolution snapshots simply lack the added columns
+        # and the parquet reader fills them with NULL — no mergeSchema
+        # footer sweep (which scans EVERY file's footer; at 10^6 data
+        # files that is its own job), the manifest already knows.
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        return spark.read.schema(schema).parquet(*m["dirs"])
+    return spark.read.parquet(*m["dirs"])  # pre-r05 manifest

@@ -55,3 +55,53 @@ def test_write_road_mvt_sink(spark, tmp_path):
     a = {(r.tx, r.ty): bytes(r.mvt) for r in back}
     b = {(r.tx, r.ty): bytes(r.mvt) for r in spark.read.parquet(out2).collect()}
     assert a == b
+
+
+def test_mbtiles_roundtrip_and_tms_flip(spark, tmp_path):
+    """r05 S2 QA-tile source: encode → MbTiles (gzip + TMS rows) →
+    distributed rowid-range read → features match a direct decode of
+    every blob; xyz_y is the flipped row; dequantized world coords are
+    within the encoder's quantization step."""
+    import gzip
+    import sqlite3
+
+    from sdg_engine import fixtures as FX
+    from sdg_engine import osm as OSM
+    from sdg_engine.ops.spatial import road_segments
+
+    roads = spark.createDataFrame(FX.roads_records(0.001))
+    segs = road_segments(roads)
+    tiles = MVT.write_road_mvt(segs, str(tmp_path / "tiles"), level=4)
+    mb = str(tmp_path / "roads.mbtiles")
+    n = OSM.write_mbtiles(tiles, mb)
+    assert n == tiles.count()
+
+    # raw sqlite: blobs are gzip'd MVT, rows keyed TMS, metadata present
+    con = sqlite3.connect(mb)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert meta["format"] == "pbf"
+    want = {}
+    for z, tx, trow, blob in con.execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+    ):
+        dec = MVT.decode_tile(gzip.decompress(blob))
+        for ft in dec["roads"]["features"]:
+            want[(z, tx, trow, ft["id"])] = ft
+    con.close()
+
+    # distributed read (forced multi-split) sees exactly those features
+    feats = OSM.read_qatiles(spark, mb, n_splits=5).collect()
+    assert len(feats) == len(want)
+    for r in feats:
+        assert (r.z, r.tx, r.ty, r.feat_id) in want
+        assert r.xyz_y == (1 << r.z) - 1 - r.ty  # the TMS flip
+        assert r.road_id == want[(r.z, r.tx, r.ty, r.feat_id)]["tags"]["road_id"]
+
+    # world-coordinate fidelity: every vertex within one quantization
+    # step of the tile rect it was encoded in
+    size = 10.0 / (1 << 4)
+    step = size / MVT.EXTENT
+    for r in feats[:50]:
+        for c in r.coords:
+            assert -step <= c.x - (-0.0 + r.tx * size) <= size + step
+            assert -step <= c.y - (-0.0 + r.ty * size) <= size + step

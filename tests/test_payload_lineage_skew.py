@@ -250,3 +250,39 @@ def test_snapshot_commits_and_time_travel(spark, tmp_path):
     assert ST._read_manifest(tbl, 5)["parent"] == 4
     # no .tmp manifest left behind
     assert not [n for n in os.listdir(mdir) if n.startswith(".tmp")]
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """r05: add-column evolution — the append's manifest commits the
+    MERGED schema; head reads see pre-evolution files with NULLs for
+    the added column; time travel reads old data under its OWN schema
+    unless schema_as_of asks for the evolved one; a same-name
+    different-type append is a conflict and raises."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sdg_engine.storage import read_snapshot, write_snapshot
+
+    tbl = str(tmp_path / "evo_tbl")
+    df1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"k": [3], "tag": ["x"]})
+    ).select("k", "tag")
+    assert write_snapshot(df1, tbl, mode="overwrite") == 1
+    assert write_snapshot(df2, tbl, mode="append") == 2
+    # head: merged schema, old rows NULL-filled
+    head = read_snapshot(spark, tbl)
+    assert head.columns == ["k", "tag"]
+    got = {r.k: r.tag for r in head.collect()}
+    assert got == {1: None, 2: None, 3: "x"}
+    # as-of 1: the old snapshot under its OWN committed schema
+    old = read_snapshot(spark, tbl, as_of=1)
+    assert old.columns == ["k"]
+    # as-of 1 under the evolved schema (Iceberg old-snapshot-current-schema)
+    old_new = read_snapshot(spark, tbl, as_of=1, schema_as_of=2)
+    assert old_new.columns == ["k", "tag"]
+    assert {r.tag for r in old_new.collect()} == {None}
+    # type conflict on an existing column name refuses to commit
+    bad = spark.createDataFrame(pd.DataFrame({"k": ["not-an-int"]}))
+    with _pytest.raises(ValueError, match="conflict"):
+        write_snapshot(bad, tbl, mode="append")
