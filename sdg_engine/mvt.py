@@ -358,3 +358,42 @@ def write_road_mvt(
     # `tiles` made every consumer re-run the whole cover + shuffle +
     # per-tile Python encode a second time)
     return tiles.sparkSession.read.schema(_TILE_SCHEMA).parquet(out_dir)
+
+
+def write_road_mvt_pyramid(
+    segs: DataFrame, out_dir: str, z_min: int = 3, z_max: int = 5,
+    layer: str = "roads",
+) -> DataFrame:
+    """S7b (r05): MULTI-ZOOM vector-tile pyramid — the reference's
+    visualization output shape (one tileset per zoom z_min..z_max,
+    VERDICT r04 item 2; SURVEY §2.1 S7).
+
+    Each zoom is its own cover + clip + encode pass over the same
+    persisted segment table — deliberately separate write ACTIONS, not
+    one unioned plan (CLAUDE.md gotcha 3: a union of branches re-plans
+    and recomputes the upstream DAG per branch; separate writes over a
+    DISK_ONLY-persisted input pay the upstream scan once).  Tile count
+    grows 4× per zoom while work per tile shrinks — total bytes stay
+    ~O(segments · zooms), and every pass is the same keyed-cogroup
+    shape as the single-zoom sink, so skew salting carries over.
+
+    Returns the read-back union of all zooms (z column disambiguates).
+    """
+    import functools
+    import os
+
+    from pyspark import StorageLevel
+
+    segs = segs.persist(StorageLevel.DISK_ONLY)
+    parts = []
+    try:
+        for z in range(z_min, z_max + 1):
+            parts.append(
+                write_road_mvt(segs, os.path.join(out_dir, f"zl={z}"),
+                               level=z, layer=layer)
+            )
+    finally:
+        segs.unpersist()
+    # read-backs are plain parquet scans — unioning them re-plans only
+    # the scans, never the encode passes (already materialized)
+    return functools.reduce(DataFrame.unionByName, parts)

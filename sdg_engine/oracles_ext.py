@@ -695,6 +695,48 @@ FROM d2 GROUP BY tx, ty
 """
 
 
+def _render_colormap_sql() -> str:
+    """S6b rendered PNG: relational twin of the LUT render — level-6
+    cell counts → bin → ramp literals → per-tile channel sums (the
+    Spark side's sums come from DECODED png pixels)."""
+    from .harness import PX, PY
+    from .ops.payload import COLORMAP_RAMP
+    from .sqlgen import grid_index_expr
+
+    lut = ", ".join(
+        f"({i}, {r}, {g}, {b})" for i, (r, g, b) in enumerate(COLORMAP_RAMP)
+    )
+    return f"""
+WITH pts AS (SELECT {grid_index_expr(PX, 6)} AS ix,
+                    {grid_index_expr(PY, 6)} AS iy FROM orders),
+cnts AS (SELECT ix, iy, COUNT(*) AS cnt FROM pts GROUP BY ix, iy),
+binned AS (
+  SELECT CAST(FLOOR(ix / 8) AS INT) AS tx, CAST(FLOOR(iy / 8) AS INT) AS ty,
+         CAST(LEAST(FLOOR(cnt / 4), 7) AS INT) AS bin
+  FROM cnts
+),
+lut(bin, r, g, b) AS (VALUES {lut})
+SELECT tx, ty, CAST(COUNT(*) AS INT) AS n_covered,
+       CAST(SUM(l.r) AS BIGINT) AS sum_r,
+       CAST(SUM(l.g) AS BIGINT) AS sum_g,
+       CAST(SUM(l.b) AS BIGINT) AS sum_b
+FROM binned j JOIN lut l ON j.bin = l.bin
+GROUP BY tx, ty
+"""
+
+
+def _mvt_pyramid_sql(z_min: int = 3, z_max: int = 5) -> str:
+    """S7b pyramid: per-zoom rollup of the single-zoom tile-stats SQL
+    (covered tiles incl. empty layers; SAT-kept feature totals)."""
+    legs = [
+        f"SELECT z, COUNT(*) AS n_tiles, "
+        f"CAST(SUM(n_features) AS BIGINT) AS sum_features "
+        f"FROM ({_mvt_tile_stats_sql(z)}) GROUP BY z"
+        for z in range(z_min, z_max + 1)
+    ]
+    return "\nUNION ALL\n".join(legs)
+
+
 def _qatile_roads_sql(level: int = 4) -> str:
     """S2 QA-tile round trip: same bbox cover + SAT membership as the
     MVT sink oracle, with road ids threaded through; only tiles with a
@@ -917,6 +959,8 @@ FROM read_parquet('{goldens_dir}/video_cuts.parquet')
 ORACLES_EXT = {
     "mvt_tile_stats": _mvt_tile_stats_sql(4),
     "osm_qatile_roads": _qatile_roads_sql(4),
+    "mvt_pyramid_stats": _mvt_pyramid_sql(3, 5),
+    "image_render_colormap": _render_colormap_sql(),
     "ann_ivf_topk": ANN_IVF_TOPK,
     "ann_ivf_multiprobe": ANN_IVF_MULTIPROBE,
     "ngram_jaccard_indexed": NGRAM_JACCARD_INDEXED,

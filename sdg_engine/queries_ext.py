@@ -1762,6 +1762,59 @@ def mvt_tile_stats(spark, sf_dir):
     return tiles.select("z", "tx", "ty", "n_features")
 
 
+def image_render_colormap(spark, sf_dir):
+    """S6b rendered-PNG sink (r05, VERDICT item 4): the point-density
+    layer at level 6, binned through the 8-stop COLORMAP_RAMP LUT and
+    rendered to one 8×8-pixel PNG per level-3 tile (ops.payload.
+    render_colormap_png).  The emitted channel sums come from DECODING
+    each tile's png, so every row certifies the encode→decode round
+    trip; the DuckDB oracle recomputes n_covered and the sums from the
+    relational cell counts joined to the same LUT literals — integers
+    end-to-end."""
+    from .harness import points_df
+    from .ops import spatial as SP
+    from .ops.payload import render_colormap_png
+
+    pts = SP.with_point_cell(points_df(spark, sf_dir), 6, keep_idx=True)
+    cells = pts.groupBy("cell_id_ix", "cell_id_iy").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    binned = cells.select(
+        F.expr("CAST(FLOOR(cell_id_ix / 8) AS INT)").alias("tx"),
+        F.expr("CAST(FLOOR(cell_id_iy / 8) AS INT)").alias("ty"),
+        F.expr("CAST(cell_id_ix - FLOOR(cell_id_ix / 8) * 8 AS INT)").alias("px"),
+        F.expr("CAST(cell_id_iy - FLOOR(cell_id_iy / 8) * 8 AS INT)").alias("py"),
+        F.expr("CAST(LEAST(FLOOR(cnt / 4), 7) AS INT)").alias("bin"),
+    )
+    tiles = render_colormap_png(binned, tile_px=8)
+    return tiles.select("tx", "ty", "n_covered", "sum_r", "sum_g", "sum_b")
+
+
+def mvt_pyramid_stats(spark, sf_dir):
+    """S7b multi-zoom MVT pyramid (r05, VERDICT item 2): road segments
+    → per-zoom tile cut + clip + encode for z3..z5 → per-zoom tile and
+    feature totals.  n_tiles counts every COVERED tile (a tile whose
+    candidates all SAT-reject still gets an empty-layer blob — the
+    viewer needs the tile to exist); sum_features counts real
+    SAT-intersecting segments.  The DuckDB oracle recomputes both per
+    zoom from `supplier` via the bbox cover + SAT membership; the blob
+    bytes themselves are pinned per-zoom in tests/test_mvt.py."""
+    import os
+
+    from . import mvt as MVT
+    from .harness import segments_df
+
+    segs = segments_df(spark, sf_dir)
+    base = _stream_base(spark, "pyr_")
+    tiles = MVT.write_road_mvt_pyramid(
+        segs, os.path.join(base, "pyramid"), z_min=3, z_max=5
+    )
+    return tiles.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("n_features").cast("long").alias("sum_features"),
+    )
+
+
 def osm_qatile_roads(spark, sf_dir):
     """S2's REAL form (r05, VERDICT item 1): OSM QA-tiles — an MbTiles
     SQLite of gzip'd Mapbox vector tiles — as a SOURCE.  The round trip
@@ -1811,6 +1864,8 @@ QUERIES_EXT = {
     "multimodal_video_cuts": multimodal_video_cuts,
     "mvt_tile_stats": mvt_tile_stats,
     "osm_qatile_roads": osm_qatile_roads,
+    "mvt_pyramid_stats": mvt_pyramid_stats,
+    "image_render_colormap": image_render_colormap,
     "streaming_hourly_closed": streaming_hourly_closed,
     "dedup_exact": dedup_exact,
     "simhash60": simhash60,

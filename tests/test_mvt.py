@@ -105,3 +105,31 @@ def test_mbtiles_roundtrip_and_tms_flip(spark, tmp_path):
         for c in r.coords:
             assert -step <= c.x - (-0.0 + r.tx * size) <= size + step
             assert -step <= c.y - (-0.0 + r.ty * size) <= size + step
+
+
+def test_mvt_pyramid_all_zooms_decode(spark, tmp_path):
+    """r05 S7b: every zoom of the pyramid decodes; tile counts are
+    monotone non-decreasing with zoom; per-zoom feature totals are
+    each >= the segment count (a segment covers >= 1 tile per zoom)."""
+    from sdg_engine import fixtures as FX
+    from sdg_engine.ops.spatial import road_segments
+
+    roads = spark.createDataFrame(FX.roads_records(0.001))
+    segs = road_segments(roads)
+    n_segs = segs.count()
+    tiles = MVT.write_road_mvt_pyramid(segs, str(tmp_path / "pyr"), 2, 4)
+    rows = tiles.collect()
+    by_z = {}
+    for r in rows:
+        by_z.setdefault(r.z, []).append(r)
+    assert sorted(by_z) == [2, 3, 4]
+    counts = [len(by_z[z]) for z in (2, 3, 4)]
+    assert counts == sorted(counts)
+    for z, zrows in by_z.items():
+        assert sum(r.n_features for r in zrows) >= n_segs
+        for r in zrows[:5]:
+            dec = MVT.decode_tile(bytes(r.mvt))["roads"]
+            assert len(dec["features"]) == r.n_features
+            for ft in dec["features"]:
+                pts = np.concatenate([np.asarray(l) for l in ft["lines"]])
+                assert pts.min() >= 0 and pts.max() <= MVT.EXTENT

@@ -286,3 +286,37 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     bad = spark.createDataFrame(pd.DataFrame({"k": ["not-an-int"]}))
     with _pytest.raises(ValueError, match="conflict"):
         write_snapshot(bad, tbl, mode="append")
+
+
+def test_render_colormap_png(spark):
+    """r05 S6b: the colormap render is deterministic, the png decodes
+    back to exactly the LUT image (north-up rows, background black),
+    and the emitted sums equal the numpy-side expectation."""
+    import numpy as np
+    import pandas as pd
+
+    from sdg_engine.codecs import decode_png
+    from sdg_engine.ops.payload import COLORMAP_RAMP, render_colormap_png
+
+    cells = pd.DataFrame({
+        "tx": [0, 0, 0, 1], "ty": [0, 0, 0, 2],
+        "px": [0, 7, 3, 1], "py": [0, 7, 2, 4],
+        "bin": [0, 7, 3, 5],
+    })
+    out = {(r.tx, r.ty): r for r in
+           render_colormap_png(spark.createDataFrame(cells), 8).collect()}
+    assert set(out) == {(0, 0), (1, 2)}
+    ramp = np.array(COLORMAP_RAMP, dtype=np.uint8)
+    want = np.zeros((8, 8, 3), np.uint8)
+    want[7 - 0, 0] = ramp[0]   # py=0 renders on the BOTTOM row
+    want[7 - 7, 7] = ramp[7]
+    want[7 - 2, 3] = ramp[3]
+    got = decode_png(bytes(out[(0, 0)].png))
+    assert np.array_equal(got, want)
+    r = out[(0, 0)]
+    s = want.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (r.n_covered, r.sum_r, r.sum_g, r.sum_b) == (3, *map(int, s))
+    # determinism: a second render emits byte-identical blobs
+    again = {(r.tx, r.ty): bytes(r.png) for r in
+             render_colormap_png(spark.createDataFrame(cells), 8).collect()}
+    assert again == {k: bytes(v.png) for k, v in out.items()}
