@@ -90,6 +90,20 @@ def main() -> None:
 
     from sdg_engine.queries import QUERIES
 
+    # Idle-window gate (r05, VERDICT item 3): BENCH_r04.json was captured
+    # in a loadavg-9.5→12.6 co-tenant window and misreported an unchanged
+    # round as a 16% regression.  Wait (bounded) for 1-min loadavg < 2
+    # before measuring, so the canonical per-round artifact is an idle
+    # sample; the wait itself and the gate outcome are recorded.  Knobs:
+    # SPARK_GRAFT_IDLE_MAX (max seconds to wait, default 1800; 0 = no
+    # gate), SPARK_GRAFT_IDLE_LOAD (threshold, default 2.0).
+    idle_max = float(os.environ.get("SPARK_GRAFT_IDLE_MAX", "1800"))
+    idle_load = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "2.0"))
+    wait_t0 = time.time()
+    while os.getloadavg()[0] >= idle_load and time.time() - wait_t0 < idle_max:
+        time.sleep(20)
+    idle_waited = round(time.time() - wait_t0, 1)
+
     _load0 = os.getloadavg()  # co-tenant context for cross-round compares
     spark = _session(cpus)
     n_input = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
@@ -118,6 +132,11 @@ def main() -> None:
     spark.stop()
 
     result = {
+        "idle_gate": {
+            "waited_sec": idle_waited,
+            "met": _load0[0] < idle_load,
+            "threshold": idle_load,
+        },
         "loadavg_start": [round(v, 2) for v in _load0],
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "metric": (

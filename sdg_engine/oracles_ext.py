@@ -392,6 +392,19 @@ SELECT 2, 'de', COUNT(*), CAST(SUM(n_chars) AS BIGINT), MIN(doc_id)
 FROM documents WHERE lang = 'de'
 """
 
+# r05 MERGE upsert: snap 1 = en docs; updates bump n_chars by 1000 for
+# en doc_id % 7 == 0 and insert the de docs; snap 2 = merged table.
+SNAPSHOT_MERGE_UPSERT = """
+SELECT 1 AS snap, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(SUM(CASE WHEN lang = 'en' AND doc_id % 7 = 0
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+FROM documents WHERE lang IN ('en', 'de')
+"""
+
 DOC_LENGTH_QUANTILES = """
 WITH r AS (
   SELECT lang, n_chars,
@@ -972,6 +985,7 @@ ORACLES_EXT = {
     "doc_length_quantiles": DOC_LENGTH_QUANTILES,
     "snapshot_time_travel": SNAPSHOT_TIME_TRAVEL,
     "snapshot_schema_evolution": SNAPSHOT_SCHEMA_EVOLUTION,
+    "snapshot_merge_upsert": SNAPSHOT_MERGE_UPSERT,
     "lang_ngram_id": LANG_NGRAM_ID,
     "dq_documents": DQ_DOCUMENTS,
     "substring_dup_pairs": SUBSTRING_DUP_PAIRS,

@@ -1087,6 +1087,44 @@ def snapshot_schema_evolution(spark, sf_dir):
     return old_under_new.unionByName(head)
 
 
+def snapshot_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert on the snapshot table (r05): snapshot 1 =
+    the 'en' documents; the update batch rewrites every en doc with
+    doc_id % 7 == 0 (n_chars + 1000) and inserts all 'de' docs;
+    storage.merge_snapshot commits the copy-on-write result as
+    snapshot 2 — one broadcast anti-join pass, atomic manifest commit.
+    Leg snap=1 re-reads the PRE-merge snapshot (time travel must
+    survive the merge); the DuckDB oracle restates both legs
+    relationally over `documents`."""
+    import os
+
+    from .storage import merge_snapshot, read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    en = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    de = _t(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    base = _stream_base(spark, "merge_")
+    tbl = os.path.join(base, "docs_table")
+    write_snapshot(en.select("doc_id", "n_chars"), tbl, mode="overwrite")
+    updates = (
+        en.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(de.select("doc_id", "n_chars"))
+    )
+    assert merge_snapshot(spark, tbl, updates, key="doc_id") == 2
+
+    def _leg(df, snap):
+        return df.agg(
+            F.lit(snap).alias("snap"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+    return _leg(read_snapshot(spark, tbl, as_of=1), 1).unionByName(
+        _leg(read_snapshot(spark, tbl), 2)
+    )
+
+
 def osm_relation_rings(spark, sf_dir):
     """S3b (r04): OSM boundary-relation assembly — unordered, mixed-
     orientation member ways stitched into closed rings by endpoint
@@ -1887,6 +1925,7 @@ QUERIES_EXT = {
     "osm_relation_rings": osm_relation_rings,
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_schema_evolution": snapshot_schema_evolution,
+    "snapshot_merge_upsert": snapshot_merge_upsert,
     "lang_ngram_id": lang_ngram_id,
     "dq_documents": dq_documents,
     "substring_dup_pairs": substring_dup_pairs,

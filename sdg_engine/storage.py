@@ -282,3 +282,58 @@ def read_snapshot(spark: SparkSession, path: str,
         schema = StructType.fromJson(m["schema"])
         return spark.read.schema(schema).parquet(*m["dirs"])
     return spark.read.parquet(*m["dirs"])  # pre-r05 manifest
+
+
+def merge_snapshot(spark: SparkSession, path: str, updates: DataFrame,
+                   key: str) -> int:
+    """MERGE INTO (upsert) on the snapshot table (r05): rows matched by
+    ``key`` are replaced by their update row, unmatched update rows are
+    inserted, everything else carries over — committed atomically as
+    one new snapshot (copy-on-write, the Iceberg COW merge shape).
+
+    Execution: current ⟕anti updates on the key (drops every matched
+    row) ∪ updates.  The anti join is broadcast when the update batch
+    is small — the common CDC case — so the rewrite is one pass over
+    the current data with no fact-table shuffle; the commit inherits
+    the manifest protocol's optimistic concurrency.  Schema evolution
+    composes: an update batch with added columns merges schemas and the
+    carried-over rows read NULL-filled under the merged schema."""
+    cur = read_snapshot(spark, path)
+    add_cols = [c for c in updates.columns if c not in cur.columns]
+    survivors = cur.join(updates.select(key), key, "left_anti")
+    for c in add_cols:
+        survivors = survivors.withColumn(
+            c, F.lit(None).cast(dict(updates.dtypes)[c])
+        )
+    merged = survivors.unionByName(updates)
+    return write_snapshot(merged, path, mode="overwrite")
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Snapshot EXPIRY + VACUUM (r05): drop all but the newest
+    ``keep_last`` manifests, then delete data directories no surviving
+    manifest references (the Iceberg expire_snapshots + orphan-file
+    cleanup pair).  Readers of surviving snapshots are unaffected —
+    their manifests still pin every directory they need; expired as-of
+    reads fail loudly ('not in history').  Returns counts for audit."""
+    import os
+    import shutil
+
+    hist = snapshot_history(path)
+    keep = hist[-keep_last:] if keep_last > 0 else []
+    drop = [s for s in hist if s not in keep]
+    live: set[str] = set()
+    for s in keep:
+        live.update(_read_manifest(path, s)["dirs"])
+    for s in drop:
+        os.remove(os.path.join(_manifest_dir(path), f"{s}.json"))
+    removed_dirs = 0
+    droot = os.path.join(path, "data")
+    if os.path.isdir(droot):
+        for name in sorted(os.listdir(droot)):
+            full = os.path.join(droot, name)
+            if full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+                removed_dirs += 1
+    return {"expired": len(drop), "kept": len(keep),
+            "orphan_dirs_removed": removed_dirs}

@@ -320,3 +320,50 @@ def test_render_colormap_png(spark):
     again = {(r.tx, r.ty): bytes(r.png) for r in
              render_colormap_png(spark.createDataFrame(cells), 8).collect()}
     assert again == {k: bytes(v.png) for k, v in out.items()}
+
+
+def test_snapshot_merge_and_expire(spark, tmp_path):
+    """r05: MERGE upsert replaces matched keys / inserts new ones in one
+    committed snapshot (time travel preserved); expire_snapshots drops
+    old manifests and vacuums unreferenced data dirs while surviving
+    snapshots keep reading."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sdg_engine.storage import (expire_snapshots, merge_snapshot,
+                                    read_snapshot, snapshot_history,
+                                    write_snapshot)
+
+    tbl = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3],
+                                               "v": [10, 20, 30]}))
+    upd = spark.createDataFrame(pd.DataFrame({"k": [2, 9],
+                                              "v": [99, 90]}))
+    assert write_snapshot(base, tbl, mode="overwrite") == 1
+    assert merge_snapshot(spark, tbl, upd, key="k") == 2
+    got = {r.k: r.v for r in read_snapshot(spark, tbl).collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 9: 90}
+    # pre-merge snapshot still readable
+    assert {r.k: r.v for r in read_snapshot(spark, tbl, as_of=1).collect()} \
+        == {1: 10, 2: 20, 3: 30}
+    # merge with an ADDED column: survivors NULL-fill (schema evolution)
+    upd2 = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "v": [11], "tag": ["x"]})
+    ).select("k", "v", "tag")
+    assert merge_snapshot(spark, tbl, upd2, key="k") == 3
+    got3 = {r.k: (r.v, r.tag) for r in read_snapshot(spark, tbl).collect()}
+    assert got3 == {1: (11, "x"), 2: (99, None), 3: (30, None), 9: (90, None)}
+    # expire all but the head: old manifests gone, orphan dirs vacuumed,
+    # head unchanged
+    n_dirs_before = len(os.listdir(os.path.join(tbl, "data")))
+    stats = expire_snapshots(tbl, keep_last=1)
+    assert stats["expired"] == 2 and stats["kept"] == 1
+    assert stats["orphan_dirs_removed"] >= 1
+    assert len(os.listdir(os.path.join(tbl, "data"))) < n_dirs_before
+    assert snapshot_history(tbl) == [3]
+    assert {r.k: (r.v, r.tag) for r in read_snapshot(spark, tbl).collect()} \
+        == got3
+    with _pytest.raises(ValueError, match="not in history"):
+        read_snapshot(spark, tbl, as_of=1)

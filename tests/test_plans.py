@@ -366,3 +366,43 @@ def test_new_ann_queries_never_nested_loop(spark):
         plan = _plan(QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_knn_topk_reduces_before_window(spark):
+    """r05 J4b: the per-(point, road) MIN is a real partial aggregation
+    (map-side combine BEFORE its exchange), and the rank window runs on
+    the reduced rows — never a sort over raw candidate pairs; no
+    cartesian/BNLJ anywhere."""
+    near = SP.knn_topk_roads(
+        points_df(spark, SF), segments_df(spark, SF), KNN_CUTOFF_M,
+        k=3, id_col="point_id",
+    )
+    plan = _plan(near)
+    assert "partial_min" in plan  # map-side combine of the per-road min
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the window consumes the aggregate's output, not the join's
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("partial_min")
+    assert 0 <= win_pos < agg_pos  # executed-plan text lists consumers first
+
+
+def test_merge_snapshot_broadcasts_small_updates(spark, tmp_path):
+    """r05 MERGE: with a small CDC batch the anti join is a broadcast
+    (one pass over current data, no fact-table exchange)."""
+    import pandas as pd
+
+    from sdg_engine.storage import read_snapshot, write_snapshot
+
+    tbl = str(tmp_path / "m_tbl")
+    base = spark.range(0, 10000).withColumnRenamed("id", "k")
+    write_snapshot(base, tbl, mode="overwrite")
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3]}))
+    cur = read_snapshot(spark, tbl)
+    merged = cur.join(upd.select("k"), "k", "left_anti").unionByName(upd)
+    plan = _plan(merged)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    fact_hash = [l for l in plan.splitlines()
+                 if "Exchange hashpartitioning" in l]
+    assert fact_hash == [], fact_hash
