@@ -660,6 +660,10 @@ from .oracles_ext import ORACLES_EXT  # noqa: E402 — M5 breadth
 
 ORACLES.update(ORACLES_EXT)
 
+from .oracles_r5 import ORACLES_R5  # noqa: E402 — round-5 breadth
+
+ORACLES.update(ORACLES_R5)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed

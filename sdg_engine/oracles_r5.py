@@ -1,0 +1,182 @@
+"""DuckDB oracles for queries_r5.py.
+
+Shared scalar fragments (_hll_steps, _BM25_IDF/_BM25_PART, node
+quantization) are imported from queries_r5 so the two engines execute
+textually identical arithmetic; the surrounding relational plumbing is
+written independently in each dialect (UNNEST/list_transform here vs
+explode/transform there).
+"""
+
+from __future__ import annotations
+
+from .harness import AX, AY, BX, BY
+from .queries_r5 import (
+    _BM25_IDF,
+    _BM25_PART,
+    _BM25_TERMS,
+    _BM25_TOPK,
+    _HLL_M,
+    _HLL_NUM,
+    _PR_DAMP,
+    _PR_ITERS,
+    _PR_NODE_A,
+    _PR_NODE_B,
+    _PR_UNIT,
+    _hll_steps,
+)
+
+EVENTS_ASOF_JOIN = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER prior_w AS view_event_id,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER prior_w AS view_value,
+         last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER prior_w AS view_us
+  FROM events
+  WINDOW prior_w AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       COALESCE(view_event_id, -1) AS view_event_id,
+       COALESCE(view_value, -1.0) AS view_value,
+       COALESCE(CAST(ts_us - view_us AS BIGINT), -1) AS gap_us
+FROM w WHERE event_type = 'click'
+"""
+
+EVENTS_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+t1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS t1
+  FROM ev GROUP BY user_id
+),
+t2 AS (
+  SELECT ev.user_id, t1,
+         MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END) AS t2
+  FROM ev JOIN t1 USING (user_id) GROUP BY ev.user_id, t1
+),
+t3 AS (
+  SELECT ev.user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) AS t3
+  FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id, t1, t2
+),
+staged AS (
+  SELECT user_id,
+         CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                   WHEN t2 IS NOT NULL THEN 2
+                   WHEN t1 IS NOT NULL THEN 1
+                   ELSE 0 END AS INT) AS stage
+  FROM t3
+)
+SELECT stage, COUNT(*) AS n_users,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user
+FROM staged GROUP BY stage
+"""
+
+_HLL_SHINGLES_DUCK = """
+  SELECT UNNEST(list_transform(
+           generate_series(1, GREATEST(len(t) - 2, 1)),
+           i -> t[i] || ' ' || t[LEAST(i + 1, len(t))] || ' ' ||
+                t[LEAST(i + 2, len(t))])) AS s
+  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+"""
+
+_HLL_BUCKET, _HLL_RHO = _hll_steps("h")
+
+HLL_DISTINCT = f"""
+WITH sh AS (SELECT md5(s) AS h FROM ({_HLL_SHINGLES_DUCK})),
+br AS (SELECT {_HLL_BUCKET}, {_HLL_RHO} FROM sh),
+regs AS (SELECT bucket, MAX(rho) AS m FROM br GROUP BY bucket),
+sk AS (
+  SELECT COUNT(*) AS n_regs,
+         CAST(SUM(m) AS BIGINT) AS sum_rho,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INT)) AS BIGINT) AS s_part
+  FROM regs
+),
+ex AS (SELECT COUNT(DISTINCT s) AS exact_distinct FROM ({_HLL_SHINGLES_DUCK})),
+est AS (
+  SELECT n_regs, sum_rho,
+         CAST(FLOOR({_HLL_NUM} / CAST(s_part +
+              ({_HLL_M} - n_regs) * (CAST(1 AS BIGINT) << 53) AS DOUBLE))
+              AS BIGINT) AS est_hll,
+         exact_distinct
+  FROM sk, ex
+)
+SELECT n_regs, sum_rho, est_hll, exact_distinct,
+       CAST(FLOOR(ABS(est_hll - exact_distinct) * 10000.0
+            / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_bp
+FROM est
+"""
+
+
+def _pagerank_roads_sql() -> str:
+    """Unrolled-CTE PageRank: the identical integer recurrence as
+    queries_r5.pagerank, one (contrib, rank) CTE pair per iteration."""
+    base = (
+        f"CAST(FLOOR({_PR_UNIT // 100 * (100 - _PR_DAMP)}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+    )
+    ctes = [
+        f"segs AS (SELECT {AX} AS ax, {AY} AS ay, {BX} AS bx, {BY} AS byy FROM supplier)",
+        f"ab AS (SELECT {_PR_NODE_A} AS a, {_PR_NODE_B} AS b FROM segs)",
+        "e AS (SELECT a AS src, b AS dst FROM ab UNION ALL SELECT b AS src, a AS dst FROM ab)",
+        "ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM e GROUP BY src, dst)",
+        "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM ew GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM deg)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"p0 AS (SELECT node, CAST(FLOOR({_PR_UNIT}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+        " AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT ew.dst AS dst, CAST(SUM(CAST(FLOOR(CAST(pr AS DOUBLE)"
+            " / CAST(outdeg AS DOUBLE)) AS BIGINT) * w) AS BIGINT) AS s"
+            f" FROM ew JOIN deg USING (src) JOIN p{i - 1} ON p{i - 1}.node = ew.src"
+            " GROUP BY ew.dst)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT node, {base}"
+            f" + CAST(FLOOR({_PR_DAMP}.0 * CAST(COALESCE(s, 0) AS DOUBLE) / 100.0)"
+            f" AS BIGINT) AS pr FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node, nn)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM p{_PR_ITERS}"
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_TOP_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+qt AS (SELECT * FROM toks WHERE tok IN ({_BM25_IN})),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM qt GROUP BY doc_id, tok),
+dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
+j AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dl.dl AS dl, dfq.df AS df,
+         corpus.n_docs AS n_docs, corpus.sum_dl AS sum_dl
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN corpus
+),
+ji AS (SELECT *, {_BM25_IDF} AS idf FROM j),
+parts AS (SELECT doc_id, {_BM25_PART} AS part FROM ji),
+scored AS (
+  SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM parts GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS INT) AS rnk, doc_id, score, n_terms
+FROM ranked WHERE rnk <= {_BM25_TOPK}
+"""
+
+ORACLES_R5 = {
+    "events_asof_join": EVENTS_ASOF_JOIN,
+    "events_funnel": EVENTS_FUNNEL,
+    "hll_distinct": HLL_DISTINCT,
+    "pagerank_roads": _pagerank_roads_sql(),
+    "bm25_top_docs": BM25_TOP_DOCS,
+}

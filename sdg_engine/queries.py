@@ -837,6 +837,10 @@ from .queries_ext import QUERIES_EXT  # noqa: E402 — M5 breadth
 
 QUERIES.update(QUERIES_EXT)
 
+from .queries_r5 import QUERIES_R5  # noqa: E402 — round-5 breadth
+
+QUERIES.update(QUERIES_R5)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and

@@ -1,0 +1,390 @@
+"""Round-5 breadth queries: temporal as-of join + funnel pattern over
+the events stream, a deterministic HyperLogLog distinct sketch, an
+integer-exact fixed-iteration PageRank over the road-connectivity
+graph, and BM25-style ranked retrieval over documents.
+
+Every query here follows the repo's cross-engine parity rules
+(CLAUDE.md gotchas 7/8): FLOOR instead of CAST-to-int, integer
+arithmetic wherever a SUM folds over many rows, scalar double chains
+only with + - * / on textually identical expressions, and COALESCE on
+nullable join/window outputs so pandas never widens ints to floats.
+
+Registered into queries.QUERIES via QUERIES_R5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# events.ts is TIMESTAMP_NTZ in the parquet; _prep pins the session to
+# UTC so the NTZ->TIMESTAMP cast is the identity wall-clock mapping and
+# unix micros agree exactly with DuckDB's epoch_us over the naive value.
+_TS_US = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+
+
+# ---------------------------------------------------------------------------
+# Temporal: as-of join + funnel (events)
+# ---------------------------------------------------------------------------
+
+
+def events_asof_join(spark, sf_dir):
+    """AS-OF JOIN: for every click, the most recent STRICTLY-PRIOR view
+    by the same user (tie-break: (ts, event_id) total order).
+
+    Spark has no asof-join operator; the scalable form is a single
+    window pass — partition by user, order by (ts, event_id),
+    last(ignorenulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — one
+    shuffle on user_id, state O(1) per row, no self-join.  At 100 TB
+    the same plan holds: one hash exchange on the join key, then a
+    linear scan per partition (vs the naive inequality self-join's
+    quadratic blowup).  Timestamps compare as unix micros (exact
+    BIGINT) so engines can't disagree on sub-second ordering.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    return (
+        ev.withColumn(
+            "view_event_id",
+            F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "view_value",
+            F.last(F.when(is_view, F.col("value")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "view_us",
+            F.last(F.when(is_view, _TS_US), ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+            F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
+            F.coalesce(
+                (_TS_US - F.col("view_us")).cast("long"), F.lit(-1)
+            ).alias("gap_us"),
+        )
+    )
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel: per user, earliest view, then earliest
+    click AFTER that view, then earliest purchase AFTER that click;
+    users counted at the deepest stage reached (0..3).
+
+    MATCH_RECOGNIZE-style pattern matching as three chained conditional
+    MIN aggregations — each stage is one hash agg + one equi-join on
+    user_id (all map-side-combinable; the per-user agg rows are tiny at
+    any scale, so the joins hash-partition on user_id and never touch
+    the fact table twice in the same stage).  Stage times are unix
+    micros (BIGINT MIN — fold-order exact).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _TS_US.alias("us")
+    )
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                    F.col("us"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")),
+                    F.col("us"),
+                )
+            ).alias("t3")
+        )
+    )
+    staged = t3.select(
+        "user_id",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch: deterministic HyperLogLog (m=256 registers) over 3-shingles
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+# alpha_256 = 0.7213 / (1 + 1.079/256), truncated to 6 decimals so both
+# engines see the same literal; numerator folded in Python so the SQL
+# carries ONE exact double literal (no cross-engine fold ambiguity).
+_HLL_NUM = repr(0.718273 * float(_HLL_M * _HLL_M) * float(1 << 53))
+
+# hex digit -> int via strpos (DuckDB has no conv(); instr/strpos agree
+# 1-based in both engines).  {c} is a single-char column expression.
+_HEXVAL = "(instr('0123456789abcdef', {c}) - 1)"
+
+
+def _hll_steps(h: str) -> list[str]:
+    """Shared Spark/DuckDB SQL steps: md5-hex column {h} -> (bucket, rho).
+
+    bucket = first 2 hex digits (8 bits); rho = 1 + number of leading
+    zero BITS of the next 52 bits (13 hex digits), computed without any
+    float log: leading zero hex digits via regexp '^0*' + a 4-way CASE
+    on the first non-zero digit.  rho in 1..53.
+    """
+    d1 = _HEXVAL.format(c=f"substring({h}, 1, 1)")
+    d2 = _HEXVAL.format(c=f"substring({h}, 2, 1)")
+    tail = f"substring({h}, 3, 13)"
+    zeros = f"length(regexp_extract({tail}, '^0*', 0))"
+    first = _HEXVAL.format(c=f"substring({tail}, {zeros} + 1, 1)")
+    lz = (
+        f"(CASE WHEN {first} >= 8 THEN 0 WHEN {first} >= 4 THEN 1 "
+        f"WHEN {first} >= 2 THEN 2 ELSE 3 END)"
+    )
+    return [
+        f"CAST({d1} * 16 + {d2} AS BIGINT) AS bucket",
+        f"CAST(CASE WHEN {zeros} >= 13 THEN 53 "
+        f"ELSE {zeros} * 4 + {lz} + 1 END AS BIGINT) AS rho",
+    ]
+
+
+# one shared shingle fragment (same 3-token shingles as the Jaccard
+# family; duplicates are harmless to HLL so no array_distinct needed)
+_HLL_SHINGLE = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
+    "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"
+)
+
+
+def hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch over all 3-shingles of the
+    corpus — DETERMINISTIC (md5-derived registers, no RNG), so the
+    DuckDB oracle runs the identical algorithm and matches exactly.
+
+    The sketch is two hash aggregations (bucket -> max(rho) over 256
+    registers, then one row) — at 100 TB this is the mergeable
+    cardinality path: partial max per partition, 256-row shuffle,
+    nothing proportional to the data crosses the wire.  The harmonic
+    sum folds as SUM(2^(53-rho)) in BIGINT (each term a power of two —
+    integer-exact, fold-order-free); the only float op is the final
+    one-row division.  exact_distinct rides along so the test can
+    assert the estimate lands within HLL's expected error band.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(F.explode(F.expr(_HLL_SHINGLE)).alias("s")).select(
+        F.md5("s").alias("h")
+    )
+    br = sh.selectExpr(*_hll_steps("h"))
+    regs = br.groupBy("bucket").agg(F.max("rho").alias("m"))
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum("m").alias("sum_rho"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << CAST(53 - m AS INT)")).alias("s_part"),
+    ).selectExpr(
+        "n_regs",
+        "sum_rho",
+        f"CAST(FLOOR({_HLL_NUM} / CAST(s_part + "
+        f"({_HLL_M} - n_regs) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) AS BIGINT)"
+        " AS est_hll",
+    )
+    exact = docs.select(F.explode(F.expr(_HLL_SHINGLE)).alias("s")).agg(
+        F.countDistinct("s").alias("exact_distinct")
+    )
+    return sketch.crossJoin(F.broadcast(exact)).selectExpr(
+        "n_regs",
+        "sum_rho",
+        "est_hll",
+        "exact_distinct",
+        # absolute relative error in basis points, integer-exact
+        "CAST(FLOOR(ABS(est_hll - exact_distinct) * 10000.0 "
+        "/ CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_bp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: fixed-iteration PageRank over the road-connectivity graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_UNIT = 1_000_000_000  # total rank mass in micro-units
+_PR_DAMP = 85  # damping 0.85, held as integer percent
+
+
+def pagerank(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank over (src, dst) edge rows, INTEGER-EXACT:
+    rank mass lives in BIGINT micro-units and every division is an
+    explicit FLOOR, so iteration order and fold order cannot perturb the
+    result (the oracle unrolls the identical recurrence in SQL).
+
+    Plan shape per iteration: edges⋈rank equi-join on src (hash
+    partition on the edge key — at planet scale both sides co-partition
+    on src and the join is exchange-reusing), map-side-combined SUM to
+    dst, left join back to the node set.  Each round localCheckpoints
+    (CLAUDE.md gotcha 15) so the logical plan stays O(1) deep.
+    Parallel edges carry weight w; self-loops are legal (a node keeps
+    feeding itself) which removes the dangling-node special case.
+    """
+    ew = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    deg = ew.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    edeg = ew.join(deg, "src").localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n_df)).selectExpr(
+        "node", f"CAST(FLOOR({_PR_UNIT}.0 / CAST(n AS DOUBLE)) AS BIGINT) AS pr"
+    )
+    for _ in range(iters):
+        contrib = (
+            edeg.join(pr, edeg.src == pr.node)
+            .select(
+                F.col("dst"),
+                F.expr(
+                    "CAST(FLOOR(CAST(pr AS DOUBLE) / CAST(outdeg AS DOUBLE)) "
+                    "AS BIGINT) * w AS c"
+                ),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n_df))
+            .selectExpr(
+                "node",
+                f"CAST(FLOOR({_PR_UNIT // 100 * (100 - _PR_DAMP)}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+                f" + CAST(FLOOR({_PR_DAMP}.0 * CAST(COALESCE(s, 0) AS DOUBLE) / 100.0) AS BIGINT)"
+                " AS pr",
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+# Road graph: segment endpoints quantized to integer-degree cells
+# (FLOOR(x + 0.5) — round-half-up in BOTH engines; CAST would round in
+# DuckDB but truncate in Spark, gotcha 7).  Undirected -> both edge
+# directions.  Node id = (cx + 100) * 1000 + (cy + 100) stays positive.
+_PR_NODE_A = (
+    "(CAST(FLOOR(ax + 0.5) AS BIGINT) + 100) * 1000 "
+    "+ (CAST(FLOOR(ay + 0.5) AS BIGINT) + 100)"
+)
+_PR_NODE_B = (
+    "(CAST(FLOOR(bx + 0.5) AS BIGINT) + 100) * 1000 "
+    "+ (CAST(FLOOR(byy + 0.5) AS BIGINT) + 100)"
+)
+
+
+def pagerank_roads(spark, sf_dir):
+    """PageRank centrality of road-graph cells: road segments quantized
+    to integer-degree cells, one undirected edge per segment, 3
+    integer-exact iterations (see pagerank())."""
+    from .harness import segments_df
+
+    segs = segments_df(spark, sf_dir).withColumnRenamed("by", "byy").selectExpr(
+        f"{_PR_NODE_A} AS a", f"{_PR_NODE_B} AS b"
+    )
+    edges = segs.selectExpr("a AS src", "b AS dst").unionAll(
+        segs.selectExpr("b AS src", "a AS dst")
+    )
+    return pagerank(edges).select("node", "pr")
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval: BM25-style scoring (integer idf proxy, k1=1.2 b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "vector", "dup")
+_BM25_TOPK = 10
+
+# idf proxy without ln(): FLOOR((N - df + 0.5) * 1e6 / (df + 0.5)) —
+# the same monotone Robertson-Sparck-Jones core BM25 exponentiates,
+# integer-scaled like tfidf_top_terms' FLOOR(N*1000/df) (gotcha 8).
+_BM25_IDF = (
+    "CAST(FLOOR((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) * 1000000.0 "
+    "/ (CAST(df AS DOUBLE) + 0.5)) AS BIGINT)"
+)
+# per-(doc,term) partial: FLOOR(idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)))
+# with avgdl expressed as sum_dl/n_docs so every input is an integer and
+# the whole chain is ONE textually-shared scalar double expression.
+_BM25_PART = (
+    "CAST(FLOOR(CAST(idf AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 / "
+    "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) "
+    "* CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT)"
+)
+
+
+def bm25_top_docs(spark, sf_dir):
+    """BM25-ranked top-10 documents for a 3-term query.
+
+    All-JVM: one token explode feeds (a) per-doc lengths and (b)
+    per-(doc,term) tf for the filtered query terms; df and the corpus
+    aggregate are one-row/terms-row broadcasts (the vocabulary side is
+    tiny at any corpus size — same shape as tfidf_top_terms).  The only
+    window is the final global top-k over per-doc scores, which at
+    scale is a TakeOrdered over |matching docs| rows, never the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qt = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qt.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("idf", F.expr(_BM25_IDF))
+        .withColumn("part", F.expr(_BM25_PART))
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select("rnk", "doc_id", "score", "n_terms")
+    )
+
+
+QUERIES_R5 = {
+    "events_asof_join": events_asof_join,
+    "events_funnel": events_funnel,
+    "hll_distinct": hll_distinct,
+    "pagerank_roads": pagerank_roads,
+    "bm25_top_docs": bm25_top_docs,
+}
