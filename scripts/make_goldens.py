@@ -157,6 +157,8 @@ def main() -> None:
     make_rai_per_image_golden()
     make_cost_distance_golden()
     make_warp_golden()
+    make_dp_golden()
+    make_hillshade_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -776,3 +778,133 @@ def _image_payload(i: int, lon: float, lat: float):
 
 if __name__ == "__main__":
     main()
+
+
+def make_dp_golden(sf: float = 0.01) -> None:
+    """Golden for the ORACLE-checked roads_simplify_dp query (r05).
+
+    INDEPENDENT of the engine kernel by construction: a scalar
+    RECURSIVE Douglas-Peucker over the fixture generator's road
+    records, vs the engine's iterative-stack vectorized numpy
+    (geom.dp_keep_mask).  The deviation-metric expression ORDER is the
+    shared SPEC (geom.py docstring) so float64 bits match at the
+    keep/drop comparisons.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eps = 0.01
+    eps2 = eps * eps
+
+    def rec(pts, i, j, keep):
+        if j - i < 2:
+            return
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        dx = bx - ax
+        dy = by - ay
+        len2 = dx * dx + dy * dy
+        best_k, best_m = -1, -1.0
+        for k in range(i + 1, j):
+            px, py = pts[k]
+            if len2 == 0.0:
+                m = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+            else:
+                t = dx * (ay - py) - (ax - px) * dy
+                m = t * t
+            if m > best_m:
+                best_k, best_m = k, m
+        thr = eps2 if len2 == 0.0 else eps2 * len2
+        if best_m > thr:
+            keep[best_k] = True
+            rec(pts, i, best_k, keep)
+            rec(pts, best_k, j, keep)
+
+    rows = []
+    for r in FX.roads_records(sf):
+        pts = [(float(p["x"]), float(p["y"])) for p in r["coords"]]
+        n = len(pts)
+        keep = [False] * n
+        keep[0] = keep[-1] = True
+        if n >= 3:
+            rec(pts, 0, n - 1, keep)
+        mask = sum(1 << k for k, kk in enumerate(keep) if kk)
+        rows.append((r["road_id"], n, sum(keep), mask))
+    pq.write_table(
+        pa.table({
+            "road_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pts": pa.array([r[1] for r in rows], pa.int32()),
+            "n_kept": pa.array([r[2] for r in rows], pa.int32()),
+            "kept_mask": pa.array([r[3] for r in rows], pa.int64()),
+        }),
+        os.path.join(OUT, f"dp_simplify_sf{sf:g}.parquet"),
+    )
+    kept = sum(r[2] for r in rows)
+    total = sum(r[1] for r in rows)
+    print(f"dp golden: {len(rows)} roads, kept {kept}/{total} points")
+
+
+def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_hillshade query (r05).
+
+    INDEPENDENT of the engine decode path: pixels come straight from
+    the fixture generator via _fixture_image_iter (qnt via the
+    reimplemented quantize twin; jpg rows SKIPPED — lossy decode has no
+    independent twin in this container, same policy as the decode-stats
+    golden's NULLs).  The Horn kernel here re-derives the 8 shifted
+    views with explicit index slices on the UNPADDED raster (vs the
+    engine's np.pad) — same SPEC expression order (ops/payload.py), so
+    float64 bits match through the trig.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import (
+        HILLSHADE_ALT_DEG,
+        HILLSHADE_AZ_DEG,
+        HILLSHADE_Z,
+    )
+
+    az = np.deg2rad(HILLSHADE_AZ_DEG)
+    zen = np.deg2rad(90.0 - HILLSHADE_ALT_DEG)
+
+    def edge_view(z, dr, dc):
+        # edge-replicated neighbor view WITHOUT np.pad: clamp indices
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)]
+
+    ids, n_pxs, sums, mins, maxs = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _lum_raster(px)
+        tl, t, tr = (edge_view(lum, -1, -1), edge_view(lum, -1, 0),
+                     edge_view(lum, -1, 1))
+        l, r = edge_view(lum, 0, -1), edge_view(lum, 0, 1)
+        bl, b, br = (edge_view(lum, 1, -1), edge_view(lum, 1, 0),
+                     edge_view(lum, 1, 1))
+        dzdx = ((tr + 2.0 * r + br) - (tl + 2.0 * l + bl)) / 8.0
+        dzdy = ((bl + 2.0 * b + br) - (tl + 2.0 * t + tr)) / 8.0
+        slope = np.arctan(HILLSHADE_Z * np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = (np.cos(zen) * np.cos(slope)
+                 + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+        s8 = np.clip(np.floor(255.0 * shade + 0.5), 0, 255).astype(np.int64)
+        ids.append(image_id)
+        n_pxs.append(int(s8.size))
+        sums.append(int(s8.sum()))
+        mins.append(int(s8.min()))
+        maxs.append(int(s8.max()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "sum_shade": pa.array(sums, pa.int64()),
+            "min_shade": pa.array(mins, pa.int32()),
+            "max_shade": pa.array(maxs, pa.int32()),
+        }),
+        os.path.join(OUT, f"hillshade_sf{sf:g}.parquet"),
+    )
+    print(f"hillshade golden: {len(ids)} rows (jpg skipped)")

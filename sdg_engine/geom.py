@@ -265,3 +265,61 @@ def with_webmercator(df, lon: str = "lon", lat: str = "lat",
     return df.withColumn(x, F.expr(MERC_X_SQL.format(lon=lon))).withColumn(
         y, F.expr(MERC_Y_SQL.format(lat=lat))
     )
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker line simplification (r05) — the vector generalization
+# pass a tile pyramid wants before encoding low zooms (GeoTrellis-world
+# analogue: geotrellis.vector simplify; spec per FIXTURES.md §DP).
+# ---------------------------------------------------------------------------
+
+
+def dp_keep_mask(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Boolean keep-mask of Douglas-Peucker simplification.
+
+    SPEC (the golden twin in scripts/make_goldens.py reimplements this
+    recursively with scalar arithmetic — expression ORDER is part of
+    the spec so float64 bits match):
+
+    * endpoints always kept; spans of < 3 points are final
+    * deviation metric for interior point p of span (a, b):
+      - len2 = dx*dx + dy*dy with dx = bx - ax, dy = by - ay
+      - if len2 == 0:  m = (px - ax)^2 + (py - ay)^2, threshold eps^2
+      - else:          m = (dx*(ay - py) - (ax - px)*dy)^2  (squared
+        cross product), threshold eps^2 * len2
+    * split at the FIRST maximum (strict > while scanning left->right,
+      i.e. numpy argmax) when m_max > threshold, else drop the interior
+
+    Iterative explicit stack (no recursion limit at OSM's 2000-node way
+    bound); vectorized per span.
+    """
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    if n < 3:
+        return keep
+    eps2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay = float(pts[i, 0]), float(pts[i, 1])
+        bx, by = float(pts[j, 0]), float(pts[j, 1])
+        dx = bx - ax
+        dy = by - ay
+        len2 = dx * dx + dy * dy
+        seg = pts[i + 1 : j]
+        if len2 == 0.0:
+            m = (seg[:, 0] - ax) ** 2 + (seg[:, 1] - ay) ** 2
+            thr = eps2
+        else:
+            m = (dx * (ay - seg[:, 1]) - (ax - seg[:, 0]) * dy) ** 2
+            thr = eps2 * len2
+        k = int(np.argmax(m))  # first maximum, matches scalar strict >
+        if float(m[k]) > thr:
+            mid = i + 1 + k
+            keep[mid] = True
+            stack.append((i, mid))
+            stack.append((mid, j))
+    return keep

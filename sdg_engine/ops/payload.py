@@ -351,3 +351,87 @@ def render_colormap_png(cells: DataFrame, tile_px: int = 8) -> DataFrame:
         )
 
     return cells.groupBy("tx", "ty").applyInPandas(_render, _RENDER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Horn hillshade (r05) — the classic GeoTrellis-style focal raster op,
+# luminance-as-elevation over the image tiles.
+# ---------------------------------------------------------------------------
+
+# SPEC shared with the golden twin (scripts/make_goldens.py) — the
+# expression ORDER is part of the spec so float64 bits match:
+#   z    = edge-replicated pad of the luminance raster (all-three-
+#          astype lum shape: 0.299*R + 0.587*G + 0.114*B)
+#   dzdx = ((tr + 2*r + br) - (tl + 2*l + bl)) / 8.0
+#   dzdy = ((bl + 2*b + br) - (tl + 2*t + tr)) / 8.0
+#   slope  = arctan(Z_FACTOR * sqrt(dzdx*dzdx + dzdy*dzdy))
+#   aspect = arctan2(dzdy, -dzdx)
+#   shade  = cos(zen)*cos(slope) + sin(zen)*sin(slope)*cos(az - aspect)
+#   shade8 = clip(floor(255.0*shade + 0.5), 0, 255) as int64
+HILLSHADE_AZ_DEG = 315.0
+HILLSHADE_ALT_DEG = 45.0
+HILLSHADE_Z = 0.1
+
+
+def horn_shade8(lum: np.ndarray) -> np.ndarray:
+    """Quantized Horn hillshade of a float64 luminance raster."""
+    az = np.deg2rad(HILLSHADE_AZ_DEG)
+    zen = np.deg2rad(90.0 - HILLSHADE_ALT_DEG)
+    z = np.pad(lum, 1, mode="edge")
+    tl, t, tr = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+    l, r = z[1:-1, :-2], z[1:-1, 2:]
+    bl, b, br = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+    dzdx = ((tr + 2.0 * r + br) - (tl + 2.0 * l + bl)) / 8.0
+    dzdy = ((bl + 2.0 * b + br) - (tl + 2.0 * t + tr)) / 8.0
+    slope = np.arctan(HILLSHADE_Z * np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(
+        az - aspect
+    )
+    return np.clip(np.floor(255.0 * shade + 0.5), 0, 255).astype(np.int64)
+
+
+def hillshade_stats(images: DataFrame) -> DataFrame:
+    """Per-image hillshade checksums: decode -> luminance-as-elevation
+    -> Horn 3x3 focal shade -> integer sums (fold-order exact).
+
+    Map-only mapInPandas like decode_stats — payload bytes never
+    shuffle; at 100 TB the stage splits by parquet row group and the
+    only exchange is whatever aggregate the caller adds.  The 3x3
+    halo is interior to each tile (edge-replicate pad), so no
+    cross-tile stitch is needed — the stitched-halo variant for
+    seamless mosaics is ops/raster's kring(1) halo exchange.
+    """
+
+    def _shade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w), int(rr.h))
+                lum = (
+                    0.299 * img[:, :, 0].astype(np.float64)
+                    + 0.587 * img[:, :, 1].astype(np.float64)
+                    + 0.114 * img[:, :, 2].astype(np.float64)
+                )
+                s8 = horn_shade8(lum)
+                out.append(
+                    (
+                        rr.image_id,
+                        int(s8.size),
+                        int(s8.sum()),
+                        int(s8.min()),
+                        int(s8.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_px", "sum_shade", "min_shade", "max_shade"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _shade,
+        "image_id string, n_px int, sum_shade bigint, "
+        "min_shade int, max_shade int",
+    )

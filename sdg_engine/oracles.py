@@ -671,7 +671,9 @@ def all_oracles() -> dict[str, str]:
     them at import time would trigger fixture generation on every
     import)."""
     from .oracles_ext import image_oracles
+    from .oracles_r5 import image_oracles_r5
 
     out = dict(ORACLES)
     out.update(image_oracles())
+    out.update(image_oracles_r5())
     return out

@@ -180,3 +180,37 @@ ORACLES_R5 = {
     "pagerank_roads": _pagerank_roads_sql(),
     "bm25_top_docs": BM25_TOP_DOCS,
 }
+
+
+def image_oracles_r5() -> dict[str, str]:
+    """Lazily-built golden-backed oracles (absolute fixture/golden
+    paths, fixture ensured on build — same mechanics as
+    oracles_ext.image_oracles)."""
+    import os
+
+    from .jobs.rai import fixture_dir
+
+    roads_pq = os.path.join(fixture_dir(0.01), "roads.parquet").replace("'", "''")
+    img = os.path.join(fixture_dir(0.01), "images.parquet").replace("'", "''")
+    gdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "goldens",
+    ).replace("'", "''")
+    # roads_simplify_dp: counts/bitmask from the committed recursive-DP
+    # golden; kind joins from the fixture parquet so the roads read is
+    # load-bearing on BOTH sides.
+    dp = f"""
+SELECT g.road_id, r.kind, g.n_pts, g.n_kept, g.kept_mask
+FROM read_parquet('{gdir}/dp_simplify_sf0.01.parquet') g
+JOIN read_parquet('{roads_pq}') r USING (road_id)
+"""
+    # image_hillshade: checksums from the committed clamp-indexed Horn
+    # golden, restricted to the same harness subset/fmt filter as the
+    # Spark side (fixture join keeps the filter load-bearing).
+    hill = f"""
+SELECT g.image_id, g.n_px, g.sum_shade, g.min_shade, g.max_shade
+FROM read_parquet('{gdir}/hillshade_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
+    return {"roads_simplify_dp": dp, "image_hillshade": hill}

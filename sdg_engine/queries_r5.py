@@ -25,7 +25,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # events.ts is TIMESTAMP_NTZ in the parquet; _prep pins the session to
 # UTC so the NTZ->TIMESTAMP cast is the identity wall-clock mapping and
 # unix micros agree exactly with DuckDB's epoch_us over the naive value.
-_TS_US = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+_TS_US_SQL = "unix_micros(CAST(ts AS TIMESTAMP))"
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +64,7 @@ def events_asof_join(spark, sf_dir):
         )
         .withColumn(
             "view_us",
-            F.last(F.when(is_view, _TS_US), ignorenulls=True).over(w),
+            F.last(F.when(is_view, F.expr(_TS_US_SQL)), ignorenulls=True).over(w),
         )
         .filter(F.col("event_type") == "click")
         .select(
@@ -73,7 +73,7 @@ def events_asof_join(spark, sf_dir):
             F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
             F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
             F.coalesce(
-                (_TS_US - F.col("view_us")).cast("long"), F.lit(-1)
+                (F.expr(_TS_US_SQL) - F.col("view_us")).cast("long"), F.lit(-1)
             ).alias("gap_us"),
         )
     )
@@ -92,7 +92,7 @@ def events_funnel(spark, sf_dir):
     micros (BIGINT MIN — fold-order exact).
     """
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", _TS_US.alias("us")
+        "user_id", "event_type", F.expr(_TS_US_SQL).alias("us")
     )
     t1 = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
@@ -381,10 +381,79 @@ def bm25_top_docs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Vector generalization + raster focal op (golden-oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def roads_simplify_dp(spark, sf_dir):
+    """Douglas-Peucker simplification of every fixture road polyline
+    (eps = 0.01 deg) — the generalization pass low-zoom vector tiles
+    need.  Output per road: point counts + the kept-vertex BITMASK
+    (n_pts <= 42 fits bigint), so a single flipped keep/drop decision
+    anywhere fails the value hash.  Kind joins from the roads parquet
+    (load-bearing fixture read).
+
+    mapInPandas over whole polylines (Arrow batches; the iterative
+    stack kernel is geom.dp_keep_mask) — map-only, no shuffle; at
+    planet scale the stage splits by row group and OSM's 2000-node way
+    bound caps per-row work.  Oracle: committed INDEPENDENT golden
+    (scripts/make_goldens.py make_dp_golden — scalar recursive twin).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+
+    def _dp(batches):
+        from sdg_engine.geom import dp_keep_mask
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pts = np.array([[p["x"], p["y"]] for p in r.coords])
+                keep = dp_keep_mask(pts, 0.01)
+                mask = 0
+                for k in np.nonzero(keep)[0]:
+                    mask |= 1 << int(k)
+                out.append((r.road_id, r.kind, len(pts), int(keep.sum()), mask))
+            yield pd.DataFrame(
+                out, columns=["road_id", "kind", "n_pts", "n_kept", "kept_mask"]
+            )
+
+    return roads.select("road_id", "kind", "coords").mapInPandas(
+        _dp,
+        "road_id bigint, kind string, n_pts int, n_kept int, kept_mask bigint",
+    )
+
+
+def image_hillshade(spark, sf_dir):
+    """Horn hillshade over the image tiles (luminance-as-elevation):
+    decode -> 3x3 focal shade -> integer checksums per image (the
+    classic GeoTrellis focal op re-expressed as a map-only Spark
+    stage).  jpg rows excluded (lossy decode has no independent twin —
+    decode-stats NULL policy); harness-bounded to the first 500 images
+    like the other golden-backed image queries.  Oracle: committed
+    INDEPENDENT golden (generator pixels + clamp-indexed Horn twin).
+    """
+    from .ops.payload import hillshade_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return hillshade_stats(sel)
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "hll_distinct": hll_distinct,
     "pagerank_roads": pagerank_roads,
     "bm25_top_docs": bm25_top_docs,
+    "roads_simplify_dp": roads_simplify_dp,
+    "image_hillshade": image_hillshade,
 }

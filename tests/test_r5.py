@@ -120,3 +120,60 @@ def test_bm25_rank1_contains_rare_term(spark, sf_dir):
         .collect()[0]["text"]
     )
     assert "dup" in txt.split()
+
+
+def test_dp_deviation_bound():
+    """Semantic DP invariant: every DROPPED point lies within eps of
+    the INFINITE LINE through its enclosing kept span (DP's classic
+    line-deviation metric — the kernel's cross-product test)."""
+    import numpy as np
+
+    from sdg_engine.fixtures import roads_records
+    from sdg_engine.geom import dp_keep_mask
+
+    eps = 0.01
+    for r in roads_records(0.001)[:50]:
+        pts = np.array([[p["x"], p["y"]] for p in r["coords"]])
+        keep = dp_keep_mask(pts, eps)
+        assert keep[0] and keep[-1]
+        kept_idx = np.nonzero(keep)[0]
+        for di in np.nonzero(~keep)[0]:
+            # the kept span containing di
+            a = kept_idx[kept_idx < di].max()
+            b = kept_idx[kept_idx > di].min()
+            ax, ay = pts[a]
+            bx, by = pts[b]
+            px, py = pts[di]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            if len2 == 0.0:
+                d2 = (px - ax) ** 2 + (py - ay) ** 2
+                thr = eps * eps
+            else:
+                d2 = (dx * (ay - py) - (ax - px) * dy) ** 2
+                thr = eps * eps * len2
+            assert d2 <= thr * (1 + 1e-9), (r["road_id"], di)
+
+
+def test_hillshade_flat_is_constant():
+    """A flat raster has zero gradient everywhere -> shade is exactly
+    cos(zenith) = cos(45 deg) -> quantized 180 at every pixel."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import horn_shade8
+
+    s8 = horn_shade8(np.full((16, 16), 99.0))
+    assert (s8 == 180).all()
+
+
+def test_hillshade_slope_direction():
+    """A NW-facing upslope (brighter toward the 315-deg light) shades
+    brighter than flat; the opposite slope shades darker."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import horn_shade8
+
+    g = np.add.outer(np.arange(32.0), np.arange(32.0))
+    nw_up = horn_shade8(-g)  # high in the NW corner
+    se_up = horn_shade8(g)  # high in the SE corner
+    assert nw_up[16, 16] > 180 > se_up[16, 16]
