@@ -406,3 +406,35 @@ def test_merge_snapshot_broadcasts_small_updates(spark, tmp_path):
     fact_hash = [l for l in plan.splitlines()
                  if "Exchange hashpartitioning" in l]
     assert fact_hash == [], fact_hash
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must plan as ONE hash exchange on the join key +
+    a window — never a self-join (the naive inequality-join form is
+    quadratic per user at scale)."""
+    from sdg_engine.queries import QUERIES
+
+    plan = _plan(QUERIES["events_asof_join"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "user_id" in re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan).group(1)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """df/corpus are vocabulary-sized at any corpus scale: they must
+    broadcast; the fact-side joins must never sort-merge or cartesian."""
+    from sdg_engine.queries import QUERIES
+
+    plan = _plan(QUERIES["bm25_top_docs"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1  # per-term df side
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dp_and_hillshade_are_map_only(spark):
+    """Payload operators never shuffle payload bytes: zero Exchange."""
+    from sdg_engine.queries_r5 import image_hillshade, roads_simplify_dp
+
+    for fn in (roads_simplify_dp, image_hillshade):
+        assert "Exchange" not in _plan(fn(spark, SF))
