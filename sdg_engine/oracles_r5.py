@@ -22,6 +22,8 @@ from .queries_r5 import (
     _PR_NODE_A,
     _PR_NODE_B,
     _PR_UNIT,
+    _WS_K,
+    _WS_PRI_SQL,
     _hll_steps,
 )
 
@@ -173,12 +175,23 @@ SELECT CAST(rnk AS INT) AS rnk, doc_id, score, n_terms
 FROM ranked WHERE rnk <= {_BM25_TOPK}
 """
 
+SAMPLE_WEIGHTED = """
+WITH p AS (SELECT doc_id, n_chars, {pri} AS priority FROM documents),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority ASC, doc_id ASC) AS rnk
+  FROM p
+)
+SELECT CAST(rnk AS INT) AS rnk, doc_id, n_chars, priority
+FROM ranked WHERE rnk <= {k}
+""".format(pri=_WS_PRI_SQL, k=_WS_K)
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
     "hll_distinct": HLL_DISTINCT,
     "pagerank_roads": _pagerank_roads_sql(),
     "bm25_top_docs": BM25_TOP_DOCS,
+    "sample_weighted": SAMPLE_WEIGHTED,
 }
 
 
@@ -213,4 +226,23 @@ FROM read_parquet('{gdir}/hillshade_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """
-    return {"roads_simplify_dp": dp, "image_hillshade": hill}
+    # image_zonal_stats: per-country luminance stats from the decode
+    # golden (pixels) x the rai golden (country assignment) — both
+    # INDEPENDENT generator-side twins; mils snap before SUM makes the
+    # per-zone fold integer-exact on both engines.
+    zonal = f"""
+WITH m AS (
+  SELECT r.country_code,
+         CAST(FLOOR(g.mean_lum * 1000.0 + 0.5) AS BIGINT) AS lum_mils
+  FROM read_parquet('{gdir}/decode_stats_sf0.01.parquet') g
+  JOIN read_parquet('{gdir}/rai_per_image_sf0.01.parquet') r USING (image_id)
+  JOIN read_parquet('{img}') f USING (image_id)
+  WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+)
+SELECT country_code, COUNT(*) AS n_images,
+       CAST(SUM(lum_mils) AS BIGINT) AS sum_lum_mils,
+       MIN(lum_mils) AS min_lum_mils, MAX(lum_mils) AS max_lum_mils
+FROM m GROUP BY country_code
+"""
+    return {"roads_simplify_dp": dp, "image_hillshade": hill,
+            "image_zonal_stats": zonal}

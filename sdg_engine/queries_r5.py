@@ -448,6 +448,88 @@ def image_hillshade(spark, sf_dir):
     return hillshade_stats(sel)
 
 
+def image_zonal_stats(spark, sf_dir):
+    """ZONAL STATISTICS (GeoTrellis polygonal-summary analogue): decode
+    every harness image, assign its footprint center to a country via
+    the two-stage PIP (J2), and aggregate per-zone luminance stats.
+
+    Cross-engine exactness: per-image mean_lum is snapped to integer
+    mils (FLOOR(x*1000 + 0.5), pure IEEE ops on bit-identical doubles)
+    BEFORE the per-zone SUM, so Spark's float-sum order can't leak into
+    the hash.  Oracle: decode-stats golden (independent generator
+    pixels) joined to the rai per-image golden (independent
+    generator-side country assignment) — a regression in decode, PIP,
+    or the join flips a zone sum.  jpg excluded (decode golden NULLs).
+    Plan: map-only decode + broadcast-dim PIP + one tiny zone agg — no
+    fact-table-wide exchange at any scale.
+    """
+    from . import fixtures as FX
+    from .ops import payload as PL
+    from .ops import spatial as SP
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    cc = SP.assign_countries(SP.with_geo(sel), FX.get_country_rings(), level=9)
+    stats = PL.decode_stats(sel)
+    mils = "CAST(FLOOR(mean_lum * 1000.0 + 0.5) AS BIGINT)"
+    return (
+        cc.select("image_id", "country_code")
+        .join(stats, "image_id")
+        .selectExpr("country_code", f"{mils} AS lum_mils")
+        .groupBy("country_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("lum_mils").alias("sum_lum_mils"),
+            F.min("lum_mils").alias("min_lum_mils"),
+            F.max("lum_mils").alias("max_lum_mils"),
+        )
+    )
+
+
+# Deterministic weighted sampling (Duffield-Lund-Thorup priority
+# sampling): priority = FLOOR(hash / weight); take the k SMALLEST
+# priorities.  Content-derived md5 key -> reproducible across runs,
+# partitionings, and engines; heavier docs draw proportionally more.
+_WS_K = 25
+# 12 hex chars = 48 bits: exact in BIGINT and DOUBLE in both engines.
+# Shared Spark/DuckDB fragment: 48-bit integer from md5 via four
+# 3-hex-digit strpos chunks (no conv() — absent in DuckDB).
+_WS_CHUNK = (
+    "(CAST((instr('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 256 "
+    "+ (instr('0123456789abcdef', substring(md5(text), {b}, 1)) - 1) * 16 "
+    "+ (instr('0123456789abcdef', substring(md5(text), {c}, 1)) - 1) AS BIGINT))"
+)
+_WS_H48 = " + ".join(
+    f"({_WS_CHUNK.format(a=3 * i + 1, b=3 * i + 2, c=3 * i + 3)} * {4096 ** (3 - i)})"
+    for i in range(4)
+)
+_WS_PRI_SQL = (
+    f"CAST(FLOOR(CAST(({_WS_H48}) AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS BIGINT)"
+)
+
+
+def sample_weighted(spark, sf_dir):
+    """Weighted sample WITHOUT replacement (priority sampling): k=25
+    docs drawn with probability ~ n_chars, deterministically.
+
+    At 10^12 rows the same draw is a per-partition TakeOrdered(k) on
+    priority merged on the driver (no global sort); here it's one
+    window rank.  The hex->int path avoids conv() (absent in DuckDB):
+    4 strpos digits x 12 bits each, same fragment both engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    return (
+        docs.selectExpr("doc_id", "n_chars", f"{_WS_PRI_SQL} AS priority")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _WS_K)
+        .select("rnk", "doc_id", "n_chars", "priority")
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -456,4 +538,6 @@ QUERIES_R5 = {
     "bm25_top_docs": bm25_top_docs,
     "roads_simplify_dp": roads_simplify_dp,
     "image_hillshade": image_hillshade,
+    "image_zonal_stats": image_zonal_stats,
+    "sample_weighted": sample_weighted,
 }

@@ -177,3 +177,32 @@ def test_hillshade_slope_direction():
     nw_up = horn_shade8(-g)  # high in the NW corner
     se_up = horn_shade8(g)  # high in the SE corner
     assert nw_up[16, 16] > 180 > se_up[16, 16]
+
+
+def test_zonal_stats_covers_all_images(spark, sf_dir):
+    from sdg_engine.queries_r5 import image_zonal_stats
+
+    rows = image_zonal_stats(spark, sf_dir).collect()
+    assert len(rows) == 4  # the 2x2 country tiling
+    # 500-image harness subset minus the jpg fifth-ish (fmt cycle of 6)
+    assert sum(r["n_images"] for r in rows) == 417
+    for r in rows:
+        assert 0 <= r["min_lum_mils"] <= r["max_lum_mils"] <= 255_000
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Priority sampling draws ~proportional to weight: the sampled
+    docs' mean n_chars must exceed the corpus mean (and the draw is
+    deterministic — two runs identical)."""
+    from sdg_engine.queries_r5 import sample_weighted
+
+    a = [(r["doc_id"], r["priority"]) for r in sample_weighted(spark, sf_dir).collect()]
+    b = [(r["doc_id"], r["priority"]) for r in sample_weighted(spark, sf_dir).collect()]
+    assert a == b
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    ids = [d for d, _ in a]
+    samp_mean = (
+        docs.filter(F.col("doc_id").isin(ids)).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert samp_mean > corpus_mean
