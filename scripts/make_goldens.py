@@ -159,6 +159,7 @@ def main() -> None:
     make_warp_golden()
     make_dp_golden()
     make_hillshade_golden()
+    make_pyramid_simplified_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -780,23 +781,13 @@ if __name__ == "__main__":
     main()
 
 
-def make_dp_golden(sf: float = 0.01) -> None:
-    """Golden for the ORACLE-checked roads_simplify_dp query (r05).
-
-    INDEPENDENT of the engine kernel by construction: a scalar
-    RECURSIVE Douglas-Peucker over the fixture generator's road
-    records, vs the engine's iterative-stack vectorized numpy
-    (geom.dp_keep_mask).  The deviation-metric expression ORDER is the
-    shared SPEC (geom.py docstring) so float64 bits match at the
-    keep/drop comparisons.
-    """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    eps = 0.01
+def _dp_keep_recursive(pts: list, eps: float) -> list:
+    """Scalar RECURSIVE Douglas-Peucker twin (the independent
+    counterpart of geom.dp_keep_mask's iterative numpy; identical
+    deviation-metric expression ORDER per the geom.py SPEC)."""
     eps2 = eps * eps
 
-    def rec(pts, i, j, keep):
+    def rec(i, j, keep):
         if j - i < 2:
             return
         ax, ay = pts[i]
@@ -817,19 +808,36 @@ def make_dp_golden(sf: float = 0.01) -> None:
         thr = eps2 if len2 == 0.0 else eps2 * len2
         if best_m > thr:
             keep[best_k] = True
-            rec(pts, i, best_k, keep)
-            rec(pts, best_k, j, keep)
+            rec(i, best_k, keep)
+            rec(best_k, j, keep)
+
+    n = len(pts)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    if n >= 3:
+        rec(0, n - 1, keep)
+    return keep
+
+
+def make_dp_golden(sf: float = 0.01) -> None:
+    """Golden for the ORACLE-checked roads_simplify_dp query (r05).
+
+    INDEPENDENT of the engine kernel by construction: a scalar
+    RECURSIVE Douglas-Peucker over the fixture generator's road
+    records, vs the engine's iterative-stack vectorized numpy
+    (geom.dp_keep_mask).  The deviation-metric expression ORDER is the
+    shared SPEC (geom.py docstring) so float64 bits match at the
+    keep/drop comparisons.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     rows = []
     for r in FX.roads_records(sf):
         pts = [(float(p["x"]), float(p["y"])) for p in r["coords"]]
-        n = len(pts)
-        keep = [False] * n
-        keep[0] = keep[-1] = True
-        if n >= 3:
-            rec(pts, 0, n - 1, keep)
+        keep = _dp_keep_recursive(pts, 0.01)
         mask = sum(1 << k for k, kk in enumerate(keep) if kk)
-        rows.append((r["road_id"], n, sum(keep), mask))
+        rows.append((r["road_id"], len(pts), sum(keep), mask))
     pq.write_table(
         pa.table({
             "road_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -842,6 +850,45 @@ def make_dp_golden(sf: float = 0.01) -> None:
     kept = sum(r[2] for r in rows)
     total = sum(r[1] for r in rows)
     print(f"dp golden: {len(rows)} roads, kept {kept}/{total} points")
+
+
+def make_pyramid_simplified_golden(sf: float = 0.01) -> None:
+    """Golden for the ORACLE-checked mvt_pyramid_simplified query
+    (r05): the recursive-DP twin's simplified segments per zoom (the
+    oracle reruns the SAT-cover tile stats over these in SQL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.queries_r5 import PYR_SIMPLIFY_EPS
+
+    zs, rids, sids, axs, ays, bxs, bys = [], [], [], [], [], [], []
+    for r in FX.roads_records(sf):
+        pts = [(float(p["x"]), float(p["y"])) for p in r["coords"]]
+        for z, eps in sorted(PYR_SIMPLIFY_EPS.items()):
+            keep = _dp_keep_recursive(pts, eps)
+            kept = [k for k, kk in enumerate(keep) if kk]
+            for si in range(len(kept) - 1):
+                zs.append(z)
+                rids.append(r["road_id"])
+                sids.append(si)
+                axs.append(pts[kept[si]][0])
+                ays.append(pts[kept[si]][1])
+                bxs.append(pts[kept[si + 1]][0])
+                bys.append(pts[kept[si + 1]][1])
+    pq.write_table(
+        pa.table({
+            "z": pa.array(zs, pa.int32()),
+            "road_id": pa.array(rids, pa.int64()),
+            "seg_id": pa.array(sids, pa.int32()),
+            "ax": pa.array(axs, pa.float64()),
+            "ay": pa.array(ays, pa.float64()),
+            "bx": pa.array(bxs, pa.float64()),
+            "byy": pa.array(bys, pa.float64()),
+        }),
+        os.path.join(OUT, f"pyramid_simplified_sf{sf:g}.parquet"),
+    )
+    print(f"pyramid-simplified golden: {len(zs)} segments across "
+          f"{len(PYR_SIMPLIFY_EPS)} zooms")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

@@ -195,6 +195,58 @@ ORACLES_R5 = {
 }
 
 
+def _pyr_simp_leg_sql(z: int, golden: str) -> str:
+    """One zoom of the simplified-pyramid oracle: the same bbox-cover +
+    division-free SAT tile stats as oracles_ext._mvt_tile_stats_sql,
+    with the segment source swapped from `supplier` to the committed
+    recursive-DP golden's z-slice."""
+    from .sqlgen import grid_index_expr
+
+    size = repr(10.0 / (1 << z))
+    return f"""
+WITH segs AS (SELECT ax, ay, bx, byy
+              FROM read_parquet('{golden}') WHERE z = {z}),
+idx AS (
+  SELECT *, {grid_index_expr("LEAST(ax, bx)", z)} AS ix0,
+         {grid_index_expr("LEAST(ay, byy)", z)} AS iy0,
+         {grid_index_expr("GREATEST(ax, bx)", z)} AS ix1,
+         {grid_index_expr("GREATEST(ay, byy)", z)} AS iy1
+  FROM segs
+),
+expd AS (
+  SELECT ax, ay, bx, byy,
+         CAST(u1.cix AS INT) AS tx, CAST(u2.ciy AS INT) AS ty,
+         (CAST(0 AS DOUBLE) + u1.cix * CAST({size} AS DOUBLE)) AS x0,
+         (CAST(0 AS DOUBLE) + u2.ciy * CAST({size} AS DOUBLE)) AS y0
+  FROM idx, UNNEST(generate_series(ix0, ix1)) AS u1(cix),
+       UNNEST(generate_series(iy0, iy1)) AS u2(ciy)
+),
+d1 AS (
+  SELECT tx, ty, ax, ay, x0, y0,
+         (x0 + CAST({size} AS DOUBLE)) AS x1, (y0 + CAST({size} AS DOUBLE)) AS y1,
+         (bx - ax) AS dx, (byy - ay) AS dy,
+         LEAST(ax, bx) AS sxmin, GREATEST(ax, bx) AS sxmax,
+         LEAST(ay, byy) AS symin, GREATEST(ay, byy) AS symax
+  FROM expd
+),
+d2 AS (
+  SELECT tx, ty,
+         (sxmin <= x1 AND sxmax >= x0 AND symin <= y1 AND symax >= y0) AS bbox,
+         (dx * (y0 - ay) - dy * (x0 - ax)) AS s1,
+         (dx * (y0 - ay) - dy * (x1 - ax)) AS s2,
+         (dx * (y1 - ay) - dy * (x0 - ax)) AS s3,
+         (dx * (y1 - ay) - dy * (x1 - ax)) AS s4
+  FROM d1
+)
+SELECT CAST({z} AS INT) AS z, tx, ty,
+       CAST(SUM(CASE WHEN bbox
+                      AND LEAST(s1, s2, s3, s4) <= CAST(0 AS DOUBLE)
+                      AND GREATEST(s1, s2, s3, s4) >= CAST(0 AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS INT) AS n_features
+FROM d2 GROUP BY tx, ty
+"""
+
+
 def image_oracles_r5() -> dict[str, str]:
     """Lazily-built golden-backed oracles (absolute fixture/golden
     paths, fixture ensured on build — same mechanics as
@@ -244,5 +296,15 @@ SELECT country_code, COUNT(*) AS n_images,
        MIN(lum_mils) AS min_lum_mils, MAX(lum_mils) AS max_lum_mils
 FROM m GROUP BY country_code
 """
+    from .queries_r5 import PYR_SIMPLIFY_EPS
+
+    pyr_golden = f"{gdir}/pyramid_simplified_sf0.01.parquet"
+    legs = "\nUNION ALL\n".join(
+        f"SELECT z, COUNT(*) AS n_tiles, "
+        f"CAST(SUM(n_features) AS BIGINT) AS sum_features "
+        f"FROM ({_pyr_simp_leg_sql(z, pyr_golden)}) GROUP BY z"
+        for z in sorted(PYR_SIMPLIFY_EPS)
+    )
     return {"roads_simplify_dp": dp, "image_hillshade": hill,
-            "image_zonal_stats": zonal}
+            "image_zonal_stats": zonal,
+            "mvt_pyramid_simplified": legs}

@@ -530,6 +530,86 @@ def sample_weighted(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Generalized (simplified) multi-zoom MVT pyramid — DP composed into the
+# vector-tile sink: coarser zooms carry simpler geometry (the point of
+# line generalization in a tile pipeline).
+# ---------------------------------------------------------------------------
+
+# ~2 display pixels of tolerance on a 256-px tile at each zoom — exact
+# binary doubles, shared with the golden twin via this constant.
+PYR_SIMPLIFY_EPS = {z: 2.0 * 10.0 / ((1 << z) * 256) for z in (3, 4, 5)}
+
+
+def _simplified_segments(roads, eps: float):
+    """roads (road_id, coords) -> DP-simplified consecutive-kept-vertex
+    segments (road_id, seg_id, ax, ay, bx, by) — map-only mapInPandas;
+    coordinates are the ORIGINAL vertices (DP only drops, never moves),
+    so they round-trip parquet exactly for the golden compare."""
+    import numpy as np
+    import pandas as pd
+
+    def _seg(batches):
+        from sdg_engine.geom import dp_keep_mask
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pts = np.array([[p["x"], p["y"]] for p in r.coords])
+                kept = np.nonzero(dp_keep_mask(pts, eps))[0]
+                for si in range(len(kept) - 1):
+                    a, b = pts[kept[si]], pts[kept[si + 1]]
+                    out.append(
+                        (r.road_id, si, float(a[0]), float(a[1]),
+                         float(b[0]), float(b[1]))
+                    )
+            yield pd.DataFrame(
+                out, columns=["road_id", "seg_id", "ax", "ay", "bx", "by"]
+            )
+
+    return roads.select("road_id", "coords").mapInPandas(
+        _seg,
+        "road_id bigint, seg_id int, ax double, ay double, "
+        "bx double, by double",
+    )
+
+
+def mvt_pyramid_simplified(spark, sf_dir):
+    """S7b + DP composed: per-zoom Douglas-Peucker generalization
+    (eps = 2 display px at that zoom) feeding the MVT tile cut/encode,
+    z3..z5 — coarse zooms ship ~fewer vertices, which is WHY a tile
+    pipeline simplifies.  Per-zoom totals: covered tiles + SAT-kept
+    features.  Oracle: the SAT-cover SQL over a committed golden of
+    the recursive-DP twin's simplified segments per zoom.
+
+    Plan: each zoom is simplify (map-only) -> cover explode -> one
+    keyed cogroup encode, written as separate ACTIONS over the same
+    cached roads scan (gotcha 3 — no mid-pipeline union); the final
+    union only scans the materialized tile parquet.
+    """
+    import functools
+    import os
+
+    from pyspark.sql import DataFrame
+
+    from . import mvt as MVT
+    from .queries_ext import _fixture_images, _stream_base
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    base = _stream_base(spark, "pyrsimp_")
+    parts = []
+    for z in sorted(PYR_SIMPLIFY_EPS):
+        segs = _simplified_segments(roads, PYR_SIMPLIFY_EPS[z])
+        parts.append(
+            MVT.write_road_mvt(segs, os.path.join(base, f"zl={z}"), level=z)
+        )
+    tiles = functools.reduce(DataFrame.unionByName, parts)
+    return tiles.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("n_features").cast("long").alias("sum_features"),
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -540,4 +620,5 @@ QUERIES_R5 = {
     "image_hillshade": image_hillshade,
     "image_zonal_stats": image_zonal_stats,
     "sample_weighted": sample_weighted,
+    "mvt_pyramid_simplified": mvt_pyramid_simplified,
 }

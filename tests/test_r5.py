@@ -206,3 +206,32 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         docs.filter(F.col("doc_id").isin(ids)).agg(F.avg("n_chars")).collect()[0][0]
     )
     assert samp_mean > corpus_mean
+
+
+def test_simplified_pyramid_coarser_zoom_fewer_vertices(spark, sf_dir):
+    """The POINT of DP-in-the-pyramid: coarser zooms (larger eps) carry
+    fewer features; every zoom's blobs must still decode."""
+    import os
+
+    from sdg_engine import mvt as MVT
+    from sdg_engine.queries_r5 import PYR_SIMPLIFY_EPS, _simplified_segments
+    from sdg_engine.queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    counts = {
+        z: _simplified_segments(roads, eps).count()
+        for z, eps in PYR_SIMPLIFY_EPS.items()
+    }
+    assert counts[3] < counts[4] < counts[5]
+
+    # one zoom's tiles decode back to the same feature count
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        segs = _simplified_segments(roads, PYR_SIMPLIFY_EPS[3])
+        tiles = MVT.write_road_mvt(segs, os.path.join(d, "z3"), level=3)
+        rows = tiles.collect()
+        for r in rows[:10]:
+            dec = MVT.decode_tile(bytes(r["mvt"]))
+            n = len(dec.get("roads", {"features": []})["features"])
+            assert n == r["n_features"]
