@@ -305,6 +305,33 @@ FROM m GROUP BY country_code
         f"FROM ({_pyr_simp_leg_sql(z, pyr_golden)}) GROUP BY z"
         for z in sorted(PYR_SIMPLIFY_EPS)
     )
+    from .queries_r5 import _BFS_NODE
+
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    bfs = f"""
+WITH RECURSIVE
+nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+        FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM ab
+        UNION ALL SELECT b AS src, a AS dst FROM ab)
+      WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+seed AS (SELECT src AS node FROM deg ORDER BY deg DESC, src ASC LIMIT 1),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 16
+),
+lab AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node)
+SELECT CAST(hops AS INT) AS hops, COUNT(*) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node
+FROM lab GROUP BY hops
+"""
     return {"roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
-            "mvt_pyramid_simplified": legs}
+            "mvt_pyramid_simplified": legs,
+            "road_graph_bfs": bfs}

@@ -319,6 +319,73 @@ def pagerank_roads(spark, sf_dir):
     return pagerank(edges).select("node", "pr")
 
 
+# node id of a polyline vertex at 0.1-degree cells — shared fragment
+# with the DuckDB oracle (FLOOR(x*10+0.5): round-half-up both engines)
+_BFS_NODE = (
+    "(CAST(FLOOR({x} * 10 + 0.5) AS BIGINT) + 100) * 1000 "
+    "+ (CAST(FLOOR({y} * 10 + 0.5) AS BIGINT) + 100)"
+)
+
+
+def road_graph_bfs(spark, sf_dir):
+    """BFS hop distances over the ROAD NETWORK graph: polyline vertices
+    quantized to 0.1-degree cells, consecutive vertices = edges (roads
+    sharing a cell connect), seeded at the max-degree hub.
+
+    Iterative frontier expansion — per round: frontier ⋈ edges equi-join
+    on src + distinct + anti-join against visited, each round
+    localCheckpointed (gotcha 15).  At planet scale every round is one
+    hash-partitioned join on the edge key; frontier size is bounded by
+    the graph's expansion, never the full node set.  Oracle: DuckDB
+    RECURSIVE CTE over the same roads parquet.
+    Output: hops -> node count + node-id checksum (BIGINT sums, exact).
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    edges = (
+        segs.selectExpr("a AS src", "b AS dst")
+        .unionAll(segs.selectExpr("b AS src", "a AS dst"))
+        .filter(F.col("src") != F.col("dst"))  # self-loops add no hops
+        .distinct()
+        .localCheckpoint()
+    )
+    # seed at the max-degree hub (tie-break min id) so the walk explores
+    # a real component, not a 2-node fragment of the quantized grid
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("int").alias("hops"))
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for hop in range(1, 17):  # matches the oracle CTE's hop bound
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").alias("sum_node"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ranked retrieval: BM25-style scoring (integer idf proxy, k1=1.2 b=0.75)
 # ---------------------------------------------------------------------------
@@ -621,4 +688,5 @@ QUERIES_R5 = {
     "image_zonal_stats": image_zonal_stats,
     "sample_weighted": sample_weighted,
     "mvt_pyramid_simplified": mvt_pyramid_simplified,
+    "road_graph_bfs": road_graph_bfs,
 }

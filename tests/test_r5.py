@@ -235,3 +235,15 @@ def test_simplified_pyramid_coarser_zoom_fewer_vertices(spark, sf_dir):
             dec = MVT.decode_tile(bytes(r["mvt"]))
             n = len(dec.get("roads", {"features": []})["features"])
             assert n == r["n_features"]
+
+
+def test_bfs_levels_form_partition(spark, sf_dir):
+    """Hop levels start at 0 with exactly the seed, are contiguous, and
+    label each reached node once (counts sum to distinct nodes)."""
+    from sdg_engine.queries_r5 import road_graph_bfs
+
+    rows = sorted(road_graph_bfs(spark, sf_dir).collect(), key=lambda r: r["hops"])
+    hops = [r["hops"] for r in rows]
+    assert hops == list(range(len(hops)))
+    assert rows[0]["n_nodes"] == 1  # the seed alone
+    assert len(hops) >= 3  # a real multi-hop walk, not a fragment
