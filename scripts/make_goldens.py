@@ -160,6 +160,7 @@ def main() -> None:
     make_dp_golden()
     make_hillshade_golden()
     make_pyramid_simplified_golden()
+    make_hull_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -889,6 +890,63 @@ def make_pyramid_simplified_golden(sf: float = 0.01) -> None:
     )
     print(f"pyramid-simplified golden: {len(zs)} segments across "
           f"{len(PYR_SIMPLIFY_EPS)} zooms")
+
+
+def make_hull_golden(sf: float = 0.01) -> None:
+    """Golden for the ORACLE-checked country_convex_hull query (r05):
+    scalar monotone-chain twin over the fixture generator's road
+    records (same SPEC comparisons as geom.convex_hull — strict turns,
+    lexicographic dedup — reimplemented with python tuples)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_cc: dict[str, set] = {}
+    for r in FX.roads_records(sf):
+        pts = by_cc.setdefault(r["country_code"], set())
+        for p in r["coords"]:
+            pts.add((float(p["x"]), float(p["y"])))
+    ccs, nh, area = [], [], []
+    for cc in sorted(by_cc):
+        u = sorted(by_cc[cc])
+
+        def half(points):
+            h = []
+            for p in points:
+                while len(h) >= 2:
+                    ox, oy = h[-2]
+                    ax, ay = h[-1]
+                    if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0.0:
+                        h.pop()
+                    else:
+                        break
+                h.append(p)
+            return h
+
+        if len(u) <= 2:
+            hull = u
+        else:
+            hull = half(u)[:-1] + half(u[::-1])[:-1]
+        s = 0.0
+        if len(hull) >= 3:
+            for i in range(len(hull)):
+                x0, y0 = hull[i]
+                x1, y1 = hull[(i + 1) % len(hull)]
+                s = s + (x0 * y1 - x1 * y0)
+            a = int(np.floor(0.5 * s * 1000000.0 + 0.5))
+        else:
+            a = 0
+        ccs.append(cc)
+        nh.append(len(hull))
+        area.append(a)
+    pq.write_table(
+        pa.table({
+            "country_code": ccs,
+            "n_hull": pa.array(nh, pa.int32()),
+            "area_mils": pa.array(area, pa.int64()),
+        }),
+        os.path.join(OUT, f"hull_sf{sf:g}.parquet"),
+    )
+    print(f"hull golden: {len(ccs)} countries, hull sizes {nh}")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

@@ -323,3 +323,51 @@ def dp_keep_mask(pts: np.ndarray, eps: float) -> np.ndarray:
             stack.append((i, mid))
             stack.append((mid, j))
     return keep
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull, CCW from the lexicographic
+    minimum, STRICT turns (collinear boundary points dropped).
+
+    SPEC shared with the golden twin (scripts/make_goldens.py):
+    * input points deduplicated by exact float64 equality, sorted
+      lexicographically by (x, y)
+    * cross(o, a, b) = (ax-ox)*(by-oy) - (ay-oy)*(bx-ox); pop while
+      cross <= 0 (strict left turns survive)
+    * result = lower[:-1] + upper[:-1] (each endpoint once)
+    <= 2 distinct points return as-is.
+    """
+    u = np.unique(pts, axis=0)  # lexicographic (x, y) sort + dedup
+    if len(u) <= 2:
+        return u
+
+    def _half(points):
+        h: list[np.ndarray] = []
+        for p in points:
+            while len(h) >= 2:
+                ox, oy = h[-2]
+                ax, ay = h[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0.0:
+                    h.pop()
+                else:
+                    break
+            h.append(p)
+        return h
+
+    lower = _half(u)
+    upper = _half(u[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def shoelace_area_mils(hull: np.ndarray) -> int:
+    """FLOOR(0.5 * shoelace(CCW hull) * 1e6 + 0.5) — the fold runs in
+    hull order (deterministic, shared with the golden twin)."""
+    if len(hull) < 3:
+        return 0
+    s = 0.0
+    n = len(hull)
+    for i in range(n):
+        x0, y0 = float(hull[i][0]), float(hull[i][1])
+        x1, y1 = float(hull[(i + 1) % n][0]), float(hull[(i + 1) % n][1])
+        s = s + (x0 * y1 - x1 * y0)
+    return int(np.floor(0.5 * s * 1000000.0 + 0.5))

@@ -331,7 +331,21 @@ SELECT CAST(hops AS INT) AS hops, COUNT(*) AS n_nodes,
        CAST(SUM(node) AS BIGINT) AS sum_node
 FROM lab GROUP BY hops
 """
+    # country_convex_hull: hull size/area from the committed scalar
+    # monotone-chain golden; n_points (distinct vertices) recomputed
+    # relationally from the same roads parquet (load-bearing explode).
+    hull = f"""
+WITH v AS (SELECT country_code, u.c.x AS x, u.c.y AS y
+           FROM read_parquet('{roads_pq}'), UNNEST(coords) AS u(c)),
+d AS (SELECT DISTINCT country_code, x, y FROM v),
+n AS (SELECT country_code, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM d GROUP BY country_code)
+SELECT g.country_code, n.n_points, g.n_hull, g.area_mils
+FROM read_parquet('{gdir}/hull_sf0.01.parquet') g
+JOIN n USING (country_code)
+"""
     return {"roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
-            "road_graph_bfs": bfs}
+            "road_graph_bfs": bfs,
+            "country_convex_hull": hull}

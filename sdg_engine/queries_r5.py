@@ -677,6 +677,45 @@ def mvt_pyramid_simplified(spark, sf_dir):
     )
 
 
+def country_convex_hull(spark, sf_dir):
+    """Per-country CONVEX HULL of all road vertices (Andrew monotone
+    chain, strict turns) with shoelace area in integer mils — the
+    vector-summary op a coverage/footprint report wants.
+
+    One groupBy(country).applyInPandas — zones are few at any scale
+    (the group key is the dim side), vertices stream through Arrow.
+    n_points (distinct vertices) is recomputed relationally by the
+    oracle from the same roads parquet, so the explode+dedup is
+    load-bearing; hull size/area come from the committed INDEPENDENT
+    scalar-twin golden.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    verts = roads.select(
+        "country_code", F.explode("coords").alias("c")
+    ).select("country_code", F.col("c.x").alias("x"), F.col("c.y").alias("y"))
+
+    def _hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sdg_engine.geom import convex_hull, shoelace_area_mils
+
+        pts = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        u = np.unique(pts, axis=0)
+        h = convex_hull(pts)
+        return pd.DataFrame(
+            [(key[0], len(u), len(h), shoelace_area_mils(h))],
+            columns=["country_code", "n_points", "n_hull", "area_mils"],
+        )
+
+    return verts.groupBy("country_code").applyInPandas(
+        _hull,
+        "country_code string, n_points long, n_hull int, area_mils bigint",
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -689,4 +728,5 @@ QUERIES_R5 = {
     "sample_weighted": sample_weighted,
     "mvt_pyramid_simplified": mvt_pyramid_simplified,
     "road_graph_bfs": road_graph_bfs,
+    "country_convex_hull": country_convex_hull,
 }

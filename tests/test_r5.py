@@ -247,3 +247,22 @@ def test_bfs_levels_form_partition(spark, sf_dir):
     assert hops == list(range(len(hops)))
     assert rows[0]["n_nodes"] == 1  # the seed alone
     assert len(hops) >= 3  # a real multi-hop walk, not a fragment
+
+
+def test_convex_hull_contains_all_points():
+    """Every input point lies inside-or-on the hull (cross >= 0 against
+    each CCW edge); hull vertices are a subset of the input."""
+    import numpy as np
+
+    from sdg_engine.geom import convex_hull
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-5, 5, size=(500, 2))
+    h = convex_hull(pts)
+    assert {tuple(p) for p in h} <= {tuple(p) for p in pts}
+    n = len(h)
+    for i in range(n):
+        ox, oy = h[i]
+        ax, ay = h[(i + 1) % n]
+        cross = (ax - ox) * (pts[:, 1] - oy) - (ay - oy) * (pts[:, 0] - ox)
+        assert (cross >= -1e-12).all()
