@@ -161,6 +161,7 @@ def main() -> None:
     make_hillshade_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
+    make_contours_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -947,6 +948,50 @@ def make_hull_golden(sf: float = 0.01) -> None:
         os.path.join(OUT, f"hull_sf{sf:g}.parquet"),
     )
     print(f"hull golden: {len(ccs)} countries, hull sizes {nh}")
+
+
+def make_contours_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_contours query (r05):
+    generator pixels (jpg skipped — decode-stats NULL policy) through
+    the SPEC marching-squares case grid, with the per-case segment
+    count derived from an explicit 16-entry lookup TABLE here (vs the
+    engine's nested np.where) — integer arithmetic end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import CONTOUR_ISO
+
+    seg_lut = np.array([0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0],
+                       dtype=np.int64)
+    ids, ncells, ncross, nsegs, scase = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _lum_raster(px)
+        m = lum >= CONTOUR_ISO
+        case = (
+            m[:-1, :-1].astype(np.int64)
+            + 2 * m[:-1, 1:].astype(np.int64)
+            + 4 * m[1:, 1:].astype(np.int64)
+            + 8 * m[1:, :-1].astype(np.int64)
+        )
+        segs = seg_lut[case]
+        ids.append(image_id)
+        ncells.append(int(case.size))
+        ncross.append(int((segs > 0).sum()))
+        nsegs.append(int(segs.sum()))
+        scase.append(int(case.sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_cells": pa.array(ncells, pa.int32()),
+            "n_crossed": pa.array(ncross, pa.int32()),
+            "n_segments": pa.array(nsegs, pa.int32()),
+            "sum_case": pa.array(scase, pa.int64()),
+        }),
+        os.path.join(OUT, f"contours_sf{sf:g}.parquet"),
+    )
+    print(f"contours golden: {len(ids)} rows")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

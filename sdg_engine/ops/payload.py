@@ -435,3 +435,67 @@ def hillshade_stats(images: DataFrame) -> DataFrame:
         "image_id string, n_px int, sum_shade bigint, "
         "min_shade int, max_shade int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Marching-squares contour extraction stats (r05) — the raster->vector
+# contouring analogue (GeoTrellis-world: toVector/contour ops).
+# ---------------------------------------------------------------------------
+
+# SPEC shared with the golden twin: corner mask m = (lum >= iso);
+# case(i,j) = m[i,j] + 2*m[i,j+1] + 4*m[i+1,j+1] + 8*m[i+1,j];
+# segments per case: 0 for {0,15}, 2 for the saddles {5,10}, else 1.
+CONTOUR_ISO = 128.0
+
+
+def marching_squares_stats(lum: np.ndarray, iso: float = CONTOUR_ISO):
+    """(n_cells, n_cells_crossed, n_segments, sum_case) of the
+    marching-squares case grid — all integers, fold-order exact."""
+    m = lum >= iso
+    case = (
+        m[:-1, :-1].astype(np.int64)
+        + 2 * m[:-1, 1:].astype(np.int64)
+        + 4 * m[1:, 1:].astype(np.int64)
+        + 8 * m[1:, :-1].astype(np.int64)
+    )
+    segs = np.where(
+        (case == 0) | (case == 15), 0, np.where((case == 5) | (case == 10), 2, 1)
+    )
+    return (
+        int(case.size),
+        int((segs > 0).sum()),
+        int(segs.sum()),
+        int(case.sum()),
+    )
+
+
+def contour_stats(images: DataFrame, iso: float = CONTOUR_ISO) -> DataFrame:
+    """Per-image marching-squares contour stats at the iso-luminance
+    level — decode -> threshold -> 2x2 case grid -> integer sums.
+    Map-only mapInPandas like decode_stats/hillshade_stats: payload
+    bytes never shuffle."""
+
+    def _ms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w), int(rr.h))
+                lum = (
+                    0.299 * img[:, :, 0].astype(np.float64)
+                    + 0.587 * img[:, :, 1].astype(np.float64)
+                    + 0.114 * img[:, :, 2].astype(np.float64)
+                )
+                out.append((rr.image_id,) + marching_squares_stats(lum, iso))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_cells", "n_crossed", "n_segments",
+                         "sum_case"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _ms,
+        "image_id string, n_cells int, n_crossed int, n_segments int, "
+        "sum_case bigint",
+    )

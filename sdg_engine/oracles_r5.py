@@ -348,4 +348,10 @@ JOIN n USING (country_code)
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
-            "country_convex_hull": hull}
+            "country_convex_hull": hull,
+            "image_contours": f"""
+SELECT g.image_id, g.n_cells, g.n_crossed, g.n_segments, g.sum_case
+FROM read_parquet('{gdir}/contours_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""}

@@ -716,6 +716,22 @@ def country_convex_hull(spark, sf_dir):
     )
 
 
+def image_contours(spark, sf_dir):
+    """Marching-squares contour stats at iso-luminance 128 per image
+    (the raster->vector contouring op): decode -> case grid -> integer
+    segment/case sums.  jpg excluded, harness-bounded to 500 images;
+    oracle: committed independent golden (generator pixels + explicit
+    16-entry LUT twin)."""
+    from .ops.payload import contour_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return contour_stats(sel)
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -729,4 +745,5 @@ QUERIES_R5 = {
     "mvt_pyramid_simplified": mvt_pyramid_simplified,
     "road_graph_bfs": road_graph_bfs,
     "country_convex_hull": country_convex_hull,
+    "image_contours": image_contours,
 }

@@ -266,3 +266,20 @@ def test_convex_hull_contains_all_points():
         ax, ay = h[(i + 1) % n]
         cross = (ax - ox) * (pts[:, 1] - oy) - (ay - oy) * (pts[:, 0] - ox)
         assert (cross >= -1e-12).all()
+
+
+def test_marching_squares_euler_parity():
+    """Contour segments of a smooth blob form closed loops: every
+    crossed cell contributes segments, a circle yields an even count,
+    and the all-below / all-above rasters yield zero."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import marching_squares_stats
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    blob = 255.0 * (((xx - 16) ** 2 + (yy - 16) ** 2) < 64)
+    n_cells, n_crossed, n_segments, _ = marching_squares_stats(blob)
+    assert n_cells == 31 * 31
+    assert n_segments >= n_crossed > 0
+    assert marching_squares_stats(np.zeros((8, 8)))[2] == 0
+    assert marching_squares_stats(np.full((8, 8), 255.0))[2] == 0
