@@ -39,6 +39,25 @@ def _session(cpus: str):
     return spark
 
 
+# r05 additions, timed separately so `value` (the HEADLINE total) stays
+# comparable across rounds; image-fixture queries pin sf0.01 regardless
+# of SF_DIR (their goldens embed it).
+R5_EXTRAS = [
+    "events_asof_join",
+    "events_funnel",
+    "hll_distinct",
+    "pagerank_roads",
+    "road_graph_bfs",
+    "bm25_top_docs",
+    "sample_weighted",
+    "roads_simplify_dp",
+    "mvt_pyramid_simplified",
+    "image_hillshade",
+    "image_contours",
+    "image_zonal_stats",
+    "country_convex_hull",
+]
+
 HEADLINE = [
     "flagship_rai",
     "spatial_knn_nearest",
@@ -111,6 +130,7 @@ def main() -> None:
     _materialize(QUERIES["flagship_rai"](spark, sf_dir))
     queries = run_queries(spark, sf_dir, HEADLINE)
     total = round(sum(queries.values()), 3)
+    queries_r5 = run_queries(spark, sf_dir, R5_EXTRAS)
     flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
     spark.stop()
 
@@ -146,6 +166,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_r5": queries_r5,
         "sf": sf,
         "input_rows": n_input,
         "rows_per_sec": round(flagship_thr, 1),
