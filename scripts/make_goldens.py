@@ -162,6 +162,7 @@ def main() -> None:
     make_pyramid_simplified_golden()
     make_hull_golden()
     make_contours_golden()
+    make_regions_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -992,6 +993,55 @@ def make_contours_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"contours_sf{sf:g}.parquet"),
     )
     print(f"contours golden: {len(ids)} rows")
+
+
+def make_regions_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_regions query (r05):
+    INDEPENDENT flood-fill labeling (explicit stack, pixel-at-a-time)
+    vs the engine's scan-line union-find — sizes are labeling-order
+    free, so the two structures must agree exactly.  jpg skipped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, nreg, largest, nfg = [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _lum_raster(px)
+        mask = lum >= 128.0
+        seen = np.zeros_like(mask, dtype=bool)
+        sizes = []
+        hh, ww = mask.shape
+        for y0 in range(hh):
+            for x0 in range(ww):
+                if mask[y0, x0] and not seen[y0, x0]:
+                    stack = [(y0, x0)]
+                    seen[y0, x0] = True
+                    n = 0
+                    while stack:
+                        y, x = stack.pop()
+                        n += 1
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            yy2, xx2 = y + dy, x + dx
+                            if (0 <= yy2 < hh and 0 <= xx2 < ww
+                                    and mask[yy2, xx2] and not seen[yy2, xx2]):
+                                seen[yy2, xx2] = True
+                                stack.append((yy2, xx2))
+                    sizes.append(n)
+        ids.append(image_id)
+        nreg.append(len(sizes))
+        largest.append(max(sizes) if sizes else 0)
+        nfg.append(int(mask.sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_regions": pa.array(nreg, pa.int32()),
+            "largest_px": pa.array(largest, pa.int32()),
+            "n_fg": pa.array(nfg, pa.int32()),
+        }),
+        os.path.join(OUT, f"regions_sf{sf:g}.parquet"),
+    )
+    print(f"regions golden: {len(ids)} rows")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

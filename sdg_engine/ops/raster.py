@@ -483,3 +483,98 @@ def burn_cost_summaries(
         .cogroup(road_side.groupBy("cell_id"))
         .applyInPandas(_summarize, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Region labeling (r05) — connected-component "region group" /
+# polygonize-precursor over a thresholded raster (4-connectivity).
+# ---------------------------------------------------------------------------
+
+
+def label_region_stats(mask: np.ndarray) -> tuple[int, int, int]:
+    """(n_regions, largest_region_px, n_fg_px) of the True-mask's
+    4-connected components — scan-line runs + union-find (two passes,
+    O(px) with inverse-Ackermann unions).  The stats are labeling-order
+    independent (sizes only), so the golden twin can flood-fill instead.
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+    size: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
+    n_fg = 0
+    for y in range(h):
+        row = mask[y]
+        runs: list[tuple[int, int, int]] = []
+        x = 0
+        while x < w:
+            if row[x]:
+                x0 = x
+                while x < w and row[x]:
+                    x += 1
+                lab = len(parent)
+                parent.append(lab)
+                size.append(x - x0)
+                n_fg += x - x0
+                # union with 4-connected overlaps in the previous row
+                for p0, p1, pl in prev_runs:
+                    if p0 < x and p1 > x0:
+                        union(lab, pl)
+                runs.append((x0, x, lab))
+            else:
+                x += 1
+        prev_runs = runs
+    roots: dict[int, int] = {}
+    for lab in range(len(parent)):
+        r = find(lab)
+        if r == lab:
+            roots[r] = size[r]
+    if not roots:
+        return 0, 0, 0
+    return len(roots), max(roots.values()), n_fg
+
+
+def region_stats(images, iso: float = 128.0):
+    """Per-image connected-region stats of the (lum >= iso) mask —
+    map-only mapInPandas; payload bytes never shuffle.  Cross-TILE
+    region stitching at mosaic scale is the kring(1) halo pattern
+    (ops/raster burn) + a component merge on border runs — out of
+    scope here where tiles are whole images."""
+    import pandas as pd
+
+    def _reg(batches):
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w), int(rr.h))
+                lum = (
+                    0.299 * img[:, :, 0].astype(np.float64)
+                    + 0.587 * img[:, :, 1].astype(np.float64)
+                    + 0.114 * img[:, :, 2].astype(np.float64)
+                )
+                n, largest, fg = label_region_stats(lum >= iso)
+                out.append((rr.image_id, n, largest, fg))
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_regions", "largest_px", "n_fg"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _reg,
+        "image_id string, n_regions int, largest_px int, n_fg int",
+    )

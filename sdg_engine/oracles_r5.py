@@ -22,6 +22,8 @@ from .queries_r5 import (
     _PR_NODE_A,
     _PR_NODE_B,
     _PR_UNIT,
+    _RET_EPOCH_US,
+    _RET_WEEK_US,
     _WS_K,
     _WS_PRI_SQL,
     _hll_steps,
@@ -185,6 +187,37 @@ SELECT CAST(rnk AS INT) AS rnk, doc_id, n_chars, priority
 FROM ranked WHERE rnk <= {k}
 """.format(pri=_WS_PRI_SQL, k=_WS_K)
 
+EVENTS_RETENTION = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR((epoch_us(ts) - {e}) / {w}.0) AS BIGINT) AS wk
+  FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT ev.user_id, cohort_week, wk - cohort_week AS week_offset
+  FROM ev JOIN first USING (user_id)
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+""".format(e=_RET_EPOCH_US, w=_RET_WEEK_US)
+
+PIVOT_ORDERS_STATUS = """
+WITH o AS (
+  SELECT EXTRACT(month FROM o_orderdate) AS m, o_orderstatus AS st,
+         CAST(FLOOR(o_totalprice * 1000 + 0.5) AS BIGINT) AS rev_mils
+  FROM orders
+)
+SELECT CAST(m AS INT) AS m,
+       CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN st = 'O' THEN rev_mils ELSE 0 END) AS BIGINT) AS rev_o,
+       CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN st = 'F' THEN rev_mils ELSE 0 END) AS BIGINT) AS rev_f,
+       CAST(SUM(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(SUM(CASE WHEN st = 'P' THEN rev_mils ELSE 0 END) AS BIGINT) AS rev_p
+FROM o GROUP BY m
+"""
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
@@ -192,6 +225,8 @@ ORACLES_R5 = {
     "pagerank_roads": _pagerank_roads_sql(),
     "bm25_top_docs": BM25_TOP_DOCS,
     "sample_weighted": SAMPLE_WEIGHTED,
+    "events_retention": EVENTS_RETENTION,
+    "pivot_orders_status": PIVOT_ORDERS_STATUS,
 }
 
 
@@ -349,6 +384,12 @@ JOIN n USING (country_code)
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
             "country_convex_hull": hull,
+            "image_regions": f"""
+SELECT g.image_id, g.n_regions, g.largest_px, g.n_fg
+FROM read_parquet('{gdir}/regions_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
             "image_contours": f"""
 SELECT g.image_id, g.n_cells, g.n_crossed, g.n_segments, g.sum_case
 FROM read_parquet('{gdir}/contours_sf0.01.parquet') g

@@ -732,6 +732,74 @@ def image_contours(spark, sf_dir):
     return contour_stats(sel)
 
 
+def image_regions(spark, sf_dir):
+    """Connected-region stats of the iso-128 mask per image (the
+    region-group / polygonize precursor): scan-line union-find inside
+    a map-only stage.  Oracle: committed INDEPENDENT flood-fill golden.
+    jpg excluded, 500-image harness subset."""
+    from .ops.raster import region_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return region_stats(sel)
+
+
+# weekly retention cohorts over the events stream — one shared integer
+# time grid (micros since the fixture epoch, 7-day buckets)
+_RET_EPOCH_US = 1704067200000000  # 2024-01-01T00:00:00Z
+_RET_WEEK_US = 7 * 24 * 3600 * 1000000
+_RET_WEEK = (
+    f"CAST(FLOOR((us - {_RET_EPOCH_US}) / {_RET_WEEK_US}.0) AS BIGINT)"
+)
+
+
+def events_retention(spark, sf_dir):
+    """Cohort RETENTION: users grouped by first-activity week; for each
+    (cohort_week, week_offset >= 0), how many of the cohort were active
+    — the standard product-analytics triangle.  Two hash aggs + one
+    user_id equi-join; the per-user first-week agg is map-side
+    combinable and the cohort triangle is tiny at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(_TS_US_SQL).alias("us")
+    ).selectExpr("user_id", f"{_RET_WEEK} AS wk")
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .selectExpr("user_id", "cohort_week", "wk - cohort_week AS week_offset")
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def pivot_orders_status(spark, sf_dir):
+    """PIVOT: order counts + revenue mils by month x status (explicit
+    value list O/F/P so the schema is static).  One hash agg; the
+    pivot is a projection, not a shuffle."""
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "month(o_orderdate) AS m",
+        "o_orderstatus AS st",
+        "CAST(FLOOR(o_totalprice * 1000 + 0.5) AS BIGINT) AS rev_mils",
+    )
+    return (
+        orders.groupBy("m")
+        .pivot("st", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rev_mils").alias("rev"),
+        )
+        .selectExpr(
+            "CAST(m AS INT) AS m",
+            "coalesce(O_n, 0) AS n_o", "coalesce(O_rev, 0) AS rev_o",
+            "coalesce(F_n, 0) AS n_f", "coalesce(F_rev, 0) AS rev_f",
+            "coalesce(P_n, 0) AS n_p", "coalesce(P_rev, 0) AS rev_p",
+        )
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -746,4 +814,7 @@ QUERIES_R5 = {
     "road_graph_bfs": road_graph_bfs,
     "country_convex_hull": country_convex_hull,
     "image_contours": image_contours,
+    "image_regions": image_regions,
+    "events_retention": events_retention,
+    "pivot_orders_status": pivot_orders_status,
 }
