@@ -98,7 +98,7 @@ sk AS (
          CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INT)) AS BIGINT) AS s_part
   FROM regs
 ),
-ex AS (SELECT COUNT(DISTINCT s) AS exact_distinct FROM ({_HLL_SHINGLES_DUCK})),
+ex AS (SELECT COUNT(DISTINCT h) AS exact_distinct FROM sh),
 est AS (
   SELECT n_regs, sum_rho,
          CAST(FLOOR({_HLL_NUM} / CAST(s_part +

@@ -637,15 +637,14 @@ def _minhash_sig_df(docs):
     values to _minhash_cols (min over the same multiset) but the hash
     work runs compiled instead of interpreted HOF lambdas, and the
     shuffle carries one pre-reduced row per (partition, doc)."""
-    sh = docs.select(
+    # explode(sequence) + substring, NOT transform(..., i -> ...): the
+    # lambda HOF is interpreted (gotcha 4) — measured 20x slower than
+    # this codegen'd form on the shingle paths (r05).  Same rows.
+    sh = docs.selectExpr(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 11, 1), 4), "
-                "i -> substring(text, i, 12))"
-            )
-        ).alias("s"),
-    )
+        "text",
+        "explode(sequence(1, greatest(length(text) - 11, 1), 4)) AS i",
+    ).selectExpr("doc_id", "substring(text, i, 12) AS s")
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("s"), F.lit(seed)))).alias(f"mh{j + 1}")

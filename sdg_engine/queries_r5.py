@@ -202,8 +202,19 @@ def hll_distinct(spark, sf_dir):
     assert the estimate lands within HLL's expected error band.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(F.explode(F.expr(_HLL_SHINGLE)).alias("s")).select(
-        F.md5("s").alias("h")
+    # shingles via explode(sequence) + element_at, NOT transform(...):
+    # the lambda HOF is interpreted (gotcha 4) and measured 6.6 s at
+    # sf0.1 where this codegen'd form is 0.3 s (20x).  Same shingle
+    # values; the exact leg counts DISTINCT md5s (mirrored verbatim in
+    # the oracle, so parity is exact).
+    sh = (
+        docs.selectExpr("split(text, ' ') AS w")
+        .selectExpr("explode(sequence(1, greatest(size(w) - 2, 1))) AS i", "w")
+        .selectExpr(
+            "md5(concat(element_at(w, i), ' ', "
+            "element_at(w, least(i + 1, size(w))), ' ', "
+            "element_at(w, least(i + 2, size(w))))) AS h"
+        )
     )
     br = sh.selectExpr(*_hll_steps("h"))
     regs = br.groupBy("bucket").agg(F.max("rho").alias("m"))
@@ -218,9 +229,7 @@ def hll_distinct(spark, sf_dir):
         f"({_HLL_M} - n_regs) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) AS BIGINT)"
         " AS est_hll",
     )
-    exact = docs.select(F.explode(F.expr(_HLL_SHINGLE)).alias("s")).agg(
-        F.countDistinct("s").alias("exact_distinct")
-    )
+    exact = sh.agg(F.countDistinct("h").alias("exact_distinct"))
     return sketch.crossJoin(F.broadcast(exact)).selectExpr(
         "n_regs",
         "sum_rho",
