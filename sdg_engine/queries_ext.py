@@ -894,10 +894,13 @@ def substring_dup_pairs(spark, sf_dir):
     # the distinct shuffle execute 4× (r04 review; gotcha 16 template)
     win = docs.select(
         "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, greatest(length(text) - 31, 1), 8), "
-            "i -> substring(text, i, 32))"
-        )).alias("w"),
+        F.expr("explode(sequence(1, greatest(length(text) - 31, 1), 8))")
+        .alias("i"),
+        "text",
+    ).selectExpr(
+        # codegen'd projection, not an interpreted transform lambda
+        # (gotcha 16b — measured 20x on the shingle paths, r05)
+        "doc_id", "substring(text, i, 32) AS w"
     ).distinct().persist(StorageLevel.DISK_ONLY)
     freq = win.groupBy("w").agg(F.count(F.lit(1)).alias("nf"))
     keep = win.join(
@@ -971,11 +974,11 @@ def lang_ngram_id(spark, sf_dir):
     # (gotcha 4) — without the persist each branch re-runs the full
     # corpus explode (r04 review; the minhash DISK_ONLY template)
     tri = docs.select(
-        "doc_id", "lang",
-        F.explode(F.expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1)), "
-            "i -> substring(text, i, 3))"
-        )).alias("tri"),
+        "doc_id", "lang", "text",
+        F.expr("explode(sequence(1, greatest(length(text) - 2, 1)))").alias("i"),
+    ).selectExpr(
+        # gotcha 16b: codegen'd projection, not a transform lambda
+        "doc_id", "lang", "substring(text, i, 3) AS tri"
     ).persist(StorageLevel.DISK_ONLY)
     pc = tri.groupBy(F.col("lang").alias("cand_lang"), "tri").agg(
         F.count(F.lit(1)).alias("cnt")

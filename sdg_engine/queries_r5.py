@@ -177,16 +177,6 @@ def _hll_steps(h: str) -> list[str]:
     ]
 
 
-# one shared shingle fragment (same 3-token shingles as the Jaccard
-# family; duplicates are harmless to HLL so no array_distinct needed)
-_HLL_SHINGLE = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), ' ', "
-    "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"
-)
-
-
 def hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over all 3-shingles of the
     corpus — DETERMINISTIC (md5-derived registers, no RNG), so the
