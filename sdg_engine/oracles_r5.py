@@ -218,6 +218,61 @@ SELECT CAST(m AS INT) AS m,
 FROM o GROUP BY m
 """
 
+from .queries_r5 import _PMI_LIFT, _PMI_TOPK  # noqa: E402
+
+PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+),
+big AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS f_xy FROM toks GROUP BY x, y),
+ux AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS f_x FROM toks GROUP BY x),
+uy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS f_y FROM toks GROUP BY y),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM toks),
+lifted AS (
+  SELECT big.x, big.y, f_xy, {_PMI_LIFT} AS lift
+  FROM big JOIN ux USING (x) JOIN uy USING (y) CROSS JOIN nb
+  WHERE f_xy >= 5
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, x ASC, y ASC) AS rnk
+  FROM lifted
+)
+SELECT CAST(rnk AS INT) AS rnk, x, y, f_xy, lift
+FROM ranked WHERE rnk <= {_PMI_TOPK}
+"""
+
+EVENTS_OUTLIERS = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+st AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM ev GROUP BY event_type
+),
+scored AS (
+  SELECT ev.event_type, event_id, v,
+         CAST(FLOOR(ABS(CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(s1 AS DOUBLE)) * 10000.0 / (CAST(n AS DOUBLE)
+              * SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))))
+              AS BIGINT) AS z_bp
+  FROM ev JOIN st USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN z_bp > 30000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(FLOOR(MAX(z_bp * 10000000 + event_id) / 10000000.0) AS BIGINT)
+         AS max_z_bp,
+       CAST(MAX(z_bp * 10000000 + event_id) % 10000000 AS BIGINT)
+         AS extreme_event
+FROM scored GROUP BY event_type
+"""
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
@@ -227,6 +282,17 @@ ORACLES_R5 = {
     "sample_weighted": SAMPLE_WEIGHTED,
     "events_retention": EVENTS_RETENTION,
     "pivot_orders_status": PIVOT_ORDERS_STATUS,
+    "pmi_bigrams": PMI_BIGRAMS,
+    "events_outliers": EVENTS_OUTLIERS,
+    # compaction: content aggregate over the appended range + pinned
+    # before/after file counts (5 appends x repartition(4) = 20 -> 2)
+    # + snapshot-3 time-travel row count (the first 300 docs)
+    "snapshot_compaction": """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(20 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after,
+       CAST(300 AS BIGINT) AS snap3_rows
+FROM documents WHERE doc_id < 500 GROUP BY lang
+""",
 }
 
 

@@ -799,6 +799,143 @@ def pivot_orders_status(spark, sf_dir):
     )
 
 
+_PMI_TOPK = 20
+
+# integer lift proxy for PMI (no log): FLOOR(f_xy * n_big * 1e6 / (f_x * f_y))
+# — monotone in PMI for fixed n, exact BIGINT arithmetic end to end.
+_PMI_LIFT = (
+    "CAST(FLOOR(CAST(f_xy AS DOUBLE) * CAST(n_big AS DOUBLE) * 1000000.0 "
+    "/ (CAST(f_x AS DOUBLE) * CAST(f_y AS DOUBLE))) AS BIGINT)"
+)
+
+
+def pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top-20 adjacent-token bigrams by integer
+    PMI-lift (observed/expected), min support 5 — the phrase-mining
+    pass a tokenizer pipeline runs before vocab building.
+
+    One explode produces BOTH the unigram and bigram counts (the
+    bigram leg reuses the exploded index — codegen, gotcha 16b);
+    unigram counts broadcast to the bigram side twice (tiny at any
+    corpus: vocabulary-sized).  Ties broken lexicographically.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
+        "doc_id",
+        "explode(sequence(1, size(w) - 1)) AS i",
+        "w",
+    ).selectExpr("element_at(w, i) AS x", "element_at(w, i + 1) AS y")
+    big = toks.groupBy("x", "y").agg(F.count(F.lit(1)).alias("f_xy"))
+    uni_x = toks.groupBy("x").agg(F.count(F.lit(1)).alias("f_x"))
+    # right-position unigram counts: the LAST token of each doc never
+    # starts a bigram, so f_y counts y as a bigram RIGHT member
+    uni_y = toks.groupBy("y").agg(F.count(F.lit(1)).alias("f_y"))
+    n_big = toks.agg(F.count(F.lit(1)).alias("n_big"))
+    w = Window.orderBy(F.col("lift").desc(), F.col("x").asc(), F.col("y").asc())
+    return (
+        big.filter(F.col("f_xy") >= 5)
+        .join(F.broadcast(uni_x), "x")
+        .join(F.broadcast(uni_y), "y")
+        .crossJoin(F.broadcast(n_big))
+        .withColumn("lift", F.expr(_PMI_LIFT))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+        .select("rnk", "x", "y", "f_xy", "lift")
+    )
+
+
+def events_outliers(spark, sf_dir):
+    """Z-score anomaly detection per event type, integer-exact variance:
+    values snap to mils (BIGINT), variance from the (n·Σx² − (Σx)²)
+    identity — every aggregate folds in exact integers; the only floats
+    are one sqrt + one division per GROUP (IEEE-identical cross-engine).
+    Output: per type, the count of |z| > 3 outliers and the extreme
+    event (deterministic tie-break by event_id)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v",
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+    )
+    # z in basis points: (v*n - s1) * 10000 / (n * sqrt((n*s2 - s1*s1)/n))
+    # = (v - mean) / stddev_pop, scaled; FLOOR of ABS for the threshold
+    z_bp = (
+        "CAST(FLOOR(ABS(CAST(v AS DOUBLE) * CAST(n AS DOUBLE) "
+        "- CAST(s1 AS DOUBLE)) * 10000.0 / (CAST(n AS DOUBLE) "
+        "* SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) "
+        "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)))) "
+        "AS BIGINT)"
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").selectExpr(
+        "event_type", "event_id", "v", f"{z_bp} AS z_bp"
+    )
+    # packed-integer argmax (z_bp * 1e7 + event_id): identical
+    # lexicographic (z_bp, event_id) tie-break in BOTH engines without
+    # struct-comparison semantics differences
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("z_bp") > 30000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.max(F.expr("z_bp * 10000000 + event_id")).alias("packed"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_events",
+        "n_outliers",
+        "CAST(FLOOR(packed / 10000000.0) AS BIGINT) AS max_z_bp",
+        "packed % 10000000 AS extreme_event",
+    )
+
+
+def snapshot_compaction(spark, sf_dir):
+    """Small-file COMPACTION on the snapshot shim (Iceberg
+    rewrite_data_files / OPTIMIZE): five 4-file appends -> 20 data
+    files -> one compaction commit -> 2 files, content IDENTICAL and
+    every pre-compaction snapshot still time-travel readable.
+
+    The oracle pins the per-lang content aggregate (any row lost or
+    duplicated by the rewrite flips it) AND the exact before/after
+    file counts (deterministic: explicit repartition widths).
+    """
+    from .queries_ext import _stream_base
+    from .storage import (
+        compact_snapshot,
+        count_data_files,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _stream_base(spark, "compact_")
+    path = f"{base}/tbl"
+    for k in range(5):
+        write_snapshot(
+            docs.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < (k + 1) * 100)
+            ).repartition(4),
+            path,
+            mode="append",
+        )
+    n_before = count_data_files(path, 5)
+    snap = compact_snapshot(spark, path, target_partitions=2)
+    n_after = count_data_files(path, snap)
+    # old snapshot still readable post-compaction (time travel intact)
+    snap3_rows = read_snapshot(spark, path, as_of=3).count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .withColumn("n_files_before", F.lit(n_before).cast("int"))
+        .withColumn("n_files_after", F.lit(n_after).cast("int"))
+        .withColumn("snap3_rows", F.lit(snap3_rows).cast("long"))
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -816,4 +953,7 @@ QUERIES_R5 = {
     "image_regions": image_regions,
     "events_retention": events_retention,
     "pivot_orders_status": pivot_orders_status,
+    "pmi_bigrams": pmi_bigrams,
+    "events_outliers": events_outliers,
+    "snapshot_compaction": snapshot_compaction,
 }

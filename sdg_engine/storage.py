@@ -337,3 +337,32 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
                 removed_dirs += 1
     return {"expired": len(drop), "kept": len(keep),
             "orphan_dirs_removed": removed_dirs}
+
+
+def count_data_files(path: str, snap_id: int) -> int:
+    """Number of parquet data files referenced by a snapshot's manifest
+    — the metric compaction improves (driver-side listing of the
+    manifest's dirs only; never a full-table scan)."""
+    import os
+
+    m = _read_manifest(path, snap_id)
+    n = 0
+    for d in m["dirs"]:
+        n += sum(1 for f in os.listdir(d)
+                 if f.endswith(".parquet") and not f.startswith("."))
+    return n
+
+
+def compact_snapshot(spark: SparkSession, path: str,
+                     target_partitions: int = 2) -> int:
+    """OPTIMIZE / rewrite_data_files analogue: read the current
+    snapshot, rewrite it as ``target_partitions`` files, and commit the
+    rewrite as a NEW overwrite snapshot — content identical, file count
+    collapsed, every prior snapshot still time-travel readable (the
+    rewrite never touches old data dirs; expire_snapshots reclaims
+    them later).  At scale the rewrite is one repartition shuffle
+    sized by target file size; per-partition lineage applies as to any
+    other write."""
+    df = read_snapshot(spark, path)
+    return write_snapshot(df.repartition(target_partitions), path,
+                          mode="overwrite")

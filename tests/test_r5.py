@@ -334,3 +334,64 @@ def test_retention_triangle_shape(spark, sf_dir):
             )
     for cw, n in later.items():
         assert n <= week0[cw]  # retention never exceeds the cohort
+
+
+def test_pmi_top_bigram_is_high_lift(spark, sf_dir):
+    """The top bigram's observed/expected ratio must exceed 1x (lift
+    over independence) and ranks are dense."""
+    from sdg_engine.queries_r5 import pmi_bigrams
+
+    rows = sorted(pmi_bigrams(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["lift"] >= rows[-1]["lift"] > 0
+    assert rows[0]["lift"] > 1_000_000  # observed > expected
+
+
+def test_outlier_zscores_bounded(spark, sf_dir):
+    """Population z-scores: by Chebyshev at most n/9 events can sit
+    beyond 3 sigma; the extreme event must be a real row."""
+    from sdg_engine.queries_r5 import events_outliers
+
+    rows = events_outliers(spark, sf_dir).collect()
+    ids = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").collect()
+    }
+    for r in rows:
+        assert r["n_outliers"] <= r["n_events"] / 9 + 1
+        assert r["extreme_event"] in ids
+        assert r["max_z_bp"] >= 0
+
+
+def test_compaction_preserves_history(spark, sf_dir, tmp_path):
+    """File count collapses, content identical, old snapshots intact."""
+    from pyspark.sql import functions as F
+
+    from sdg_engine.storage import (
+        compact_snapshot,
+        count_data_files,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    path = str(tmp_path / "tbl")
+    for k in range(3):
+        write_snapshot(
+            docs.filter((F.col("doc_id") >= k * 50) & (F.col("doc_id") < k * 50 + 50))
+            .repartition(4),
+            path,
+            mode="append",
+        )
+    before = count_data_files(path, 3)
+    rows_before = sorted(r["doc_id"] for r in read_snapshot(spark, path).collect())
+    snap = compact_snapshot(spark, path, target_partitions=2)
+    assert count_data_files(path, snap) == 2 < before == 12
+    rows_after = sorted(r["doc_id"] for r in read_snapshot(spark, path).collect())
+    assert rows_after == rows_before
+    assert read_snapshot(spark, path, as_of=2).count() == 100  # history intact
+    assert snapshot_history(path)[-1] == snap
