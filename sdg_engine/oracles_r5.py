@@ -348,6 +348,47 @@ FROM d2 GROUP BY tx, ty
 """
 
 
+def _buffer_cells_sql(roads_pq: str) -> str:
+    from .queries_r5 import _BUF_CELL, _BUF_DEG, _BUF_LEVEL, _BUF_M
+    from .sqlgen import chain_select, grid_index_expr, point_seg_dist_steps
+
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "byy", "dist_m")
+    base = f"""
+WITH segs AS (
+  SELECT kind, c[i].x AS ax, c[i].y AS ay,
+         c[i + 1].x AS bx, c[i + 1].y AS byy
+  FROM (SELECT kind, coords AS c FROM read_parquet('{roads_pq}')),
+       UNNEST(generate_series(1, len(c) - 1)) AS u(i)
+),
+g AS (
+  SELECT kind, ax, ay, bx, byy,
+         {grid_index_expr(f"LEAST(ax, bx) - {_BUF_DEG}", _BUF_LEVEL)} AS ix0,
+         {grid_index_expr(f"GREATEST(ax, bx) + {_BUF_DEG}", _BUF_LEVEL)} AS ix1,
+         {grid_index_expr(f"LEAST(ay, byy) - {_BUF_DEG}", _BUF_LEVEL)} AS iy0,
+         {grid_index_expr(f"GREATEST(ay, byy) + {_BUF_DEG}", _BUF_LEVEL)} AS iy1
+  FROM segs
+),
+cand AS (
+  SELECT kind, ax, ay, bx, byy, u1.ix AS ix, u2.iy AS iy,
+         (CAST(0 AS DOUBLE) + (CAST(u1.ix AS DOUBLE) + 0.5)
+          * CAST({_BUF_CELL} AS DOUBLE)) AS lon,
+         (CAST(0 AS DOUBLE) + (CAST(u2.iy AS DOUBLE) + 0.5)
+          * CAST({_BUF_CELL} AS DOUBLE)) AS lat
+  FROM g, UNNEST(generate_series(ix0, ix1)) AS u1(ix),
+       UNNEST(generate_series(iy0, iy1)) AS u2(iy)
+),
+d AS ({chain_select("SELECT * FROM cand", steps, ["kind", "ix", "iy", "dist_m"])}),
+cells AS (
+  SELECT DISTINCT kind, ix, iy FROM d
+  WHERE dist_m <= CAST({_BUF_M!r} AS DOUBLE)
+)
+SELECT kind, COUNT(*) AS n_cells,
+       CAST(SUM(ix * 1000 + iy) AS BIGINT) AS sum_cell
+FROM cells GROUP BY kind
+"""
+    return base
+
+
 def image_oracles_r5() -> dict[str, str]:
     """Lazily-built golden-backed oracles (absolute fixture/golden
     paths, fixture ensured on build — same mechanics as
@@ -449,6 +490,7 @@ JOIN n USING (country_code)
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
+            "roads_buffer_cells": _buffer_cells_sql(roads_pq),
             "country_convex_hull": hull,
             "image_regions": f"""
 SELECT g.image_id, g.n_regions, g.largest_px, g.n_fg

