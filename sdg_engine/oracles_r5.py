@@ -273,6 +273,28 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM scored GROUP BY event_type
 """
 
+STREAMING_LEFT_JOIN = """
+WITH c AS (
+  SELECT user_id AS cu, event_id AS click_id, ts AS cts
+  FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-24 00:00:00'
+),
+v AS (
+  SELECT user_id AS vu, event_id AS view_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT cu, click_id, view_id
+  FROM c LEFT JOIN v
+    ON vu = cu AND vts >= cts - INTERVAL 30 MINUTE AND vts <= cts
+)
+SELECT cu AS user_id, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       CAST(SUM(COALESCE(view_id, -1)) AS BIGINT) AS sum_view
+FROM j GROUP BY cu
+"""
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
@@ -287,6 +309,7 @@ ORACLES_R5 = {
     # compaction: content aggregate over the appended range + pinned
     # before/after file counts (5 appends x repartition(4) = 20 -> 2)
     # + snapshot-3 time-travel row count (the first 300 docs)
+    "streaming_left_join": STREAMING_LEFT_JOIN,
     "snapshot_compaction": """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(20 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after,

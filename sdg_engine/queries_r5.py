@@ -999,6 +999,65 @@ def roads_buffer_cells(spark, sf_dir):
     )
 
 
+def streaming_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join drained to parquet: the
+    outer-join state-eviction path (NULL emission for clicks the
+    watermark proves unmatched).  Input arrives as SIX time-ordered
+    files at one file per trigger, so the watermark advances across
+    batches and every bounded click's NULL row flushes before the
+    drain ends; the DuckDB oracle is the plain batch left join over
+    the same click bound."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "slj_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    for k in range(6):  # chronological chunks -> monotone watermark
+        pq.write_table(
+            t.slice(k * n // 6, (k + 1) * n // 6 - k * n // 6),
+            os.path.join(in_dir, f"chunk-{k:02d}.parquet"),
+        )
+    # trailing FILLER batches (gotcha 16a: outer-join NULL eviction
+    # runs at end of the batch AFTER the watermark crosses the bound —
+    # the final data batch alone leaves the last horizon's evictions
+    # pending).  'signup' rows join neither side, so they advance the
+    # watermark without touching join state.
+    filler = t.filter(pa.compute.equal(t["event_type"], "signup")).slice(0, 4)
+    for k in range(2):
+        pq.write_table(
+            filler, os.path.join(in_dir, f"chunk-9{k}-filler.parquet")
+        )
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    STR.stream_interval_join_left(spark, in_dir, out, ck)
+    return (
+        spark.read.parquet(out)
+        # a full day below the stream cutoff: the final global watermark
+        # is throttled by the filtered click side to ~(cutoff - 2 h), so
+        # only clicks with c_ts + 30 min safely below it are guaranteed
+        # their NULL emission (see stream_interval_join_left docstring)
+        .filter(F.expr("c_ts < TIMESTAMP '2024-01-24 00:00:00'"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("view_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+            F.sum(F.coalesce("view_id", F.lit(-1))).alias("sum_view"),
+        )
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -1020,4 +1079,5 @@ QUERIES_R5 = {
     "events_outliers": events_outliers,
     "snapshot_compaction": snapshot_compaction,
     "roads_buffer_cells": roads_buffer_cells,
+    "streaming_left_join": streaming_left_join,
 }

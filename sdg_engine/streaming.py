@@ -343,3 +343,78 @@ def batch_hourly_closed(spark: SparkSession, events: DataFrame,
             "sum_value_floor",
         )
     )
+
+
+def stream_interval_join_left(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+    interval_s: int = 1800,
+    emit_before: str = "2024-01-25 00:00:00",
+) -> None:
+    """Stream-stream LEFT OUTER interval join: every click joined to
+    the same user's views from the preceding ``interval_s`` seconds, or
+    emitted once with NULL view when the watermark proves no match can
+    still arrive — the outer-join state-EVICTION semantics the inner
+    variant never exercises.
+
+    Spark requires watermarks on both sides plus a time-bound join
+    condition for outer joins (state would otherwise grow forever);
+    the NULL row for an unmatched click is emitted only in a batch
+    AFTER the watermark passes ``c_ts + interval``, so the caller must
+    (a) feed time-ordered multi-file input (one file per trigger —
+    batches keep running and the watermark keeps advancing) and
+    (b) compare only clicks whose eviction horizon is provably crossed
+    by the FINAL global watermark.  The global watermark is the MIN
+    over both sides, and the click side's filtered stream tops out just
+    under ``emit_before`` — so the final watermark is ~(emit_before −
+    delay), and only clicks with ``c_ts + interval < emit_before −
+    delay`` are guaranteed flushed (measured: the last in-bound click
+    sat 20 min inside the 30-min interval and never evicted).  c_ts is
+    carried through the output so the caller can apply that bound;
+    under it the drained output equals the batch left join
+    (oracle-checked)."""
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "click")
+        .filter(F.expr(f"ts < TIMESTAMP '{emit_before}'"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND v_ts >= c_ts - INTERVAL {interval_s} SECOND "
+            f"AND v_ts <= c_ts"
+        ),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "c_ts", "view_id")
+    (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -408,3 +408,14 @@ def test_buffer_cells_superset_of_hit_cells(spark, sf_dir):
     assert len(rows) == 8 and all(r["n_cells"] > 0 for r in rows)
     # world is 64x64 cells at level 6: buffers can never exceed it
     assert all(r["n_cells"] <= 64 * 64 for r in rows)
+
+
+def test_streaming_left_join_emits_nulls(spark, sf_dir):
+    """The outer-ness is load-bearing: unmatched clicks appear with
+    NULL view (counted), matched never exceed total."""
+    from sdg_engine.queries_r5 import streaming_left_join
+
+    rows = streaming_left_join(spark, sf_dir).collect()
+    assert rows and any(r["n_unmatched"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_unmatched"] <= r["n_rows"]
