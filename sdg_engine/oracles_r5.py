@@ -412,6 +412,46 @@ FROM cells GROUP BY kind
     return base
 
 
+def _road_intersections_sql(roads_pq: str) -> str:
+    from .queries_r5 import _X_LEVEL, _X_TEST
+    from .sqlgen import grid_index_expr
+
+    return f"""
+WITH segs AS (
+  SELECT road_id, kind, i AS seg_id, c[i].x AS ax, c[i].y AS ay,
+         c[i + 1].x AS bx, c[i + 1].y AS by
+  FROM (SELECT road_id, kind, coords AS c FROM read_parquet('{roads_pq}')),
+       UNNEST(generate_series(1, len(c) - 1)) AS u(i)
+),
+cov AS (
+  SELECT road_id, kind, seg_id, ax, ay, bx, by,
+         u1.cix AS cix, u2.ciy AS ciy
+  FROM (
+    SELECT *, {grid_index_expr("LEAST(ax, bx)", _X_LEVEL)} AS ix0,
+           {grid_index_expr("GREATEST(ax, bx)", _X_LEVEL)} AS ix1,
+           {grid_index_expr("LEAST(ay, by)", _X_LEVEL)} AS iy0,
+           {grid_index_expr("GREATEST(ay, by)", _X_LEVEL)} AS iy1
+    FROM segs
+  ), UNNEST(generate_series(ix0, ix1)) AS u1(cix),
+     UNNEST(generate_series(iy0, iy1)) AS u2(ciy)
+),
+cand AS (
+  SELECT DISTINCT
+         a.road_id AS a_rid, a.kind AS a_kind, a.seg_id AS a_sid,
+         a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by,
+         b.road_id AS b_rid, b.kind AS b_kind, b.seg_id AS b_sid,
+         b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by
+  FROM cov a JOIN cov b
+    ON a.cix = b.cix AND a.ciy = b.ciy AND a.road_id < b.road_id
+),
+hits AS (SELECT * FROM cand WHERE {_X_TEST})
+SELECT LEAST(a_kind, b_kind) AS kind_lo,
+       GREATEST(a_kind, b_kind) AS kind_hi,
+       COUNT(*) AS n_crossings
+FROM hits GROUP BY kind_lo, kind_hi
+"""
+
+
 def image_oracles_r5() -> dict[str, str]:
     """Lazily-built golden-backed oracles (absolute fixture/golden
     paths, fixture ensured on build — same mechanics as
@@ -514,6 +554,7 @@ JOIN n USING (country_code)
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
             "roads_buffer_cells": _buffer_cells_sql(roads_pq),
+            "road_intersections": _road_intersections_sql(roads_pq),
             "country_convex_hull": hull,
             "image_regions": f"""
 SELECT g.image_id, g.n_regions, g.largest_px, g.n_fg

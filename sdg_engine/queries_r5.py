@@ -1058,6 +1058,77 @@ def streaming_left_join(spark, sf_dir):
     )
 
 
+# proper-crossing test (strict): segments AB x CD cross iff the
+# endpoints of each straddle the other's line — four cross products,
+# identical expression text in both engines (shared via these fragments)
+_X_CROSS = (
+    "((({bx1}) - ({ax1})) * (({py}) - ({ay1})) "
+    "- (({by1}) - ({ay1})) * (({px}) - ({ax1})))"
+)
+
+
+def _straddle(ax1, ay1, bx1, by1, px1, py1, px2, py2) -> str:
+    c1 = _X_CROSS.format(ax1=ax1, ay1=ay1, bx1=bx1, by1=by1, px=px1, py=py1)
+    c2 = _X_CROSS.format(ax1=ax1, ay1=ay1, bx1=bx1, by1=by1, px=px2, py=py2)
+    return f"(({c1}) * ({c2}) < CAST(0 AS DOUBLE))"
+
+
+_X_TEST = (
+    _straddle("a_ax", "a_ay", "a_bx", "a_by", "b_ax", "b_ay", "b_bx", "b_by")
+    + " AND "
+    + _straddle("b_ax", "b_ay", "b_bx", "b_by", "a_ax", "a_ay", "a_bx", "a_by")
+)
+_X_LEVEL = 7
+
+
+def road_intersections(spark, sf_dir):
+    """VECTOR OVERLAY: proper crossing count between segments of
+    DIFFERENT roads, per unordered kind pair — the planar-overlay /
+    intersection op of a GIS stack, done as a cell-bucketed candidate
+    join (never all-pairs).
+
+    Plan: bbox-cover explode at level 7 -> self equi-join on cell_id
+    (road_a < road_b) -> DISTINCT candidate pair (a pair sharing k
+    cells must count once) -> exact strict-crossing test (four cross
+    products; shared fragment with the oracle) -> tiny agg.  Hot cells
+    would salt exactly like the LSH band join (skew.plan_salts).
+    Candidate-set shape is engine-local: any bbox cover finds every
+    truly-crossing pair, so the two engines agree on the RESULT even
+    where covers differ.
+    """
+    from .ops.spatial import road_segments, segments_with_cells
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    segs = road_segments(roads).select(
+        "road_id", "kind", "seg_id", "ax", "ay", "bx", "by"
+    )
+    cov = segments_with_cells(segs, _X_LEVEL).select(
+        "cell_id", "road_id", "kind", "seg_id", "ax", "ay", "bx", "by"
+    )
+    a = cov.selectExpr(
+        "cell_id", "road_id AS a_rid", "kind AS a_kind", "seg_id AS a_sid",
+        "ax AS a_ax", "ay AS a_ay", "bx AS a_bx", "by AS a_by",
+    )
+    b = cov.selectExpr(
+        "cell_id", "road_id AS b_rid", "kind AS b_kind", "seg_id AS b_sid",
+        "ax AS b_ax", "ay AS b_ay", "bx AS b_bx", "by AS b_by",
+    )
+    pairs = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("a_rid") < F.col("b_rid"))
+        .drop("cell_id")
+        .dropDuplicates(["a_rid", "a_sid", "b_rid", "b_sid"])
+        .filter(F.expr(_X_TEST))
+    )
+    return pairs.selectExpr(
+        "LEAST(a_kind, b_kind) AS kind_lo",
+        "GREATEST(a_kind, b_kind) AS kind_hi",
+    ).groupBy("kind_lo", "kind_hi").agg(
+        F.count(F.lit(1)).alias("n_crossings")
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -1080,4 +1151,5 @@ QUERIES_R5 = {
     "snapshot_compaction": snapshot_compaction,
     "roads_buffer_cells": roads_buffer_cells,
     "streaming_left_join": streaming_left_join,
+    "road_intersections": road_intersections,
 }

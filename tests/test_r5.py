@@ -419,3 +419,34 @@ def test_streaming_left_join_emits_nulls(spark, sf_dir):
     assert rows and any(r["n_unmatched"] > 0 for r in rows)
     for r in rows:
         assert 0 <= r["n_unmatched"] <= r["n_rows"]
+
+
+def test_crossing_test_truth_table():
+    """The strict proper-crossing predicate: crossing X, shared
+    endpoint (touch), collinear overlap, and disjoint cases."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sdg_engine.queries_r5 import _X_TEST
+    import duckdb
+
+    def crosses(a, b):
+        ax, ay, bx, by = a
+        cx, cy, dx, dy = b
+        row = (f"SELECT {ax} a_ax, {ay} a_ay, {bx} a_bx, {by} a_by, "
+               f"{cx} b_ax, {cy} b_ay, {dx} b_bx, {dy} b_by")
+        return duckdb.sql(
+            f"SELECT {_X_TEST} FROM ({row})"
+        ).fetchone()[0]
+
+    assert crosses((0, 0, 2, 2), (0, 2, 2, 0)) is True          # X
+    assert crosses((0, 0, 2, 2), (2, 2, 4, 0)) is not True      # touch
+    assert crosses((0, 0, 2, 0), (1, 0, 3, 0)) is not True      # collinear
+    assert crosses((0, 0, 1, 1), (5, 5, 6, 6)) is not True      # disjoint
+
+
+def test_road_intersections_symmetric_kinds(spark, sf_dir):
+    from sdg_engine.queries_r5 import road_intersections
+
+    rows = road_intersections(spark, sf_dir).collect()
+    assert rows and all(r["kind_lo"] <= r["kind_hi"] for r in rows)
+    assert sum(r["n_crossings"] for r in rows) > 0
