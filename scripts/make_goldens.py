@@ -163,6 +163,7 @@ def main() -> None:
     make_hull_golden()
     make_contours_golden()
     make_regions_golden()
+    make_stft_golden()
 
 
 def make_decode_stats_golden() -> None:
@@ -820,6 +821,50 @@ def _dp_keep_recursive(pts: list, eps: float) -> list:
     if n >= 3:
         rec(0, n - 1, keep)
     return keep
+
+
+def make_stft_golden() -> None:
+    """Golden for the ORACLE-checked multimodal_audio_stft query (r05):
+    the same regenerated-waveform + reimplemented-PCM16 twin as the
+    other audio goldens, framed per the SPEC in
+    ops/multimodal.audio_stft_frames (256-sample frames, hop 128,
+    partial tails dropped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    frame, hop = 256, 128
+    rng = np.random.default_rng(1234)
+    ids, fidx, en, cen = [], [], [], []
+    for i in range(64):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+        mono = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
+        freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+        n_frames = max(0, (len(mono) - frame) // hop + 1)
+        for f in range(n_frames):
+            seg = mono[f * hop : f * hop + frame]
+            mag = np.abs(np.fft.rfft(seg))
+            total = float(mag.sum())
+            ids.append(f"aud{i:08d}")
+            fidx.append(f)
+            en.append(float((mag * mag).sum()))
+            cen.append(float((freqs * mag).sum() / total) if total > 0 else 0.0)
+    pq.write_table(
+        pa.table({
+            "media_id": ids,
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "energy": pa.array(en, pa.float64()),
+            "centroid_hz": pa.array(cen, pa.float64()),
+        }),
+        os.path.join(OUT, "audio_stft.parquet"),
+    )
+    print(f"stft golden: {len(ids)} frames")
 
 
 def make_dp_golden(sf: float = 0.01) -> None:

@@ -319,3 +319,45 @@ def video_scene_cuts(video: DataFrame, threshold: float = 3.0,
         _cuts,
         "media_id string, n_frames int, n_cuts int, first_cut int",
     )
+
+
+def audio_stft_frames(audio: DataFrame, frame: int = 256, hop: int = 128,
+                      deterministic_fake: bool = True) -> DataFrame:
+    """STFT frame features (r05): decode → mono → FULL frames of
+    ``frame`` samples at ``hop`` stride → per-frame rfft magnitude →
+    (energy, spectral centroid in Hz) per frame — the spectrogram
+    primitive (VAD / audio-quality filters operate on these frames).
+
+    SPEC (the golden twin regenerates the identical waveform and runs
+    the same framing): frame f covers samples [f*hop, f*hop + frame);
+    partial tails are dropped; centroid 0.0 for an all-zero frame.
+    Map-only mapInPandas like the other payload ops."""
+    fake = bool(deterministic_fake)
+
+    def _stft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n_samples = int(r.sample_rate * r.duration_ms / 1000)
+                wav = _decode_audio(bytes(r.bytes), r.codec, r.sample_rate,
+                                    int(r.n_channels), n_samples, fake)
+                mono = wav.mean(axis=1)
+                freqs = np.fft.rfftfreq(frame, 1.0 / r.sample_rate)
+                n_frames = max(0, (len(mono) - frame) // hop + 1)
+                for f in range(n_frames):
+                    seg = mono[f * hop : f * hop + frame]
+                    mag = np.abs(np.fft.rfft(seg))
+                    total = float(mag.sum())
+                    cen = float((freqs * mag).sum() / total) if total > 0 else 0.0
+                    out.append(
+                        (r.media_id, f, float((mag * mag).sum()), cen)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "energy", "centroid_hz"],
+            )
+
+    return audio.mapInPandas(
+        _stft,
+        "media_id string, frame_idx int, energy double, centroid_hz double",
+    )

@@ -562,6 +562,10 @@ FROM read_parquet('{gdir}/regions_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """,
+            "multimodal_audio_stft": f"""
+SELECT media_id, frame_idx, energy, centroid_hz
+FROM read_parquet('{gdir}/audio_stft.parquet')
+""",
             "image_contours": f"""
 SELECT g.image_id, g.n_cells, g.n_crossed, g.n_segments, g.sum_case
 FROM read_parquet('{gdir}/contours_sf0.01.parquet') g

@@ -1129,6 +1129,16 @@ def road_intersections(spark, sf_dir):
     )
 
 
+def multimodal_audio_stft(spark, sf_dir):
+    """STFT spectrogram frames over the REAL-WAV audio fixture: per
+    (clip, frame) energy + spectral centroid (256/128 framing).
+    Oracle: committed independent spec-twin golden (regenerated
+    waveform, reimplemented PCM16, same framing)."""
+    from .ops.multimodal import audio_stft_frames, synth_audio_table
+
+    return audio_stft_frames(synth_audio_table(spark, 64))
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -1152,4 +1162,5 @@ QUERIES_R5 = {
     "roads_buffer_cells": roads_buffer_cells,
     "streaming_left_join": streaming_left_join,
     "road_intersections": road_intersections,
+    "multimodal_audio_stft": multimodal_audio_stft,
 }

