@@ -295,6 +295,63 @@ SELECT cu AS user_id, COUNT(*) AS n_rows,
 FROM j GROUP BY cu
 """
 
+SNAPSHOT_DIFF = """
+SELECT 'added' AS change, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents WHERE doc_id >= 300 AND doc_id < 400
+UNION ALL
+SELECT 'removed', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT 'unchanged', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM documents WHERE doc_id >= 100 AND doc_id < 300
+"""
+
+
+def _grid_idw_sql() -> str:
+    from .harness import PX, PY
+    from .queries_r5 import _IDW_CELL, _IDW_DEG, _IDW_LEVEL, _IDW_RADIUS_M, _IDW_W
+    from .sqlgen import grid_index_expr
+
+    return f"""
+WITH pts AS (
+  SELECT {PX} AS px, {PY} AS py,
+         CAST((o_orderkey % 1000) * 1000 AS BIGINT) AS v_mils
+  FROM orders
+),
+g AS (
+  SELECT *, {grid_index_expr(f"px - {_IDW_DEG}", _IDW_LEVEL)} AS ix0,
+         {grid_index_expr(f"px + {_IDW_DEG}", _IDW_LEVEL)} AS ix1,
+         {grid_index_expr(f"py - {_IDW_DEG}", _IDW_LEVEL)} AS iy0,
+         {grid_index_expr(f"py + {_IDW_DEG}", _IDW_LEVEL)} AS iy1
+  FROM pts
+),
+cand AS (
+  SELECT px, py, v_mils, u1.ix AS ix, u2.iy AS iy,
+         (CAST(0 AS DOUBLE) + (CAST(u1.ix AS DOUBLE) + 0.5)
+          * CAST({_IDW_CELL} AS DOUBLE)) AS lon,
+         (CAST(0 AS DOUBLE) + (CAST(u2.iy AS DOUBLE) + 0.5)
+          * CAST({_IDW_CELL} AS DOUBLE)) AS lat
+  FROM g, UNNEST(generate_series(ix0, ix1)) AS u1(ix),
+       UNNEST(generate_series(iy0, iy1)) AS u2(iy)
+),
+d AS (
+  SELECT ix, iy, v_mils,
+         (SQRT(((lon - px) * (lon - px)) + ((lat - py) * (lat - py)))
+          * CAST(111320 AS DOUBLE)) AS dist_m
+  FROM cand
+),
+w AS (
+  SELECT ix, iy, v_mils, {_IDW_W} AS w
+  FROM d WHERE dist_m <= CAST({_IDW_RADIUS_M!r} AS DOUBLE)
+)
+SELECT ix, iy, COUNT(*) AS n_pts,
+       CAST(FLOOR(CAST(CAST(SUM(w * v_mils) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)) AS BIGINT) AS idw_mils
+FROM w GROUP BY ix, iy
+"""
+
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
@@ -310,6 +367,8 @@ ORACLES_R5 = {
     # before/after file counts (5 appends x repartition(4) = 20 -> 2)
     # + snapshot-3 time-travel row count (the first 300 docs)
     "streaming_left_join": STREAMING_LEFT_JOIN,
+    "snapshot_diff": SNAPSHOT_DIFF,
+    "grid_idw": _grid_idw_sql(),
     "snapshot_compaction": """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(20 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after,

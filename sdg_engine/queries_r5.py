@@ -1139,6 +1139,116 @@ def multimodal_audio_stft(spark, sf_dir):
     return audio_stft_frames(synth_audio_table(spark, 64))
 
 
+def snapshot_diff(spark, sf_dir):
+    """CDC between snapshots: rows ADDED / REMOVED / UNCHANGED between
+    snapshot 2 and snapshot 3 of a table that saw an append and then an
+    overwrite — two anti-joins over time-travel reads (the
+    changed-data feed an incremental consumer tails).
+
+    Oracle: the same set algebra over the deterministic doc_id ranges
+    the commits wrote."""
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = _stream_base(spark, "cdc_")
+    path = f"{base}/tbl"
+    write_snapshot(docs.filter("doc_id < 200"), path, mode="append")
+    write_snapshot(
+        docs.filter("doc_id >= 200 AND doc_id < 300"), path, mode="append"
+    )
+    # snapshot 3 OVERWRITES to the doc_id in [100, 400) slice
+    write_snapshot(
+        docs.filter("doc_id >= 100 AND doc_id < 400"), path, mode="overwrite"
+    )
+    s2 = read_snapshot(spark, path, as_of=2).select("doc_id")
+    s3 = read_snapshot(spark, path, as_of=3).select("doc_id")
+    added = s3.join(s2, "doc_id", "left_anti")
+    removed = s2.join(s3, "doc_id", "left_anti")
+    unchanged = s3.join(s2, "doc_id", "left_semi")
+    return (
+        added.selectExpr("'added' AS change", "doc_id")
+        .unionByName(removed.selectExpr("'removed' AS change", "doc_id"))
+        .unionByName(unchanged.selectExpr("'unchanged' AS change", "doc_id"))
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+# IDW interpolation: integer weights FLOOR(1e9 / (1 + d_m)) so the
+# per-cell folds are BIGINT-exact (fold-order-free) in both engines.
+_IDW_LEVEL = 5
+_IDW_RADIUS_M = 60000.0
+_IDW_CELL = repr(10.0 / (1 << _IDW_LEVEL))
+_IDW_DEG = repr(60000.0 / 111320.0)
+_IDW_W = "CAST(FLOOR(1000000000.0 / (1.0 + dist_m)) AS BIGINT)"
+
+
+def grid_idw(spark, sf_dir):
+    """Inverse-distance-weighted interpolation of point values onto the
+    level-5 cell grid (the geostatistics gridding op): every cell
+    center takes SUM(w·v)/SUM(w) over order points within 60 km, with
+    integer weights so the fold is exact.
+
+    Plan: points -> cover cells within radius (two codegen sequence
+    explodes per point — the cover is per POINT here, the transpose of
+    the kNN shape) -> center distance -> integer-weight partial aggs.
+    One hash agg on the cell key; no join at all.
+    """
+    from .harness import points_df
+    from .sqlgen import apply_steps, grid_index_expr, point_cell_steps  # noqa: F401
+
+    pts = points_df(spark, sf_dir).selectExpr(
+        "point_id", "lon AS px", "lat AS py",
+        # value = deterministic function of the point id (mils)
+        "CAST((point_id % 1000) * 1000 AS BIGINT) AS v_mils",
+    )
+    g = pts.selectExpr(
+        "px", "py", "v_mils",
+        f"{grid_index_expr(f'px - {_IDW_DEG}', _IDW_LEVEL)} AS ix0",
+        f"{grid_index_expr(f'px + {_IDW_DEG}', _IDW_LEVEL)} AS ix1",
+        f"{grid_index_expr(f'py - {_IDW_DEG}', _IDW_LEVEL)} AS iy0",
+        f"{grid_index_expr(f'py + {_IDW_DEG}', _IDW_LEVEL)} AS iy1",
+    )
+    cand = (
+        g.selectExpr("px", "py", "v_mils", "iy0", "iy1",
+                     "explode(sequence(ix0, ix1)) AS ix")
+        .selectExpr("px", "py", "v_mils", "ix",
+                    "explode(sequence(iy0, iy1)) AS iy")
+        .selectExpr(
+            "px", "py", "v_mils", "ix", "iy",
+            f"(CAST(0 AS DOUBLE) + (CAST(ix AS DOUBLE) + 0.5) "
+            f"* CAST({_IDW_CELL} AS DOUBLE)) AS lon",
+            f"(CAST(0 AS DOUBLE) + (CAST(iy AS DOUBLE) + 0.5) "
+            f"* CAST({_IDW_CELL} AS DOUBLE)) AS lat",
+        )
+    )
+    from .sqlgen import point_seg_dist_steps  # noqa: F401  (shared fragments)
+
+    d = cand.selectExpr(
+        "*",
+        "(SQRT(((lon - px) * (lon - px)) + ((lat - py) * (lat - py))) "
+        "* CAST(111320 AS DOUBLE)) AS dist_m",
+    ).filter(F.col("dist_m") <= F.lit(_IDW_RADIUS_M))
+    w = d.selectExpr("ix", "iy", "v_mils", f"{_IDW_W} AS w")
+    return (
+        w.groupBy("ix", "iy")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum(F.expr("w * v_mils")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .selectExpr(
+            "ix", "iy", "n_pts",
+            "CAST(FLOOR(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT)"
+            " AS idw_mils",
+        )
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -1163,4 +1273,6 @@ QUERIES_R5 = {
     "streaming_left_join": streaming_left_join,
     "road_intersections": road_intersections,
     "multimodal_audio_stft": multimodal_audio_stft,
+    "snapshot_diff": snapshot_diff,
+    "grid_idw": grid_idw,
 }

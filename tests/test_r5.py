@@ -464,3 +464,22 @@ def test_stft_centroid_tracks_tone(spark):
         by_clip.setdefault(r["media_id"], []).append(r["frame_idx"])
     for mid, idxs in by_clip.items():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frames
+
+
+def test_snapshot_diff_partitions(spark, sf_dir):
+    from sdg_engine.queries_r5 import snapshot_diff
+
+    rows = {r["change"]: r["n_rows"] for r in snapshot_diff(spark, sf_dir).collect()}
+    assert rows == {"added": 100, "removed": 100, "unchanged": 200}
+
+
+def test_idw_interpolates_within_value_range(spark, sf_dir):
+    """IDW is a convex combination: every cell's value lies inside the
+    global value range, and dense coverage fills the whole grid."""
+    from sdg_engine.queries_r5 import grid_idw
+
+    rows = grid_idw(spark, sf_dir).collect()
+    assert len(rows) == 32 * 32  # 60 km radius covers every level-5 cell
+    for r in rows:
+        assert 0 <= r["idw_mils"] <= 999_000
+        assert r["n_pts"] > 0
