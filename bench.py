@@ -56,6 +56,19 @@ R5_EXTRAS = [
     "image_contours",
     "image_zonal_stats",
     "country_convex_hull",
+    "image_regions",
+    "image_contours",
+    "events_retention",
+    "pivot_orders_status",
+    "pmi_bigrams",
+    "events_outliers",
+    "snapshot_compaction",
+    "snapshot_diff",
+    "roads_buffer_cells",
+    "road_intersections",
+    "streaming_left_join",
+    "multimodal_audio_stft",
+    "grid_idw",
 ]
 
 HEADLINE = [

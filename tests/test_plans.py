@@ -438,3 +438,24 @@ def test_dp_and_hillshade_are_map_only(spark):
 
     for fn in (roads_simplify_dp, image_hillshade):
         assert "Exchange" not in _plan(fn(spark, SF))
+
+
+def test_buffer_and_idw_are_joinless_aggs(spark):
+    """Cover-explode + distance + agg: no join operator of any kind."""
+    from sdg_engine.queries import QUERIES
+
+    for name in ("roads_buffer_cells", "grid_idw"):
+        plan = _plan(QUERIES[name](spark, SF))
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"):
+            assert j not in plan, (name, j)
+
+
+def test_intersections_never_cartesian(spark):
+    """The overlay joins cell-bucketed candidates — an equi-join on
+    cell_id, never a cartesian/BNLJ."""
+    from sdg_engine.queries import QUERIES
+
+    plan = _plan(QUERIES["road_intersections"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
