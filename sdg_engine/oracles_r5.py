@@ -277,7 +277,7 @@ STREAMING_LEFT_JOIN = """
 WITH c AS (
   SELECT user_id AS cu, event_id AS click_id, ts AS cts
   FROM events
-  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-24 00:00:00'
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-09 00:00:00'
 ),
 v AS (
   SELECT user_id AS vu, event_id AS view_id, ts AS vts

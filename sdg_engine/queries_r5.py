@@ -1020,12 +1020,20 @@ def streaming_left_join(spark, sf_dir):
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     t = pq.read_table(f"{sf_dir}/events.parquet")
+    # DEMO BOUND: first 10 days only — join-state churn is per-row and
+    # the full sf0.1 month ran 125 s in the bench for no extra semantic
+    # coverage; the oracle applies the same absolute bound.
+    import datetime as _dt
+
+    t = t.filter(
+        pa.compute.less(t["ts"], pa.scalar(_dt.datetime(2024, 1, 11)))
+    )
     idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
     t = t.take(idx)
     n = t.num_rows
-    for k in range(6):  # chronological chunks -> monotone watermark
+    for k in range(4):  # chronological chunks -> monotone watermark
         pq.write_table(
-            t.slice(k * n // 6, (k + 1) * n // 6 - k * n // 6),
+            t.slice(k * n // 4, (k + 1) * n // 4 - k * n // 4),
             os.path.join(in_dir, f"chunk-{k:02d}.parquet"),
         )
     # trailing FILLER batches (gotcha 16a: outer-join NULL eviction
@@ -1039,14 +1047,24 @@ def streaming_left_join(spark, sf_dir):
             filler, os.path.join(in_dir, f"chunk-9{k}-filler.parquet")
         )
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
-    STR.stream_interval_join_left(spark, in_dir, out, ck)
+    # stateful-join state stores (4 per join) are one per shuffle
+    # partition PER BATCH — at 32 partitions that is 128 store commits
+    # a batch, pure fixed cost at harness size.  8 is plenty here; the
+    # session value is restored right after the drain.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        STR.stream_interval_join_left(spark, in_dir, out, ck,
+                                      emit_before="2024-01-10 00:00:00")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out)
         # a full day below the stream cutoff: the final global watermark
         # is throttled by the filtered click side to ~(cutoff - 2 h), so
         # only clicks with c_ts + 30 min safely below it are guaranteed
         # their NULL emission (see stream_interval_join_left docstring)
-        .filter(F.expr("c_ts < TIMESTAMP '2024-01-24 00:00:00'"))
+        .filter(F.expr("c_ts < TIMESTAMP '2024-01-09 00:00:00'"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1199,7 +1217,7 @@ def grid_idw(spark, sf_dir):
     One hash agg on the cell key; no join at all.
     """
     from .harness import points_df
-    from .sqlgen import apply_steps, grid_index_expr, point_cell_steps  # noqa: F401
+    from .sqlgen import grid_index_expr
 
     pts = points_df(spark, sf_dir).selectExpr(
         "point_id", "lon AS px", "lat AS py",
@@ -1226,8 +1244,6 @@ def grid_idw(spark, sf_dir):
             f"* CAST({_IDW_CELL} AS DOUBLE)) AS lat",
         )
     )
-    from .sqlgen import point_seg_dist_steps  # noqa: F401  (shared fragments)
-
     d = cand.selectExpr(
         "*",
         "(SQRT(((lon - px) * (lon - px)) + ((lat - py) * (lat - py))) "
