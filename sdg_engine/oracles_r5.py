@@ -352,6 +352,32 @@ FROM w GROUP BY ix, iy
 """
 
 
+FUZZY_NAME_PAIRS = """
+WITH p AS (
+  SELECT p_partkey AS k, p_name AS nm,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.blk, levenshtein(a.nm, b.nm) AS d, a.k AS ka, b.k AS kb
+  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+)
+SELECT blk, CAST(d AS INT) AS d, COUNT(*) AS n_pairs,
+       CAST(SUM(ka + kb) AS BIGINT) AS sum_keys
+FROM pairs WHERE d BETWEEN 1 AND 3 GROUP BY blk, d
+"""
+
+EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+"""
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
@@ -369,6 +395,8 @@ ORACLES_R5 = {
     "streaming_left_join": STREAMING_LEFT_JOIN,
     "snapshot_diff": SNAPSHOT_DIFF,
     "grid_idw": _grid_idw_sql(),
+    "fuzzy_name_pairs": FUZZY_NAME_PAIRS,
+    "event_transitions": EVENT_TRANSITIONS,
     "snapshot_compaction": """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(20 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after,

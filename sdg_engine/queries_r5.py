@@ -1265,6 +1265,46 @@ def grid_idw(spark, sf_dir):
     )
 
 
+def fuzzy_name_pairs(spark, sf_dir):
+    """Blocked FUZZY JOIN (entity resolution): part-name pairs within
+    edit distance 1..3, blocked on the last name token — the classic
+    data-cleaning join (blocking keeps it an equi-join; Levenshtein
+    runs only inside blocks, never all-pairs).  Per (block, distance):
+    pair count + key checksum.  Levenshtein is JVM-side (builtin
+    F.levenshtein) and agrees exactly with DuckDB's."""
+    p = _t(spark, sf_dir, "part").selectExpr(
+        "p_partkey AS k", "p_name AS nm",
+        "element_at(split(p_name, ' '), -1) AS blk",
+    )
+    a = p.selectExpr("k AS ka", "nm AS na", "blk")
+    b = p.selectExpr("k AS kb", "nm AS nb", "blk")
+    pairs = (
+        a.join(b, ["blk"])
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn("d", F.levenshtein("na", "nb").cast("int"))
+        .filter((F.col("d") >= 1) & (F.col("d") <= 3))
+    )
+    return pairs.groupBy("blk", "d").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("ka + kb")).alias("sum_keys"),
+    )
+
+
+def event_transitions(spark, sf_dir):
+    """Markov TRANSITION counts over per-user event sequences: one lag
+    window in (ts, event_id) order -> (prev_type, type) histogram — the
+    sequence-mining primitive behind next-event prediction features.
+    One hash exchange on user_id, like the as-of join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -1291,4 +1331,6 @@ QUERIES_R5 = {
     "multimodal_audio_stft": multimodal_audio_stft,
     "snapshot_diff": snapshot_diff,
     "grid_idw": grid_idw,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
+    "event_transitions": event_transitions,
 }

@@ -483,3 +483,23 @@ def test_idw_interpolates_within_value_range(spark, sf_dir):
     for r in rows:
         assert 0 <= r["idw_mils"] <= 999_000
         assert r["n_pts"] > 0
+
+
+def test_fuzzy_pairs_are_real_edits(spark, sf_dir):
+    """Distances are in 1..3 and symmetric-count sanity: every block
+    with pairs at distance d has n_pairs > 0."""
+    from sdg_engine.queries_r5 import fuzzy_name_pairs
+
+    rows = fuzzy_name_pairs(spark, sf_dir).collect()
+    assert rows and all(1 <= r["d"] <= 3 and r["n_pairs"] > 0 for r in rows)
+
+
+def test_transitions_conserve_rows(spark, sf_dir):
+    """Sum of transition counts = total events - one per user (the
+    first event of every user has no predecessor)."""
+    from sdg_engine.queries_r5 import event_transitions
+
+    rows = event_transitions(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n, u = ev.count(), ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n - u
