@@ -69,6 +69,8 @@ R5_EXTRAS = [
     "streaming_left_join",
     "multimodal_audio_stft",
     "grid_idw",
+    "fuzzy_name_pairs",
+    "event_transitions",
 ]
 
 HEADLINE = [
