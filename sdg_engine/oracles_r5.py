@@ -378,6 +378,59 @@ SELECT prev_type, event_type AS next_type, COUNT(*) AS n
 FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
 """
 
+CUSTOMER_GINI = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS BIGINT)
+           AS i
+  FROM per
+)
+SELECT COUNT(*) AS n_customers, CAST(SUM(x) AS BIGINT) AS total_mils,
+       CAST(FLOOR((2.0 * CAST(CAST(SUM(i * x) AS BIGINT) AS DOUBLE)
+            - (CAST(COUNT(1) AS DOUBLE) + 1.0)
+            * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)) * 10000.0
+            / (CAST(COUNT(1) AS DOUBLE)
+            * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE))) AS BIGINT) AS gini_bp
+FROM ranked
+"""
+
+
+def _morans_i_sql() -> str:
+    from .harness import PX, PY
+    from .queries_r5 import _MI_LEVEL
+    from .sqlgen import grid_index_expr
+
+    return f"""
+WITH pts AS (
+  SELECT {grid_index_expr(PX, _MI_LEVEL)} AS ix,
+         {grid_index_expr(PY, _MI_LEVEL)} AS iy
+  FROM orders
+),
+cells AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY ix, iy),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+        FROM cells),
+dev AS (SELECT ix, iy, n * c - s AS d, n FROM cells, tot),
+nb AS (
+  SELECT ix + o.dx AS ix, iy + o.dy AS iy, d AS d_j
+  FROM dev, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)
+),
+pairs AS (SELECT dev.d AS d, nb.d_j AS d_j FROM dev JOIN nb USING (ix, iy)),
+den AS (SELECT MAX(n) AS n_cells, CAST(SUM(d * d) AS BIGINT) AS sdd FROM dev),
+num AS (SELECT COUNT(*) AS w_edges, CAST(SUM(d * d_j) AS BIGINT) AS swdd
+        FROM pairs)
+SELECT n_cells, w_edges,
+       CAST(FLOOR(CAST(n_cells AS DOUBLE) * CAST(swdd AS DOUBLE) * 10000.0
+            / (CAST(w_edges AS DOUBLE) * CAST(sdd AS DOUBLE))) AS BIGINT)
+         AS morans_i_bp
+FROM den, num
+"""
+
+
 ORACLES_R5 = {
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
@@ -397,6 +450,8 @@ ORACLES_R5 = {
     "grid_idw": _grid_idw_sql(),
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS,
     "event_transitions": EVENT_TRANSITIONS,
+    "customer_gini": CUSTOMER_GINI,
+    "cells_morans_i": _morans_i_sql(),
     "snapshot_compaction": """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(20 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after,

@@ -1305,6 +1305,80 @@ def event_transitions(spark, sf_dir):
     )
 
 
+def customer_gini(spark, sf_dir):
+    """GINI COEFFICIENT of customer spend — the inequality statistic,
+    integer-exact: spend in mils (BIGINT), one global rank window over
+    the per-customer aggregate (tiny at any scale: rows = customers,
+    not orders), Gini from the rank identity
+    G = (2*SUM(i*x) - (n+1)*SUM(x)) / (n*SUM(x)) in basis points."""
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "CAST(FLOOR(o_totalprice * 1000 + 0.5) AS BIGINT) AS mils",
+    )
+    per = orders.groupBy("o_custkey").agg(F.sum("mils").alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("total_mils"),
+        F.expr(
+            "CAST(FLOOR((2.0 * CAST(SUM(i * x) AS DOUBLE) "
+            "- (CAST(COUNT(1) AS DOUBLE) + 1.0) * CAST(SUM(x) AS DOUBLE)) "
+            "* 10000.0 / (CAST(COUNT(1) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))) "
+            "AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+
+
+_MI_LEVEL = 5
+
+
+def cells_morans_i(spark, sf_dir):
+    """MORAN'S I spatial autocorrelation of order-point density on the
+    level-5 cell grid (rook adjacency between OCCUPIED cells) —
+    integer-exact via deviations D_i = n*c_i - S (so no float mean):
+    I = n * SUM_w(D_i*D_j) / (W * SUM(D_i^2)), reported in basis
+    points.  Plan: one count agg -> 4-neighbor explode equi-join
+    (cells side is tiny at any scale: bounded by the grid) -> one-row
+    reduce."""
+    from .harness import points_df
+    from .sqlgen import grid_index_expr
+
+    pts = points_df(spark, sf_dir).selectExpr(
+        f"{grid_index_expr('lon', _MI_LEVEL)} AS ix",
+        f"{grid_index_expr('lat', _MI_LEVEL)} AS iy",
+    )
+    cells = pts.groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    dev = cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "ix", "iy", "n", "CAST(n AS BIGINT) * c - s AS d"
+    )
+    nb = dev.selectExpr(
+        "ix", "iy", "d AS d_j",
+        "explode(array(array(1, 0), array(-1, 0), array(0, 1), array(0, -1))) AS o",
+    ).selectExpr("ix + o[0] AS ix", "iy + o[1] AS iy", "d_j")
+    pairs = dev.join(nb, ["ix", "iy"])
+    # denominator sums D^2 over CELLS; the edge join must not inflate
+    # it by each cell's degree — two one-row aggregates, cross-joined
+    den = dev.agg(
+        F.max("n").alias("n_cells"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_edges"),
+        F.sum(F.expr("d * d_j")).alias("swdd"),
+    )
+    return den.crossJoin(F.broadcast(num)).selectExpr(
+        "n_cells",
+        "w_edges",
+        "CAST(FLOOR(CAST(n_cells AS DOUBLE) * CAST(swdd AS DOUBLE) * 10000.0 "
+        "/ (CAST(w_edges AS DOUBLE) * CAST(sdd AS DOUBLE))) AS BIGINT) "
+        "AS morans_i_bp",
+    )
+
+
 QUERIES_R5 = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
@@ -1333,4 +1407,6 @@ QUERIES_R5 = {
     "grid_idw": grid_idw,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "event_transitions": event_transitions,
+    "customer_gini": customer_gini,
+    "cells_morans_i": cells_morans_i,
 }

@@ -503,3 +503,15 @@ def test_transitions_conserve_rows(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n, u = ev.count(), ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n - u
+
+
+def test_gini_and_morans_bounds(spark, sf_dir):
+    """Gini in [0, 1); Moran's I in [-1, 1] and ~0 for hash-scattered
+    points (no spatial structure in the fixture)."""
+    from sdg_engine.queries_r5 import cells_morans_i, customer_gini
+
+    g = customer_gini(spark, sf_dir).collect()[0]
+    assert 0 <= g["gini_bp"] < 10000
+    m = cells_morans_i(spark, sf_dir).collect()[0]
+    assert -10000 <= m["morans_i_bp"] <= 10000
+    assert abs(m["morans_i_bp"]) < 1000  # scattered => near zero
