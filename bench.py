@@ -71,6 +71,8 @@ R5_EXTRAS = [
     "grid_idw",
     "fuzzy_name_pairs",
     "event_transitions",
+    "customer_gini",
+    "cells_morans_i",
 ]
 
 HEADLINE = [
