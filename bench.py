@@ -57,7 +57,6 @@ R5_EXTRAS = [
     "image_zonal_stats",
     "country_convex_hull",
     "image_regions",
-    "image_contours",
     "events_retention",
     "pivot_orders_status",
     "pmi_bigrams",
@@ -73,6 +72,8 @@ R5_EXTRAS = [
     "event_transitions",
     "customer_gini",
     "cells_morans_i",
+    "bloom_filter_join",
+    "cms_heavy_hitters",
 ]
 
 HEADLINE = [

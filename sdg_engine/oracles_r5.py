@@ -26,6 +26,7 @@ from .queries_r5 import (
     _RET_WEEK_US,
     _WS_K,
     _WS_PRI_SQL,
+    _b12_cells,
     _hll_steps,
 )
 
@@ -431,7 +432,109 @@ FROM den, num
 """
 
 
+def _bloom_filter_join_sql() -> str:
+    """Identical 4096-bit Bloom construction (shared _b12_cells md5
+    fragments); membership probed via three LEFT JOINs to the 64-word
+    table (DuckDB has no broadcast-map idiom) — same bits, same
+    semantics.  Shift is `<<` here vs shiftleft() in Spark (gotcha 7:
+    shift ops don't parse inside Spark function-call argument lists);
+    both are exact BIGINT powers of two."""
+    c1, c2, c3 = _b12_cells("h", 3)
+    bit = "(CAST(1 AS BIGINT) << CAST({c} % 63 AS INT))"
+    word = "CAST(FLOOR({c} / 64) AS INT)"
+    hit = (
+        f"((COALESCE(w{{j}}.m, CAST(0 AS BIGINT)) & "
+        + bit.format(c="p.c{j}")
+        + ") <> 0)"
+    )
+    return f"""
+WITH seg AS (
+  SELECT c_custkey AS k, md5(CAST(c_custkey AS STRING)) AS h
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+cells AS (SELECT unnest([{c1}, {c2}, {c3}]) AS cell FROM seg),
+words AS (
+  SELECT {word.format(c='cell')} AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(cell % 63 AS INT)) AS m
+  FROM cells GROUP BY 1
+),
+probe AS (
+  SELECT o_orderstatus, o_custkey, md5(CAST(o_custkey AS STRING)) AS h
+  FROM orders
+),
+pc AS (
+  SELECT o_orderstatus, o_custkey,
+         {c1} AS c1, {c2} AS c2, {c3} AS c3
+  FROM probe
+),
+flags AS (
+  SELECT p.o_orderstatus,
+         ({hit.format(j=1)} AND {hit.format(j=2)} AND {hit.format(j=3)})
+           AS pass_bloom,
+         CASE WHEN s.k IS NULL THEN 0 ELSE 1 END AS is_true
+  FROM pc p
+  LEFT JOIN words w1 ON w1.w = {word.format(c='p.c1')}
+  LEFT JOIN words w2 ON w2.w = {word.format(c='p.c2')}
+  LEFT JOIN words w3 ON w3.w = {word.format(c='p.c3')}
+  LEFT JOIN seg s ON s.k = p.o_custkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_bloom,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN pass_bloom AND is_true = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(FLOOR(SUM(CASE WHEN pass_bloom AND is_true = 0 THEN 1 ELSE 0 END)
+            * 10000.0
+            / CAST(SUM(CASE WHEN is_true = 0 THEN 1 ELSE 0 END) AS DOUBLE))
+            AS BIGINT) AS fp_bp
+FROM flags GROUP BY o_orderstatus
+"""
+
+
+def _cms_heavy_hitters_sql() -> str:
+    """Same d=4 x w=4096 Count-Min construction over the identical
+    md5-chunk cells; posexplode becomes a 4-way UNION ALL (tiny: rows =
+    vocabulary)."""
+    c1, c2, c3, c4 = _b12_cells("h", 4)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+tch AS (SELECT tok, cnt, md5(tok) AS h FROM tc),
+cells AS (
+  SELECT tok, cnt, 0 AS j, {c1} AS cell FROM tch
+  UNION ALL SELECT tok, cnt, 1, {c2} FROM tch
+  UNION ALL SELECT tok, cnt, 2, {c3} FROM tch
+  UNION ALL SELECT tok, cnt, 3, {c4} FROM tch
+),
+sketch AS (
+  SELECT j, cell, CAST(SUM(cnt) AS BIGINT) AS sc FROM cells GROUP BY j, cell
+),
+est AS (
+  SELECT c.tok, c.cnt, MIN(s.sc) AS est_cms
+  FROM cells c JOIN sketch s ON s.j = c.j AND s.cell = c.cell
+  GROUP BY c.tok, c.cnt
+),
+ranked AS (
+  SELECT tok, cnt, est_cms,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+  FROM est
+)
+SELECT tok, CAST(rk AS INT) AS rk, cnt AS exact_cnt, est_cms,
+       est_cms - cnt AS overestimate
+FROM ranked WHERE rk <= 20
+"""
+
+
 ORACLES_R5 = {
+    "bloom_filter_join": _bloom_filter_join_sql(),
+    "cms_heavy_hitters": _cms_heavy_hitters_sql(),
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
     "hll_distinct": HLL_DISTINCT,

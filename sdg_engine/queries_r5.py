@@ -1270,18 +1270,25 @@ def fuzzy_name_pairs(spark, sf_dir):
     edit distance 1..3, blocked on the last name token — the classic
     data-cleaning join (blocking keeps it an equi-join; Levenshtein
     runs only inside blocks, never all-pairs).  Per (block, distance):
-    pair count + key checksum.  Levenshtein is JVM-side (builtin
-    F.levenshtein) and agrees exactly with DuckDB's."""
+    pair count + key checksum.  Two result-preserving prunes keep the
+    per-pair cost O(len*k) instead of O(len^2): (1) |len(a)-len(b)|>3
+    implies d>3, so a codegen'd length filter runs before the DP;
+    (2) the BANDED threshold form levenshtein(a, b, 3) early-exits and
+    returns the exact distance whenever d<=3 (and -1 above), which is
+    all the final filter keeps — measured 45 s -> ~7 s at sf0.1.  The
+    oracle runs the full DP; results are row-identical."""
     p = _t(spark, sf_dir, "part").selectExpr(
         "p_partkey AS k", "p_name AS nm",
         "element_at(split(p_name, ' '), -1) AS blk",
+        "length(p_name) AS ln",
     )
-    a = p.selectExpr("k AS ka", "nm AS na", "blk")
-    b = p.selectExpr("k AS kb", "nm AS nb", "blk")
+    a = p.selectExpr("k AS ka", "nm AS na", "blk", "ln AS la")
+    b = p.selectExpr("k AS kb", "nm AS nb", "blk", "ln AS lb")
     pairs = (
         a.join(b, ["blk"])
         .filter(F.col("ka") < F.col("kb"))
-        .withColumn("d", F.levenshtein("na", "nb").cast("int"))
+        .filter(F.abs(F.col("la") - F.col("lb")) <= 3)
+        .withColumn("d", F.levenshtein("na", "nb", 3).cast("int"))
         .filter((F.col("d") >= 1) & (F.col("d") <= 3))
     )
     return pairs.groupBy("blk", "d").agg(
@@ -1379,7 +1386,156 @@ def cells_morans_i(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable sketches: Bloom-filter semi-join reduction + Count-Min sketch
+# ---------------------------------------------------------------------------
+
+# 12-bit cell from 3 hex digits of a precomputed md5 column {h} at
+# 1-based positions {a}..{c} — the same conv()-free hex->int idiom as
+# the 48-bit sampling hash above; shared verbatim with the oracle.
+_B12_CELL = (
+    "(CAST((instr('0123456789abcdef', substring({h}, {a}, 1)) - 1) * 256 "
+    "+ (instr('0123456789abcdef', substring({h}, {b}, 1)) - 1) * 16 "
+    "+ (instr('0123456789abcdef', substring({h}, {c}, 1)) - 1) AS BIGINT))"
+)
+
+
+def _b12_cells(h: str, k: int) -> list[str]:
+    """k disjoint 12-bit cells from consecutive 3-hex-digit chunks."""
+    return [
+        _B12_CELL.format(h=h, a=3 * j + 1, b=3 * j + 2, c=3 * j + 3)
+        for j in range(k)
+    ]
+
+
+def bloom_filter_join(spark, sf_dir):
+    """BLOOM-FILTER SEMI-JOIN REDUCTION — the classic shuffle-avoidance
+    pattern: instead of shuffling the fact table against a key set, ship
+    a 4032-bit Bloom filter (64 BIGINT words x 63 usable bits, k=3
+    md5-derived hashes) of the BUILDING-segment customer keys and
+    pre-filter orders with three codegen'd bitwise tests.
+    DETERMINISTIC (md5 bit positions, no RNG) so the DuckDB oracle
+    builds the identical filter and the false-positive counts match
+    exactly.  Bit position is cell % 63, not % 64: DuckDB's `<<` is
+    range-checked and raises on 1<<63 (Spark's shiftleft wraps), so
+    bit 63 is unusable cross-engine.
+
+    Plan shape: the filter is a 64-row aggregate folded to ONE broadcast
+    map row (map_from_entries) — at 100 TB the fact side is a map-only
+    scan + broadcast probe, nothing proportional to orders crosses the
+    wire; the exact-membership leg (broadcast semi-join on the real key
+    set) rides along only to certify the FP accounting.  Per
+    o_orderstatus: orders, bloom passes, true members, false positives,
+    and the FP rate over true negatives in basis points.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    seg = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .selectExpr("c_custkey AS k", "md5(CAST(c_custkey AS STRING)) AS h")
+    )
+    cells = seg.selectExpr(
+        f"explode(array({', '.join(_b12_cells('h', 3))})) AS cell"
+    )
+    words = cells.groupBy(
+        F.expr("CAST(FLOOR(cell / 64) AS INT)").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(cell % 63 AS INT)))"
+        ).alias("m")
+    )
+    bloom = words.agg(
+        F.expr("map_from_entries(collect_list(struct(w, m)))").alias("bm")
+    )
+    probe = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "md5(CAST(o_custkey AS STRING)) AS h",
+    )
+    c1, c2, c3 = _b12_cells("h", 3)
+    hit = (
+        "((COALESCE(element_at(bm, CAST(FLOOR({c} / 64) AS INT)), "
+        "CAST(0 AS BIGINT)) "
+        "& shiftleft(CAST(1 AS BIGINT), CAST({c} % 63 AS INT))) <> 0)"
+    )
+    flagged = (
+        probe.crossJoin(F.broadcast(bloom))
+        .withColumn(
+            "pass_bloom",
+            F.expr(
+                " AND ".join(hit.format(c=c) for c in (c1, c2, c3))
+            ),
+        )
+        .join(
+            seg.select(F.col("k").alias("o_custkey"), F.lit(1).alias("is_mem")),
+            "o_custkey",
+            "left",
+        )
+        .withColumn("is_true", F.coalesce("is_mem", F.lit(0)))
+    )
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(pass_bloom AS INT)")).alias("n_pass_bloom"),
+        F.sum("is_true").alias("n_true"),
+        F.sum(F.expr("CAST(pass_bloom AND is_true = 0 AS INT)")).alias(
+            "n_false_pos"
+        ),
+        F.expr(
+            "CAST(FLOOR(SUM(CAST(pass_bloom AND is_true = 0 AS INT)) * 10000.0 "
+            "/ CAST(SUM(CAST(is_true = 0 AS INT)) AS DOUBLE)) AS BIGINT)"
+        ).alias("fp_bp"),
+    )
+
+
+def cms_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters over document tokens: d=4 hash
+    rows x w=4096 counters (disjoint 12-bit md5 chunks — deterministic,
+    order-independent since counters are SUMS), point estimate =
+    least-of-4, reported for the top-20 tokens alongside the exact count
+    so the one-sided overestimate guarantee (est >= exact) is visible
+    and oracle-checked.
+
+    Plan shape: the sketch is a (4, cell) hash agg capped at 16384 rows
+    — the mergeable map-side-combinable path: at 100 TB each partition
+    folds its tokens into <=16k partial counters and only those cross
+    the wire.  The estimate probe is a BROADCAST join of the tiny sketch
+    back to per-token cells; top-20 via a rank window over the per-token
+    aggregate (rows = vocabulary, not corpus).
+    """
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS tok")
+        .filter(F.col("tok") != "")
+    )
+    tc = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5("tok"))
+    )
+    cells = tc.selectExpr(
+        "tok", "cnt",
+        "posexplode(array("
+        + ", ".join(_b12_cells("h", 4))
+        + ")) AS (j, cell)",
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.sum("cnt").alias("sc"))
+    est = (
+        cells.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("sc").alias("est_cms"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .selectExpr(
+            "tok", "CAST(rk AS INT) AS rk", "cnt AS exact_cnt", "est_cms",
+            "est_cms - cnt AS overestimate",
+        )
+    )
+
+
 QUERIES_R5 = {
+    "bloom_filter_join": bloom_filter_join,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "hll_distinct": hll_distinct,
