@@ -74,6 +74,9 @@ R5_EXTRAS = [
     "cells_morans_i",
     "bloom_filter_join",
     "cms_heavy_hitters",
+    "kmv_set_similarity",
+    "hist_quantiles",
+    "triangle_count_roads",
 ]
 
 HEADLINE = [

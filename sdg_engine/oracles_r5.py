@@ -532,9 +532,114 @@ FROM ranked WHERE rk <= 20
 """
 
 
+def _kmv_set_similarity_sql() -> str:
+    """Identical KMV construction: same 48-bit md5 hash (shared _h48
+    fragment), same k, same union-sketch CASE when the true union is
+    smaller than k."""
+    from .queries_r5 import _H48_SCALE, _KMV_K, _h48
+
+    h48 = _h48("hm")
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+),
+ht AS (
+  SELECT t, {h48} AS h
+  FROM (SELECT t, md5(CAST(u AS STRING)) AS hm FROM ev)
+),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h ASC) AS r
+    FROM ht
+  ) WHERE r <= {_KMV_K}
+),
+types AS (SELECT DISTINCT t FROM sk),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+),
+merged AS (
+  SELECT COALESCE(a.ta, b.ta) AS ta, COALESCE(a.tb, b.tb) AS tb,
+         COALESCE(a.h, b.h) AS h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM (SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.t = p.ta) a
+  FULL JOIN (SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.t = p.tb) b
+    ON a.ta = b.ta AND a.tb = b.tb AND a.h = b.h
+),
+ku AS (
+  SELECT * FROM (
+    SELECT ta, tb, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h ASC) AS r
+    FROM merged
+  ) WHERE r <= {_KMV_K}
+),
+est0 AS (
+  SELECT ta, tb, MAX(h) AS uk, COUNT(*) AS ks,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS shared
+  FROM ku GROUP BY ta, tb
+),
+est AS (
+  SELECT ta, tb, shared, ks,
+         CASE WHEN ks < {_KMV_K} THEN ks ELSE
+           CAST(FLOOR({_KMV_K - 1} * CAST({_H48_SCALE} AS DOUBLE)
+                / CAST(uk AS DOUBLE)) AS BIGINT) END AS est_union
+  FROM est0
+),
+n AS (SELECT t, COUNT(*) AS n FROM ev GROUP BY t),
+inter AS (
+  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS exact_inter
+  FROM ev a JOIN ev b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT e.ta, e.tb,
+       CAST(na.n + nb.n - i.exact_inter AS BIGINT) AS exact_union,
+       CAST(e.est_union AS BIGINT) AS est_union,
+       CAST(i.exact_inter AS BIGINT) AS exact_inter,
+       CAST(FLOOR(CAST(e.shared AS DOUBLE) * CAST(e.est_union AS DOUBLE)
+            / CAST(e.ks AS DOUBLE)) AS BIGINT) AS est_inter,
+       CAST(FLOOR(CAST(e.shared AS DOUBLE) * 10000.0
+            / CAST(e.ks AS DOUBLE)) AS BIGINT) AS est_jaccard_bp
+FROM est e
+JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
+JOIN n na ON na.t = e.ta
+JOIN n nb ON nb.t = e.tb
+"""
+
+
+HIST_QUANTILES = """
+WITH hist AS (
+  SELECT CAST(FLOOR(FLOOR(o_totalprice * 100 + 0.5) / 819200) AS BIGINT)
+           AS bin,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+  FROM hist
+),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+pcts AS (
+  SELECT pct, CAST(FLOOR((pct * n + 99) / 100) AS BIGINT) AS target_rank
+  FROM tot, UNNEST([25, 50, 75, 90, 99]) AS t(pct)
+),
+hit AS (
+  SELECT p.pct, p.target_rank, MIN(c.bin) AS est_bin
+  FROM pcts p JOIN cum c ON c.n_le >= p.target_rank
+  GROUP BY p.pct, p.target_rank
+)
+SELECT CAST(h.pct AS INT) AS pct, h.target_rank, h.est_bin,
+       h.est_bin * 819200 AS est_lo_cents,
+       CAST(c.n_le AS BIGINT) AS n_le
+FROM hit h JOIN cum c ON c.bin = h.est_bin
+"""
+
+
 ORACLES_R5 = {
     "bloom_filter_join": _bloom_filter_join_sql(),
     "cms_heavy_hitters": _cms_heavy_hitters_sql(),
+    "kmv_set_similarity": _kmv_set_similarity_sql(),
+    "hist_quantiles": HIST_QUANTILES,
     "events_asof_join": EVENTS_ASOF_JOIN,
     "events_funnel": EVENTS_FUNNEL,
     "hll_distinct": HLL_DISTINCT,
@@ -781,6 +886,30 @@ SELECT CAST(hops AS INT) AS hops, COUNT(*) AS n_nodes,
        CAST(SUM(node) AS BIGINT) AS sum_node
 FROM lab GROUP BY hops
 """
+    # triangle_count_roads: identical degree-ordered orientation over
+    # the same quantized road graph (shared _BFS_NODE fragment).
+    tri = f"""
+WITH nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+             FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM ab WHERE a <> b),
+deg AS (SELECT nd, COUNT(*) AS deg FROM (
+          SELECT u AS nd FROM und UNION ALL SELECT v AS nd FROM und)
+        GROUP BY nd),
+o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN v ELSE u END AS d
+      FROM und JOIN deg du ON du.nd = und.u JOIN deg dv ON dv.nd = und.v),
+tri AS (SELECT e1.s AS x, e1.d AS y, e2.d AS z
+        FROM o e1 JOIN o e2 ON e2.s = e1.d
+        JOIN o e3 ON e3.s = e1.s AND e3.d = e2.d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(SUM(x + y + z), 0) AS BIGINT) AS sum_nodes
+FROM tri
+"""
     # country_convex_hull: hull size/area from the committed scalar
     # monotone-chain golden; n_points (distinct vertices) recomputed
     # relationally from the same roads parquet (load-bearing explode).
@@ -798,6 +927,7 @@ JOIN n USING (country_code)
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
+            "triangle_count_roads": tri,
             "roads_buffer_cells": _buffer_cells_sql(roads_pq),
             "road_intersections": _road_intersections_sql(roads_pq),
             "country_convex_hull": hull,

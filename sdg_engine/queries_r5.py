@@ -1533,9 +1533,238 @@ def cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch: set UNION + INTERSECTION
+# cardinality — the one estimate HLL cannot give (hll_distinct covers
+# plain distinct counts; KMV sketches COMPOSE under union, and the
+# shared-hash fraction estimates Jaccard => intersection).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_H48_SCALE = 281474976710656  # 2^48, the hash value space
+
+
+def _h48(h: str) -> str:
+    """48-bit integer hash from the first 12 hex digits of a
+    precomputed md5 column {h} — 4 weighted 12-bit chunks, the same
+    conv()-free digit math as _b12_cells; shared verbatim with the
+    oracle."""
+    cells = _b12_cells(h, 4)
+    return (
+        "("
+        + " + ".join(
+            f"({c} * {4096 ** (3 - i)})" for i, c in enumerate(cells)
+        )
+        + ")"
+    )
+
+
+def kmv_set_similarity(spark, sf_dir):
+    """KMV/THETA SKETCH set similarity between per-event-type user
+    sets: k=64 minimum 48-bit md5 hash values per set; for every type
+    pair the union sketch is the k smallest of the merged hash sets
+    (U_k = its max), est_union = FLOOR((k-1)*2^48 / U_k), and the
+    fraction of union-sketch hashes present in BOTH input sketches
+    estimates Jaccard => est_inter.  DETERMINISTIC (md5, no RNG), so
+    the DuckDB oracle rebuilds the identical sketches; exact
+    union/intersection ride along to make the error visible.  When the
+    true union has fewer than k members the sketch IS the set and the
+    estimate switches to the exact count (same CASE in both engines).
+
+    Plan shape: per-partition partial = each partition's k smallest
+    hashes (the rank window reduces ~|users| rows to k per type — at
+    100 TB a TakeOrdered-per-type); everything after the sketch is
+    O(types^2 * k) rows.  The exact legs are hash aggs over the
+    distinct (type, user) projection — the only full-width pass.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .selectExpr("event_type AS t", "user_id AS u")
+        .distinct()
+    )
+    ht = ev.selectExpr(
+        "t", "u", "md5(CAST(u AS STRING)) AS hm"
+    ).selectExpr("t", f"{_h48('hm')} AS h")
+    wt = Window.partitionBy("t").orderBy(F.col("h").asc())
+    sk = (
+        ht.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= _KMV_K)
+        .select("t", "h")
+        .localCheckpoint()  # tiny (types*k rows); referenced per pair side
+    )
+    types = sk.select("t").distinct()
+    pairs = (
+        types.selectExpr("t AS ta")
+        .join(types.selectExpr("t AS tb"), F.col("ta") < F.col("tb"))
+    )
+    ska = pairs.join(sk.selectExpr("t AS ta", "h"), "ta").withColumn(
+        "in_a", F.lit(1)
+    )
+    skb = pairs.join(sk.selectExpr("t AS tb", "h"), "tb").withColumn(
+        "in_b", F.lit(1)
+    )
+    merged = (
+        ska.select("ta", "tb", "h", "in_a")
+        .join(skb.select("ta", "tb", "h", "in_b"), ["ta", "tb", "h"], "full")
+        .select(
+            "ta", "tb", "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy(F.col("h").asc())
+    ku = merged.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= _KMV_K
+    )
+    est = ku.groupBy("ta", "tb").agg(
+        F.max("h").alias("uk"),
+        F.count(F.lit(1)).alias("ks"),
+        F.sum(F.expr("CAST(in_a = 1 AND in_b = 1 AS INT)")).alias("shared"),
+    ).selectExpr(
+        "ta", "tb", "shared",
+        f"CASE WHEN ks < {_KMV_K} THEN ks ELSE "
+        f"CAST(FLOOR({_KMV_K - 1} * CAST({_H48_SCALE} AS DOUBLE) "
+        "/ CAST(uk AS DOUBLE)) AS BIGINT) END AS est_union",
+        "ks",
+    ).selectExpr(
+        "ta", "tb", "est_union",
+        "CAST(FLOOR(CAST(shared AS DOUBLE) * CAST(est_union AS DOUBLE) "
+        "/ CAST(ks AS DOUBLE)) AS BIGINT) AS est_inter",
+        "CAST(FLOOR(CAST(shared AS DOUBLE) * 10000.0 "
+        "/ CAST(ks AS DOUBLE)) AS BIGINT) AS est_jaccard_bp",
+    )
+    n = ev.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ev.selectExpr("t AS ta", "u")
+        .join(ev.selectExpr("t AS tb", "u"), "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        est.join(inter, ["ta", "tb"])
+        .join(n.selectExpr("t AS ta", "n AS na"), "ta")
+        .join(n.selectExpr("t AS tb", "n AS nb"), "tb")
+        .selectExpr(
+            "ta", "tb",
+            "na + nb - exact_inter AS exact_union", "est_union",
+            "exact_inter", "est_inter", "est_jaccard_bp",
+        )
+    )
+
+
+def hist_quantiles(spark, sf_dir):
+    """HISTOGRAM-SKETCH approximate quantiles of o_totalprice: one
+    equi-width histogram (8192-dollar bins over integer cents — a
+    ~62-row mergeable map-side-combinable agg), then nearest-rank
+    percentile estimates (p25/50/75/90/99) read off the cumulative
+    counts: est = first bin whose running count reaches
+    CEIL(p*n/100).  Complements the EXACT distributed quantiles query
+    (r4): this is the single-pass sketch you run at 100 TB when ±1 bin
+    is acceptable — nothing after the scan exceeds the bin count.
+
+    Deterministic integer arithmetic end-to-end (cents snap, FLOOR
+    division); the DuckDB oracle rebuilds the identical histogram.
+    """
+    BIN_CENTS = 819200  # $8192 bins in integer cents
+    hist = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "CAST(FLOOR(FLOOR(o_totalprice * 100 + 0.5) "
+            f"/ {BIN_CENTS}) AS BIGINT) AS bin"
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # ~62 rows; referenced by cum + total branches
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("n_le", F.sum("cnt").over(wc)).select("bin", "n_le")
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    pcts = tot.selectExpr(
+        "explode(array(25, 50, 75, 90, 99)) AS pct", "n"
+    ).selectExpr(
+        "pct", "CAST(FLOOR((pct * n + 99) / 100) AS BIGINT) AS target_rank"
+    )
+    return (
+        pcts.join(cum, cum.n_le >= pcts.target_rank)
+        .groupBy("pct", "target_rank")
+        .agg(F.min(F.struct("bin", "n_le")).alias("s"))
+        .selectExpr(
+            "CAST(pct AS INT) AS pct", "target_rank",
+            "s.bin AS est_bin",
+            f"s.bin * {BIN_CENTS} AS est_lo_cents",
+            "s.n_le AS n_le",
+        )
+    )
+
+
+def triangle_count_roads(spark, sf_dir):
+    """TRIANGLE COUNT over the road-network graph (same 0.1-degree
+    cell quantization as road_graph_bfs): each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher — the
+    standard degree-ordering that bounds every node's out-degree by
+    O(sqrt(|E|)), so the wedge join (out-edge x out-edge of the same
+    source) never explodes on hubs.  A triangle {x,y,z} has exactly one
+    oriented wedge x->y, y->z with x->z present, so each is counted
+    once: wedge equi-join + edge-existence equi-join, both
+    hash-partitioned — no all-pairs anywhere.  Oracle: the identical
+    construction in DuckDB over the same roads parquet.
+    Output: one row — triangle count + node-id checksum.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    und = (
+        segs.selectExpr(
+            "least(a, b) AS u", "greatest(a, b) AS v"
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # referenced by deg + both orientation sides
+    )
+    deg = (
+        und.selectExpr("u AS nd").unionAll(und.selectExpr("v AS nd"))
+        .groupBy("nd")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        und.join(deg.selectExpr("nd AS u", "deg AS du"), "u")
+        .join(deg.selectExpr("nd AS v", "deg AS dv"), "v")
+        .selectExpr(
+            # lexicographic (deg, id) spelled out — row-constructor
+            # comparison parses differently across the two engines
+            "CASE WHEN du < dv OR (du = dv AND u < v) "
+            "THEN u ELSE v END AS s",
+            "CASE WHEN du < dv OR (du = dv AND u < v) "
+            "THEN v ELSE u END AS d",
+        )
+        .localCheckpoint()  # referenced three times by the wedge probe
+    )
+    e1 = oriented.selectExpr("s AS x", "d AS y")
+    e2 = oriented.selectExpr("s AS y", "d AS z")
+    e3 = oriented.selectExpr("s AS x", "d AS z")
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("x") + F.col("y") + F.col("z")), F.lit(0)
+        ).alias("sum_nodes"),
+    )
+
+
 QUERIES_R5 = {
     "bloom_filter_join": bloom_filter_join,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "kmv_set_similarity": kmv_set_similarity,
+    "hist_quantiles": hist_quantiles,
+    "triangle_count_roads": triangle_count_roads,
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "hll_distinct": hll_distinct,
