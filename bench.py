@@ -77,6 +77,9 @@ R5_EXTRAS = [
     "kmv_set_similarity",
     "hist_quantiles",
     "triangle_count_roads",
+    "events_acf",
+    "events_gapfill",
+    "orders_skyline",
 ]
 
 HEADLINE = [

@@ -635,7 +635,88 @@ FROM hit h JOIN cum c ON c.bin = h.est_bin
 """
 
 
+EVENTS_ACF = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+stats AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM hourly),
+dev AS (SELECT h, n * x - s AS d FROM hourly, stats),
+den AS (SELECT SUM(d * d) AS den, COUNT(*) AS n_hours FROM dev),
+pairs AS (
+  SELECT l.lag, a.d AS d, b.d AS d2
+  FROM (SELECT unnest([1, 2, 3]) AS lag) l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.h = a.h + l.lag
+),
+num AS (
+  SELECT lag, SUM(d * d2) AS num, COUNT(*) AS n_pairs
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(FLOOR(CAST(num AS DOUBLE) * 10000.0
+            / CAST(den AS DOUBLE)) AS BIGINT) AS acf_bp
+FROM num, den
+"""
+
+
+EVENTS_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type AS t,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+grid AS (
+  SELECT t, gs.h
+  FROM (SELECT DISTINCT t FROM hourly),
+       bounds, UNNEST(generate_series(h0, h1)) AS gs(h)
+),
+filled AS (
+  SELECT g.t, g.h, hy.v,
+         last_value(hy.v IGNORE NULLS) OVER (
+           PARTITION BY g.t ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+  FROM grid g LEFT JOIN hourly hy ON hy.t = g.t AND hy.h = g.h
+)
+SELECT t, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(COALESCE(ff, 0)) AS BIGINT) AS sum_filled,
+       CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS sum_observed
+FROM filled GROUP BY t
+"""
+
+
+# INDEPENDENT formulation: quadratic NOT-EXISTS dominance over the same
+# collapsed (status, price) points — certifies the Spark window rewrite.
+ORDERS_SKYLINE = """
+WITH pts AS (
+  SELECT o_orderstatus AS st,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         MAX(epoch_us(o_orderdate)) AS date_us
+  FROM orders GROUP BY 1, 2
+),
+sky AS (
+  SELECT * FROM pts p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.st = p.st AND q.price_c < p.price_c AND q.date_us >= p.date_us
+  )
+)
+SELECT st, CAST(COUNT(*) AS BIGINT) AS n_skyline,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       MIN(price_c) AS min_price_c, MAX(date_us) AS max_date_us
+FROM sky GROUP BY st
+"""
+
+
 ORACLES_R5 = {
+    "events_acf": EVENTS_ACF,
+    "events_gapfill": EVENTS_GAPFILL,
+    "orders_skyline": ORDERS_SKYLINE,
     "bloom_filter_join": _bloom_filter_join_sql(),
     "cms_heavy_hitters": _cms_heavy_hitters_sql(),
     "kmv_set_similarity": _kmv_set_similarity_sql(),

@@ -1759,12 +1759,158 @@ def triangle_count_roads(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-series: autocorrelation, gap-fill + forward-fill, Pareto skyline
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def events_acf(spark, sf_dir):
+    """AUTOCORRELATION (ACF) of the hourly event-count series at lags
+    1..3 — the seasonality probe of a time-series pipeline.  Integer-
+    exact through the fold (CLAUDE.md gotcha 8): with n observed hours
+    and S the total count, scaled deviations D_t = n*x_t - S are exact
+    BIGINTs, r_k = sum(D_t * D_{t+k}) / sum(D_t^2) reported in basis
+    points via one FLOOR at the very end.  Pairs where either hour is
+    unobserved are excluded (spec'd identically in the oracle).
+
+    Plan shape: ONE hash agg over events (map-side combinable) reduces
+    the corpus to observed-hour rows; stats fold to a single broadcast
+    row; the lag joins are equi-joins on hour over the tiny hourly
+    series.  Nothing after the first agg is proportional to events.
+    """
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()  # tiny (observed hours); referenced 3x below
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = (
+        hourly.crossJoin(F.broadcast(stats))
+        .selectExpr("h", "n * x - s AS d")
+        .localCheckpoint()  # both lag-join sides
+    )
+    den = dev.agg(
+        F.sum(F.expr("d * d")).alias("den"), F.count(F.lit(1)).alias("n_hours")
+    )
+    lagged = dev.selectExpr("explode(array(1, 2, 3)) AS lag", "h", "d")
+    pairs = lagged.join(
+        dev.selectExpr("h AS h2", "d AS d2"),
+        F.col("h2") == F.col("h") + F.col("lag"),
+    )
+    num = pairs.groupBy("lag").agg(
+        F.sum(F.expr("d * d2")).alias("num"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return num.crossJoin(F.broadcast(den)).selectExpr(
+        "CAST(lag AS INT) AS lag", "n_pairs", "n_hours",
+        "CAST(FLOOR(CAST(num AS DOUBLE) * 10000.0 "
+        "/ CAST(den AS DOUBLE)) AS BIGINT) AS acf_bp",
+    )
+
+
+def events_gapfill(spark, sf_dir):
+    """GAP-FILL + FORWARD-FILL: regularize the per-type hourly value
+    series onto the full [min_hour, max_hour] grid, then carry the last
+    observation forward across gaps (last ignorenulls window) — the
+    standard sensor/feed repair step before any rolling computation.
+    Values fold as integer mils (per-row snap, then SUM — exact in both
+    engines).
+
+    Plan shape: one hash agg over events -> observed (type, hour) rows;
+    the dense grid is types x sequence(min,max) generated, never
+    scanned; forward fill is one window partitioned by type (hash
+    exchange on type only).  Output stays per-type (summary), so
+    nothing proportional to the grid leaves the stage.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.selectExpr(
+            "event_type AS t",
+            f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US}) AS BIGINT) AS h",
+            "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_mils",
+        )
+        .groupBy("t", "h")
+        .agg(F.sum("v_mils").alias("v"))
+        .localCheckpoint()  # observed rows; referenced by grid + join
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("t").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr("t", "explode(sequence(h0, h1)) AS h")
+    )
+    wf = (
+        Window.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(hourly, ["t", "h"], "left")
+        .withColumn("ff", F.last("v", ignorenulls=True).over(wf))
+    )
+    return filled.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.expr("CAST(v IS NULL AS INT)")).alias("n_gaps"),
+        F.sum(F.coalesce("ff", F.lit(0))).alias("sum_filled"),
+        F.sum(F.coalesce("v", F.lit(0))).alias("sum_observed"),
+    )
+
+
+def orders_skyline(spark, sf_dir):
+    """SKYLINE / PARETO FRONTIER per order status: the orders no other
+    same-status order beats on BOTH (lower price, later date).  The
+    scalable 2D form: collapse to one row per (status, price_cents)
+    keeping max date — a mergeable hash agg that bounds the window
+    input by distinct prices — then one running-max window ordered by
+    price: a point survives iff its date strictly exceeds every
+    cheaper point's best date.  The oracle is an INDEPENDENT
+    formulation (quadratic NOT EXISTS dominance) over the same
+    collapsed points, so the window rewrite itself is what's checked.
+    Output: per-status frontier size + price/date checksums.
+    """
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderstatus AS st",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS date_us",
+        )
+        .groupBy("st", "price_c")
+        .agg(F.max("date_us").alias("date_us"))
+    )
+    wp = (
+        Window.partitionBy("st")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = pts.withColumn(
+        "best_prior", F.max("date_us").over(wp)
+    ).filter(
+        F.col("date_us") > F.coalesce(F.col("best_prior"), F.lit(-1))
+    )
+    return sky.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n_skyline"),
+        F.sum("price_c").alias("sum_price_c"),
+        F.min("price_c").alias("min_price_c"),
+        F.max("date_us").alias("max_date_us"),
+    )
+
+
 QUERIES_R5 = {
     "bloom_filter_join": bloom_filter_join,
     "cms_heavy_hitters": cms_heavy_hitters,
     "kmv_set_similarity": kmv_set_similarity,
     "hist_quantiles": hist_quantiles,
     "triangle_count_roads": triangle_count_roads,
+    "events_acf": events_acf,
+    "events_gapfill": events_gapfill,
+    "orders_skyline": orders_skyline,
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "hll_distinct": hll_distinct,
