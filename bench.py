@@ -80,6 +80,9 @@ R5_EXTRAS = [
     "events_acf",
     "events_gapfill",
     "orders_skyline",
+    "route_interpolate",
+    "shortest_path_weighted",
+    "cusum_changepoint",
 ]
 
 HEADLINE = [

@@ -713,7 +713,131 @@ FROM sky GROUP BY st
 """
 
 
+CUSUM_CHANGEPOINT = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+stats AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM hourly),
+cus AS (
+  SELECT h, n,
+         SUM(n * x - s) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM hourly, stats
+),
+pk AS (
+  SELECT n, MAX(ABS(c) * 1048576 + (1048575 - h % 1048576)) AS packed
+  FROM cus GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       CAST(FLOOR(packed / 1048576) AS BIGINT) AS max_abs_cusum,
+       CAST(1048575 - packed % 1048576 AS BIGINT) AS cp_hour_mod
+FROM pk
+"""
+
+
+def _spw_sql(roads_pq: str, node: str) -> str:
+    """Unrolled Bellman-Ford recurrence (PageRank precedent): the same
+    weighted edges, 12 relaxation rounds as chained CTEs.  Each round
+    references the previous CTE exactly ONCE — the keep-incumbent leg
+    rides on zero-weight SELF-LOOPS in the edge set (the min-plus
+    identity) instead of a second d{k} reference, because a
+    twice-referenced chained CTE re-inlines the whole prefix per
+    round: 2^rounds copies of the base plan (measured: the two-leg
+    UNION form never finished; this form runs in milliseconds)."""
+    from .queries_r5 import _SPW_ROUNDS
+
+    w = (
+        "CAST(FLOOR(SQRT(CAST((FLOOR(u / 1000) - FLOOR(v / 1000)) "
+        "* (FLOOR(u / 1000) - FLOOR(v / 1000)) "
+        "+ (u % 1000 - v % 1000) * (u % 1000 - v % 1000) AS DOUBLE)) "
+        "* 1000) AS BIGINT)"
+    )
+    rounds = "".join(
+        f""",
+d{k + 1} AS (
+  SELECT e.dst AS node, MIN(d{k}.d + e.w) AS d
+  FROM d{k} JOIN e ON e.src = d{k}.node
+  GROUP BY e.dst
+)"""
+        for k in range(_SPW_ROUNDS)
+    )
+    return f"""
+WITH nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+             FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM ab WHERE a <> b),
+wed AS (SELECT u, v, {w} AS w FROM und),
+e0 AS (SELECT u AS src, v AS dst, w FROM wed
+       UNION ALL SELECT v, u, w FROM wed),
+nodes AS (SELECT DISTINCT src FROM e0),
+e AS (SELECT src, dst, w FROM e0
+      UNION ALL SELECT src, src, CAST(0 AS BIGINT) FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS d
+       FROM deg ORDER BY deg DESC, src ASC LIMIT 1){rounds}
+SELECT CAST(FLOOR(d / 2000) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node,
+       MIN(d) AS min_d, MAX(d) AS max_d
+FROM d{_SPW_ROUNDS} GROUP BY band
+"""
+
+
+def _route_interp_sql(roads_pq: str) -> str:
+    """Identical lead/running-sum/half-open-pick construction; the
+    running sum is a sequential ordered fold in both engines (gotcha 8:
+    never a partial-agg double SUM)."""
+    return f"""
+WITH r AS (SELECT road_id, kind, coords FROM read_parquet('{roads_pq}')),
+verts AS (
+  SELECT road_id, kind, u.i AS i,
+         coords[u.i].x AS x, coords[u.i].y AS y
+  FROM r, UNNEST(generate_series(1, len(coords))) AS u(i)
+),
+seg0 AS (
+  SELECT road_id, kind, i, x, y,
+         lead(x) OVER (PARTITION BY road_id ORDER BY i) AS x2,
+         lead(y) OVER (PARTITION BY road_id ORDER BY i) AS y2
+  FROM verts
+),
+seg AS (
+  SELECT road_id, kind, i, x, y, x2, y2,
+         SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS slen
+  FROM seg0 WHERE x2 IS NOT NULL
+),
+cums AS (
+  SELECT *,
+         SUM(slen) OVER (PARTITION BY road_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM seg
+),
+tot AS (
+  SELECT *, cum - slen AS strt,
+         MAX(cum) OVER (PARTITION BY road_id) AS total
+  FROM cums
+),
+mid AS (
+  SELECT road_id, kind,
+         CAST(FLOOR((x + ((total / 2 - strt) / slen) * (x2 - x))
+              * 1000000 + 0.5) AS BIGINT) AS mid_ux,
+         CAST(FLOOR((y + ((total / 2 - strt) / slen) * (y2 - y))
+              * 1000000 + 0.5) AS BIGINT) AS mid_uy
+  FROM tot
+  WHERE total > 0 AND strt <= total / 2 AND total / 2 < cum
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_roads,
+       CAST(SUM(mid_ux) AS BIGINT) AS sum_mid_ux,
+       CAST(SUM(mid_uy) AS BIGINT) AS sum_mid_uy
+FROM mid GROUP BY kind
+"""
+
+
 ORACLES_R5 = {
+    "cusum_changepoint": CUSUM_CHANGEPOINT,
     "events_acf": EVENTS_ACF,
     "events_gapfill": EVENTS_GAPFILL,
     "orders_skyline": ORDERS_SKYLINE,
@@ -1009,6 +1133,8 @@ JOIN n USING (country_code)
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
             "triangle_count_roads": tri,
+            "shortest_path_weighted": _spw_sql(roads_pq, node),
+            "route_interpolate": _route_interp_sql(roads_pq),
             "roads_buffer_cells": _buffer_cells_sql(roads_pq),
             "road_intersections": _road_intersections_sql(roads_pq),
             "country_convex_hull": hull,

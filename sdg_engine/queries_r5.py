@@ -1902,6 +1902,188 @@ def orders_skyline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Route interpolation, weighted shortest paths, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def route_interpolate(spark, sf_dir):
+    """POINT-ALONG-LINE interpolation: the arc-length MIDPOINT of every
+    road polyline (the t=0.5 case of linear referencing / dynamic
+    segmentation).  Per road: lead() pairs consecutive vertices, a
+    running-sum window (ordered by vertex index — a SEQUENTIAL fold,
+    identical in both engines, never a partial-agg double SUM — gotcha
+    8) accumulates segment lengths, the total is MAX over the inclusive
+    running sum, and the half-open test start <= L/2 < start+len picks
+    exactly one segment to interpolate inside.  Only + - * / sqrt on
+    the float path; the result snaps to micro-units at the very end.
+
+    Plan shape: map-only after one hash exchange on road_id (the
+    windows); output one row per road, aggregated per kind here so the
+    driver compare stays tiny.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    verts = roads.selectExpr(
+        "road_id", "kind", "posexplode(coords) AS (i, c)"
+    ).selectExpr("road_id", "kind", "i", "c.x AS x", "c.y AS y")
+    wo = Window.partitionBy("road_id").orderBy("i")
+    seg = (
+        verts.withColumn("x2", F.lead("x").over(wo))
+        .withColumn("y2", F.lead("y").over(wo))
+        .filter(F.col("x2").isNotNull())
+        .withColumn(
+            "slen",
+            F.expr("SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))"),
+        )
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("road_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mid = (
+        seg.withColumn("cum", F.sum("slen").over(wcum))
+        .withColumn("start", F.expr("cum - slen"))
+        .withColumn("total", F.max("cum").over(wall))
+        .filter(
+            F.expr("total > 0 AND start <= total / 2 AND total / 2 < cum")
+        )
+        .selectExpr(
+            "road_id", "kind",
+            "CAST(FLOOR((x + ((total / 2 - start) / slen) * (x2 - x)) "
+            "* 1000000 + 0.5) AS BIGINT) AS mid_ux",
+            "CAST(FLOOR((y + ((total / 2 - start) / slen) * (y2 - y)) "
+            "* 1000000 + 0.5) AS BIGINT) AS mid_uy",
+        )
+    )
+    return mid.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_roads"),
+        F.sum("mid_ux").alias("sum_mid_ux"),
+        F.sum("mid_uy").alias("sum_mid_uy"),
+    )
+
+
+_SPW_ROUNDS = 12
+
+
+def _spw_edges(spark, sf_dir):
+    """Weighted road-graph edges: the BFS cell quantization plus an
+    integer Euclidean weight in cell-mils between cell centers
+    (FLOOR(sqrt*1000) of integer deltas — deterministic)."""
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    und = (
+        segs.selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    w = (
+        "CAST(FLOOR(SQRT(CAST((FLOOR(u / 1000) - FLOOR(v / 1000)) "
+        "* (FLOOR(u / 1000) - FLOOR(v / 1000)) "
+        "+ (u % 1000 - v % 1000) * (u % 1000 - v % 1000) AS DOUBLE)) "
+        "* 1000) AS BIGINT)"
+    )
+    wed = und.selectExpr("u", "v", f"{w} AS w")
+    return wed.selectExpr("u AS src", "v AS dst", "w").unionAll(
+        wed.selectExpr("v AS src", "u AS dst", "w")
+    )
+
+
+def shortest_path_weighted(spark, sf_dir):
+    """WEIGHTED single-source shortest paths (Bellman-Ford rounds) over
+    the road graph — BFS's hop labels generalized to integer edge
+    weights (cell-mils Euclidean).  Seeded at the max-degree hub
+    (min-id tie-break, same as road_graph_bfs).  Each round relaxes
+    every edge once: dist ⋈ edges equi-join on src, union with the
+    incumbent labels, min per node — all hash-partitioned joins/aggs,
+    localCheckpointed per round (gotcha 15).  12 rounds bounds path
+    length exactly like the oracle's unrolled recurrence.
+    Output: distance-band histogram + node-id checksums.
+    """
+    edges = _spw_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("d"))
+    )
+    dist = seed.localCheckpoint()
+    for _ in range(_SPW_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .selectExpr("dst AS node", "d + w AS d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        dist.selectExpr(
+            "CAST(FLOOR(d / 2000) AS BIGINT) AS band", "node", "d"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("sum_node"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+    )
+
+
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM CHANGEPOINT detection on the hourly event-count series:
+    cumulative sum of scaled deviations D_t = n*x_t - S (exact BIGINTs,
+    same device as events_acf), changepoint = the hour maximizing
+    |CUSUM| — the classic mean-shift locator.  The argmax uses the
+    packed-integer idiom (events_outliers precedent): |C| * 2^20 +
+    (2^20 - 1 - h mod 2^20) picks the largest |C| with the SMALLEST
+    hour on ties, identically in both engines, no struct-comparison
+    semantics.
+
+    Plan shape: one map-side-combined hourly agg; one sequential
+    running-sum window over the tiny series; one final 1-row agg.
+    """
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()  # tiny; stats + cusum branches
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cus = (
+        hourly.crossJoin(F.broadcast(stats))
+        .selectExpr("h", "n * x - s AS dd", "n")
+        .withColumn("c", F.sum("dd").over(wc))
+    )
+    return cus.selectExpr(
+        "n", "ABS(c) AS ac", "h"
+    ).groupBy("n").agg(
+        F.max(
+            F.expr("ac * 1048576 + (1048575 - h % 1048576)")
+        ).alias("packed")
+    ).selectExpr(
+        "n AS n_hours",
+        "CAST(FLOOR(packed / 1048576) AS BIGINT) AS max_abs_cusum",
+        "CAST(1048575 - packed % 1048576 AS BIGINT) AS cp_hour_mod",
+    )
+
+
 QUERIES_R5 = {
     "bloom_filter_join": bloom_filter_join,
     "cms_heavy_hitters": cms_heavy_hitters,
@@ -1911,6 +2093,9 @@ QUERIES_R5 = {
     "events_acf": events_acf,
     "events_gapfill": events_gapfill,
     "orders_skyline": orders_skyline,
+    "route_interpolate": route_interpolate,
+    "shortest_path_weighted": shortest_path_weighted,
+    "cusum_changepoint": cusum_changepoint,
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "hll_distinct": hll_distinct,
