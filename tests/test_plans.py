@@ -459,3 +459,47 @@ def test_intersections_never_cartesian(spark):
     plan = _plan(QUERIES["road_intersections"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_queries_never_sort_merge(spark):
+    """Bloom/CMS/KMV sketches are tiny by construction: every join in
+    their plans must broadcast (or be the 1-row bloom-map BNLJ), never
+    sort-merge the fact side."""
+    from sdg_engine.queries import QUERIES
+
+    for name in ("bloom_filter_join", "cms_heavy_hitters"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # kmv: the sketch path must stay broadcast (the only allowed SMJ is
+    # the exact-intersection certification leg — a genuinely big-big
+    # user self-join, the right plan at scale)
+    plan = _plan(QUERIES["kmv_set_similarity"](spark, SF))
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_dedups_before_quadratic(spark):
+    """The fuzzy join must (a) stay an equi-join on the block key and
+    (b) run Levenshtein over the DISTINCT-name aggregate, not raw rows
+    — the plan shows a hash agg below the join on both sides."""
+    from sdg_engine.queries import QUERIES
+
+    plan = _plan(QUERIES["fuzzy_name_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    # dedup-before-quadratic: the name-group agg feeds the join
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_skyline_and_interpolate_are_joinless(spark):
+    """Skyline = agg + one window; route interpolation = windows only:
+    no join operator of any kind in either plan."""
+    from sdg_engine.queries import QUERIES
+
+    for name in ("orders_skyline", "route_interpolate"):
+        plan = _plan(QUERIES[name](spark, SF))
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"):
+            assert j not in plan, (name, j)
