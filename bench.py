@@ -83,6 +83,9 @@ R5_EXTRAS = [
     "route_interpolate",
     "shortest_path_weighted",
     "cusum_changepoint",
+    "phrase_search",
+    "events_trend",
+    "drift_chisq",
 ]
 
 HEADLINE = [

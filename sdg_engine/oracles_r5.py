@@ -836,8 +836,98 @@ FROM mid GROUP BY kind
 """
 
 
+def _phrase_search_sql() -> str:
+    from .queries_r5 import _PHRASES
+
+    qa = " UNION ALL ".join(
+        f"SELECT '{a} {b}' AS phrase, '{a}' AS ta, '{b}' AS tb"
+        for a, b in _PHRASES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS u(i)
+  WHERE tk[u.i] <> ''
+),
+qa AS ({qa}),
+hits AS (
+  SELECT q.phrase, a.doc_id, a.pos
+  FROM toks a JOIN qa q ON a.tok = q.ta
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.tok = q.tb
+)
+SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(SUM(doc_id * 2 + pos) AS BIGINT) AS checksum
+FROM hits GROUP BY phrase
+"""
+
+
+EVENTS_TREND = """
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT t, MIN(day) AS d0 FROM daily GROUP BY t),
+fit AS (
+  SELECT daily.t, COUNT(*) AS n,
+         SUM(day - d0) AS sx, SUM(y) AS sy,
+         SUM((day - d0) * y) AS sxy,
+         SUM((day - d0) * (day - d0)) AS sxx
+  FROM daily JOIN base ON base.t = daily.t
+  GROUP BY daily.t
+)
+SELECT t, CAST(n AS BIGINT) AS n, CAST(sy AS BIGINT) AS total_events,
+       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000.0
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         AS slope_milli_per_day
+FROM fit
+"""
+
+
+DRIFT_CHISQ = """
+WITH wt AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS wk,
+         event_type AS t, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT wk, SUM(o) AS rt FROM wt GROUP BY wk),
+ct AS (SELECT t, SUM(o) AS ct FROM wt GROUP BY t),
+nn AS (SELECT SUM(o) AS nn FROM wt),
+cell AS (
+  SELECT wt.wk, wt.t, o,
+         CAST(FLOOR((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * 1000000.0
+              / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE)
+              * CAST(ct AS DOUBLE))) AS BIGINT) AS chi_part,
+         o * nn - rt * ct AS excess,
+         CAST(instr('cepsv', substring(wt.t, 1, 1)) AS BIGINT) AS tidx
+  FROM wt JOIN rt ON rt.wk = wt.wk JOIN ct ON ct.t = wt.t, nn
+),
+pk AS (
+  SELECT wk, SUM(chi_part) AS chisq_u, COUNT(*) AS n_types,
+         MAX(excess * 8 + (7 - tidx)) AS packed
+  FROM cell GROUP BY wk
+)
+SELECT wk, CAST(chisq_u AS BIGINT) AS chisq_u,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(7 - (packed - FLOOR(packed / 8) * 8) AS BIGINT) AS top_tidx
+FROM pk
+"""
+
+
 ORACLES_R5 = {
     "cusum_changepoint": CUSUM_CHANGEPOINT,
+    "phrase_search": _phrase_search_sql(),
+    "events_trend": EVENTS_TREND,
+    "drift_chisq": DRIFT_CHISQ,
     "events_acf": EVENTS_ACF,
     "events_gapfill": EVENTS_GAPFILL,
     "orders_skyline": ORDERS_SKYLINE,

@@ -2093,6 +2093,152 @@ def cusum_changepoint(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phrase search (positional index), OLS trend, chi-square drift
+# ---------------------------------------------------------------------------
+
+# phrases present in the synthetic corpus (vocabulary is SQL-flavored)
+_PHRASES = [("table", "hash"), ("part", "filter"), ("customer", "join")]
+
+
+def phrase_search(spark, sf_dir):
+    """POSITIONAL PHRASE SEARCH: exact adjacent-bigram matching over a
+    positional inverted index — the IR primitive BM25's bag-of-words
+    scoring can't express.  Tokens explode WITH positions (codegen'd
+    posexplode, gotcha 16b); for each query phrase the two term
+    postings equi-join on (doc_id, pos+1) — never a string scan, never
+    a regex.  At 100 TB the postings join is hash-partitioned on
+    doc_id and each phrase touches only its two terms' postings.
+    Output per phrase: matching docs, total occurrences, doc-id
+    checksum.
+    """
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, tok)")
+        .filter(F.col("tok") != "")
+        .localCheckpoint()  # postings reused by both phrase legs
+    )
+    terms = list({t for p in _PHRASES for t in p})
+    post = toks.filter(F.col("tok").isin(terms))
+    qa = spark.createDataFrame(
+        [(f"{a} {b}", a, b) for a, b in _PHRASES], "phrase string, ta string, tb string"
+    )
+    hits = (
+        post.selectExpr("doc_id", "pos", "tok AS ta")
+        .join(F.broadcast(qa), "ta")
+        .join(
+            post.selectExpr(
+                "doc_id", "pos - 1 AS pos", "tok AS tb"
+            ),
+            ["doc_id", "pos", "tb"],
+        )
+    )
+    return hits.groupBy("phrase").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.sum(F.expr("doc_id * 2 + pos")).alias("checksum"),
+    )
+
+
+def events_trend(spark, sf_dir):
+    """TREND DETECTION: per-type OLS slope of the daily event-count
+    series, integer-exact through the closed form — slope =
+    (n*Σxy - Σx*Σy) / (n*Σx² - (Σx)²) where x is the day index and y
+    the daily count, every Σ a BIGINT; one FLOOR at the end reports
+    slope in milli-events/day.  The pattern behind per-key metric
+    trend monitors: ONE map-side-combined agg over events, then a
+    per-type fold over the tiny daily series — nothing after the first
+    agg is proportional to events.
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type AS t",
+            f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US * 24}) AS BIGINT) AS day",
+        )
+        .groupBy("t", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    base = daily.groupBy("t").agg(F.min("day").alias("d0"))
+    fit = (
+        daily.join(F.broadcast(base), "t")
+        .selectExpr("t", "day - d0 AS x", "y")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+        )
+    )
+    return fit.selectExpr(
+        "t", "n", "sy AS total_events",
+        "CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000.0 "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) "
+        "AS slope_milli_per_day",
+    )
+
+
+def drift_chisq(spark, sf_dir):
+    """DISTRIBUTION DRIFT detection (data-quality monitoring): weekly
+    event-type mix vs the global mix, scored by the chi-square
+    statistic — Σ (o - e)² / e over the type cells, log-free (PMI
+    precedent: rational arithmetic only, so the oracle is exact).
+    Expected counts keep a closed integer form: e_scaled = row_total *
+    col_total (over grand total N), and χ²·1e6 = Σ FLOOR((o*N -
+    rt*ct)² * 1e6 / (N * rt * ct)) — every term a FLOOR of an exact
+    integer ratio.  Plan: ONE (week,type) hash agg over events, two
+    tiny rollups broadcast back, per-week fold.  Output: per week the
+    scaled χ² and the dominant-excess type (packed argmax).
+    """
+    wt = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US * 24 * 7}) AS BIGINT) AS wk",
+            "event_type AS t",
+        )
+        .groupBy("wk", "t")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()  # tiny; three rollup branches
+    )
+    rt = wt.groupBy("wk").agg(F.sum("o").alias("rt"))
+    ct = wt.groupBy("t").agg(F.sum("o").alias("ct"))
+    nn = wt.agg(F.sum("o").alias("nn"))
+    cell = (
+        wt.join(F.broadcast(rt), "wk")
+        .join(F.broadcast(ct), "t")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "wk", "t", "o",
+            # (o*N - rt*ct)^2 * 1e6 / (N*rt*ct), floored per cell
+            "CAST(FLOOR((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE) "
+            "- CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) "
+            "* (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE) "
+            "- CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * 1000000.0 "
+            "/ (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) "
+            "* CAST(ct AS DOUBLE))) AS BIGINT) AS chi_part",
+            # signed excess o*N - rt*ct for the dominant-type argmax
+            "o * nn - rt * ct AS excess",
+        )
+    )
+    # packed argmax over excess: largest excess, smallest type
+    # lexicographically on ties via a deterministic type index
+    tidx = (
+        "CAST(instr('cepsv', substring(t, 1, 1)) AS BIGINT)"
+    )
+    return cell.groupBy("wk").agg(
+        F.sum("chi_part").alias("chisq_u"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max(F.expr(f"excess * 8 + (7 - {tidx})")).alias("packed"),
+    ).selectExpr(
+        "wk", "chisq_u", "n_types",
+        f"CAST(7 - (packed - FLOOR(packed / 8) * 8) AS BIGINT) AS top_tidx",
+    )
+
+
 QUERIES_R5 = {
     "bloom_filter_join": bloom_filter_join,
     "cms_heavy_hitters": cms_heavy_hitters,
@@ -2105,6 +2251,9 @@ QUERIES_R5 = {
     "route_interpolate": route_interpolate,
     "shortest_path_weighted": shortest_path_weighted,
     "cusum_changepoint": cusum_changepoint,
+    "phrase_search": phrase_search,
+    "events_trend": events_trend,
+    "drift_chisq": drift_chisq,
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "hll_distinct": hll_distinct,
