@@ -86,6 +86,14 @@ R5_EXTRAS = [
     "phrase_search",
     "events_trend",
     "drift_chisq",
+    "market_basket_brands",
+    "customer_rfm",
+    "bpe_merge_candidates",
+    "geohash_cells",
+    "contamination_check",
+    "dataset_mix_weights",
+    "vocab_oov_rate",
+    "hilbert_cells",
 ]
 
 HEADLINE = [

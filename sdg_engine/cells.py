@@ -334,3 +334,36 @@ def hex_center(hex_id: np.ndarray, size: float) -> tuple[np.ndarray, np.ndarray]
     x = size * (np.sqrt(3.0) * q + np.sqrt(3.0) / 2.0 * r)
     y = size * (1.5 * r)
     return x, y
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
+    """Hilbert-curve distance of integer grid points (xy→d, level bits
+    per axis) — the locality-preserving alternative to the Z-order
+    index that modern table formats offer for data clustering.
+
+    Classic quadrant-rotation recurrence (public algorithm, e.g.
+    Wikipedia "Hilbert curve"), vectorized across rows; the per-level
+    swap/flip state is why this kernel is numpy rather than a SQL step
+    chain on the Spark side: x' and y' each reference BOTH x and y, so
+    CollapseProject would double the inlined expression per level —
+    2^level blowup (CLAUDE.md gotcha 2).  The DuckDB oracle runs the
+    identical recurrence as a 15-layer single-reference CTE chain
+    (linear there — each layer materializes per row).
+    """
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    for k in range(level - 1, -1, -1):
+        s = np.int64(1) << k
+        rx = (x >> k) & 1
+        ry = (y >> k) & 1
+        # quad = (3*rx) XOR ry, spelled as arithmetic (oracle twin uses
+        # the same CASE — no engine-specific xor operator)
+        quad = np.where(rx == 0, np.where(ry == 0, 0, 1), np.where(ry == 1, 2, 3))
+        d += s * s * quad
+        # rotate: only when ry == 0 (flip when rx == 1, then swap)
+        flip = (ry == 0) & (rx == 1)
+        nx = np.where(ry == 0, np.where(flip, s - 1 - y, y), x)
+        ny = np.where(ry == 0, np.where(flip, s - 1 - x, x), y)
+        x, y = nx, ny
+    return d

@@ -923,7 +923,265 @@ FROM pk
 """
 
 
+MARKET_BASKET_BRANDS = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+nb AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY brand),
+no AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+pr AS (
+  SELECT x.brand AS a, y.brand AS b, COUNT(*) AS n_both
+  FROM ob x JOIN ob y ON x.o = y.o AND x.brand < y.brand
+  GROUP BY 1, 2
+)
+SELECT a AS brand_a, b AS brand_b, CAST(n_both AS BIGINT) AS n_both,
+  CAST(FLOOR(1000 * n_both / n_orders) AS BIGINT) AS support_milli,
+  CAST(FLOOR(1000.0 * CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+       / (CAST(na.n_brand AS DOUBLE) * CAST(nbb.n_brand AS DOUBLE))) AS BIGINT)
+    AS lift_milli
+FROM pr JOIN nb na ON na.brand = pr.a JOIN nb nbb ON nbb.brand = pr.b, no
+WHERE n_both >= 3
+"""
+
+
+# ROW_NUMBER twin of the two-level distributed rank: equal because
+# (metric, ck) is a total order and the Spark bucket ids are monotone
+# in the metric.
+CUSTOMER_RFM = """
+WITH per AS (
+  SELECT o_custkey AS ck,
+         MAX(CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT)) AS last_d,
+         COUNT(*) AS freq,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS mon
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT MAX(last_d) AS maxd FROM per),
+base AS (SELECT ck, maxd - last_d AS rec, freq, CAST(mon AS BIGINT) AS mon
+         FROM per, mx),
+nn AS (SELECT COUNT(*) AS n FROM base),
+rk AS (
+  SELECT ck, mon,
+         ROW_NUMBER() OVER (ORDER BY rec, ck) AS r_rank,
+         ROW_NUMBER() OVER (ORDER BY freq, ck) AS f_rank,
+         ROW_NUMBER() OVER (ORDER BY mon, ck) AS m_rank
+  FROM base
+),
+sc AS (
+  SELECT mon,
+         CAST(5 - (FLOOR(4 * (r_rank - 1) / n) + 1) AS BIGINT) AS r_score,
+         CAST(FLOOR(4 * (f_rank - 1) / n) + 1 AS BIGINT) AS f_score,
+         CAST(FLOOR(4 * (m_rank - 1) / n) + 1 AS BIGINT) AS m_score
+  FROM rk, nn
+)
+SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon) AS BIGINT) AS sum_cents
+FROM sc GROUP BY 1, 2, 3
+"""
+
+
+BPE_MERGE_CANDIDATES = """
+WITH words AS (
+  SELECT w, COUNT(*) AS wf FROM (
+    SELECT tk[u.i] AS w
+    FROM (SELECT string_split(text, ' ') AS tk FROM documents),
+         UNNEST(generate_series(1, len(tk))) AS u(i)
+  ) WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(g.i AS INT), 2) AS pair,
+         CAST(SUM(wf) AS BIGINT) AS cnt
+  FROM (SELECT w, wf FROM words WHERE length(w) >= 2),
+       UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+  GROUP BY 1
+),
+rk AS (SELECT pair, cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM pairs)
+SELECT CAST(rnk AS INT) AS rnk, pair, cnt FROM rk WHERE rnk <= 20
+"""
+
+
+def _geohash_cells_sql() -> str:
+    from .harness import PX, PY
+    from .sqlgen import chain_select, geohash_steps
+
+    base = (
+        f"SELECT o_orderkey AS point_id, {PX} AS lon, {PY} AS lat FROM orders"
+    )
+    enc = chain_select(
+        base, geohash_steps("lon", "lat", 6, "gh"), ["point_id", "gh", "gh_g"]
+    )
+    return f"""
+WITH enc AS ({enc})
+SELECT substring(gh, 1, 4) AS gh4, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_cells6,
+       CAST(SUM(gh_g) AS BIGINT) AS checksum
+FROM enc GROUP BY gh4
+"""
+
+
+CONTAMINATION_CHECK = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, CAST(g.i AS INT), CAST(g.i + 3 AS INT)), ' ') AS sh
+  FROM (SELECT doc_id, tk FROM tk WHERE len(tk) >= 4),
+       UNNEST(generate_series(1, len(tk) - 3)) AS g(i)
+),
+rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 256),
+shr AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+ev AS (SELECT doc_id AS eval_doc, sh FROM shr WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id AS train_doc, sh FROM shr WHERE doc_id % 97 <> 0)
+SELECT train_doc, eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (sh) GROUP BY 1, 2
+"""
+
+
+DATASET_MIX_WEIGHTS = """
+WITH src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w_m
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w_m) AS sw, SUM(n_docs) AS nd FROM src)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(FLOOR(1000000 * n_docs / nd) AS BIGINT) AS natural_ppm,
+       CAST(FLOOR(1000000 * w_m / sw) AS BIGINT) AS temperature_ppm
+FROM src, tot
+"""
+
+
+VOCAB_OOV_RATE = """
+WITH toks AS (
+  SELECT source, tk[u.i] AS w
+  FROM (SELECT source, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS u(i)
+  WHERE tk[u.i] <> ''
+),
+tw AS (SELECT source, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+wc AS (SELECT w, SUM(cnt) AS tot FROM tw GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY tot DESC, w) AS rnk FROM wc
+  ) WHERE rnk <= 1000
+)
+SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(FLOOR(1000000 * SUM(CASE WHEN vocab.w IS NULL THEN cnt ELSE 0 END)
+            / SUM(cnt)) AS BIGINT) AS oov_ppm
+FROM tw LEFT JOIN vocab ON vocab.w = tw.w
+GROUP BY source
+"""
+
+
+def _hilbert_cells_sql() -> str:
+    """15-layer single-reference CTE chain of the quadrant-rotation
+    recurrence — linear in DuckDB (each layer materializes per row);
+    the Spark side is the identical recurrence in numpy
+    (cells.hilbert_d) because CollapseProject would inline this chain
+    exponentially (x' and y' both reference x AND y)."""
+    from .harness import PX, PY
+    from .sqlgen import grid_index_expr
+
+    layers = [
+        f"l15 AS (SELECT o_orderkey AS point_id, "
+        f"{grid_index_expr(PX, 15)} AS x, {grid_index_expr(PY, 15)} AS y, "
+        f"CAST(0 AS BIGINT) AS d FROM orders)"
+    ]
+    prev = "l15"
+    for k in range(14, -1, -1):
+        s = 1 << k
+        layers.append(
+            f"""l{k} AS (
+  SELECT point_id,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+         ELSE x END AS x,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+         ELSE y END AS y,
+    d + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
+                        WHEN ry = 1 THEN 2 ELSE 3 END) AS d
+  FROM (SELECT point_id, x, y, d, (x >> {k}) & 1 AS rx, (y >> {k}) & 1 AS ry
+        FROM {prev}) t{k})"""
+        )
+        prev = f"l{k}"
+    with_sql = ",\n".join(layers)
+    return f"""
+WITH {with_sql}
+SELECT (d >> 18) AS hbucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(d) AS d_min, MAX(d) AS d_max, CAST(SUM(d) AS BIGINT) AS checksum
+FROM l0 GROUP BY 1
+"""
+
+
+# sequential 8-element folds — the kmeans oracle's proven
+# list_sum/list_transform twin of Spark's aggregate/zip_with
+_PQ_D2_SC = (
+    "list_sum(list_transform(generate_series(1, 8), "
+    "i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i])))"
+)
+_PQ_D2_QC = (
+    "list_sum(list_transform(generate_series(1, 8), "
+    "i -> (q.qsub[i] - c.cent[i]) * (q.qsub[i] - c.cent[i])))"
+)
+
+ANN_PQ_TOPK = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, ms.m AS m, list_slice(emb, ms.m * 8 + 1, ms.m * 8 + 8) AS sub
+  FROM emb, UNNEST(generate_series(0, 7)) AS ms(m)
+),
+cb1 AS (SELECT m, CAST(vec_id AS INT) AS code, sub AS cent
+        FROM sub WHERE vec_id < 16),
+d1 AS (SELECT s.vec_id, s.m, c.code, {_PQ_D2_SC} AS d2
+       FROM sub s JOIN cb1 c ON c.m = s.m),
+a1 AS (SELECT vec_id, m, code FROM (
+         SELECT vec_id, m, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2 ASC, code ASC) AS rn
+         FROM d1) r WHERE rn = 1),
+upd AS (SELECT a.m, a.code, ks.i AS pos, s.sub[ks.i] AS x
+        FROM a1 a JOIN sub s USING (vec_id, m),
+             UNNEST(generate_series(1, 8)) AS ks(i)),
+cb2d AS (SELECT m, code, pos, ROUND(AVG(x), 6) AS c
+         FROM upd GROUP BY 1, 2, 3),
+cb2 AS (SELECT m, code, list(c ORDER BY pos) AS cent FROM cb2d GROUP BY 1, 2),
+d2i AS (SELECT s.vec_id, s.m, c.code, {_PQ_D2_SC} AS d2
+        FROM sub s JOIN cb2 c ON c.m = s.m),
+codes AS (SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM d2i) r WHERE rn = 1),
+q AS (SELECT vec_id AS qid, m, sub AS qsub FROM sub WHERE vec_id % 100 = 0),
+lut AS (SELECT q.qid, q.m, c.code,
+               CAST(FLOOR({_PQ_D2_QC} * 1000000) AS BIGINT) AS d2u
+        FROM q JOIN cb2 c ON c.m = q.m),
+adc AS (SELECT l.qid, co.vec_id, CAST(SUM(d2u) AS BIGINT) AS ad2_u
+        FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
+        WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, ad2_u FROM (
+  SELECT qid, vec_id, ad2_u,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2_u ASC, vec_id ASC)
+           AS rnk
+  FROM adc) r WHERE rnk <= 5
+"""
+
+
 ORACLES_R5 = {
+    "ann_pq_topk": ANN_PQ_TOPK,
+    "contamination_check": CONTAMINATION_CHECK,
+    "dataset_mix_weights": DATASET_MIX_WEIGHTS,
+    "vocab_oov_rate": VOCAB_OOV_RATE,
+    "hilbert_cells": _hilbert_cells_sql(),
+    "market_basket_brands": MARKET_BASKET_BRANDS,
+    "customer_rfm": CUSTOMER_RFM,
+    "bpe_merge_candidates": BPE_MERGE_CANDIDATES,
+    "geohash_cells": _geohash_cells_sql(),
     "cusum_changepoint": CUSUM_CHANGEPOINT,
     "phrase_search": _phrase_search_sql(),
     "events_trend": EVENTS_TREND,

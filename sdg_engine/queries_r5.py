@@ -14,6 +14,7 @@ Registered into queries.QUERIES via QUERIES_R5.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2239,7 +2240,463 @@ def drift_chisq(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Market-basket lift, RFM segmentation, BPE merge step, geohash index
+# ---------------------------------------------------------------------------
+
+
+def market_basket_brands(spark, sf_dir):
+    """ASSOCIATION-RULE MINING (market basket): brand co-occurrence
+    within orders, scored by support and lift.  The baskets are the
+    distinct (order, brand) pairs; the pair join is an equi-join on
+    the order key whose fanout is bounded by the brand-vocabulary size
+    (≤ |brands|² pairs per order, |brands| = 25) — never all-pairs
+    across orders.  Brand totals and the order count ride back as
+    broadcast one-row/25-row aggregates (no eager count; the TF-IDF N
+    lesson).  lift·1000 = n_both · n_orders / (n_a · n_b), FLOORed —
+    counts only, so the oracle is exact.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .selectExpr("l_orderkey AS o", "p_brand AS brand")
+        .distinct()
+        .localCheckpoint()  # three consumers: brand counts, both pair sides
+    )
+    nb = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    n_orders = ob.agg(F.countDistinct("o").alias("n_orders"))
+    pairs = (
+        ob.selectExpr("o", "brand AS a")
+        .join(ob.selectExpr("o", "brand AS b"), "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(F.broadcast(nb.selectExpr("brand AS a", "n_brand AS n_a")), "a")
+        .join(F.broadcast(nb.selectExpr("brand AS b", "n_brand AS n_b")), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_both") >= 3)
+        .selectExpr(
+            "a AS brand_a",
+            "b AS brand_b",
+            "n_both",
+            "CAST(FLOOR(1000 * n_both / n_orders) AS BIGINT) AS support_milli",
+            "CAST(FLOOR(1000.0 * CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT) AS lift_milli",
+        )
+    )
+
+
+def _rank2(base, col: str, bucket_expr: str):
+    """Exact global rank of ``col`` (tie-break: ck) WITHOUT a global
+    sort: rank within value-range buckets in parallel, then a tiny
+    bucket-count prefix window broadcast back (the pack_sequences
+    two-level trick).  Identical to ROW_NUMBER() OVER (ORDER BY col,
+    ck) because bucket ids are monotone in ``col``."""
+    b = base.selectExpr("ck", col, f"{bucket_expr} AS _b")
+    wb = Window.partitionBy("_b").orderBy(col, "ck")
+    local = b.withColumn("_rn", F.row_number().over(wb).cast("long"))
+    btot = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_bt"))
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wo), F.lit(0)).cast("long")
+    ).select("_b", "_off")
+    return local.join(F.broadcast(offs), "_b").selectExpr(
+        "ck", "_rn + _off AS rank"
+    )
+
+
+def customer_rfm(spark, sf_dir):
+    """RFM SEGMENTATION: per-customer Recency / Frequency / Monetary
+    quartile scores, aggregated to segment counts.  Quartiles come
+    from EXACT global ranks — computed distributed (two-level bucket
+    rank, never a single-partition window over customers) — with the
+    closed formula score = FLOOR(4·(rank−1)/n)+1, which both engines
+    evaluate identically (the oracle uses a plain ROW_NUMBER; the
+    two forms are equal because (metric, ck) is a total order).
+    Monetary sums fold as BIGINT cents (gotcha 8).
+    """
+    od = _t(spark, sf_dir, "orders")
+    day = (
+        "CAST(FLOOR(unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+        "/ 86400000000) AS BIGINT)"
+    )
+    per = (
+        od.selectExpr(
+            "o_custkey AS ck",
+            f"{day} AS d",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("ck")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("mon"),
+        )
+    )
+    maxd = per.agg(F.max("last_d").alias("maxd"))
+    base = (
+        per.crossJoin(F.broadcast(maxd))
+        .selectExpr("ck", "maxd - last_d AS rec", "freq", "mon")
+        .localCheckpoint()  # four consumers: n + three rank passes
+    )
+    n_df = base.agg(F.count(F.lit(1)).alias("n"))
+    rr = _rank2(base, "rec", "CAST(FLOOR(rec / 64) AS BIGINT)").selectExpr(
+        "ck", "rank AS r_rank"
+    )
+    fr = _rank2(base, "freq", "CAST(FLOOR(freq / 4) AS BIGINT)").selectExpr(
+        "ck", "rank AS f_rank"
+    )
+    mr = _rank2(base, "mon", "CAST(FLOOR(mon / 1048576) AS BIGINT)").selectExpr(
+        "ck", "rank AS m_rank"
+    )
+    scored = (
+        base.join(rr, "ck")
+        .join(fr, "ck")
+        .join(mr, "ck")
+        .crossJoin(F.broadcast(n_df))
+        .selectExpr(
+            "mon",
+            # recency: most recent (small rec, low rank) = best score 4
+            "CAST(5 - (FLOOR(4 * (r_rank - 1) / n) + 1) AS BIGINT) AS r_score",
+            "CAST(FLOOR(4 * (f_rank - 1) / n) + 1 AS BIGINT) AS f_score",
+            "CAST(FLOOR(4 * (m_rank - 1) / n) + 1 AS BIGINT) AS m_score",
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon").alias("sum_cents"),
+    )
+
+
+def bpe_merge_candidates(spark, sf_dir):
+    """BPE TRAINING STEP (tokenizer induction): the first
+    byte-pair-merge iteration — count every adjacent character pair
+    weighted by word frequency, report the top-20 merge candidates.
+    DEDUP-BEFORE-QUADRATIC (the fuzzy-join lesson): pair explosion
+    runs over the VOCABULARY (distinct words × their length), not the
+    corpus — the corpus pass is one word-count agg.  The pair explode
+    is `explode(sequence)` + a codegen'd substring projection, never
+    an interpreted transform() lambda (gotcha 16b).  The final top-20
+    window runs over the pair table, bounded by |charset|² rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.selectExpr("explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .selectExpr("w", "wf", "explode(sequence(1, length(w) - 1)) AS i")
+        .selectExpr("substring(w, i, 2) AS pair", "wf")
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter("rnk <= 20")
+        .select("rnk", "pair", "cnt")
+    )
+
+
+def geohash_cells(spark, sf_dir):
+    """GEOHASH cell index (the third index family beside Z-order
+    quadtree and hex): standard base-32 geohash at precision 6 over
+    the synthetic order points, rolled up by 4-char prefix — the
+    string-prefix containment property (cell p+1 strings extend cell
+    p's) is what makes geohash a useful clustering/bucketing key, and
+    the rollup exercises it.  Pure codegen projection (shared
+    sqlgen.geohash_steps fragments) + one hash agg — zero joins.
+    """
+    from .harness import PX, PY
+    from .sqlgen import apply_steps, geohash_steps
+
+    pts = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS point_id", f"{PX} AS lon", f"{PY} AS lat"
+    )
+    steps = geohash_steps("lon", "lat", 6, "gh")
+    enc = apply_steps(pts, steps)
+    return (
+        enc.selectExpr("substring(gh, 1, 4) AS gh4", "gh", "gh_g")
+        .groupBy("gh4")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("gh").alias("n_cells6"),
+            F.sum("gh_g").alias("checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination, mixture reweighting, vocab coverage, Hilbert index
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(spark, sf_dir):
+    """TRAIN/EVAL DECONTAMINATION (the GPT-3-style n-gram collision
+    scan): documents whose id ≡ 0 (mod 97) stand in for the held-out
+    benchmark; any train document sharing ≥2 distinct 8-token
+    shingles with an eval document is flagged.  Scale shape: the eval
+    side is benchmark-sized by nature → broadcast; shingles with
+    corpus document-frequency > 256 are dropped BEFORE the join
+    (non-discriminative boilerplate — standard decontamination
+    practice, and the explicit worst-bucket bound; mirrored in the
+    oracle so the bound is semantics, not a silent cap).
+    """
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS tk"
+    )
+    sh = (
+        docs.filter("size(tk) >= 4")
+        .selectExpr("doc_id", "tk", "explode(sequence(1, size(tk) - 3)) AS i")
+        .selectExpr("doc_id", "concat_ws(' ', slice(tk, i, 4)) AS sh")
+        .distinct()
+        .localCheckpoint()  # three consumers: df bound + both join sides
+    )
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter("df <= 256")
+        .select("sh")
+    )
+    shr = sh.join(rare, "sh")
+    ev = shr.filter("doc_id % 97 = 0").selectExpr("doc_id AS eval_doc", "sh")
+    tr = shr.filter("doc_id % 97 <> 0").selectExpr("doc_id AS train_doc", "sh")
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def dataset_mix_weights(spark, sf_dir):
+    """DATASET MIXTURE REWEIGHTING (temperature sampling, α = 0.5):
+    per-source sampling shares ∝ sqrt(n_docs) — the standard move that
+    up-weights small high-quality sources when composing a training
+    mix.  sqrt is IEEE-exact, but the CROSS-SOURCE sum is quantized to
+    integer millionths BEFORE folding (gotcha 8: a multi-row double
+    sum would expose fold order), so both engines add the same BIGINTs.
+    One map-side-combined agg over documents; everything after is
+    source-cardinality-sized.
+    """
+    src = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("source", "size(split(text, ' ')) AS nt")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+        .withColumn(
+            "w_m",
+            F.expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"),
+        )
+        .localCheckpoint()  # tiny; summed and re-joined
+    )
+    tot = src.agg(
+        F.sum("w_m").alias("sw"), F.sum("n_docs").alias("nd")
+    )
+    return src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "CAST(FLOOR(1000000 * n_docs / nd) AS BIGINT) AS natural_ppm",
+        "CAST(FLOOR(1000000 * w_m / sw) AS BIGINT) AS temperature_ppm",
+    )
+
+
+def vocab_oov_rate(spark, sf_dir):
+    """TOKENIZER COVERAGE: out-of-vocabulary token rate per source
+    against the corpus' own top-1000 word vocabulary — the question a
+    tokenizer/vocab choice gets asked before training.  The vocabulary
+    ranking window runs over the word-count table (vocabulary-sized,
+    never the corpus) and broadcasts back; OOV mass is a left join
+    whose misses count, all token math in BIGINT.
+    """
+    tw = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("source", "explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds both the vocab ranking and the probe
+    )
+    wc = tw.groupBy("w").agg(F.sum("cnt").alias("tot"))
+    w_rank = Window.orderBy(F.col("tot").desc(), F.col("w").asc())
+    vocab = (
+        wc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter("rnk <= 1000")
+        .select("w")
+    )
+    probed = tw.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "w", "left"
+    )
+    return probed.groupBy("source").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.sum(F.expr("CASE WHEN in_v IS NULL THEN cnt ELSE 0 END")).alias(
+            "oov_tokens"
+        ),
+        F.expr(
+            "CAST(FLOOR(1000000 * SUM(CASE WHEN in_v IS NULL THEN cnt ELSE 0 END)"
+            " / SUM(cnt)) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )
+
+
+def hilbert_cells(spark, sf_dir):
+    """HILBERT-CURVE cell index (xy→d at 15 bits/axis) over the
+    synthetic order points — the locality-preserving alternative to
+    Z-order that modern table formats offer for file clustering,
+    rolled up by curve-range bucket (d >> 18).  The quadrant-rotation
+    recurrence cannot be a Spark SQL step chain: x' and y' each
+    reference BOTH x and y, so CollapseProject doubles the inlined
+    expression per level — 2^15 blowup (gotcha 2).  It runs as an
+    Arrow-vectorized pandas UDF over the pre-quantized integer grid
+    (cells.hilbert_d, ~10⁸ rows/s of numpy bitops); the DuckDB oracle
+    runs the IDENTICAL recurrence as a 15-layer single-reference CTE
+    chain (linear per row there).  Null-masking is moot (grid indices
+    are non-null by construction) and the UDF input is two int64
+    columns — payload bytes never reach Python.
+    """
+    from .harness import PX, PY
+    from .sqlgen import grid_index_expr
+
+    @F.pandas_udf("long")
+    def _hd(x: pd.Series, y: pd.Series) -> pd.Series:
+        from sdg_engine.cells import hilbert_d
+
+        return pd.Series(hilbert_d(x.to_numpy(), y.to_numpy(), 15))
+
+    pts = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS point_id",
+        f"{grid_index_expr(PX, 15)} AS xi",
+        f"{grid_index_expr(PY, 15)} AS yi",
+    )
+    enc = pts.withColumn("hd", _hd("xi", "yi"))
+    return (
+        enc.selectExpr("(hd >> 18) AS hbucket", "hd")
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("hd").alias("d_min"),
+            F.max("hd").alias("d_max"),
+            F.sum("hd").alias("checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (the Faiss-style compressed-domain scan)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64 dims / 8)
+_PQ_K = 16  # centroids per subspace
+_PQ_TOPK = 5
+
+# sequential squared-L2 folds (the proven kmeans/ANN parity pattern:
+# aggregate/zip_with here, list_sum/list_transform in DuckDB — both
+# fold left-to-right over 8 elements)
+_PQ_D2_DB = (
+    "aggregate(zip_with(sub, cent, (x, c) -> (x - c) * (x - c)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PQ_D2_Q = (
+    "aggregate(zip_with(qsub, cent, (x, c) -> (x - c) * (x - c)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def ann_pq_topk(spark, sf_dir):
+    """PRODUCT-QUANTIZATION ANN (the Faiss-style compressed-domain
+    scan — the vector-search scale path beyond LSH/IVF): 64-dim
+    embeddings split into 8 subspaces of 8 dims; a 16-centroid
+    codebook per subspace (deterministic seeds = vec_id 0..15, one
+    Lloyd update — the kmeans_embeddings recipe per subspace); every
+    vector encodes to 8 nibbles.  Queries (vec_id ≡ 0 mod 100) build
+    an 8×16 distance LUT and the database scan is a BROADCAST
+    LUT equi-join on (subspace, code) + a BIGINT sum — the asymmetric
+    distance computation, no float folds across rows (per-cell d2 is
+    FLOORed to integer micros first, gotcha 8).  At 100 TB the codes
+    table is 8 bytes/vector, codebooks broadcast, and the ADC scan is
+    one map-side-combined agg per query batch — exactly the
+    IVF-ADC shape.  Centroid updates ROUND(avg, 6) in both engines
+    (full-mantissa values ⇒ no boundary ties; kmeans precedent).
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb")
+    )
+    sub = (
+        emb.selectExpr(
+            "vec_id", "emb", f"explode(sequence(0, {_PQ_M - 1})) AS m"
+        )
+        .selectExpr("vec_id", "m", "slice(emb, m * 8 + 1, 8) AS sub")
+        .localCheckpoint()  # five consumers: seeds, 2 assigns, update, queries
+    )
+    cb1 = sub.filter(f"vec_id < {_PQ_K}").selectExpr(
+        "m", "CAST(vec_id AS INT) AS code", "sub AS cent"
+    )
+
+    def assign(cb):
+        return (
+            sub.join(F.broadcast(cb), "m")
+            .withColumn("_d2", F.expr(_PQ_D2_DB))
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("_d2", "code")).alias("_mn"))
+            .selectExpr("vec_id", "m", "_mn.code AS code")
+        )
+
+    cb2 = (
+        assign(cb1)
+        .join(sub, ["vec_id", "m"])
+        .selectExpr("m", "code", "posexplode(sub) AS (pos, x)")
+        .groupBy("m", "code", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("m", "code")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, c))), s -> s.c)"
+            ).alias("cent")
+        )
+        .localCheckpoint()  # tiny (128 rows); feeds encode + LUT
+    )
+    codes = assign(cb2)
+    q = sub.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id AS qid", "m", "sub AS qsub"
+    )
+    lut = (
+        q.join(cb2, "m")
+        .withColumn("_d2q", F.expr(_PQ_D2_Q))
+        .selectExpr(
+            "qid", "m", "code",
+            "CAST(FLOOR(_d2q * 1000000) AS BIGINT) AS d2u",
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter("vec_id <> qid")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2u").alias("ad2_u"))
+    )
+    w = Window.partitionBy("qid").orderBy("ad2_u", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(f"rnk <= {_PQ_TOPK}")
+        .select("qid", "rnk", "vec_id", "ad2_u")
+    )
+
+
 QUERIES_R5 = {
+    "ann_pq_topk": ann_pq_topk,
+    "contamination_check": contamination_check,
+    "dataset_mix_weights": dataset_mix_weights,
+    "vocab_oov_rate": vocab_oov_rate,
+    "hilbert_cells": hilbert_cells,
+    "market_basket_brands": market_basket_brands,
+    "customer_rfm": customer_rfm,
+    "bpe_merge_candidates": bpe_merge_candidates,
+    "geohash_cells": geohash_cells,
     "bloom_filter_join": bloom_filter_join,
     "cms_heavy_hitters": cms_heavy_hitters,
     "kmv_set_similarity": kmv_set_similarity,

@@ -166,6 +166,59 @@ def hex_cell_steps(px: str, py: str, size: float, out: str = "hex_id") -> list[t
     ]
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_steps(px: str, py: str, precision: int = 6, out: str = "gh") -> list[tuple[str, str]]:
+    """Standard base-32 geohash of a (lon, lat) point — the third cell
+    index family beside the Z-order quadtree and the axial hex grid.
+
+    The classic bisection encode is equivalent to fixed-point
+    quantization + bit interleave: with ``5·precision`` total bits the
+    longitude takes the even stream positions starting at the MSB, so
+    ``g = Σ_k xi_k·2^(2k+1) | yi_k·2^(2k)`` for 15-bit xi/yi at
+    precision 6, then each 5-bit chunk of ``g`` indexes the public
+    geohash alphabet.  All fragments are shared-text integer ops
+    (FLOOR / LEAST / GREATEST / ``>> & |``) so Spark and DuckDB agree
+    exactly; the 5-bit chunks become their OWN step columns because a
+    ``>>`` inside a function-call argument list fails to parse in
+    Spark (CLAUDE.md gotcha 7).  Linear-size interleave — ``xi``/``yi``
+    appear once per bit, never self-referencing (gotcha 2).
+    """
+    assert precision % 2 == 0, "odd precisions split bits unevenly"
+    nbits = 5 * precision // 2  # per-axis bits (15 at precision 6)
+    n = 1 << nbits
+    p = out
+    xi, yi = f"{p}_xi", f"{p}_yi"
+
+    def _quant(coord: str, lo: int, span: int) -> str:
+        return (
+            f"CAST(LEAST(GREATEST(FLOOR((({coord}) + CAST({-lo} AS DOUBLE)) "
+            f"/ CAST({span} AS DOUBLE) * CAST({n} AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE)), CAST({n - 1} AS DOUBLE)) AS BIGINT)"
+        )
+
+    inter = " | ".join(
+        f"((({xi}) >> {k} & 1) << {2 * k + 1}) | ((({yi}) >> {k} & 1) << {2 * k})"
+        for k in range(nbits)
+    )
+    steps = [
+        (xi, _quant(px, -180, 360)),
+        (yi, _quant(py, -90, 180)),
+        (f"{p}_g", f"({inter})"),
+    ]
+    chunk_cols = []
+    for j in range(precision):
+        shift = 5 * (precision - 1 - j)
+        steps.append((f"{p}_c{j}", f"((({p}_g) >> {shift}) & 31)"))
+        chunk_cols.append(f"{p}_c{j}")
+    chars = ", ".join(
+        f"substring('{GEOHASH_ALPHABET}', CAST({c} + 1 AS INT), 1)" for c in chunk_cols
+    )
+    steps.append((out, f"concat({chars})"))
+    return steps
+
+
 def pip_crossing_expr(px: str, py: str, x0: str, y0: str, x1: str, y1: str) -> str:
     """J2: 1 if the +x ray from (px,py) crosses edge (x0,y0)-(x1,y1).
 
