@@ -94,6 +94,10 @@ R5_EXTRAS = [
     "dataset_mix_weights",
     "vocab_oov_rate",
     "hilbert_cells",
+    "ann_pq_topk",
+    "link_prediction_roads",
+    "spatial_dbscan",
+    "snapshot_zone_map",
 ]
 
 HEADLINE = [

@@ -1172,7 +1172,20 @@ SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, ad2_u FROM (
 """
 
 
+# the pinned 2/10 file counts are deterministic by construction: ten
+# 50-wide doc_id ranges, one file each; [120, 180] intersects exactly
+# the [100,150) and [150,200) zones
+SNAPSHOT_ZONE_MAP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(2 AS INT) AS files_scanned, CAST(10 AS INT) AS files_total
+FROM documents WHERE doc_id BETWEEN 120 AND 180
+GROUP BY lang
+"""
+
+
 ORACLES_R5 = {
+    "snapshot_zone_map": SNAPSHOT_ZONE_MAP,
     "ann_pq_topk": ANN_PQ_TOPK,
     "contamination_check": CONTAMINATION_CHECK,
     "dataset_mix_weights": DATASET_MIX_WEIGHTS,
@@ -1476,7 +1489,81 @@ SELECT g.country_code, n.n_points, g.n_hull, g.area_mils
 FROM read_parquet('{gdir}/hull_sf0.01.parquet') g
 JOIN n USING (country_code)
 """
-    return {"roads_simplify_dp": dp, "image_hillshade": hill,
+    # link_prediction_roads: identical und/deg/wedge construction with
+    # the same deg<=32 hub bound and FLOOR(1e6/deg) BIGINT RA terms.
+    lp = f"""
+WITH nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+             FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM ab WHERE a <> b),
+deg AS (SELECT nd, COUNT(*) AS deg FROM (
+          SELECT u AS nd FROM und UNION ALL SELECT v AS nd FROM und)
+        GROUP BY nd),
+nbr AS (SELECT u AS z, v AS nb FROM und
+        UNION ALL SELECT v AS z, u AS nb FROM und),
+nbrs AS (SELECT nbr.z, nbr.nb, deg.deg AS degz
+         FROM nbr JOIN deg ON deg.nd = nbr.z WHERE deg.deg <= 32),
+pairs AS (SELECT x.z, x.degz, x.nb AS a, y.nb AS b
+          FROM nbrs x JOIN nbrs y ON y.z = x.z AND x.nb < y.nb),
+cand AS (SELECT pairs.* FROM pairs
+         WHERE NOT EXISTS (SELECT 1 FROM und
+                           WHERE und.u = pairs.a AND und.v = pairs.b))
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(CAST(FLOOR(1000000 / degz) AS BIGINT)) AS BIGINT) AS ra_u
+FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+    # spatial_dbscan: identical quantization fragments; reachability
+    # min via a pruned recursive CTE (labels only propagate downhill —
+    # the component min passes every check, so MIN(lab) is exact).
+    from .queries_r5 import _DB_IX, _DB_IY, _DB_MINPTS
+
+    dbscan = f"""
+WITH v AS (SELECT u.c.x AS x, u.c.y AS y
+           FROM read_parquet('{roads_pq}'), UNNEST(coords) AS u(c)),
+g AS (SELECT {_DB_IX} AS ix, {_DB_IY} AS iy FROM v),
+cells AS (SELECT ix, iy, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+ncn AS (SELECT c.ix, c.iy, c.cnt, SUM(o.cnt) AS nc
+        FROM cells c JOIN cells o
+          ON ABS(o.ix - c.ix) <= 1 AND ABS(o.iy - c.iy) <= 1
+        GROUP BY 1, 2, 3),
+core AS (SELECT ix, iy, ix * 4096 + iy AS k, cnt
+         FROM ncn WHERE nc >= {_DB_MINPTS}),
+adj AS (SELECT a.k AS ka, b.k AS kb FROM core a JOIN core b
+        ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1 AND a.k <> b.k),
+w AS (
+  WITH RECURSIVE t(cell, lab) AS (
+    SELECT k, k FROM core
+    UNION
+    SELECT adj.kb, t.lab FROM t JOIN adj ON adj.ka = t.cell
+    WHERE t.lab < adj.kb
+  ) SELECT cell, MIN(lab) AS label FROM t GROUP BY cell
+),
+core_lab AS (SELECT w.label, core.cnt, core.k, CAST(1 AS BIGINT) AS is_core
+             FROM core JOIN w ON w.cell = core.k),
+noncore AS (SELECT c.ix, c.iy, c.cnt FROM cells c
+            WHERE NOT EXISTS (SELECT 1 FROM core
+                              WHERE core.ix = c.ix AND core.iy = c.iy)),
+battach AS (
+  SELECT n.ix * 4096 + n.iy AS k, MAX(n.cnt) AS cnt,
+         MIN(w.label) AS label, CAST(0 AS BIGINT) AS is_core
+  FROM noncore n JOIN core
+    ON ABS(core.ix - n.ix) <= 1 AND ABS(core.iy - n.iy) <= 1
+  JOIN w ON w.cell = core.k
+  GROUP BY 1
+),
+allc AS (SELECT label, cnt, k, is_core FROM core_lab
+         UNION ALL SELECT label, cnt, k, is_core FROM battach)
+SELECT label AS cluster_id, CAST(SUM(is_core) AS BIGINT) AS n_core,
+       CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+       CAST(SUM(cnt) AS BIGINT) AS n_points,
+       CAST(SUM(k) AS BIGINT) AS checksum
+FROM allc GROUP BY 1
+"""
+    return {"link_prediction_roads": lp,
+            "spatial_dbscan": dbscan,
+            "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,

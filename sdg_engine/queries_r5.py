@@ -2687,7 +2687,242 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+def link_prediction_roads(spark, sf_dir):
+    """GRAPH LINK PREDICTION on the quantized road graph: the
+    resource-allocation index RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z)
+    for non-adjacent pairs — RA is the log-free cousin of Adamic-Adar
+    (integer-exact as FLOOR(10⁶/deg) BIGINT sums, gotcha 8).  Wedges
+    enumerate per common-neighbor z with an explicit hub bound
+    (deg(z) ≤ 32, mirrored in the oracle — high-degree hubs contribute
+    ≤ 1/33 each and are exactly the quadratic blowup at scale, the
+    standard LP truncation); existing edges leave via a left-anti
+    equi-join.  Same und/deg construction as triangle_count_roads.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = (
+        roads.selectExpr(f"transform(coords, c -> {node}) AS nds")
+        .selectExpr(
+            "explode(transform(sequence(1, size(nds) - 1), "
+            "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+        )
+        .select("e.a", "e.b")
+    )
+    und = (
+        segs.selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # deg + wedge sides + anti-join probe
+    )
+    deg = (
+        und.selectExpr("u AS nd")
+        .unionAll(und.selectExpr("v AS nd"))
+        .groupBy("nd")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nbr = und.selectExpr("u AS z", "v AS nb").unionAll(
+        und.selectExpr("v AS z", "u AS nb")
+    )
+    z_ok = deg.filter("deg <= 32").selectExpr("nd AS z", "deg AS degz")
+    nbrs = nbr.join(z_ok, "z").localCheckpoint()  # both wedge sides
+    pairs = (
+        nbrs.selectExpr("z", "degz", "nb AS a")
+        .join(nbrs.selectExpr("z", "nb AS b"), "z")
+        .filter("a < b")
+    )
+    cand = pairs.join(
+        und.selectExpr("u AS a", "v AS b"), ["a", "b"], "left_anti"
+    )
+    return (
+        cand.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("CAST(FLOOR(1000000 / degz) AS BIGINT)")).alias(
+                "ra_u"
+            ),
+        )
+        .filter("n_common >= 2")
+    )
+
+
+# grid-DBSCAN shared fragments (identical text in the DuckDB oracle)
+_DB_N = 128  # level-7 grid over the 0..10 world
+_DB_MINPTS = 25
+_DB_IX = "CAST(LEAST(GREATEST(FLOOR(x / 10.0 * 128), 0), 127) AS BIGINT)"
+_DB_IY = "CAST(LEAST(GREATEST(FLOOR(y / 10.0 * 128), 0), 127) AS BIGINT)"
+
+
+def _components_jump(edges, verts_k, max_iter: int = 12):
+    """Min-label connected components WITH POINTER JUMPING:
+    label ← min(label, min-neighbor-label), then label ← label(label).
+    The jump halves the remaining label-tree depth each round, so
+    convergence is O(log diameter) instead of O(diameter) — road
+    corridors form chain-shaped components whose diameter would cost
+    one join round per cell under plain propagation
+    (connected_components), but 12 jump rounds cover diameter 2^12.
+    Same persisted-frontier discipline (gotcha 15); converge-or-raise
+    like the plain variant.
+    """
+    und = edges.unionByName(
+        edges.selectExpr("dst AS src", "src AS dst")
+    ).localCheckpoint()
+    labels = verts_k.selectExpr("k AS v", "k AS label").localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und.src == labels.v)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        stepped = (
+            labels.join(nbr, labels.v == nbr.dst, "left")
+            .selectExpr("v", "LEAST(label, COALESCE(nl, label)) AS label")
+            .localCheckpoint()
+        )
+        j = stepped.selectExpr("v AS lv", "label AS l2")
+        jumped = (
+            stepped.join(j, stepped.label == j.lv)
+            .selectExpr("v", "LEAST(label, l2) AS label")
+            .localCheckpoint()
+        )
+        done = (
+            jumped.join(labels.selectExpr("v", "label AS old"), "v")
+            .filter("label < old")
+            .isEmpty()
+        )
+        labels = jumped
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            f"_components_jump did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
+def spatial_dbscan(spark, sf_dir):
+    """DENSITY-BASED CLUSTERING (grid DBSCAN) over road vertices:
+    level-7 cells are core when their 3×3 neighborhood holds ≥ 25
+    vertices; clusters are 8-adjacency components of core cells
+    (pointer-jumped min-label, O(log diameter) rounds); non-core
+    cells adjacent to a cluster attach as border cells (min label —
+    deterministic, the classic DBSCAN border rule).  Every stage is a
+    bounded equi-join on cell keys: neighborhood sums and adjacency
+    both come from a 9-offset explode, never a distance join.  Oracle:
+    identical fragments + a pruned recursive-CTE reachability min.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    g = roads.selectExpr("explode(coords) AS c").selectExpr(
+        "c.x AS x", "c.y AS y"
+    ).selectExpr(f"{_DB_IX} AS ix", f"{_DB_IY} AS iy")
+    cells = (
+        g.groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # contributes to nc, core, and border sides
+    )
+    contrib = cells.selectExpr(
+        "ix", "iy", "cnt", "explode(sequence(0, 8)) AS o"
+    ).selectExpr(
+        "ix + (o % 3) - 1 AS tx",
+        "iy + CAST(FLOOR(o / 3) AS BIGINT) - 1 AS ty",
+        "cnt",
+    )
+    nc = contrib.groupBy("tx", "ty").agg(F.sum("cnt").alias("nc"))
+    core = (
+        cells.join(
+            nc, (cells.ix == nc.tx) & (cells.iy == nc.ty)
+        )
+        .filter(f"nc >= {_DB_MINPTS}")
+        .selectExpr("ix", "iy", "ix * 4096 + iy AS k", "cnt")
+        .localCheckpoint()  # adjacency probe + labels + rollup
+    )
+    probe = (
+        core.selectExpr("k", "ix", "iy", "explode(sequence(0, 8)) AS o")
+        .filter("o <> 4")
+        .selectExpr(
+            "k AS src",
+            "(ix + (o % 3) - 1) * 4096 "
+            "+ (iy + CAST(FLOOR(o / 3) AS BIGINT) - 1) AS dst",
+        )
+    )
+    edges = probe.join(core.selectExpr("k AS dst"), "dst").select("src", "dst")
+    labels = _components_jump(edges, core.select("k"))
+    core_lab = core.join(labels, core.k == labels.v).selectExpr(
+        "label", "cnt", "k", "CAST(1 AS BIGINT) AS is_core"
+    )
+    noncore = cells.join(core.select("ix", "iy"), ["ix", "iy"], "left_anti")
+    battach = (
+        noncore.selectExpr(
+            "ix", "iy", "cnt", "explode(sequence(0, 8)) AS o"
+        )
+        .filter("o <> 4")
+        .selectExpr(
+            "ix * 4096 + iy AS k",
+            "cnt",
+            "(ix + (o % 3) - 1) * 4096 "
+            "+ (iy + CAST(FLOOR(o / 3) AS BIGINT) - 1) AS nk",
+        )
+        .join(labels.selectExpr("v AS nk", "label"), "nk")
+        .groupBy("k")
+        .agg(F.min("label").alias("label"), F.max("cnt").alias("cnt"))
+        .selectExpr("label", "cnt", "k", "CAST(0 AS BIGINT) AS is_core")
+    )
+    allc = core_lab.unionByName(battach)
+    return allc.groupBy("label").agg(
+        F.sum("is_core").alias("n_core"),
+        F.sum(F.expr("1 - is_core")).alias("n_border"),
+        F.sum("cnt").alias("n_points"),
+        F.sum("k").alias("checksum"),
+    ).selectExpr("label AS cluster_id", "n_core", "n_border", "n_points", "checksum")
+
+
+def snapshot_zone_map(spark, sf_dir):
+    """ZONE-MAP DATA SKIPPING on the snapshot shim (Iceberg manifest
+    lower/upper bounds): ten doc_id-range appends commit per-file
+    min/max footer stats into the manifest; a range read
+    (doc_id ∈ [120, 180]) then opens EXACTLY the two files whose zones
+    intersect — 2 of 10, pinned in the output — and applies the
+    row-level residual.  This is the scan-avoidance half of the 100 TB
+    story: the manifest prunes files before Spark plans the scan, so
+    a selective query touches data proportional to selectivity, not
+    table size.  Oracle: the same aggregate relationally + the pinned
+    file counts (any pruning bug either reads a wrong file set or
+    flips the aggregate).
+    """
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot_pruned, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'zonemap_')}/tbl"
+    for k in range(10):
+        write_snapshot(
+            docs.filter(
+                (F.col("doc_id") >= k * 50) & (F.col("doc_id") < (k + 1) * 50)
+            ).coalesce(1),
+            path,
+            mode="append",
+            stats_cols=["doc_id"],
+        )
+    pruned, n_scan, n_tot = read_snapshot_pruned(spark, path, "doc_id", 120, 180)
+    return (
+        pruned.filter("doc_id BETWEEN 120 AND 180")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("files_scanned", F.lit(n_scan).cast("int"))
+        .withColumn("files_total", F.lit(n_tot).cast("int"))
+    )
+
+
 QUERIES_R5 = {
+    "snapshot_zone_map": snapshot_zone_map,
+    "spatial_dbscan": spatial_dbscan,
+    "link_prediction_roads": link_prediction_roads,
     "ann_pq_topk": ann_pq_topk,
     "contamination_check": contamination_check,
     "dataset_mix_weights": dataset_mix_weights,

@@ -199,7 +199,88 @@ def _merge_schema(parent_json: dict | None, new_schema) -> dict:
     return StructType(out).jsonValue()
 
 
-def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+def _file_stats(data_dir: str, cols: list[str]) -> list[dict]:
+    """Per-data-file column min/max ZONE MAPS from the parquet footers
+    (file-level metadata only — exactly what an Iceberg manifest's
+    lower_bounds/upper_bounds carry).  Driver-side by design: the
+    commit path already owns the file listing, and footer reads are
+    O(files), not O(rows).  A column missing stats in any row group is
+    simply not recorded for that file (⇒ the file is never pruned —
+    fail-open, the only safe direction for data skipping)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
+        stats: dict = {}
+        complete: dict = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                nm = col.path_in_schema
+                if nm not in cols:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max or isinstance(st.min, bytes):
+                    complete[nm] = False
+                    continue
+                complete.setdefault(nm, True)
+                cur = stats.get(nm)
+                if cur is None:
+                    stats[nm] = [st.min, st.max]
+                else:
+                    stats[nm] = [min(cur[0], st.min), max(cur[1], st.max)]
+        out.append({
+            "file": name,
+            "rows": md.num_rows,
+            "stats": {k: v for k, v in stats.items() if complete.get(k)},
+        })
+    return out
+
+
+def read_snapshot_pruned(spark: SparkSession, path: str, col: str,
+                         lo, hi, as_of: int | None = None):
+    """ZONE-MAP data skipping: read snapshot ``as_of`` touching only
+    the data files whose [min, max] for ``col`` intersects [lo, hi]
+    (closed interval) — the manifest-level file pruning a real Iceberg
+    reader does before the scan ever starts.  Files without committed
+    stats for ``col`` are always read (fail-open).  Returns
+    ``(df, files_scanned, files_total)``; the caller still applies the
+    row-level residual predicate (zone maps prune FILES, not rows).
+    """
+    import os
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots at {path}")
+    snap_id = hist[-1] if as_of is None else as_of
+    m = _read_manifest(path, snap_id)
+    files_map = m.get("files") or {}
+    keep: list[str] = []
+    total = 0
+    for d in m["dirs"]:
+        entries = files_map.get(d)
+        if entries is None:
+            raise ValueError(
+                f"snapshot {snap_id} has no zone-map stats for {d} "
+                f"(commit with write_snapshot(..., stats_cols=[...]))"
+            )
+        for e in entries:
+            total += 1
+            s = (e.get("stats") or {}).get(col)
+            if s is None or not (s[1] < lo or s[0] > hi):
+                keep.append(os.path.join(d, e["file"]))
+    df = spark.read.parquet(*keep)
+    return df, len(keep), total
+
+
+def write_snapshot(df: DataFrame, path: str, mode: str = "append",
+                   stats_cols: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
     Data files land in an immutable per-snapshot directory
@@ -217,6 +298,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     assert mode in ("append", "overwrite")
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(data_dir)
+    new_stats = _file_stats(data_dir, stats_cols) if stats_cols else None
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)  # writes may create; reads never do
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -234,10 +316,19 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
                 schema_json = _merge_schema(
                     parent_m.get("schema"), df.schema
                 )
+            # zone maps ride the manifest: new dir's footer stats plus
+            # every parent dir's stats carried forward (append keeps
+            # old files prunable without re-reading their footers)
+            files_json: dict = {}
+            if mode == "append" and hist:
+                files_json.update(parent_m.get("files") or {})
+            if new_stats is not None:
+                files_json[data_dir] = new_stats
             with open(tmp, "w") as f:
                 json.dump({"snapshot_id": snap_id,
                            "parent": hist[-1] if hist else None,
                            "mode": mode, "dirs": dirs,
+                           "files": files_json,
                            "schema": schema_json}, f)
             try:
                 os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
