@@ -98,6 +98,10 @@ R5_EXTRAS = [
     "link_prediction_roads",
     "spatial_dbscan",
     "snapshot_zone_map",
+    "events_ewma",
+    "events_seasonality",
+    "rake_keywords",
+    "doc_word_diversity",
 ]
 
 HEADLINE = [

@@ -1184,7 +1184,111 @@ GROUP BY lang
 """
 
 
+def _ewma_sql() -> str:
+    from .queries_r5 import _EWMA_DEN, _EWMA_W
+
+    terms = " + ".join(
+        f"{wt} * x{k}" if k else f"{wt} * x"
+        for k, wt in enumerate(_EWMA_W)
+    )
+    lags = ",\n         ".join(
+        f"lag(x, {k}) OVER (ORDER BY h) AS x{k}" for k in range(1, 8)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT h, x,
+         {lags}
+  FROM hourly
+)
+SELECT h, x, CAST({terms} AS BIGINT) AS ewma_scaled,
+       CAST(FLOOR(({terms}) * 1000 / {_EWMA_DEN}) AS BIGINT) AS ewma_mils
+FROM lagged WHERE x7 IS NOT NULL
+"""
+
+
+EVENTS_SEASONALITY = """
+WITH per_day AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+dowagg AS (
+  SELECT d % 7 AS dow, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM per_day GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n,
+         CAST(SUM(n_days) AS BIGINT) AS days_tot
+  FROM dowagg
+)
+SELECT CAST(dow AS INT) AS dow, n_events, n_days,
+       CAST(FLOOR(n_events * days_tot * 10000 / (n_days * n)) AS BIGINT)
+         AS idx_bp
+FROM dowagg, tot
+"""
+
+
+def _rake_sql() -> str:
+    from .queries_r5 import _RAKE_STOPS, _RAKE_TOPK
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS w,
+         CAST(ws[i] IN {_RAKE_STOPS} AS INT) AS is_stop
+  FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+phrased AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+  FROM toks
+),
+plen AS (
+  SELECT doc_id, w,
+         COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+  FROM phrased WHERE is_stop = 0
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM plen GROUP BY 1
+),
+scored AS (
+  SELECT w, freq, deg,
+         CAST(FLOOR(deg * 1000 / freq) AS BIGINT) AS score_mils
+  FROM words
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_mils DESC, w) AS INT) AS rnk,
+       w, freq, deg, score_mils
+FROM scored
+QUALIFY rnk <= {_RAKE_TOPK}
+"""
+
+
+DOC_WORD_DIVERSITY = """
+WITH wc AS (
+  SELECT doc_id, u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(FLOOR((SUM(c) * SUM(c) - SUM(c * c)) * 1000
+            / (SUM(c) * SUM(c))) AS BIGINT) AS simpson_mils
+FROM wc GROUP BY 1
+"""
+
+
 ORACLES_R5 = {
+    "events_seasonality": EVENTS_SEASONALITY,
+    "doc_word_diversity": DOC_WORD_DIVERSITY,
     "snapshot_zone_map": SNAPSHOT_ZONE_MAP,
     "ann_pq_topk": ANN_PQ_TOPK,
     "contamination_check": CONTAMINATION_CHECK,
@@ -1233,6 +1337,9 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
 FROM documents WHERE doc_id < 500 GROUP BY lang
 """,
 }
+
+ORACLES_R5["events_ewma"] = _ewma_sql()
+ORACLES_R5["rake_keywords"] = _rake_sql()
 
 
 def _pyr_simp_leg_sql(z: int, golden: str) -> str:

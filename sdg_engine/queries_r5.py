@@ -2919,7 +2919,168 @@ def snapshot_zone_map(spark, sf_dir):
     )
 
 
+# truncated integer EWMA (alpha = 1/4): term k of alpha*(1-alpha)^k,
+# scaled by 4^8 so every weight is an exact BIGINT — 3^k * 4^(7-k).
+_EWMA_W = [3 ** k * 4 ** (7 - k) for k in range(8)]
+_EWMA_DEN = sum(_EWMA_W)  # 4^8 - 3^8 = 58975
+_DAY_US = 86_400_000_000
+
+
+def events_ewma(spark, sf_dir):
+    """EXPONENTIAL SMOOTHING of the hourly event-count series: EWMA
+    with alpha = 1/4 truncated to the last 8 observations, which makes
+    it an exact-integer FIR filter — weight of lag k is 3^k * 4^(7-k)
+    (the geometric tail beyond lag 7 carries < 10% of the mass and is
+    the truncation spec, mirrored in the oracle).  ewma_mils is the
+    weighted mean in integer mils: one FLOOR at the very end
+    (gotcha 8); everything before it is BIGINT.
+
+    Plan shape: ONE map-side-combinable hash agg reduces events to the
+    observed-hour series; the lag window runs over that tiny series
+    (length ∝ time span, not data volume) — the single-partition
+    window is over hours, never rows.  Rows without 7 priors are
+    excluded (spec'd identically in both engines).
+    """
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "h",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    terms = " + ".join(
+        f"{wt} * x{k}" if k else f"{wt} * x"
+        for k, wt in enumerate(_EWMA_W)
+    )
+    return lagged.filter("x7 IS NOT NULL").selectExpr(
+        "h",
+        "x",
+        f"CAST({terms} AS BIGINT) AS ewma_scaled",
+        f"CAST(FLOOR(({terms}) * 1000 / {_EWMA_DEN}) AS BIGINT) AS ewma_mils",
+    )
+
+
+def events_seasonality(spark, sf_dir):
+    """DAY-OF-WEEK SEASONAL INDEX of event volume — the seasonality
+    decomposition a feed-monitoring pipeline runs before alerting on
+    raw counts.  dow is epoch-day mod 7 (pure BIGINT arithmetic — no
+    calendar functions, which the two engines disagree on for week
+    starts); the index compares each dow's per-day rate to the global
+    per-day rate, in basis points with one FLOOR at the end.
+
+    Plan shape: one (day) hash agg over events (map-side combinable),
+    then a 7-row rollup; the totals ride back as a broadcast one-row
+    aggregate.  Nothing after the first agg is proportional to events.
+    """
+    per_day = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US_SQL} / {_DAY_US}) AS BIGINT) AS d")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dowagg = (
+        per_day.selectExpr("d % 7 AS dow", "c")
+        .groupBy("dow")
+        .agg(F.sum("c").alias("n_events"), F.count(F.lit(1)).alias("n_days"))
+    )
+    tot = dowagg.agg(
+        F.sum("n_events").alias("n"), F.sum("n_days").alias("days_tot")
+    )
+    return dowagg.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(dow AS INT) AS dow",
+        "n_events",
+        "n_days",
+        "CAST(FLOOR(n_events * days_tot * 10000 / (n_days * n)) AS BIGINT)"
+        " AS idx_bp",
+    )
+
+
+_RAKE_STOPS = "('the', 'a', 'of', 'in', 'and')"
+_RAKE_TOPK = 50
+
+
+def rake_keywords(spark, sf_dir):
+    """RAKE KEYWORD EXTRACTION (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; a word's degree is the
+    summed length of every phrase containing it, its score
+    degree/frequency (integer mils, one FLOOR).  The phrase-based
+    cousin of tfidf_top_terms — co-occurrence inside phrases, not
+    document counts.
+
+    Plan shape: one explode + two windows keyed by doc_id (phrase ids
+    from a running stopword count, phrase lengths from a count over
+    (doc, phrase) — both shuffle on doc_id only), then a
+    vocabulary-sized word rollup; the final ranking window runs over
+    the vocabulary, never the corpus.
+    """
+    toks = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
+    ).selectExpr(
+        "doc_id", "pos", "w",
+        f"CAST(w IN {_RAKE_STOPS} AS INT) AS is_stop",
+    )
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    phrased = toks.withColumn("pid", F.sum("is_stop").over(wp)).filter(
+        "is_stop = 0"
+    )
+    plen = phrased.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid"))
+    )
+    words = plen.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    return (
+        words.withColumn("score_mils", F.expr(
+            "CAST(FLOOR(deg * 1000 / freq) AS BIGINT)"))
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.col("score_mils").desc(), F.col("w"))).cast("int"))
+        .filter(F.col("rnk") <= _RAKE_TOPK)
+        .select("rnk", "w", "freq", "deg", "score_mils")
+    )
+
+
+def doc_word_diversity(spark, sf_dir):
+    """LEXICAL-DIVERSITY QUALITY SIGNAL per document: Simpson diversity
+    1 - sum(p_w^2) over the word distribution (the log-free cousin of
+    entropy — boilerplate and keyword-stuffed documents score low, a
+    standard pretraining-corpus filter signal).  Integer-exact:
+    (n^2 - sum(c^2)) * 1000 / n^2 with one FLOOR (gotcha 8).
+
+    Plan shape: two stacked map-side-combinable hash aggs
+    ((doc, word) counts, then per-doc moments) — no window, no join;
+    output rows = documents.
+    """
+    wc = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr(
+            "CAST(FLOOR((SUM(c) * SUM(c) - SUM(c * c)) * 1000 "
+            "/ (SUM(c) * SUM(c))) AS BIGINT)"
+        ).alias("simpson_mils"),
+    )
+
+
 QUERIES_R5 = {
+    "events_ewma": events_ewma,
+    "events_seasonality": events_seasonality,
+    "rake_keywords": rake_keywords,
+    "doc_word_diversity": doc_word_diversity,
     "snapshot_zone_map": snapshot_zone_map,
     "spatial_dbscan": spatial_dbscan,
     "link_prediction_roads": link_prediction_roads,
