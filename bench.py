@@ -102,6 +102,9 @@ R5_EXTRAS = [
     "events_seasonality",
     "rake_keywords",
     "doc_word_diversity",
+    "label_propagation_roads",
+    "voronoi_assign",
+    "image_sobel_edges",
 ]
 
 HEADLINE = [

@@ -159,6 +159,7 @@ def main() -> None:
     make_warp_golden()
     make_dp_golden()
     make_hillshade_golden()
+    make_sobel_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
     make_contours_golden()
@@ -1087,6 +1088,59 @@ def make_regions_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"regions_sf{sf:g}.parquet"),
     )
     print(f"regions golden: {len(ids)} rows")
+
+
+def make_sobel_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_sobel_edges query (r05).
+
+    INDEPENDENT of the engine decode path: pixels from the fixture
+    generator via _fixture_image_iter (jpg skipped, same policy as
+    hillshade); the 3x3 views are clamp-indexed on the UNPADDED raster
+    (vs the engine's np.pad).  Everything is int64 (BT.601 milli-luma,
+    L1 magnitude) so parity is exact by construction.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import SOBEL_EDGE_T
+
+    def edge_view(z, dr, dc):
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)]
+
+    ids, n_pxs, n_edges, sums, maxs = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = (299 * px[:, :, 0].astype(np.int64)
+               + 587 * px[:, :, 1].astype(np.int64)
+               + 114 * px[:, :, 2].astype(np.int64))
+        tl, t, tr = (edge_view(lum, -1, -1), edge_view(lum, -1, 0),
+                     edge_view(lum, -1, 1))
+        l, r = edge_view(lum, 0, -1), edge_view(lum, 0, 1)
+        bl, b, br = (edge_view(lum, 1, -1), edge_view(lum, 1, 0),
+                     edge_view(lum, 1, 1))
+        gx = (tr + 2 * r + br) - (tl + 2 * l + bl)
+        gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+        mag = np.abs(gx) + np.abs(gy)
+        ids.append(image_id)
+        n_pxs.append(int(mag.size))
+        n_edges.append(int((mag > SOBEL_EDGE_T).sum()))
+        sums.append(int(mag.sum()))
+        maxs.append(int(mag.max()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_edges": pa.array(n_edges, pa.int32()),
+            "sum_mag": pa.array(sums, pa.int64()),
+            "max_mag": pa.array(maxs, pa.int64()),
+        }),
+        os.path.join(OUT, f"sobel_sf{sf:g}.parquet"),
+    )
+    print(f"sobel golden: {len(ids)} rows (jpg skipped)")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

@@ -438,6 +438,75 @@ def hillshade_stats(images: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sobel edge density (r05) — the sharpness/blur curation signal an
+# image-corpus pipeline scores before training-set selection.  ALL
+# INTEGER: luma in BT.601 integer milli-units (299R + 587G + 114B),
+# L1 gradient magnitude |gx| + |gy|, fold-order exact by construction.
+# ---------------------------------------------------------------------------
+
+# SPEC shared with the golden twin (scripts/make_goldens.py):
+#   L  = 299*R + 587*G + 114*B  (int64, edge-replicated pad)
+#   gx = (tr + 2*r + br) - (tl + 2*l + bl)
+#   gy = (bl + 2*b + br) - (tl + 2*t + tr)
+#   mag = |gx| + |gy|; edge pixel when mag > SOBEL_EDGE_T
+SOBEL_EDGE_T = 100_000  # ~98 gray levels in luma milli-units
+
+
+def sobel_mag(lum_i: np.ndarray) -> np.ndarray:
+    """L1 Sobel gradient magnitude of an int64 luma raster."""
+    z = np.pad(lum_i, 1, mode="edge")
+    tl, t, tr = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+    l, r = z[1:-1, :-2], z[1:-1, 2:]
+    bl, b, br = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+    gx = (tr + 2 * r + br) - (tl + 2 * l + bl)
+    gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+    return np.abs(gx) + np.abs(gy)
+
+
+def sobel_stats(images: DataFrame) -> DataFrame:
+    """Per-image Sobel edge stats: decode -> integer BT.601 luma ->
+    3x3 Sobel L1 magnitude -> (n_px, n_edges, sum_mag, max_mag).
+
+    Map-only mapInPandas like hillshade_stats — payload bytes never
+    shuffle, the 3x3 halo is interior to each image (edge-replicate),
+    and every value is an exact BIGINT, so the checksums are
+    fold-order independent at any partitioning.
+    """
+
+    def _edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w), int(rr.h))
+                lum = (
+                    299 * img[:, :, 0].astype(np.int64)
+                    + 587 * img[:, :, 1].astype(np.int64)
+                    + 114 * img[:, :, 2].astype(np.int64)
+                )
+                mag = sobel_mag(lum)
+                out.append(
+                    (
+                        rr.image_id,
+                        int(mag.size),
+                        int((mag > SOBEL_EDGE_T).sum()),
+                        int(mag.sum()),
+                        int(mag.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_px", "n_edges", "sum_mag", "max_mag"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _edges,
+        "image_id string, n_px int, n_edges int, sum_mag bigint, max_mag bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Marching-squares contour extraction stats (r05) — the raster->vector
 # contouring analogue (GeoTrellis-world: toVector/contour ops).
 # ---------------------------------------------------------------------------

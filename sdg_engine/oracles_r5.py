@@ -1506,6 +1506,14 @@ FROM read_parquet('{gdir}/hillshade_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """
+    # image_sobel_edges: same policy/filter as hillshade, golden from
+    # the clamp-indexed integer Sobel twin (all int64 — exact parity).
+    sob = f"""
+SELECT g.image_id, g.n_px, g.n_edges, g.sum_mag, g.max_mag
+FROM read_parquet('{gdir}/sobel_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
     # image_zonal_stats: per-country luminance stats from the decode
     # golden (pixels) x the rai golden (country assignment) — both
     # INDEPENDENT generator-side twins; mils snap before SUM makes the
@@ -1668,8 +1676,60 @@ SELECT label AS cluster_id, CAST(SUM(is_core) AS BIGINT) AS n_core,
        CAST(SUM(k) AS BIGINT) AS checksum
 FROM allc GROUP BY 1
 """
+    # label_propagation_roads: the identical 4 fixed rounds as a LINEAR
+    # chain (each l_i references l_{i-1} exactly once — no 2^rounds
+    # re-inline; dirs is constant-depth and safe to reference per round).
+    from .queries_r5 import _LPA_ROUNDS, _VOR_Q, _VOR_SEEDS
+
+    rounds_sql = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds_sql.append(
+            f"c{i} AS (SELECT d.dst AS v2, l.label, COUNT(*) AS cnt\n"
+            f"  FROM dirs d JOIN l{i - 1} l ON l.v = d.src GROUP BY 1, 2),\n"
+            f"l{i} AS (SELECT v2 AS v, label FROM c{i}\n"
+            f"  QUALIFY ROW_NUMBER() OVER (PARTITION BY v2"
+            f" ORDER BY cnt DESC, label) = 1)"
+        )
+    lpa = f"""
+WITH nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+             FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM ab WHERE a <> b),
+dirs AS (SELECT u AS src, v AS dst FROM und
+         UNION ALL SELECT v AS src, u AS dst FROM und),
+l0 AS (SELECT DISTINCT src AS v, src AS label FROM dirs),
+{",".join(rounds_sql)}
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(v) AS BIGINT) AS checksum
+FROM l{_LPA_ROUNDS} GROUP BY 1
+"""
+    vx = _VOR_Q.format(c="coords[i].x")
+    vy = _VOR_Q.format(c="coords[i].y")
+    s1x = _VOR_Q.format(c="coords[1].x")
+    s1y = _VOR_Q.format(c="coords[1].y")
+    vor = f"""
+WITH pts AS (SELECT road_id, i, {vx} AS px, {vy} AS py
+             FROM read_parquet('{roads_pq}'),
+                  UNNEST(generate_series(1, len(coords))) AS u(i)),
+seeds AS (SELECT road_id AS seed, {s1x} AS sx, {s1y} AS sy
+          FROM read_parquet('{roads_pq}') WHERE road_id < {_VOR_SEEDS}),
+cand AS (SELECT road_id, i, seed,
+                (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+         FROM pts, seeds),
+best AS (SELECT road_id, i, seed, d2 FROM cand
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY road_id, i
+                                    ORDER BY d2, seed) = 1)
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM best GROUP BY 1
+"""
     return {"link_prediction_roads": lp,
+            "label_propagation_roads": lpa,
+            "voronoi_assign": vor,
             "spatial_dbscan": dbscan,
+            "image_sobel_edges": sob,
             "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,

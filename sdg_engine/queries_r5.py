@@ -515,6 +515,26 @@ def image_hillshade(spark, sf_dir):
     return hillshade_stats(sel)
 
 
+def image_sobel_edges(spark, sf_dir):
+    """SOBEL EDGE DENSITY per image — the sharpness/blur curation
+    signal (blurry or flat images score low and get filtered before
+    training).  Decode -> integer BT.601 luma -> 3x3 Sobel L1
+    magnitude -> exact-BIGINT checksums; map-only like the other
+    decode-path queries.  jpg rows excluded (lossy decode has no
+    independent twin); harness-bounded to the first 500 images.
+    Oracle: committed INDEPENDENT golden (generator pixels +
+    clamp-indexed Sobel twin — all integer, so parity is trivial).
+    """
+    from .ops.payload import sobel_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return sobel_stats(sel)
+
+
 def image_zonal_stats(spark, sf_dir):
     """ZONAL STATISTICS (GeoTrellis polygonal-summary analogue): decode
     every harness image, assign its footprint center to a country via
@@ -3076,7 +3096,113 @@ def doc_word_diversity(spark, sf_dir):
     )
 
 
+_LPA_ROUNDS = 4
+
+
+def label_propagation_roads(spark, sf_dir):
+    """COMMUNITY DETECTION via label propagation on the road graph
+    (same 0.1° quantization as road_graph_bfs): FIXED 4 synchronous
+    rounds, each node adopting the most frequent label among its
+    neighbors, ties to the smallest label — the deterministic LPA
+    variant (fixed rounds + total-order tie-break kills the usual LPA
+    nondeterminism, same discipline as the fixed-iteration PageRank).
+
+    Plan shape per round: one equi-join (edges ⋈ labels on src) + one
+    map-side-combinable (dst, label) count + one per-dst ranking
+    window — all hash-partitioned on node ids, labels localCheckpointed
+    per round (gotcha 15).  Oracle: the identical 4 rounds as a LINEAR
+    CTE chain (each round references the previous exactly once — the
+    twice-referenced chained-CTE 2^rounds blowup documented at
+    shortest_path_weighted does not arise).
+    Output: community size + node-id checksum per surviving label.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = (
+        roads.selectExpr(f"transform(coords, c -> {node}) AS nds")
+        .selectExpr(
+            "explode(transform(sequence(1, size(nds) - 1), "
+            "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+        )
+        .select("e.a", "e.b")
+    )
+    und = (
+        segs.selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    dirs = und.selectExpr("u AS src", "v AS dst").unionAll(
+        und.selectExpr("v AS src", "u AS dst")
+    ).localCheckpoint()  # probed every round
+    labels = dirs.selectExpr("src AS v", "src AS label").distinct()
+    pick = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            dirs.join(labels, dirs.src == labels.v)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(pick))
+            .filter("rn = 1")
+            .selectExpr("dst AS v", "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("v").alias("checksum"),
+    )
+
+
+_VOR_Q = "CAST(FLOOR({c} * 1000000 + 0.5) AS BIGINT)"
+_VOR_SEEDS = 16
+
+
+def voronoi_assign(spark, sf_dir):
+    """VORONOI / NEAREST-FACILITY ASSIGNMENT: every road vertex is
+    assigned to the nearest of 16 seed sites (first vertex of roads
+    0..15) by squared Euclidean distance in integer micro-units —
+    exact BIGINT throughout, deterministic ties to the smaller seed id
+    (min-struct total order).  The discrete Voronoi partition that
+    facility-location and spatial-binning pipelines run.
+
+    Plan shape: the 16-row seed dim broadcasts; the 16× candidate
+    fanout collapses in a map-side-combinable min(struct) partial agg
+    keyed by vertex, then a 16-row rollup — the fact table never hash-
+    exchanges on anything wider than the vertex key.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    px = _VOR_Q.format(c="c.x")
+    py = _VOR_Q.format(c="c.y")
+    pts = roads.selectExpr(
+        "road_id", "posexplode(coords) AS (idx, c)"
+    ).selectExpr("road_id", "idx", f"{px} AS px", f"{py} AS py")
+    sx = _VOR_Q.format(c="coords[0].x")
+    sy = _VOR_Q.format(c="coords[0].y")
+    seeds = roads.filter(f"road_id < {_VOR_SEEDS}").selectExpr(
+        "road_id AS seed", f"{sx} AS sx", f"{sy} AS sy"
+    )
+    cand = pts.crossJoin(F.broadcast(seeds)).selectExpr(
+        "road_id", "idx", "seed",
+        "(px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2",
+    )
+    best = cand.groupBy("road_id", "idx").agg(
+        F.min(F.struct("d2", "seed")).alias("b")
+    )
+    return best.groupBy(F.col("b.seed").alias("seed")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("b.d2").alias("sum_d2"),
+    )
+
+
 QUERIES_R5 = {
+    "label_propagation_roads": label_propagation_roads,
+    "voronoi_assign": voronoi_assign,
+    "image_sobel_edges": image_sobel_edges,
     "events_ewma": events_ewma,
     "events_seasonality": events_seasonality,
     "rake_keywords": rake_keywords,
