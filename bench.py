@@ -105,6 +105,10 @@ R5_EXTRAS = [
     "label_propagation_roads",
     "voronoi_assign",
     "image_sobel_edges",
+    "source_binaryfile_images",
+    "groupingsets_orders",
+    "events_rolling_range",
+    "dedup_containment",
 ]
 
 HEADLINE = [

@@ -1341,6 +1341,65 @@ FROM documents WHERE doc_id < 500 GROUP BY lang
 ORACLES_R5["events_ewma"] = _ewma_sql()
 ORACLES_R5["rake_keywords"] = _rake_sql()
 
+ORACLES_R5["groupingsets_orders"] = """
+WITH o AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT COALESCE(status, 'ALL') AS status,
+       COALESCE(priority, 'ALL') AS priority,
+       CAST(GROUPING(status) * 2 + GROUPING(priority) AS INT) AS gflags,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM o
+GROUP BY GROUPING SETS ((status, priority), (status), (priority))
+"""
+
+ORACLES_R5["events_rolling_range"] = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+)
+SELECT h, x,
+       CAST(SUM(x) OVER w AS BIGINT) AS roll24,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_obs
+FROM hourly
+WINDOW w AS (ORDER BY h RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _containment_sql() -> str:
+    from .oracles_ext import _SH_DUCK
+    from .queries_r5 import _CONT_MILS_MIN
+
+    return f"""
+WITH sets AS (SELECT doc_id, {_SH_DUCK} AS sh FROM documents),
+inv AS (SELECT doc_id, UNNEST(sh) AS s FROM sets),
+rare AS (SELECT s FROM (SELECT s, COUNT(*) AS nf FROM inv GROUP BY s) f
+         WHERE nf >= 2 AND nf <= 10),
+postings AS (SELECT i.doc_id, i.s FROM inv i JOIN rare r ON i.s = r.s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id <> b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_int,
+         CAST(len(sa.sh) AS BIGINT) AS n_a
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_int, n_a,
+       CAST(FLOOR(n_int * 1000 / n_a) AS BIGINT) AS cont_mils
+FROM scored WHERE FLOOR(n_int * 1000 / n_a) >= {_CONT_MILS_MIN}
+"""
+
+
+ORACLES_R5["dedup_containment"] = _containment_sql()
+
 
 def _pyr_simp_leg_sql(z: int, golden: str) -> str:
     """One zoom of the simplified-pyramid oracle: the same bbox-cover +
@@ -1725,7 +1784,31 @@ SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(SUM(d2) AS BIGINT) AS sum_d2
 FROM best GROUP BY 1
 """
+    # source_binaryfile_images: DuckDB fingerprints the SAME blobs
+    # straight from the source parquet (hex -> md5 -> 48-bit fold, the
+    # shared conv()-free fragment); Spark fingerprints the exported
+    # files read back via binaryFile — any export/scan corruption
+    # flips a sum.
+    from .queries_r5 import _b12_cells as _b12
+
+    bf_cells = _b12("h", 4)
+    bf_fp = " + ".join(
+        f"({c} * {4096 ** (3 - j)})" for j, c in enumerate(bf_cells)
+    )
+    binf = f"""
+WITH f AS (
+  SELECT fmt, CAST(octet_length(bytes) AS BIGINT) AS len,
+         md5(hex(bytes)) AS h
+  FROM read_parquet('{img}')
+  WHERE image_id < 'img000000000200'
+)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       CAST(SUM({bf_fp}) AS BIGINT) AS sum_fp
+FROM f GROUP BY 1
+"""
     return {"link_prediction_roads": lp,
+            "source_binaryfile_images": binf,
             "label_propagation_roads": lpa,
             "voronoi_assign": vor,
             "spatial_dbscan": dbscan,

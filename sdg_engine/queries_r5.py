@@ -3199,7 +3199,186 @@ def voronoi_assign(spark, sf_dir):
     )
 
 
+def source_binaryfile_images(spark, sf_dir):
+    """RAW-FILE IMAGE INGEST — Spark's `binaryFile` source, the
+    object-store path an image corpus actually arrives by (a directory
+    of blobs, one file per image, no table metadata).  The builder
+    exports the first 200 fixture images as individual files (each
+    partition writes its own files — the distributed binary-export
+    sink shape), then ingests them back via binaryFile and fingerprints
+    every blob (md5 over hex, folded to an exact 48-bit BIGINT — the
+    conv()-free idiom).  Oracle: DuckDB fingerprints the SAME blobs
+    straight from the source parquet, so a corruption anywhere in the
+    export->scan round trip flips a sum.  At 100 TB this is the
+    standard small-files pattern: binaryFile packs many files per task
+    (maxPartitionBytes), and content never shuffles — the only
+    exchange is the 6-row fmt rollup.
+    """
+    import os
+
+    from .queries_ext import _fixture_images, _stream_base
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    out = f"{_stream_base(spark, 'binfiles_')}/files"
+    flag = os.path.join(out, "_done")
+    if not os.path.exists(flag):
+        os.makedirs(out, exist_ok=True)
+        sel = images.filter("image_id < 'img000000000200'").select(
+            "image_id", "fmt", "bytes"
+        )
+
+        def _write(rows):
+            for r in rows:
+                p = os.path.join(out, f"{r.image_id}.{r.fmt}")
+                with open(p, "wb") as f:
+                    f.write(bytes(r.bytes))
+
+        sel.foreachPartition(_write)
+        open(flag, "w").close()
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "img*")
+        .load(out)
+    )
+    cells = _b12_cells("h", 4)
+    fp = " + ".join(
+        f"({c} * {4096 ** (3 - j)})" for j, c in enumerate(cells)
+    )
+    return (
+        bf.select(
+            F.regexp_extract("path", r"\.([a-z]+)$", 1).alias("fmt"),
+            F.length("content").alias("len"),
+            F.md5(F.hex("content")).alias("h"),
+        )
+        .selectExpr("fmt", "len", f"CAST({fp} AS BIGINT) AS fp")
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("len").alias("sum_len"),
+            F.sum("fp").alias("sum_fp"),
+        )
+    )
+
+
+def groupingsets_orders(spark, sf_dir):
+    """GROUPING SETS (the general form cube/rollup specialize): the
+    three analyst cuts (status × priority, status, priority) in ONE
+    Expand+agg pass over orders — not three scans — with GROUPING()
+    markers disambiguating real NULL keys from subtotal rows.  Price
+    folds as exact integer cents (gotcha 8: never SUM raw doubles on
+    an oracle-checked path).
+    """
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus AS status",
+        "o_orderpriority AS priority",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    o.createOrReplaceTempView("orders_gs_tmp")
+    return spark.sql(
+        """
+        SELECT COALESCE(status, 'ALL') AS status,
+               COALESCE(priority, 'ALL') AS priority,
+               CAST(GROUPING(status) * 2 + GROUPING(priority) AS INT)
+                 AS gflags,
+               COUNT(*) AS n,
+               SUM(cents) AS sum_cents
+        FROM orders_gs_tmp
+        GROUP BY GROUPING SETS ((status, priority), (status), (priority))
+        """
+    )
+
+
+def events_rolling_range(spark, sf_dir):
+    """RANGE-frame rolling window (value-based, not row-based): the
+    trailing 24-HOUR event count over the hourly series — `RANGE
+    BETWEEN 23 PRECEDING AND CURRENT ROW` on the integer hour key, so
+    gaps in the series genuinely shrink the window (a ROWS frame would
+    silently span them; n_obs exposes the difference).  The standard
+    rolling-metric shape for irregular time series.
+
+    Plan shape: one map-side-combinable hash agg reduces events to the
+    observed-hour series; both range windows run over that tiny series
+    (length ∝ time span, not data volume).
+    """
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("h").rangeBetween(-23, 0)
+    return hourly.select(
+        "h",
+        "x",
+        F.sum("x").over(w).alias("roll24"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_obs"),
+    )
+
+
+_CONT_MILS_MIN = 600
+
+
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC CONTAINMENT dedup (Broder's other coefficient):
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)| over distinct word 3-shingles —
+    catches SUB-DOCUMENT duplication (A embedded in a larger B), which
+    symmetric Jaccard dilutes below threshold.  Candidates come from
+    the same inverted rare-shingle index as ngram_jaccard_indexed
+    (stop-shingle df ≤ 10, so the worst join bucket is bounded);
+    containment is exact integer mils on candidates, BOTH directions
+    of each candidate pair (the measure is asymmetric).
+    """
+    from .queries_ext import _SHINGLES
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", F.expr(_SHINGLES).alias("sh")).localCheckpoint()
+    inv = sets.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter((F.col("nf") >= 2) & (F.col("nf") <= 10))
+        .select("s")
+    )
+    postings = inv.join(rare, "s")
+    cand = (
+        postings.alias("a")
+        .join(postings.alias("b"), "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "size(array_intersect(sh_a, sh_b)) AS n_int",
+            "size(sh_a) AS n_a",
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(n_int AS BIGINT) AS n_int",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(FLOOR(n_int * 1000 / n_a) AS BIGINT) AS cont_mils",
+        )
+        .filter(f"cont_mils >= {_CONT_MILS_MIN}")
+    )
+
+
 QUERIES_R5 = {
+    "source_binaryfile_images": source_binaryfile_images,
+    "groupingsets_orders": groupingsets_orders,
+    "events_rolling_range": events_rolling_range,
+    "dedup_containment": dedup_containment,
     "label_propagation_roads": label_propagation_roads,
     "voronoi_assign": voronoi_assign,
     "image_sobel_edges": image_sobel_edges,
