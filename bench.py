@@ -109,6 +109,7 @@ R5_EXTRAS = [
     "groupingsets_orders",
     "events_rolling_range",
     "dedup_containment",
+    "streaming_snapshot_sink",
 ]
 
 HEADLINE = [

@@ -1400,6 +1400,17 @@ FROM scored WHERE FLOOR(n_int * 1000 / n_a) >= {_CONT_MILS_MIN}
 
 ORACLES_R5["dedup_containment"] = _containment_sql()
 
+# streaming_snapshot_sink: 4 input files x maxFilesPerTrigger=1 ->
+# exactly 4 snapshot commits (pinned); the aggregate over the latest
+# snapshot must equal the relational aggregate over the source events.
+ORACLES_R5["streaming_snapshot_sink"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_v_mils,
+       CAST(4 AS INT) AS n_snapshots
+FROM events GROUP BY 1
+"""
+
 
 def _pyr_simp_leg_sql(z: int, golden: str) -> str:
     """One zoom of the simplified-pyramid oracle: the same bbox-cover +

@@ -3374,7 +3374,49 @@ def dedup_containment(spark, sf_dir):
     )
 
 
+def streaming_snapshot_sink(spark, sf_dir):
+    """STREAMING → LAKEHOUSE: ingest the events stream into the
+    snapshot table exactly-once (one snapshot commit per micro-batch
+    via foreachBatch, batchId-idempotent — streaming.stream_snapshot_sink
+    documents the retry contract).  The input is split into 4 files
+    with maxFilesPerTrigger=1, so the table ends at exactly 4
+    snapshots (pinned in the output); the result reads the LATEST
+    snapshot back through the time-travel reader and aggregates —
+    so stream ingestion, commit protocol, and snapshot read are all
+    load-bearing.  Values fold as integer mils (gotcha 8).
+    """
+    import os
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot, snapshot_history
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "snapsink_")
+    in_dir = os.path.join(base, "in")
+    table = os.path.join(base, "tbl")
+    ck = os.path.join(base, "ck")
+    if not os.path.exists(in_dir):
+        _t(spark, sf_dir, "events").repartition(4).write.parquet(in_dir)
+        STR.stream_snapshot_sink(spark, in_dir, table, ck)
+    n_snaps = len(snapshot_history(table))
+    return (
+        read_snapshot(spark, table)
+        .selectExpr(
+            "event_type",
+            "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_mils",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_mils").alias("sum_v_mils"),
+        )
+        .withColumn("n_snapshots", F.lit(n_snaps).cast("int"))
+    )
+
+
 QUERIES_R5 = {
+    "streaming_snapshot_sink": streaming_snapshot_sink,
     "source_binaryfile_images": source_binaryfile_images,
     "groupingsets_orders": groupingsets_orders,
     "events_rolling_range": events_rolling_range,

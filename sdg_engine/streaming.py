@@ -323,6 +323,63 @@ def stream_sessionize(
     )
 
 
+def stream_snapshot_sink(
+    spark: SparkSession,
+    in_dir: str,
+    table_path: str,
+    checkpoint: str,
+    schema: str = EVENTS_SCHEMA,
+) -> None:
+    """EXACTLY-ONCE streaming ingestion into the snapshot table (the
+    streaming→Iceberg pattern): every micro-batch commits as ONE
+    snapshot via ``foreachBatch``, idempotent by batchId.
+
+    Spark guarantees foreachBatch at-LEAST-once — on recovery a batch
+    can re-run — so the sink supplies the dedup: a sidecar
+    ``_last_batch`` marker inside the table dir records the highest
+    committed batchId, a re-delivered batch compares and skips, and
+    the marker advances via atomic rename AFTER the snapshot commit.
+    (Crash between commit and marker ⇒ the batch re-runs and
+    double-appends — same window every Delta/Iceberg foreachBatch
+    sink closes by stamping the batchId into the commit itself; the
+    shim's manifest has no summary field, so the marker carries it.
+    The ordering is still correct-under-retry for the availableNow
+    drain used here.)  maxFilesPerTrigger=1 ⇒ one snapshot per input
+    file — deterministic snapshot count for the oracle to pin."""
+    import os
+
+    from .storage import write_snapshot
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    marker = os.path.join(table_path, "_last_batch")
+
+    def _commit(df: DataFrame, batch_id: int) -> None:
+        last = -1
+        if os.path.exists(marker):
+            last = int(open(marker).read().strip() or "-1")
+        if batch_id <= last:
+            return  # re-delivered batch: already committed, skip
+        if not df.isEmpty():
+            write_snapshot(df, table_path, mode="append")
+        os.makedirs(table_path, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    (
+        src.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def batch_hourly_closed(spark: SparkSession, events: DataFrame,
                         watermark_s: int = 7200) -> DataFrame:
     """Batch twin of stream_events_hourly's APPEND output: only windows

@@ -252,3 +252,30 @@ def test_stream_dedup_watermarked_state_is_horizon_bounded(spark, tmp_path):
     assert counts[fp("textB")] == 1  # duplicate inside horizon dropped
     assert counts[fp("textC")] == 1
     assert counts[fp("textD")] == 1
+
+
+def test_snapshot_sink_exactly_once_under_redelivery(spark, tmp_path):
+    """The foreachBatch snapshot sink must be idempotent by batchId:
+    wiping the CHECKPOINT (so availableNow re-delivers every batch
+    from scratch) while keeping the table's _last_batch marker must
+    add ZERO new snapshots and leave the row count unchanged."""
+    import shutil
+
+    from sdg_engine.storage import read_snapshot, snapshot_history
+
+    in_dir = _split_events(tmp_path, n_files=3)
+    table = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    STR.stream_snapshot_sink(spark, in_dir, table, ck)
+    hist1 = snapshot_history(table)
+    n1 = read_snapshot(spark, table).count()
+    assert len(hist1) == 3  # one snapshot per input file
+    assert n1 == spark.read.parquet(f"{SF}/events.parquet").count()
+    # simulate at-least-once redelivery: lose the checkpoint, keep the
+    # sink marker -> every batch re-runs, every commit must be skipped
+    shutil.rmtree(ck)
+    STR.stream_snapshot_sink(spark, in_dir, table, ck)
+    hist2 = snapshot_history(table)
+    assert hist2 == hist1
+    assert read_snapshot(spark, table).count() == n1
