@@ -110,6 +110,7 @@ R5_EXTRAS = [
     "events_rolling_range",
     "dedup_containment",
     "streaming_snapshot_sink",
+    "snapshot_partition_prune",
 ]
 
 HEADLINE = [

@@ -1400,6 +1400,17 @@ FROM scored WHERE FLOOR(n_int * 1000 / n_a) >= {_CONT_MILS_MIN}
 
 ORACLES_R5["dedup_containment"] = _containment_sql()
 
+# snapshot_partition_prune: 2 hash tasks x 5 langs = 10 hive files,
+# lang='en' keeps exactly the 2 'lang=en' ones (both counts pinned)
+ORACLES_R5["snapshot_partition_prune"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(2 AS INT) AS files_scanned, CAST(10 AS INT) AS files_total
+FROM documents WHERE lang = 'en'
+"""
+
 # streaming_snapshot_sink: 4 input files x maxFilesPerTrigger=1 ->
 # exactly 4 snapshot commits (pinned); the aggregate over the latest
 # snapshot must equal the relational aggregate over the source events.

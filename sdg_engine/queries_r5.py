@@ -3415,7 +3415,45 @@ def streaming_snapshot_sink(spark, sf_dir):
     )
 
 
+def snapshot_partition_prune(spark, sf_dir):
+    """IDENTITY-PARTITION data skipping (the hive-layout half of
+    Iceberg pruning, next to snapshot_zone_map's footer stats): commit
+    documents hash-split 2 ways and partitionBy(lang) — 5 langs × 2
+    tasks = 10 hive-layout files whose k=v dir segments ride the
+    manifest — then a lang='en' read opens EXACTLY the 2 matching
+    files (pinned).  At 100 TB this is the first pruning tier every
+    selective query hits: files touched ∝ partition selectivity,
+    before any footer is opened.  The reader re-derives the partition
+    column via basePath, so the residual filter and the aggregate are
+    load-bearing on the round trip.
+    """
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot_partitioned, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'partprune_')}/tbl"
+    write_snapshot(
+        docs.repartition(2, "doc_id"), path,
+        mode="append", partition_by=["lang"],
+    )
+    pruned, n_scan, n_tot = read_snapshot_partitioned(
+        spark, path, {"lang": "en"}
+    )
+    return (
+        pruned.filter("lang = 'en'")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("files_scanned", F.lit(n_scan).cast("int"))
+        .withColumn("files_total", F.lit(n_tot).cast("int"))
+    )
+
+
 QUERIES_R5 = {
+    "snapshot_partition_prune": snapshot_partition_prune,
     "streaming_snapshot_sink": streaming_snapshot_sink,
     "source_binaryfile_images": source_binaryfile_images,
     "groupingsets_orders": groupingsets_orders,

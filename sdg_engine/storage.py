@@ -211,10 +211,22 @@ def _file_stats(data_dir: str, cols: list[str]) -> list[dict]:
 
     import pyarrow.parquet as pq
 
+    names = []
+    for root, _dirs, files in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        for f in files:
+            if f.endswith(".parquet"):
+                names.append(f if rel == "." else os.path.join(rel, f))
     out = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in sorted(names):
+        # hive-layout partition values ride the manifest too: the
+        # identity-partition half of Iceberg pruning (dir-name k=v
+        # segments), alongside the zone-map half (footer min/max)
+        parts = dict(
+            seg.split("=", 1)
+            for seg in name.split(os.sep)[:-1]
+            if "=" in seg
+        )
         md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
         stats: dict = {}
         complete: dict = {}
@@ -238,6 +250,7 @@ def _file_stats(data_dir: str, cols: list[str]) -> list[dict]:
         out.append({
             "file": name,
             "rows": md.num_rows,
+            "parts": parts,
             "stats": {k: v for k, v in stats.items() if complete.get(k)},
         })
     return out
@@ -280,7 +293,8 @@ def read_snapshot_pruned(spark: SparkSession, path: str, col: str,
 
 
 def write_snapshot(df: DataFrame, path: str, mode: str = "append",
-                   stats_cols: list[str] | None = None) -> int:
+                   stats_cols: list[str] | None = None,
+                   partition_by: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
     Data files land in an immutable per-snapshot directory
@@ -297,8 +311,14 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
 
     assert mode in ("append", "overwrite")
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(data_dir)
-    new_stats = _file_stats(data_dir, stats_cols) if stats_cols else None
+    if partition_by:
+        df.write.mode("error").partitionBy(*partition_by).parquet(data_dir)
+    else:
+        df.write.mode("error").parquet(data_dir)
+    new_stats = (
+        _file_stats(data_dir, stats_cols or [])
+        if (stats_cols or partition_by) else None
+    )
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)  # writes may create; reads never do
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -338,6 +358,54 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
     finally:
         if os.path.exists(tmp):  # never leave a .tmp behind (review)
             os.remove(tmp)
+
+
+def read_snapshot_partitioned(spark: SparkSession, path: str, eq: dict,
+                              as_of: int | None = None):
+    """IDENTITY-PARTITION pruning (the other half of Iceberg data
+    skipping, next to ``read_snapshot_pruned``'s zone maps): keep only
+    the data files whose hive-layout partition values match every
+    ``eq`` key — the manifest carries the dir-name ``k=v`` segments, so
+    pruning happens before Spark plans the scan.  Values compare as
+    their hive dir-name strings; files with no recorded value for a key
+    are always read (fail-open).  Reads set ``basePath`` per data dir
+    so Spark still derives the partition columns from the kept leaf
+    files.  Returns ``(df, files_scanned, files_total)``.
+    """
+    import os
+    from functools import reduce
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots at {path}")
+    snap_id = hist[-1] if as_of is None else as_of
+    m = _read_manifest(path, snap_id)
+    files_map = m.get("files") or {}
+    keep_by_dir: dict[str, list[str]] = {}
+    total = 0
+    for d in m["dirs"]:
+        entries = files_map.get(d)
+        if entries is None:
+            raise ValueError(
+                f"snapshot {snap_id} has no file manifest for {d} "
+                f"(commit with write_snapshot(..., partition_by=[...]))"
+            )
+        for e in entries:
+            total += 1
+            parts = e.get("parts") or {}
+            if all(parts.get(k, str(v)) == str(v) for k, v in eq.items()):
+                keep_by_dir.setdefault(d, []).append(
+                    os.path.join(d, e["file"])
+                )
+    if not keep_by_dir:
+        raise ValueError(f"no files match partitions {eq} at {path}")
+    dfs = [
+        spark.read.option("basePath", d).parquet(*fl)
+        for d, fl in sorted(keep_by_dir.items())
+    ]
+    df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+    n_scan = sum(len(v) for v in keep_by_dir.values())
+    return df, n_scan, total
 
 
 def read_snapshot(spark: SparkSession, path: str,
