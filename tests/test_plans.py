@@ -503,3 +503,57 @@ def test_skyline_and_interpolate_are_joinless(spark):
         for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                   "BroadcastNestedLoopJoin"):
             assert j not in plan, (name, j)
+
+
+def test_sobel_is_map_only(spark):
+    """Sobel edge stats: payload bytes never shuffle — zero Exchange."""
+    from sdg_engine.queries_r5 import image_sobel_edges
+
+    assert "Exchange" not in _plan(image_sobel_edges(spark, SF))
+
+
+def test_voronoi_broadcast_bounded_fanout(spark):
+    """Voronoi assignment: the seed side must broadcast (the bounded
+    16-row cartesian pattern), the argmin must partially aggregate
+    map-side, and nothing may sort-merge."""
+    from sdg_engine.queries_r5 import voronoi_assign
+
+    plan = _plan(voronoi_assign(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan  # map-side argmin collapses the fanout
+
+
+def test_groupingsets_single_expand_single_scan(spark):
+    """GROUPING SETS must plan as ONE Expand over ONE scan — three cuts
+    without three passes."""
+    from sdg_engine.queries_r5 import groupingsets_orders
+
+    plan = _plan(groupingsets_orders(spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_rolling_and_smoothing_single_exchange(spark):
+    """EWMA / RANGE rolling window: the only exchanges are the hourly
+    agg + the tiny single-partition window — the events scan itself
+    exchanges once (map-side partial agg first)."""
+    from sdg_engine.queries_r5 import events_ewma, events_rolling_range
+
+    for fn in (events_ewma, events_rolling_range):
+        plan = _plan(fn(spark, SF))
+        assert "partial_count" in plan  # map-side combine before shuffle
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"):
+            assert j not in plan, j
+
+
+def test_containment_never_cartesian(spark):
+    """Containment dedup joins the bounded inverted index — equi-joins
+    only, never a cartesian/BNLJ over documents."""
+    from sdg_engine.queries_r5 import dedup_containment
+
+    plan = _plan(dedup_containment(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
