@@ -111,6 +111,7 @@ R5_EXTRAS = [
     "dedup_containment",
     "streaming_snapshot_sink",
     "snapshot_partition_prune",
+    "osm_qatile_source",
 ]
 
 HEADLINE = [

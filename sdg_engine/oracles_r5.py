@@ -1400,6 +1400,22 @@ FROM scored WHERE FLOOR(n_int * 1000 / n_a) >= {_CONT_MILS_MIN}
 
 ORACLES_R5["dedup_containment"] = _containment_sql()
 
+def _qatile_source_sql() -> str:
+    """osm_qatile_source: per-zoom rollup of the SAME bbox-cover + SAT
+    twin that certifies osm_qatile_roads — the DataSource-API read must
+    produce the identical feature multiset."""
+    from .oracles_ext import _qatile_roads_sql
+
+    return f"""
+SELECT z, CAST(COUNT(*) AS INT) AS n_tiles,
+       CAST(SUM(n_features) AS BIGINT) AS n_features,
+       CAST(SUM(sum_road_id) AS BIGINT) AS sum_road_id
+FROM ({_qatile_roads_sql(4)}) GROUP BY z
+"""
+
+
+ORACLES_R5["osm_qatile_source"] = _qatile_source_sql()
+
 # snapshot_partition_prune: 2 hash tasks x 5 langs = 10 hive files,
 # lang='en' keeps exactly the 2 'lang=en' ones (both counts pinned)
 ORACLES_R5["snapshot_partition_prune"] = """

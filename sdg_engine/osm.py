@@ -199,12 +199,7 @@ def read_qatiles(spark: SparkSession, path: str,
     bottleneck, no shuffle (map-only until the caller aggregates).
     ``xyz_y`` carries the XYZ (north-origin) row alongside the engine's
     south-origin ``ty`` — the TMS flip both ways."""
-    import gzip
-
     import pandas as pd
-
-    from . import WORLD_MIN, WORLD_SIZE
-    from . import mvt as MVT
 
     if n_splits is None:
         n_splits = spark.sparkContext.defaultParallelism
@@ -220,47 +215,19 @@ def read_qatiles(spark: SparkSession, path: str,
     )
 
     def _scan(batches):
-        import sqlite3
-
-        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
-        try:
-            for pdf in batches:
-                out = []
-                for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                    cur = con.execute(
-                        "SELECT zoom_level, tile_column, tile_row, tile_data "
-                        "FROM tiles WHERE rowid BETWEEN ? AND ?",
-                        (int(lo_), int(hi_)),
-                    )
-                    for z, tx, tms_row, blob in cur:
-                        n = 1 << z
-                        size = WORLD_SIZE / n
-                        x0 = WORLD_MIN + tx * size
-                        y0 = WORLD_MIN + tms_row * size
-                        decoded = MVT.decode_tile(gzip.decompress(blob))
-                        for lyr in decoded.values():
-                            ext = float(lyr.get("extent", MVT.EXTENT))
-                            for ft in lyr["features"]:
-                                pts = ft["lines"][0] if ft["lines"] else []
-                                coords = [
-                                    {"x": x0 + float(px) * size / ext,
-                                     # MVT y is screen-down within the tile
-                                     "y": y0 + size - float(py) * size / ext}
-                                    for px, py in pts
-                                ]
-                                out.append((
-                                    int(z), int(tx), int(tms_row),
-                                    (n - 1) - int(tms_row),
-                                    int(ft["id"]),
-                                    int(ft["tags"].get("road_id", -1)),
-                                    len(coords), coords,
-                                ))
-                yield pd.DataFrame(
-                    out, columns=["z", "tx", "ty", "xyz_y", "feat_id",
-                                  "road_id", "n_vertices", "coords"],
-                )
-        finally:
-            con.close()
+        for pdf in batches:
+            out = []
+            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                for row in _decode_mbtiles_rows(path, int(lo_), int(hi_)):
+                    z, tx, ty, xyzy, fid, rid, nv, coords = row
+                    out.append((
+                        z, tx, ty, xyzy, fid, rid, nv,
+                        [{"x": x, "y": y} for x, y in coords],
+                    ))
+            yield pd.DataFrame(
+                out, columns=["z", "tx", "ty", "xyz_y", "feat_id",
+                              "road_id", "n_vertices", "coords"],
+            )
 
     return rdf.mapInPandas(_scan, QATILE_FEATURE_SCHEMA)
 
@@ -274,6 +241,111 @@ def _rowid_bounds(path: str) -> tuple[int | None, int | None]:
         return (row[0], row[1]) if row and row[0] is not None else (None, None)
     finally:
         con.close()
+
+
+def _decode_mbtiles_rows(path: str, lo: int, hi: int):
+    """Decode one rowid range of an MbTiles file into QATILE_FEATURE
+    tuples (the shared executor-side kernel of read_qatiles and the
+    ``mbtiles`` DataSource): open read-only, gunzip each blob,
+    MVT-decode, dequantize to world coordinates, TMS-flip both ways."""
+    import gzip
+    import sqlite3
+
+    from . import WORLD_MIN, WORLD_SIZE
+    from . import mvt as MVT
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        cur = con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles WHERE rowid BETWEEN ? AND ?",
+            (int(lo), int(hi)),
+        )
+        for z, tx, tms_row, blob in cur:
+            n = 1 << z
+            size = WORLD_SIZE / n
+            x0 = WORLD_MIN + tx * size
+            y0 = WORLD_MIN + tms_row * size
+            decoded = MVT.decode_tile(gzip.decompress(blob))
+            for lyr in decoded.values():
+                ext = float(lyr.get("extent", MVT.EXTENT))
+                for ft in lyr["features"]:
+                    pts = ft["lines"][0] if ft["lines"] else []
+                    coords = [
+                        (x0 + float(px) * size / ext,
+                         # MVT y is screen-down within the tile
+                         y0 + size - float(py) * size / ext)
+                        for px, py in pts
+                    ]
+                    yield (
+                        int(z), int(tx), int(tms_row),
+                        (n - 1) - int(tms_row),
+                        int(ft["id"]),
+                        int(ft["tags"].get("road_id", -1)),
+                        len(coords), coords,
+                    )
+    finally:
+        con.close()
+
+
+def make_mbtiles_datasource():
+    """The MbTiles reader as a Spark 4 PYTHON DATA SOURCE — after
+    ``spark.dataSource.register(make_mbtiles_datasource())`` the file
+    reads natively: ``spark.read.format("mbtiles").option("path", p)
+    .option("n_splits", "8").load()``.
+
+    This is the DataSource-V2 surface over the same rowid-range scan
+    as read_qatiles: ``partitions()`` plans one InputPartition per
+    disjoint rowid range (driver touches ONLY min/max rowid), and
+    ``read()`` runs per-partition on executors (SQLite is multi-reader
+    safe), so Catalyst sees a first-class source — column pruning,
+    per-partition parallelism, and downstream planning all apply as if
+    it were parquet.  Built lazily so importing sdg_engine never
+    requires the pyspark.sql.datasource module (added in Spark 4)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _RowidRange(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo, self.hi = lo, hi
+
+    class _MbTilesReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options["path"]
+            self._n = int(options.get("n_splits", "8"))
+
+        def partitions(self):
+            lo, hi = _rowid_bounds(self._path)
+            if lo is None:
+                return [_RowidRange(1, 0)]  # empty table: 1 no-op split
+            bounds = [
+                lo + ((hi - lo + 1) * i) // self._n for i in range(self._n)
+            ]
+            bounds.append(hi + 1)
+            return [
+                _RowidRange(bounds[i], bounds[i + 1] - 1)
+                for i in range(self._n)
+                if bounds[i] <= bounds[i + 1] - 1
+            ]
+
+        def read(self, part):
+            yield from _decode_mbtiles_rows(self._path, part.lo, part.hi)
+
+    class MbTilesDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mbtiles"
+
+        def schema(self) -> str:
+            return QATILE_FEATURE_SCHEMA
+
+        def reader(self, schema):
+            return _MbTilesReader(self.options)
+
+    return MbTilesDataSource
 
 
 REL_RING_SCHEMA = (

@@ -3452,7 +3452,47 @@ def snapshot_partition_prune(spark, sf_dir):
     )
 
 
+def osm_qatile_source(spark, sf_dir):
+    """MbTiles as a FIRST-CLASS Spark source — the same QA-tile scan
+    as osm_qatile_roads, but through the Spark 4 Python DataSource API
+    (`spark.read.format("mbtiles")`): `partitions()` plans one split
+    per disjoint rowid range (the driver touches only min/max rowid),
+    `read()` gunzips + MVT-decodes per split on executors.  Registering
+    the source makes the file a planner-visible relation — a user
+    points `.format("mbtiles")` at the planet archive exactly like
+    parquet.  Result: per-zoom totals over the decoded features; the
+    DuckDB oracle recomputes them from the segment source through the
+    bbox-cover + SAT twin, so encoder, sqlite framing, the DataSource
+    partition planner, and the decoder are all load-bearing.
+    """
+    import os
+
+    from . import mvt as MVT
+    from . import osm as OSM
+    from .harness import segments_df
+    from .queries_ext import _stream_base
+
+    spark.dataSource.register(OSM.make_mbtiles_datasource())
+    segs = segments_df(spark, sf_dir)
+    base = _stream_base(spark, "qatds_")
+    tiles = MVT.write_road_mvt(segs, os.path.join(base, "tiles_pq"), level=4)
+    mb = os.path.join(base, "roads.mbtiles")
+    OSM.write_mbtiles(tiles, mb)
+    feats = (
+        spark.read.format("mbtiles")
+        .option("path", mb)
+        .option("n_splits", "8")
+        .load()
+    )
+    return feats.groupBy("z").agg(
+        F.countDistinct("tx", "ty").cast("int").alias("n_tiles"),
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("road_id").alias("sum_road_id"),
+    )
+
+
 QUERIES_R5 = {
+    "osm_qatile_source": osm_qatile_source,
     "snapshot_partition_prune": snapshot_partition_prune,
     "streaming_snapshot_sink": streaming_snapshot_sink,
     "source_binaryfile_images": source_binaryfile_images,
