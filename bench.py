@@ -112,6 +112,7 @@ R5_EXTRAS = [
     "streaming_snapshot_sink",
     "snapshot_partition_prune",
     "osm_qatile_source",
+    "events_variant_json",
 ]
 
 HEADLINE = [

@@ -1416,6 +1416,18 @@ FROM ({_qatile_roads_sql(4)}) GROUP BY z
 
 ORACLES_R5["osm_qatile_source"] = _qatile_source_sql()
 
+# events_variant_json: the oracle bypasses the JSON/variant round trip
+# entirely — same aggregate from the base columns, so Spark's variant
+# encode/extract path is what's under test.
+ORACLES_R5["events_variant_json"] = """
+SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_v_mils
+FROM events GROUP BY 1
+"""
+
 # snapshot_partition_prune: 2 hash tasks x 5 langs = 10 hive files,
 # lang='en' keeps exactly the 2 'lang=en' ones (both counts pinned)
 ORACLES_R5["snapshot_partition_prune"] = """

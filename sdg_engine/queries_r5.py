@@ -3491,7 +3491,41 @@ def osm_qatile_source(spark, sf_dir):
     )
 
 
+def events_variant_json(spark, sf_dir):
+    """SEMI-STRUCTURED VARIANT path (Spark 4's shredded-JSON type):
+    events round-trip through a NESTED JSON document — to_json →
+    parse_json (VariantType) → typed variant_get extraction on nested
+    paths — then aggregate per type.  The oracle computes the same
+    aggregate straight from the base columns, so the variant encoder,
+    path navigation, and type coercion are all load-bearing: any
+    mis-extraction flips a sum.  At scale VARIANT beats per-query
+    get_json_object re-parsing: the document parses ONCE into the
+    binary shredded form, every extraction is a cheap path walk.
+    """
+    ev = _t(spark, sf_dir, "events")
+    j = ev.selectExpr(
+        "to_json(named_struct("
+        "  'meta', named_struct("
+        "     't', event_type,"
+        "     'k', CAST(get_json_object(props, '$.k') AS INT)),"
+        "  'v', value)) AS js"
+    )
+    v = j.selectExpr("parse_json(js) AS var").selectExpr(
+        "variant_get(var, '$.meta.t', 'string') AS t",
+        "variant_get(var, '$.meta.k', 'int') AS k",
+        "variant_get(var, '$.v', 'double') AS val",
+    )
+    return v.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("long")).alias("sum_k"),
+        F.sum(F.expr("CAST(FLOOR(val * 1000 + 0.5) AS BIGINT)")).alias(
+            "sum_v_mils"
+        ),
+    )
+
+
 QUERIES_R5 = {
+    "events_variant_json": events_variant_json,
     "osm_qatile_source": osm_qatile_source,
     "snapshot_partition_prune": snapshot_partition_prune,
     "streaming_snapshot_sink": streaming_snapshot_sink,
