@@ -672,10 +672,17 @@ def mvt_pyramid_simplified(spark, sf_dir):
     Plan: each zoom is simplify (map-only) -> cover explode -> one
     keyed cogroup encode, written as separate ACTIONS over the same
     cached roads scan (gotcha 3 — no mid-pipeline union); the final
-    union only scans the materialized tile parquet.
+    union only scans the materialized tile parquet.  The three zoom
+    writes are INDEPENDENT actions, so they run CONCURRENTLY from a
+    thread pool (Spark's scheduler interleaves their stages across the
+    same executors — measured 14.6 s -> 8.4 s cold at sf0.1; rows
+    identical since each action writes its own directory); the shared
+    roads input is repartitioned once so per-zoom DP parallelizes
+    instead of inheriting the fixture's single row group.
     """
     import functools
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import DataFrame
 
@@ -683,13 +690,15 @@ def mvt_pyramid_simplified(spark, sf_dir):
     from .queries_ext import _fixture_images, _stream_base
 
     _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    roads = roads.select("road_id", "coords").repartition(8).localCheckpoint()
     base = _stream_base(spark, "pyrsimp_")
-    parts = []
-    for z in sorted(PYR_SIMPLIFY_EPS):
+
+    def _one(z: int) -> DataFrame:
         segs = _simplified_segments(roads, PYR_SIMPLIFY_EPS[z])
-        parts.append(
-            MVT.write_road_mvt(segs, os.path.join(base, f"zl={z}"), level=z)
-        )
+        return MVT.write_road_mvt(segs, os.path.join(base, f"zl={z}"), level=z)
+
+    with ThreadPoolExecutor(len(PYR_SIMPLIFY_EPS)) as ex:
+        parts = list(ex.map(_one, sorted(PYR_SIMPLIFY_EPS)))
     tiles = functools.reduce(DataFrame.unionByName, parts)
     return tiles.groupBy("z").agg(
         F.count(F.lit(1)).cast("long").alias("n_tiles"),
@@ -2774,7 +2783,8 @@ _DB_IX = "CAST(LEAST(GREATEST(FLOOR(x / 10.0 * 128), 0), 127) AS BIGINT)"
 _DB_IY = "CAST(LEAST(GREATEST(FLOOR(y / 10.0 * 128), 0), 127) AS BIGINT)"
 
 
-def _components_jump(edges, verts_k, max_iter: int = 12):
+def _components_jump(edges, verts_k, max_iter: int = 12,
+                     n_parts: int = 8):
     """Min-label connected components WITH POINTER JUMPING:
     label ← min(label, min-neighbor-label), then label ← label(label).
     The jump halves the remaining label-tree depth each round, so
@@ -2784,7 +2794,24 @@ def _components_jump(edges, verts_k, max_iter: int = 12):
     (connected_components), but 12 jump rounds cover diameter 2^12.
     Same persisted-frontier discipline (gotcha 15); converge-or-raise
     like the plain variant.
+
+    The loop runs at ``n_parts`` shuffle partitions (saved/restored):
+    the label table is CELLS, orders of magnitude smaller than the
+    vertex input, and the iterative fixed cost is partitions × rounds
+    × stages (the gotcha-16d shape — measured 6.9 s -> 3.6 s at sf0.1
+    with 8 vs the session's 32).  At real scale size n_parts to the
+    core-cell count, not the fact-table width.
     """
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return _components_jump_inner(edges, verts_k, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _components_jump_inner(edges, verts_k, max_iter: int):
     und = edges.unionByName(
         edges.selectExpr("dst AS src", "src AS dst")
     ).localCheckpoint()
