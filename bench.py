@@ -113,6 +113,7 @@ R5_EXTRAS = [
     "snapshot_partition_prune",
     "osm_qatile_source",
     "events_variant_json",
+    "ann_recall_eval",
 ]
 
 HEADLINE = [

@@ -1416,6 +1416,37 @@ FROM ({_qatile_roads_sql(4)}) GROUP BY z
 
 ORACLES_R5["osm_qatile_source"] = _qatile_source_sql()
 
+
+def _ann_recall_sql() -> str:
+    """ann_recall_eval: recall@3 composed from the SAME two certified
+    ANN twins (exact baseline + IVF), so the approximation cost the
+    engine reports is pinned exactly."""
+    from .oracles import ANN_COSINE_TOPK
+    from .oracles_ext import ANN_IVF_TOPK
+
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({ANN_COSINE_TOPK}) WHERE rnk <= 3
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVF_TOPK})
+  WHERE query_id < 10 AND rnk <= 3
+),
+q AS (SELECT DISTINCT query_id FROM exact),
+h AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN ivf i
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(FLOOR(COALESCE(h.n_hit, 0) * 1000 / 3) AS BIGINT) AS recall_mils
+FROM q LEFT JOIN h USING (query_id)
+"""
+
+
+ORACLES_R5["ann_recall_eval"] = _ann_recall_sql()
+
 # events_variant_json: the oracle bypasses the JSON/variant round trip
 # entirely — same aggregate from the base columns, so Spark's variant
 # encode/extract path is what's under test.

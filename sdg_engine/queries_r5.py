@@ -3551,7 +3551,45 @@ def events_variant_json(spark, sf_dir):
     )
 
 
+def ann_recall_eval(spark, sf_dir):
+    """ANN INDEX-QUALITY EVALUATION — recall@3 of the IVF index against
+    the exact brute-force baseline, per query.  This is the eval stage
+    a real ANN deployment runs before trusting an index: the exact
+    top-3 (ann_cosine_topk, broadcast-bounded ground truth) joined
+    against the IVF answers (ann_ivf_topk) on (query, neighbor);
+    recall in integer mils.  Queries whose IVF cell misses true
+    neighbors show < 1000 — the measured cost of the bucketing
+    approximation, not a bug (the oracle composes the SAME two
+    certified twins, so the number is pinned exactly).
+    """
+    from .queries import QUERIES as _Q
+
+    exact = (
+        _Q["ann_cosine_topk"](spark, sf_dir)
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # ground truth: hits join + query universe
+    )
+    ivf = (
+        _Q["ann_ivf_topk"](spark, sf_dir)
+        .filter("query_id < 10 AND rnk <= 3")
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").selectExpr(
+        "query_id",
+        "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit",
+        "CAST(FLOOR(COALESCE(n_hit, 0) * 1000 / 3) AS BIGINT) AS recall_mils",
+    )
+
+
 QUERIES_R5 = {
+    "ann_recall_eval": ann_recall_eval,
     "events_variant_json": events_variant_json,
     "osm_qatile_source": osm_qatile_source,
     "snapshot_partition_prune": snapshot_partition_prune,
