@@ -114,6 +114,17 @@ R5_EXTRAS = [
     "osm_qatile_source",
     "events_variant_json",
     "ann_recall_eval",
+    "snapshot_mor_deletes",
+    "snapshot_bloom_index",
+    "snapshot_incremental_mv",
+    "snapshot_zorder_cluster",
+    "snapshot_wap_publish",
+    "events_welch_ttest",
+    "cells_line_density",
+    "kcore_roads",
+    "cells_kde",
+    "udtf_word_runs",
+    "textrank_keywords",
 ]
 
 HEADLINE = [

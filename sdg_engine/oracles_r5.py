@@ -115,15 +115,10 @@ FROM est
 """
 
 
-def _pagerank_roads_sql() -> str:
-    """Unrolled-CTE PageRank: the identical integer recurrence as
-    queries_r5.pagerank, one (contrib, rank) CTE pair per iteration."""
-    base = (
-        f"CAST(FLOOR({_PR_UNIT // 100 * (100 - _PR_DAMP)}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
-    )
-    ctes = [
-        f"segs AS (SELECT {AX} AS ax, {AY} AS ay, {BX} AS bx, {BY} AS byy FROM supplier)",
-        f"ab AS (SELECT {_PR_NODE_A} AS a, {_PR_NODE_B} AS b FROM segs)",
+def _pr_base_ctes() -> list[str]:
+    """The (e, ew, deg, nodes, nn, p0) PageRank preamble over an `ab`
+    pair CTE — shared by every unrolled-PageRank oracle."""
+    return [
         "e AS (SELECT a AS src, b AS dst FROM ab UNION ALL SELECT b AS src, a AS dst FROM ab)",
         "ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM e GROUP BY src, dst)",
         "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM ew GROUP BY src)",
@@ -132,6 +127,15 @@ def _pagerank_roads_sql() -> str:
         f"p0 AS (SELECT node, CAST(FLOOR({_PR_UNIT}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
         " AS pr FROM nodes, nn)",
     ]
+
+
+def _pr_round_ctes() -> list[str]:
+    """One (contrib, rank) CTE pair per iteration — the identical
+    integer recurrence as queries_r5.pagerank."""
+    base = (
+        f"CAST(FLOOR({_PR_UNIT // 100 * (100 - _PR_DAMP)}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+    )
+    ctes = []
     for i in range(1, _PR_ITERS + 1):
         ctes.append(
             f"c{i} AS (SELECT ew.dst AS dst, CAST(SUM(CAST(FLOOR(CAST(pr AS DOUBLE)"
@@ -144,7 +148,47 @@ def _pagerank_roads_sql() -> str:
             f" + CAST(FLOOR({_PR_DAMP}.0 * CAST(COALESCE(s, 0) AS DOUBLE) / 100.0)"
             f" AS BIGINT) AS pr FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node, nn)"
         )
+    return ctes
+
+
+def _pagerank_roads_sql() -> str:
+    """Unrolled-CTE PageRank over the quantized road graph."""
+    ctes = [
+        f"segs AS (SELECT {AX} AS ax, {AY} AS ay, {BX} AS bx, {BY} AS byy FROM supplier)",
+        f"ab AS (SELECT {_PR_NODE_A} AS a, {_PR_NODE_B} AS b FROM segs)",
+    ] + _pr_base_ctes() + _pr_round_ctes()
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM p{_PR_ITERS}"
+
+
+def _textrank_sql() -> str:
+    """Unrolled-CTE PageRank over the word co-occurrence graph (same
+    recurrence CTEs as the roads variant — only the `ab` base
+    differs), top-15 ranking window over the vocab-sized result."""
+    ctes = [
+        "toks AS (SELECT string_split(text, ' ') AS ws FROM documents)",
+        "ab AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM toks,"
+        " UNNEST(generate_series(1, len(ws) - 1)) AS u(i)"
+        " WHERE ws[i] <> ws[i + 1])",
+    ] + _pr_base_ctes() + _pr_round_ctes()
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT word, pr, rnk FROM (
+  SELECT node AS word, pr,
+         CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INT) AS rnk
+  FROM p{_PR_ITERS}
+) WHERE rnk <= 15""")
+
+
+# WAP: after publish, ref readers see the full table; pre-publish they
+# saw only snapshot 1 (doc_id < 300); the published head is snapshot 2
+SNAPSHOT_WAP_PUBLISH = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id < 300) AS n_before_publish,
+       CAST(2 AS INT) AS published_snap
+FROM documents GROUP BY lang
+"""
 
 
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
@@ -1175,6 +1219,223 @@ SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, ad2_u FROM (
 # the pinned 2/10 file counts are deterministic by construction: ten
 # 50-wide doc_id ranges, one file each; [120, 180] intersects exactly
 # the [100,150) and [150,200) zones
+def _cells_kde_sql() -> str:
+    """Identical KDE construction: same grid fragments as Moran's I,
+    25-row VALUES offsets dim, integer triangle kernel, ranking
+    window over the cell-sized table."""
+    from .harness import PX, PY
+    from .queries_r5 import _KDE_TOPK, _MI_LEVEL
+    from .sqlgen import grid_index_expr
+
+    offs = ", ".join(
+        f"({dx}, {dy}, {(3 - abs(dx)) * (3 - abs(dy))})"
+        for dx in range(-2, 3) for dy in range(-2, 3)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {grid_index_expr(PX, _MI_LEVEL)} AS ix,
+         {grid_index_expr(PY, _MI_LEVEL)} AS iy
+  FROM orders
+),
+cells AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pts GROUP BY ix, iy),
+contrib AS (
+  SELECT ix + o.dx AS ix, iy + o.dy AS iy, c * CAST(o.w AS BIGINT) AS wc
+  FROM cells, (VALUES {offs}) AS o(dx, dy, w)
+),
+kde AS (SELECT ix, iy, CAST(SUM(wc) AS BIGINT) AS kde
+        FROM contrib GROUP BY ix, iy)
+SELECT ix, iy, kde, rnk FROM (
+  SELECT ix, iy, kde,
+         CAST(ROW_NUMBER() OVER (ORDER BY kde DESC, ix, iy) AS INT) AS rnk
+  FROM kde
+) WHERE rnk <= {_KDE_TOPK}
+"""
+
+
+# UDTF word runs: INDEPENDENT gaps-and-islands twin — run starts via
+# lag(), island ids via a running sum, runs >= 2 kept; checks the
+# UDTF's sequential RLE against pure relational semantics.
+UDTF_WORD_RUNS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, ws[i] AS word, i
+  FROM w, UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+brk AS (
+  SELECT doc_id, word, i,
+         CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY i) = word
+              THEN 0 ELSE 1 END AS is_start
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, word, i,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM brk
+),
+runs AS (
+  SELECT doc_id, word, grp, COUNT(*) AS run_len
+  FROM isl GROUP BY doc_id, word, grp HAVING COUNT(*) >= 2
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS INT) AS max_run,
+       CAST(SUM(run_len) AS BIGINT) AS sum_len
+FROM runs GROUP BY word
+"""
+
+
+def _kcore_sql(roads_pq: str, node: str) -> str:
+    """Same fixed peel rounds as the Spark side, each round ONE
+    windowed filter referencing the previous CTE exactly once (the
+    shortest-path single-reference lesson); the final CTE is read by
+    a single aggregate pass."""
+    from .queries_r5 import _KCORE_K, _KCORE_ROUNDS
+
+    rounds = "".join(
+        f""",
+e{k + 1} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           COUNT(*) OVER (PARTITION BY src) AS ds,
+           COUNT(*) OVER (PARTITION BY dst) AS dd
+    FROM e{k}
+  ) WHERE ds >= {_KCORE_K} AND dd >= {_KCORE_K}
+)"""
+        for k in range(_KCORE_ROUNDS)
+    )
+    return f"""
+WITH nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+             FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+e0 AS (SELECT DISTINCT src, dst FROM (
+         SELECT a AS src, b AS dst FROM ab
+         UNION ALL SELECT b AS src, a AS dst FROM ab)
+       WHERE src <> dst){rounds}
+SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_core_nodes,
+       CAST(COALESCE(SUM(DISTINCT src), 0) AS BIGINT) AS sum_node,
+       CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS n_core_edges
+FROM e{_KCORE_ROUNDS}
+"""
+
+
+def _welch_sql() -> str:
+    """Same exact-BIGINT folds, same shared variance fragment, same
+    scalar expression order, one FLOOR at the end."""
+    from .queries_r5 import _WELCH_V
+
+    v1 = _WELCH_V.format(n="n", s="s", q="q")
+    v2 = _WELCH_V.format(n="n2", s="s2", q="q2")
+    return f"""
+WITH c AS (SELECT event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM c GROUP BY event_type),
+base AS (SELECT n AS n2, s AS s2, q AS q2 FROM agg
+         WHERE event_type = 'view')
+SELECT event_type, n,
+       CAST(FLOOR(CAST(s AS DOUBLE) * 10.0 / CAST(n AS DOUBLE))
+            AS BIGINT) AS mean_mils,
+       CAST(FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 10.0
+            / SQRT({v1} / CAST(n AS DOUBLE)
+            + {v2} / CAST(n2 AS DOUBLE)) * 1000.0) AS BIGINT) AS t_mils
+FROM agg, base
+WHERE event_type <> 'view'
+"""
+
+
+def _line_density_sql(roads_pq: str) -> str:
+    """Identical midpoint-attribution construction: same grid
+    fragments, FLOOR-before-fold micro lengths."""
+    from .queries_r5 import _MI_LEVEL
+    from .sqlgen import grid_index_expr
+
+    mx = grid_index_expr("(x1 + x2) / 2", _MI_LEVEL)
+    my = grid_index_expr("(y1 + y2) / 2", _MI_LEVEL)
+    return f"""
+WITH cs AS (SELECT coords AS cs FROM read_parquet('{roads_pq}')),
+seg AS (SELECT (cs[i]).x AS x1, (cs[i]).y AS y1,
+               (cs[i + 1]).x AS x2, (cs[i + 1]).y AS y2
+        FROM cs, UNNEST(generate_series(1, len(cs) - 1)) AS u(i)),
+mid AS (SELECT {mx} AS ix, {my} AS iy,
+               CAST(FLOOR(SQRT((x2 - x1) * (x2 - x1)
+                    + (y2 - y1) * (y2 - y1)) * 1000000.0) AS BIGINT)
+                 AS len_u
+        FROM seg)
+SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(len_u) AS BIGINT) AS len_micro
+FROM mid GROUP BY ix, iy
+"""
+
+
+# bloom point lookups: the probed rows + pinned per-probe scan counts
+# (each probe opens exactly its one true file of 10 — zero false
+# positives at this key set, deterministic md5 bloom; re-derivable
+# with storage._bloom_cells over the doc_id%10 slices and pinned by
+# tests/test_r5.py)
+def _bloom_index_sql() -> str:
+    from .queries_r5 import _BLOOM_PROBES
+
+    keys = ", ".join(str(p) for p in _BLOOM_PROBES)
+    return f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(1 AS INT) AS files_scanned, CAST(10 AS INT) AS files_total
+FROM documents WHERE doc_id IN ({keys})
+"""
+
+
+# incremental MV maintenance: the oracle IS the from-scratch
+# recompute over the final state (append covered all docs; the delete
+# tombstoned doc_id % 9 = 0), so incremental == direct is the check;
+# delta sizes recomputed relationally
+SNAPSHOT_INCREMENTAL_MV = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id >= 400) AS d_ins,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % 9 = 0) AS d_del
+FROM documents WHERE doc_id % 9 <> 0
+GROUP BY lang
+"""
+
+
+# merge-on-read deletes: content = every doc whose key survived the
+# tombstone; pinned sidecar/file counts (1 delete file -> 0 after
+# compaction, 2 data files) + pre-delete count via time travel
+SNAPSHOT_MOR_DELETES = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_before,
+       CAST(1 AS INT) AS delete_files,
+       CAST(0 AS INT) AS delete_files_after_compact,
+       CAST(2 AS INT) AS data_files_after_compact
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY lang
+"""
+
+# z-order clustering: the 2-D box aggregate over the SAME quantized
+# grid fragments, plus the pinned scan counts — row-order layout
+# prunes nothing (4/4), the morton-clustered rewrite opens only the
+# two buckets whose (qx, qy) boxes intersect the query (2/8)
+SNAPSHOT_ZORDER_CLUSTER = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       '4/4' AS files_scanned_roworder,
+       '2/8' AS files_scanned_zorder
+FROM documents
+WHERE CAST(doc_id % 8 AS INT) BETWEEN 4 AND 7
+  AND CAST(CAST(FLOOR(doc_id / 8) AS BIGINT) % 8 AS INT) BETWEEN 4 AND 7
+GROUP BY lang
+"""
+
 SNAPSHOT_ZONE_MAP = """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1290,6 +1551,15 @@ ORACLES_R5 = {
     "events_seasonality": EVENTS_SEASONALITY,
     "doc_word_diversity": DOC_WORD_DIVERSITY,
     "snapshot_zone_map": SNAPSHOT_ZONE_MAP,
+    "snapshot_mor_deletes": SNAPSHOT_MOR_DELETES,
+    "snapshot_bloom_index": _bloom_index_sql(),
+    "events_welch_ttest": _welch_sql(),
+    "snapshot_wap_publish": SNAPSHOT_WAP_PUBLISH,
+    "textrank_keywords": _textrank_sql(),
+    "snapshot_incremental_mv": SNAPSHOT_INCREMENTAL_MV,
+    "cells_kde": _cells_kde_sql(),
+    "udtf_word_runs": UDTF_WORD_RUNS,
+    "snapshot_zorder_cluster": SNAPSHOT_ZORDER_CLUSTER,
     "ann_pq_topk": ANN_PQ_TOPK,
     "contamination_check": CONTAMINATION_CHECK,
     "dataset_mix_weights": DATASET_MIX_WEIGHTS,
@@ -1899,6 +2169,8 @@ FROM f GROUP BY 1
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
             "triangle_count_roads": tri,
+            "kcore_roads": _kcore_sql(roads_pq, node),
+            "cells_line_density": _line_density_sql(roads_pq),
             "shortest_path_weighted": _spw_sql(roads_pq, node),
             "route_interpolate": _route_interp_sql(roads_pq),
             "roads_buffer_cells": _buffer_cells_sql(roads_pq),

@@ -3588,7 +3588,574 @@ def ann_recall_eval(spark, sf_dir):
     )
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def kcore_roads(spark, sf_dir):
+    """k-CORE decomposition (k=2, 8 synchronous peel rounds) of the
+    road-network graph (same 0.1-degree quantization as
+    road_graph_bfs) — the degeneracy pruning step graph pipelines run
+    before community/centrality work.  Each peel round is ONE windowed
+    filter over the SYMMETRIC edge list: COUNT(*) OVER (PARTITION BY
+    src) is the node degree (edges stored both directions), and
+    dropping edges where either endpoint's degree < k removes the
+    node.  That form makes every round reference the previous edge
+    set EXACTLY once — two hash-partitioned window exchanges on Spark
+    (lineage kept linear via localCheckpoint, gotcha 15), and a
+    single-reference CTE chain in the DuckDB twin (the shortest-path
+    lesson: a twice-referenced chained CTE re-inlines its whole
+    prefix per round, 2^rounds blowup).  Fixed-round on BOTH sides so
+    parity is exact; convergence at this scale is pinned by pytest
+    (an extra round changes nothing).  Output: one row — core node
+    count, node-id checksum, core edge count.
+    """
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    sym = (
+        segs.selectExpr("a AS src", "b AS dst")
+        .unionAll(segs.selectExpr("b AS src", "a AS dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        sym = (
+            sym.selectExpr(
+                "src", "dst",
+                "COUNT(*) OVER (PARTITION BY src) AS ds",
+                "COUNT(*) OVER (PARTITION BY dst) AS dd",
+            )
+            .filter(f"ds >= {_KCORE_K} AND dd >= {_KCORE_K}")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return sym.agg(
+        F.expr("CAST(COUNT(DISTINCT src) AS BIGINT)").alias("n_core_nodes"),
+        F.expr("CAST(COALESCE(SUM(DISTINCT src), 0) AS BIGINT)").alias(
+            "sum_node"
+        ),
+        F.expr("CAST(FLOOR(COUNT(*) / 2) AS BIGINT)").alias("n_core_edges"),
+    )
+
+
+_KDE_TOPK = 10
+
+
+def cells_kde(spark, sf_dir):
+    """KDE HEATMAP (kernel density estimation) of order-point density
+    on the level-5 cell grid — the hotspot layer every geospatial
+    dashboard renders.  Discrete separable triangle kernel
+    w(dx, dy) = (3-|dx|)·(3-|dy|) over the 5×5 neighborhood — all
+    integer, so the fold is exact in both engines.  Plan: one count
+    agg over points → 25-offset broadcast cross join (the offsets dim
+    is a literal) → hash agg on the target cell → top-10 ranking
+    window (the ranking runs over the CELL table, bounded by the grid
+    — 1024 rows at level 5 — never over points).  Oracle: identical
+    construction relationally.
+    """
+    from .harness import points_df
+    from .sqlgen import grid_index_expr
+
+    pts = points_df(spark, sf_dir).selectExpr(
+        f"{grid_index_expr('lon', _MI_LEVEL)} AS ix",
+        f"{grid_index_expr('lat', _MI_LEVEL)} AS iy",
+    )
+    cells = pts.groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("c"))
+    offs = spark.createDataFrame(
+        [(dx, dy, (3 - abs(dx)) * (3 - abs(dy)))
+         for dx in range(-2, 3) for dy in range(-2, 3)],
+        "dx int, dy int, w int",
+    )
+    kde = (
+        cells.crossJoin(F.broadcast(offs))
+        .selectExpr("ix + dx AS ix", "iy + dy AS iy",
+                    "c * CAST(w AS BIGINT) AS wc")
+        .groupBy("ix", "iy")
+        .agg(F.sum("wc").alias("kde"))
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("kde").desc(), F.col("ix"), F.col("iy"))
+    )
+    return (
+        kde.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= _KDE_TOPK)
+    )
+
+
+def udtf_word_runs(spark, sf_dir):
+    """Spark 4 PYTHON UDTF surface (table-valued function in SQL,
+    LATERAL-joined): run-length encoding of consecutive repeated
+    words per document — a genuinely sequential per-row computation
+    (state carries across elements) that a scalar UDF can't emit as
+    rows.  The UDTF is Arrow-batched where the runtime supports it;
+    this is the one deliberate Python-in-the-loop query, registered
+    as the API-surface demo next to the mbtiles DataSource (the §2.9
+    rule — vectorized-only hot paths — stands everywhere else).
+    Oracle: an INDEPENDENT gaps-and-islands construction (posexplode
+    + lag + running sum of run starts) in DuckDB, so the UDTF's
+    sequential RLE is checked against pure relational semantics.
+    Output: per repeated word — run count, longest run, repeated-word
+    total.
+    """
+    from pyspark.sql.functions import udtf
+
+    class WordRuns:
+        def eval(self, text: str):
+            if not text:
+                return
+            prev, n = None, 0
+            for w in text.split(" "):
+                if w == prev:
+                    n += 1
+                else:
+                    if n >= 2:
+                        yield prev, n
+                    prev, n = w, 1
+            if n >= 2:
+                yield prev, n
+
+    ret = "word string, run_len int"
+    try:
+        fn = udtf(WordRuns, returnType=ret, useArrow=True)
+    except TypeError:  # runtime without the Arrow flag
+        fn = udtf(WordRuns, returnType=ret)
+    spark.udtf.register("word_runs", fn)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    runs = spark.sql(
+        "SELECT r.word, r.run_len "
+        "FROM udtf_docs, LATERAL word_runs(text) r"
+    )
+    return runs.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("max_run"),
+        F.sum("run_len").cast("bigint").alias("sum_len"),
+    )
+
+
+def snapshot_mor_deletes(spark, sf_dir):
+    """MERGE-ON-READ equality deletes (Iceberg v2 delete files): two
+    appends build the table, then a delete commit tombstones every
+    doc_id ≡ 0 (mod 7) — an O(|keys|) sidecar write, NO data rewrite
+    (the trickle-delete path copy-on-write MERGE can't afford at
+    100 TB).  Readers apply the tombstones as a broadcast anti-join
+    scoped to the data dirs that existed at delete time (sequence
+    semantics — pinned separately by a re-insert pytest).  Compaction
+    then MATERIALIZES the deletes and clears them: the returned
+    aggregate reads the compacted table, with the tombstone-file and
+    data-file counts pinned (1 delete file before, 0 after; 2 data
+    files after) and the pre-delete row count recovered via time
+    travel to snapshot 2.  Any bug — tombstone not applied, applied
+    twice, lost in compaction, or time travel seeing the delete —
+    flips a pinned number or the aggregate.
+    """
+    from .queries_ext import _stream_base
+    from .storage import (
+        _read_manifest,
+        compact_snapshot,
+        count_data_files,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'mor_')}/tbl"
+    write_snapshot(docs.filter("doc_id < 250").coalesce(1), path,
+                   mode="append")
+    write_snapshot(docs.filter("doc_id >= 250").coalesce(1), path,
+                   mode="append")
+    delete_from_snapshot(
+        spark, path, docs.filter("doc_id % 7 = 0").select("doc_id"),
+        "doc_id",
+    )
+    n_del = len(_read_manifest(path, 3)["deletes"])
+    compact_snapshot(spark, path, target_partitions=2)
+    n_del_after = len(_read_manifest(path, 4).get("deletes") or [])
+    files_after = count_data_files(path, 4)
+    before = read_snapshot(spark, path, as_of=2).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(before))
+        .withColumn("delete_files", F.lit(n_del).cast("int"))
+        .withColumn("delete_files_after_compact",
+                    F.lit(n_del_after).cast("int"))
+        .withColumn("data_files_after_compact",
+                    F.lit(files_after).cast("int"))
+    )
+
+
+# quantized 8×8 grid derived from doc_id (full coverage at every SF:
+# doc_ids are consecutive from 0 and ≥ 64 rows exist) — shared VERBATIM
+# with the DuckDB twin so the clustering key is semantics, not layout
+_ZQX = "CAST(doc_id % 8 AS INT)"
+_ZQY = "CAST(CAST(FLOOR(doc_id / 8) AS BIGINT) % 8 AS INT)"
+# top-3 bits of the 6-bit morton interleave of (qx, qy): y2 x2 y1 —
+# 8 buckets of 8 curve-contiguous codes
+_ZBUCKET = (
+    "CAST(FLOOR(qy / 4) * 4 + FLOOR(qx / 4) * 2 "
+    "+ CAST(FLOOR(qy / 2) AS BIGINT) % 2 AS INT)"
+)
+
+
+def snapshot_wap_publish(spark, sf_dir):
+    """WRITE–AUDIT–PUBLISH branching (the Iceberg staged-commit
+    pattern production pipelines gate ingestion with): readers follow
+    the 'main' REF — a tiny named head into the shared snapshot log —
+    so an appended snapshot is INVISIBLE until one atomic pointer flip
+    publishes it.  Here: snapshot 1 publishes to main; snapshot 2
+    stages the remaining docs; the audit validates the staged head
+    (no NULL keys, non-empty) and only then fast-forwards main.  The
+    returned aggregate reads THROUGH the ref; the pre-publish
+    visibility (what ref readers saw while snapshot 2 was staged)
+    rides along via a time-travel read of the old head.  The
+    audit-fail path (drop_ref rollback, main untouched) is pinned by
+    pytest.  Oracle: final + pre-publish aggregates relationally, and
+    the published snapshot id pinned.
+    """
+    from .queries_ext import _stream_base
+    from .storage import get_ref, read_snapshot, set_ref, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'wap_')}/tbl"
+    s1 = write_snapshot(docs.filter("doc_id < 300").coalesce(1), path,
+                        mode="append")
+    set_ref(path, "main", s1)
+    pre_publish = read_snapshot(spark, path, ref="main")  # plan pins s1
+    s2 = write_snapshot(docs.filter("doc_id >= 300").coalesce(1), path,
+                        mode="append")  # STAGED: main still at s1
+    staged = read_snapshot(spark, path, as_of=s2)
+    # audit: key completeness on the staged head (an eager gate by
+    # design — the publish decision is control flow)
+    bad = staged.filter("doc_id IS NULL").limit(1).count()
+    if bad == 0 and not staged.isEmpty():
+        set_ref(path, "main", s2)  # PUBLISH: one atomic pointer flip
+    n_pre = pre_publish.agg(F.count(F.lit(1)).alias("n_before_publish"))
+    return (
+        read_snapshot(spark, path, ref="main")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(n_pre))
+        .withColumn("published_snap",
+                    F.lit(get_ref(path, "main")).cast("int"))
+    )
+
+
+def textrank_keywords(spark, sf_dir):
+    """TEXTRANK keyword extraction (graph-based, the unsupervised
+    alternative to RAKE/TF-IDF in this engine's text suite): adjacent
+    word pairs form an undirected co-occurrence graph — parallel
+    pairs become edge weights inside pagerank()'s groupBy — and the
+    INTEGER-EXACT fixed-iteration PageRank (BIGINT micro-units, FLOOR
+    divisions; same kernel as pagerank_roads) ranks the vocabulary.
+    The ranking window runs over the VOCAB-sized rank table (bounded
+    by distinct words, never the corpus).  Oracle: the identical
+    unrolled recurrence in SQL over the same bigrams.
+    Output: top-15 words by rank, deterministic (pr DESC, word) ties.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.selectExpr("split(text, ' ') AS ws")
+    pairs = (
+        ws.selectExpr("ws", "explode(sequence(1, size(ws) - 1)) AS i")
+        .selectExpr("ws[i - 1] AS a", "ws[i] AS b")
+        .filter("a <> b")
+    )
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionAll(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    pr = pagerank(edges).select(F.col("node").alias("word"), "pr")
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("pr").desc(), F.col("word"))
+    )
+    return pr.withColumn("rnk", rnk.cast("int")).filter(F.col("rnk") <= 15)
+
+
+# Welch variance from exact integer sums, all-double scalar math with
+# a SHARED textual expression (gotcha 8: only + - * / sqrt floor on
+# oracle paths; the fold is over BIGINTs, the formula is scalar)
+_WELCH_V = (
+    "((CAST({n} AS DOUBLE) * CAST({q} AS DOUBLE) "
+    "- CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)) "
+    "/ (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1.0)))"
+)
+
+
+def events_welch_ttest(spark, sf_dir):
+    """WELCH'S t-TEST of each event type's value against the 'view'
+    baseline — the A/B-test primitive of an events pipeline.  Values
+    are cents-exact (2-decimal fixture), so n, Σv, Σv² fold as exact
+    BIGINTs (one map-side-combined agg over the fact table); the t
+    statistic is then a CLOSED-FORM scalar over six integers —
+    (m₁−m₂)/√(v₁/n₁+v₂/n₂) — evaluated in identical textual order on
+    both engines with one FLOOR at the end (the events_trend
+    precedent).  The baseline row rides as a broadcast one-row
+    aggregate; no second scan, no shuffle beyond the 5-group agg.
+    Output per non-baseline type: n, mean (mils), t (mils).
+    """
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c",
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("q"),
+    )
+    base = agg.filter("event_type = 'view'").selectExpr(
+        "n AS n2", "s AS s2", "q AS q2"
+    )
+    v1 = _WELCH_V.format(n="n", s="s", q="q")
+    v2 = _WELCH_V.format(n="n2", s="s2", q="q2")
+    return (
+        agg.filter("event_type <> 'view'")
+        .crossJoin(F.broadcast(base))
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(FLOOR(CAST(s AS DOUBLE) * 10.0 / CAST(n AS DOUBLE)) "
+            "AS BIGINT) AS mean_mils",
+            "CAST(FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            "- CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 10.0 "
+            f"/ SQRT({v1} / CAST(n AS DOUBLE) "
+            f"+ {v2} / CAST(n2 AS DOUBLE)) * 1000.0) AS BIGINT) "
+            "AS t_mils",
+        )
+    )
+
+
+def cells_line_density(spark, sf_dir):
+    """LINE-DENSITY SURFACE: total road length per level-5 grid cell
+    (midpoint attribution — each polyline segment's full planar
+    length lands in its midpoint's cell), the raster layer behind
+    road-density styling and sampling weights.  Per-segment length is
+    √(dx²+dy²) FLOORed to integer micro-degrees BEFORE the per-cell
+    fold, so the SUM is order-independent and exact in both engines
+    (gotcha 8).  Plan: segment explode → one hash agg on the cell —
+    the explode fanout is |vertices|, the agg output is grid-bounded.
+    Output per occupied cell: segment count, summed length (micro).
+    """
+    from .queries_ext import _fixture_images
+    from .sqlgen import grid_index_expr
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    segs = roads.selectExpr("coords AS cs").selectExpr(
+        "explode(transform(sequence(1, size(cs) - 1), "
+        "i -> struct(cs[i - 1].x AS x1, cs[i - 1].y AS y1, "
+        "cs[i].x AS x2, cs[i].y AS y2))) AS s"
+    ).select("s.*")
+    mid = segs.selectExpr(
+        f"{grid_index_expr('(x1 + x2) / 2', _MI_LEVEL)} AS ix",
+        f"{grid_index_expr('(y1 + y2) / 2', _MI_LEVEL)} AS iy",
+        "CAST(FLOOR(SQRT((x2 - x1) * (x2 - x1) "
+        "+ (y2 - y1) * (y2 - y1)) * 1000000.0) AS BIGINT) AS len_u",
+    )
+    return mid.groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("len_u").alias("len_micro"),
+    )
+
+
+_BLOOM_PROBES = (33, 137, 256, 391, 444)
+
+
+def snapshot_bloom_index(spark, sf_dir):
+    """PER-FILE BLOOM INDEX point lookups (the data-skipping primitive
+    parquet bloom filters / Iceberg bloom metrics provide): ten
+    appends sliced by doc_id mod 10 give a HASH-SCATTERED layout —
+    every file's doc_id zone spans the full range, so zone maps prune
+    NOTHING for an equality probe.  Each commit stores a 1024-bit,
+    3-probe md5 Bloom bitmap per file in the manifest
+    (``bloom_cols=["doc_id"]``); ``read_snapshot_point`` then opens
+    only maybe-containing files.  Every probe here opens EXACTLY its
+    one true file (1/10, zero false positives at this key set —
+    deterministic, no RNG anywhere) — at 100 TB that's an id lookup
+    touching one file instead of a full scan.  Oracle: the probed
+    rows relationally + the pinned per-probe scan counts.
+    """
+    from functools import reduce
+
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot_point, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'bloomix_')}/tbl"
+    for k in range(10):
+        write_snapshot(docs.filter(f"doc_id % 10 = {k}").coalesce(1),
+                       path, mode="append", bloom_cols=["doc_id"])
+    outs = []
+    for p in _BLOOM_PROBES:
+        df, n_scan, n_tot = read_snapshot_point(spark, path, "doc_id", p)
+        outs.append(
+            df.filter(F.col("doc_id") == p)  # row-level residual
+            .select(
+                "doc_id", "lang", "n_chars",
+                F.lit(n_scan).cast("int").alias("files_scanned"),
+                F.lit(n_tot).cast("int").alias("files_total"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def snapshot_incremental_mv(spark, sf_dir):
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE off the snapshot CDC
+    log: the per-lang aggregate MV is built once over snapshot 1, then
+    maintained from the COMMIT DELTAS — the append's new data dir is
+    read directly as the insert delta (never a table diff), and the
+    delete commit's key sidecar is resolved to full rows via one
+    broadcast semi-join — then merged as MV ∪ (+inserts) ∪ (−deletes)
+    with a single re-aggregation over MV-sized input.  At 100 TB the
+    refresh cost is O(delta) + one keyed lookup, not a base-table
+    rescan.  The oracle recomputes the aggregate from scratch over
+    the final state (docs minus tombstoned keys), so any drift
+    between the incremental and direct forms flips a sum; the delta
+    sizes ride along as columns (computed relationally on both
+    sides).
+    """
+    from .queries_ext import _stream_base
+    from .storage import (
+        _read_manifest,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'incmv_')}/tbl"
+    write_snapshot(docs.filter("doc_id < 400").coalesce(1), path,
+                   mode="append")
+    mv0 = (
+        read_snapshot(spark, path, as_of=1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .withColumn("sign", F.lit(1).cast("long"))
+    )
+    write_snapshot(docs.filter("doc_id >= 400").coalesce(1), path,
+                   mode="append")
+    delete_from_snapshot(spark, path,
+                         docs.filter("doc_id % 9 = 0").select("doc_id"),
+                         "doc_id")
+    # insert delta: the appended commit's own data dir, read directly
+    ins_dir = _read_manifest(path, 2)["dirs"][-1]
+    ins = spark.read.parquet(ins_dir)
+    # delete delta: tombstone keys -> full rows via broadcast semi-join
+    # against the pre-delete state (the keyed lookup of the refresh)
+    del_keys = spark.read.parquet(_read_manifest(path, 3)["deletes"][0]["dir"])
+    dels = read_snapshot(spark, path, as_of=2).join(
+        F.broadcast(del_keys), "doc_id", "semi"
+    )
+    delta = (
+        ins.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .withColumn("sign", F.lit(1).cast("long"))
+        .unionByName(
+            dels.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .withColumn("sign", F.lit(-1).cast("long"))
+        )
+    )
+    sizes = ins.agg(F.count(F.lit(1)).alias("d_ins")).crossJoin(
+        del_keys.agg(F.count(F.lit(1)).alias("d_del"))
+    )
+    return (
+        mv0.unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("sign * n_docs")).alias("n_docs"),
+            F.sum(F.expr("sign * sum_chars")).alias("sum_chars"),
+        )
+        .filter("n_docs > 0")
+        .crossJoin(F.broadcast(sizes))
+    )
+
+
+def snapshot_zorder_cluster(spark, sf_dir):
+    """Z-ORDER CLUSTERING compaction (OPTIMIZE ... ZORDER BY) and why
+    it exists: multi-column zone maps only prune when the layout
+    clusters BOTH columns.  Four row-order appends (doc_id ≡ k mod 4
+    slices) give every file qx spanning [k, k+4] and qy spanning the
+    full domain → the 2-D box query (qx, qy ∈ [4, 7]) prunes NOTHING
+    (4/4 files scanned, pinned).  ``cluster_snapshot`` rewrites along
+    the morton curve's top-3 bits — one file per 8-code curve run, so
+    each file's (qx, qy) zones are a tight 4×2 box — and the same box
+    query opens exactly the 2 files whose boxes intersect it (x2=1 ∧
+    y2=1 ⇒ buckets 6, 7), 2/8 pinned.  At 100 TB this is the
+    difference between a selective 2-D query scanning the table and
+    scanning ~box-volume; the rewrite itself is one bucket-keyed
+    shuffle.  Oracle: the box aggregate relationally + all three
+    pinned counts.
+    """
+    from .queries_ext import _stream_base
+    from .storage import (
+        cluster_snapshot,
+        read_snapshot_pruned_box,
+        write_snapshot,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("qx", F.expr(_ZQX))
+        .withColumn("qy", F.expr(_ZQY))
+    )
+    path = f"{_stream_base(spark, 'zorder_')}/tbl"
+    for k in range(4):  # row-order layout: 4 doc_id-residue slices
+        write_snapshot(docs.filter(f"doc_id % 4 = {k}").coalesce(1),
+                       path, mode="append", stats_cols=["qx", "qy"])
+    box = {"qx": (4, 7), "qy": (4, 7)}
+    _un, scan_row, tot_row = read_snapshot_pruned_box(spark, path, box)
+    cluster_snapshot(spark, path, _ZBUCKET, stats_cols=["qx", "qy"],
+                     n_buckets=8)
+    pruned, scan_z, tot_z = read_snapshot_pruned_box(spark, path, box)
+    return (
+        pruned.filter("qx BETWEEN 4 AND 7 AND qy BETWEEN 4 AND 7")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("files_scanned_roworder",
+                    F.lit(f"{scan_row}/{tot_row}"))
+        .withColumn("files_scanned_zorder", F.lit(f"{scan_z}/{tot_z}"))
+    )
+
+
 QUERIES_R5 = {
+    "kcore_roads": kcore_roads,
+    "cells_kde": cells_kde,
+    "udtf_word_runs": udtf_word_runs,
+    "snapshot_mor_deletes": snapshot_mor_deletes,
+    "snapshot_bloom_index": snapshot_bloom_index,
+    "events_welch_ttest": events_welch_ttest,
+    "snapshot_wap_publish": snapshot_wap_publish,
+    "textrank_keywords": textrank_keywords,
+    "cells_line_density": cells_line_density,
+    "snapshot_incremental_mv": snapshot_incremental_mv,
+    "snapshot_zorder_cluster": snapshot_zorder_cluster,
     "ann_recall_eval": ann_recall_eval,
     "events_variant_json": events_variant_json,
     "osm_qatile_source": osm_qatile_source,

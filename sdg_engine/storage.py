@@ -199,7 +199,41 @@ def _merge_schema(parent_json: dict | None, new_schema) -> dict:
     return StructType(out).jsonValue()
 
 
-def _file_stats(data_dir: str, cols: list[str]) -> list[dict]:
+# per-file Bloom filter parameters: 1024 bits as 16×64-bit words, 3
+# md5-derived probes — at ~50 keys/file the per-probe FP rate is
+# ~0.3%, so a point lookup opens ~1 file out of any number
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def _bloom_cells(value) -> list[int]:
+    """The 3 bit positions a value sets/probes — md5 of the value's
+    string form, 4 hex digits per probe (deterministic, no RNG; the
+    same conv()-free idiom as the engine's other sketch hashes)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return [int(h[4 * j:4 * j + 4], 16) % _BLOOM_M for j in range(_BLOOM_K)]
+
+
+def _bloom_build(path: str, col: str) -> list[int]:
+    """Bloom bitmap over one file's distinct ``col`` values, read as a
+    single-column arrow scan (column-pruned: O(rows of one column),
+    never the whole file).  In a cluster write path this would be
+    folded executor-side during the write like parquet's own bloom
+    filters; the shim computes it at commit, same information."""
+    import pyarrow.parquet as pq
+
+    words = [0] * (_BLOOM_M // 64)
+    vals = set(pq.read_table(path, columns=[col]).column(col).to_pylist())
+    for v in vals:
+        for cell in _bloom_cells(v):
+            words[cell // 64] |= 1 << (cell % 64)
+    return words
+
+
+def _file_stats(data_dir: str, cols: list[str],
+                bloom_cols: list[str] | None = None) -> list[dict]:
     """Per-data-file column min/max ZONE MAPS from the parquet footers
     (file-level metadata only — exactly what an Iceberg manifest's
     lower_bounds/upper_bounds carry).  Driver-side by design: the
@@ -247,12 +281,18 @@ def _file_stats(data_dir: str, cols: list[str]) -> list[dict]:
                     stats[nm] = [st.min, st.max]
                 else:
                     stats[nm] = [min(cur[0], st.min), max(cur[1], st.max)]
-        out.append({
+        entry = {
             "file": name,
             "rows": md.num_rows,
             "parts": parts,
             "stats": {k: v for k, v in stats.items() if complete.get(k)},
-        })
+        }
+        if bloom_cols:
+            entry["bloom"] = {
+                c: _bloom_build(os.path.join(data_dir, name), c)
+                for c in bloom_cols
+            }
+        out.append(entry)
     return out
 
 
@@ -268,13 +308,34 @@ def read_snapshot_pruned(spark: SparkSession, path: str, col: str,
     """
     import os
 
+    return read_snapshot_pruned_box(spark, path, {col: (lo, hi)}, as_of)
+
+
+def read_snapshot_pruned_box(spark: SparkSession, path: str,
+                             preds: dict, as_of: int | None = None):
+    """Multi-column zone-map pruning: keep only the data files whose
+    [min, max] intersects EVERY ``col → (lo, hi)`` closed interval in
+    ``preds`` — the manifest-side evaluation of a conjunctive box
+    predicate.  This is where CLUSTERED layout pays off: after
+    ``cluster_snapshot`` orders files along a space-filling curve,
+    each file's per-column zones are tight little boxes and a 2-D
+    range query prunes most of the table; on a row-order layout every
+    file's zones span the full domain and nothing prunes (both counts
+    pinned by snapshot_zorder_cluster).  Files without committed stats
+    for a predicate column are always read (fail-open).  Merge-on-read
+    deletes still apply to the kept files.  Returns
+    ``(df, files_scanned, files_total)``; the caller applies the
+    row-level residual (zones prune FILES, not rows)."""
+    import os
+
     hist = snapshot_history(path)
     if not hist:
         raise ValueError(f"no snapshots at {path}")
     snap_id = hist[-1] if as_of is None else as_of
     m = _read_manifest(path, snap_id)
     files_map = m.get("files") or {}
-    keep: list[str] = []
+    dir_files: dict[str, list[str]] = {}
+    n_keep = 0
     total = 0
     for d in m["dirs"]:
         entries = files_map.get(d)
@@ -285,16 +346,118 @@ def read_snapshot_pruned(spark: SparkSession, path: str, col: str,
             )
         for e in entries:
             total += 1
-            s = (e.get("stats") or {}).get(col)
-            if s is None or not (s[1] < lo or s[0] > hi):
-                keep.append(os.path.join(d, e["file"]))
-    df = spark.read.parquet(*keep)
-    return df, len(keep), total
+            stats = e.get("stats") or {}
+            keep = True
+            for col, (lo, hi) in preds.items():
+                s = stats.get(col)
+                if s is not None and (s[1] < lo or s[0] > hi):
+                    keep = False
+                    break
+            if keep:
+                dir_files.setdefault(d, []).append(
+                    os.path.join(d, e["file"])
+                )
+                n_keep += 1
+    df = _read_manifest_df(spark, m, dir_files=dir_files)
+    return df, n_keep, total
+
+
+def set_ref(path: str, name: str, snap_id: int) -> None:
+    """Point branch ``name`` at a committed snapshot — ATOMICALLY
+    (os.replace), which is what makes this the PUBLISH step of
+    write–audit–publish: staged snapshots are invisible to ref readers
+    until one rename flips the pointer.  Refs follow the Iceberg
+    branching model: tiny named heads into the SHARED snapshot log —
+    branches share all data and manifests, so creating one is O(1)."""
+    import json
+    import os
+    import uuid
+
+    if snap_id not in snapshot_history(path):
+        raise ValueError(f"snapshot {snap_id} not committed at {path}")
+    rdir = os.path.join(path, "refs")
+    os.makedirs(rdir, exist_ok=True)
+    tmp = os.path.join(rdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": snap_id}, f)
+    os.replace(tmp, os.path.join(rdir, f"{name}.json"))
+
+
+def get_ref(path: str, name: str) -> int | None:
+    """Resolve a branch ref to its snapshot id (None if unset)."""
+    import json
+    import os
+
+    p = os.path.join(path, "refs", f"{name}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["snapshot_id"]
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Delete a branch ref (the audit-FAIL rollback of WAP: the staged
+    snapshot stays in the log for debugging — expire_snapshots reclaims
+    it — but no ref reader ever saw it)."""
+    import os
+
+    p = os.path.join(path, "refs", f"{name}.json")
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def read_snapshot_point(spark: SparkSession, path: str, col: str,
+                        value, as_of: int | None = None):
+    """BLOOM-INDEX point lookup: open only the data files whose
+    committed per-file Bloom bitmap (``write_snapshot(...,
+    bloom_cols=[col])``) says MIGHT contain ``value`` — the data-
+    skipping primitive for equality probes on columns where zone maps
+    are useless because every file spans the full range (hash-
+    scattered keys, the common case for id lookups).  A Bloom says
+    "definitely not" or "maybe": pruned files provably lack the value,
+    kept files may include deterministic false positives (the
+    row-level residual filter removes their rows).  Files without a
+    committed bloom for ``col`` are always read (fail-open, like zone
+    maps).  Merge-on-read deletes still apply.  Returns
+    ``(df, files_scanned, files_total)``."""
+    import os
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots at {path}")
+    snap_id = hist[-1] if as_of is None else as_of
+    m = _read_manifest(path, snap_id)
+    files_map = m.get("files") or {}
+    cells = _bloom_cells(value)
+    dir_files: dict[str, list[str]] = {}
+    n_keep = 0
+    total = 0
+    for d in m["dirs"]:
+        entries = files_map.get(d)
+        if entries is None:
+            raise ValueError(
+                f"snapshot {snap_id} has no file manifest for {d} "
+                f"(commit with write_snapshot(..., bloom_cols=[...]))"
+            )
+        for e in entries:
+            total += 1
+            words = (e.get("bloom") or {}).get(col)
+            hit = words is None or all(
+                words[c // 64] >> (c % 64) & 1 for c in cells
+            )
+            if hit:
+                dir_files.setdefault(d, []).append(
+                    os.path.join(d, e["file"])
+                )
+                n_keep += 1
+    df = _read_manifest_df(spark, m, dir_files=dir_files)
+    return df, n_keep, total
 
 
 def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                    stats_cols: list[str] | None = None,
-                   partition_by: list[str] | None = None) -> int:
+                   partition_by: list[str] | None = None,
+                   bloom_cols: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
     Data files land in an immutable per-snapshot directory
@@ -316,8 +479,8 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
     else:
         df.write.mode("error").parquet(data_dir)
     new_stats = (
-        _file_stats(data_dir, stats_cols or [])
-        if (stats_cols or partition_by) else None
+        _file_stats(data_dir, stats_cols or [], bloom_cols)
+        if (stats_cols or partition_by or bloom_cols) else None
     )
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)  # writes may create; reads never do
@@ -327,10 +490,16 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
             hist = snapshot_history(path)
             snap_id = (hist[-1] + 1) if hist else 1
             dirs = [data_dir]
+            deletes: list = []
             schema_json = df.schema.jsonValue()
             if mode == "append" and hist:
                 parent_m = _read_manifest(path, hist[-1])
                 dirs = parent_m["dirs"] + dirs
+                # merge-on-read tombstones ride appends: they still
+                # apply to the parent dirs they scoped (sequence
+                # semantics — the NEW dir is not in applies_to, so
+                # appended rows may re-insert a deleted key)
+                deletes = parent_m.get("deletes") or []
                 # add-column evolution: appends commit the MERGED schema
                 # so every snapshot's manifest is self-describing (r05)
                 schema_json = _merge_schema(
@@ -349,6 +518,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                            "parent": hist[-1] if hist else None,
                            "mode": mode, "dirs": dirs,
                            "files": files_json,
+                           "deletes": deletes,
                            "schema": schema_json}, f)
             try:
                 os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
@@ -399,20 +569,140 @@ def read_snapshot_partitioned(spark: SparkSession, path: str, eq: dict,
                 )
     if not keep_by_dir:
         raise ValueError(f"no files match partitions {eq} at {path}")
-    dfs = [
-        spark.read.option("basePath", d).parquet(*fl)
-        for d, fl in sorted(keep_by_dir.items())
-    ]
+    deletes = m.get("deletes") or []
+    dfs = []
+    for d, fl in sorted(keep_by_dir.items()):
+        df = spark.read.option("basePath", d).parquet(*fl)
+        for e in deletes:
+            if d in e["applies_to"]:
+                ks = (spark.read.parquet(e["dir"])
+                      .select(e["key"]).distinct())
+                df = df.join(F.broadcast(ks), e["key"], "left_anti")
+        dfs.append(df)
     df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
     n_scan = sum(len(v) for v in keep_by_dir.values())
     return df, n_scan, total
 
 
+def _read_manifest_df(spark: SparkSession, m: dict,
+                      dir_files: dict[str, list[str]] | None = None
+                      ) -> DataFrame:
+    """Materialize a manifest as a DataFrame: read its data dirs under
+    the committed schema and apply MERGE-ON-READ equality deletes with
+    Iceberg-v2 sequence semantics — a delete commit suppresses keys
+    only in the data dirs that existed when it committed
+    (``applies_to``), so a later append legitimately re-inserts the
+    key.  Dirs sharing the same applicable delete set are read in ONE
+    scan (grouping keeps the plan O(distinct delete scopes), not
+    O(dirs)); with no deletes this is the single-scan fast path.
+    ``dir_files`` optionally restricts each dir to an explicit file
+    list (the zone-map / partition pruning paths)."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    schema = (StructType.fromJson(m["schema"])
+              if m.get("schema") is not None else None)
+
+    def _read(paths: list[str]) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(*paths)
+
+    def _paths(dirs: list[str]) -> list[str]:
+        if dir_files is None:
+            return dirs
+        out: list[str] = []
+        for d in dirs:
+            out.extend(dir_files.get(d, []))
+        return out
+
+    deletes = m.get("deletes") or []
+    dirs_all = (m["dirs"] if dir_files is None
+                else [d for d in m["dirs"] if dir_files.get(d)])
+    if not dirs_all:
+        # everything pruned (e.g. a bloom probe for an absent value):
+        # an empty relation under the committed schema, not an error
+        if schema is None:
+            raise ValueError("all files pruned and manifest has no schema")
+        return spark.createDataFrame([], schema)
+    if not deletes:
+        return _read(_paths(dirs_all))
+    groups: dict[tuple, list[str]] = {}
+    for d in dirs_all:
+        sig = tuple(i for i, e in enumerate(deletes)
+                    if d in e["applies_to"])
+        groups.setdefault(sig, []).append(d)
+    parts = []
+    for sig, dirs in sorted(groups.items()):
+        df = _read(_paths(dirs))
+        for i in sig:
+            e = deletes[i]
+            ks = spark.read.parquet(e["dir"]).select(e["key"]).distinct()
+            df = df.join(F.broadcast(ks), e["key"], "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def delete_from_snapshot(spark: SparkSession, path: str,
+                         keys: DataFrame, key: str) -> int:
+    """MERGE-ON-READ equality-delete commit (the Iceberg v2 delete-file
+    protocol, next to ``merge_snapshot``'s copy-on-write MERGE): write
+    a tiny parquet of deleted ``key`` values under ``deletes/`` and
+    commit a manifest that records it with the data dirs it applies to
+    (the dirs that exist NOW — sequence semantics; appends after this
+    commit may re-insert the key and are not suppressed).  Commit cost
+    is O(|keys|) regardless of table size — the trickle-delete write
+    path at 100 TB, where copy-on-write would rewrite petabytes —
+    and ``compact_snapshot`` later materializes + clears the
+    tombstones.  Same hard-link optimistic-concurrency commit."""
+    import json
+    import os
+    import uuid
+
+    ddir = os.path.join(path, "deletes", f"snap-{uuid.uuid4().hex[:12]}")
+    keys.select(key).distinct().coalesce(1).write.mode("error").parquet(ddir)
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    try:
+        while True:
+            hist = snapshot_history(path)
+            if not hist:
+                raise ValueError(f"no snapshots committed at {path!r}")
+            snap_id = hist[-1] + 1
+            parent = _read_manifest(path, hist[-1])
+            man = dict(parent)
+            man.update({
+                "snapshot_id": snap_id,
+                "parent": hist[-1],
+                "mode": "delete",
+                "deletes": (parent.get("deletes") or []) + [
+                    {"dir": ddir, "key": key,
+                     "applies_to": list(parent["dirs"])}
+                ],
+            })
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            try:
+                os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+                return snap_id
+            except FileExistsError:
+                continue  # lost the race — recompute against the new head
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   as_of: int | None = None,
-                  schema_as_of: int | None = None) -> DataFrame:
+                  schema_as_of: int | None = None,
+                  ref: str | None = None) -> DataFrame:
     """Time-travel read: the table AS OF snapshot ``as_of`` (default:
-    current head).  Reads exactly the data directories the manifest
+    current head).  ``ref`` reads a named branch head instead
+    (``set_ref``) — mutually exclusive with ``as_of``; readers of a
+    ref never see snapshots staged after the last publish.
+    Reads exactly the data directories the manifest
     committed — later snapshots never touch them (immutability is what
     makes the old read reproducible).
 
@@ -422,6 +712,12 @@ def read_snapshot(spark: SparkSession, path: str,
     hist = snapshot_history(path)
     if not hist:
         raise ValueError(f"no snapshots committed at {path!r}")
+    if ref is not None:
+        if as_of is not None:
+            raise ValueError("pass as_of or ref, not both")
+        as_of = get_ref(path, ref)
+        if as_of is None:
+            raise ValueError(f"no ref {ref!r} at {path}")
     snap_id = hist[-1] if as_of is None else as_of
     if snap_id not in hist:
         raise ValueError(f"snapshot {snap_id} not in history {hist}")
@@ -430,17 +726,12 @@ def read_snapshot(spark: SparkSession, path: str,
         if schema_as_of not in hist:
             raise ValueError(f"snapshot {schema_as_of} not in history {hist}")
         m["schema"] = _read_manifest(path, schema_as_of).get("schema")
-    if m.get("schema") is not None:
-        # read under the manifest's (evolution-merged) schema: files
-        # from pre-evolution snapshots simply lack the added columns
-        # and the parquet reader fills them with NULL — no mergeSchema
-        # footer sweep (which scans EVERY file's footer; at 10^6 data
-        # files that is its own job), the manifest already knows.
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(m["schema"])
-        return spark.read.schema(schema).parquet(*m["dirs"])
-    return spark.read.parquet(*m["dirs"])  # pre-r05 manifest
+    # the manifest's (evolution-merged) schema is applied to the scan:
+    # files from pre-evolution snapshots simply lack the added columns
+    # and the parquet reader fills them with NULL — no mergeSchema
+    # footer sweep (which scans EVERY file's footer; at 10^6 data
+    # files that is its own job), the manifest already knows.
+    return _read_manifest_df(spark, m)
 
 
 def merge_snapshot(spark: SparkSession, path: str, updates: DataFrame,
@@ -483,17 +774,22 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     drop = [s for s in hist if s not in keep]
     live: set[str] = set()
     for s in keep:
-        live.update(_read_manifest(path, s)["dirs"])
+        m = _read_manifest(path, s)
+        live.update(m["dirs"])
+        live.update(e["dir"] for e in m.get("deletes") or [])
     for s in drop:
         os.remove(os.path.join(_manifest_dir(path), f"{s}.json"))
     removed_dirs = 0
-    droot = os.path.join(path, "data")
-    if os.path.isdir(droot):
-        for name in sorted(os.listdir(droot)):
-            full = os.path.join(droot, name)
-            if full not in live:
-                shutil.rmtree(full, ignore_errors=True)
-                removed_dirs += 1
+    # delete-file sidecars vacuum exactly like data dirs: a tombstone
+    # parquet no surviving manifest references is an orphan too
+    for sub in ("data", "deletes"):
+        droot = os.path.join(path, sub)
+        if os.path.isdir(droot):
+            for name in sorted(os.listdir(droot)):
+                full = os.path.join(droot, name)
+                if full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
     return {"expired": len(drop), "kept": len(keep),
             "orphan_dirs_removed": removed_dirs}
 
@@ -525,3 +821,28 @@ def compact_snapshot(spark: SparkSession, path: str,
     df = read_snapshot(spark, path)
     return write_snapshot(df.repartition(target_partitions), path,
                           mode="overwrite")
+
+
+def cluster_snapshot(spark: SparkSession, path: str, bucket_expr: str,
+                     stats_cols: list[str], n_buckets: int = 8) -> int:
+    """OPTIMIZE ... ZORDER BY analogue: rewrite the current snapshot
+    CLUSTERED along a space-filling-curve bucket (``bucket_expr`` —
+    typically the top bits of a morton interleave of the clustering
+    columns), one data file per occupied bucket, with fresh zone maps
+    on ``stats_cols`` committed in the manifest.  Clustering is what
+    makes MULTI-column zone maps selective: after the rewrite each
+    file's per-column [min, max] is a tight box, so a conjunctive
+    range query (``read_snapshot_pruned_box``) prunes files
+    proportionally to the box volume; on the incoming row-order layout
+    every file spans the full domain and nothing prunes.  The rewrite
+    is ONE repartition shuffle keyed by the bucket (each bucket lands
+    wholly in one task → exactly one file per bucket via the hive
+    layout), and commits as a normal overwrite snapshot — prior
+    snapshots stay time-travel readable; merge-on-read tombstones are
+    materialized by the rewrite and cleared, like compaction."""
+    df = read_snapshot(spark, path)
+    b = df.withColumn("zbucket", F.expr(bucket_expr).cast("int"))
+    return write_snapshot(
+        b.repartition(n_buckets, "zbucket"), path, mode="overwrite",
+        stats_cols=stats_cols, partition_by=["zbucket"],
+    )

