@@ -53,6 +53,7 @@ R5_EXTRAS = [
     "roads_simplify_dp",
     "mvt_pyramid_simplified",
     "image_hillshade",
+    "image_flow_d8",
     "image_contours",
     "image_zonal_stats",
     "country_convex_hull",

@@ -160,6 +160,7 @@ def main() -> None:
     make_dp_golden()
     make_hillshade_golden()
     make_sobel_golden()
+    make_flow_d8_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
     make_contours_golden()
@@ -1141,6 +1142,91 @@ def make_sobel_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"sobel_sf{sf:g}.parquet"),
     )
     print(f"sobel golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_flow_d8_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_flow_d8 query (r05).
+
+    INDEPENDENT of the engine path end to end: pixels from the fixture
+    generator (vs engine decode); the steepest-descent target via a
+    stacked-drops argmax (np.argmax returns the FIRST max index — the
+    same first-in-order tie-break the SPEC fixes) vs the engine's
+    incremental best/where loop; accumulation via memoized iterative
+    POSTORDER DFS over the reverse adjacency (children lists) vs the
+    engine's elevation-ordered single sweep.  All int64 — exact parity.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+
+    def clamp_view(z, dr, dc):
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)], ri, ci
+
+    ids, n_pxs, sinks, sums, maxs, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = (299 * px[:, :, 0].astype(np.int64)
+               + 587 * px[:, :, 1].astype(np.int64)
+               + 114 * px[:, :, 2].astype(np.int64))
+        hh, ww = lum.shape
+        drops = np.empty((len(offs), hh, ww), dtype=np.int64)
+        targets = np.empty((len(offs), hh, ww), dtype=np.int64)
+        for k, (dr, dc) in enumerate(offs):
+            nb, ri, ci = clamp_view(lum, dr, dc)
+            drops[k] = lum - nb
+            targets[k] = ri[:, None] * ww + ci[None, :]
+        kbest = np.argmax(drops, axis=0)  # first max index
+        maxdrop = np.take_along_axis(drops, kbest[None], 0)[0]
+        tflat = np.take_along_axis(targets, kbest[None], 0)[0].ravel()
+        tflat = np.where(maxdrop.ravel() > 0, tflat, -1)
+        n = hh * ww
+        children: list[list[int]] = [[] for _ in range(n)]
+        for c, t in enumerate(tflat.tolist()):
+            if t >= 0:
+                children[t].append(c)
+        acc = [0] * n
+        done = [False] * n
+        for s in range(n):
+            if done[s]:
+                continue
+            stack = [(s, False)]
+            while stack:
+                c, expanded = stack.pop()
+                if done[c]:
+                    continue
+                if expanded:
+                    acc[c] = 1 + sum(acc[u] for u in children[c])
+                    done[c] = True
+                else:
+                    stack.append((c, True))
+                    stack.extend((u, False) for u in children[c]
+                                 if not done[u])
+        a = np.asarray(acc, dtype=np.int64)
+        wgt = (np.arange(n, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(n)
+        sinks.append(int((tflat < 0).sum()))
+        sums.append(int(a.sum()))
+        maxs.append(int(a.max()))
+        chks.append(int((a * wgt).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_sinks": pa.array(sinks, pa.int32()),
+            "sum_acc": pa.array(sums, pa.int64()),
+            "max_acc": pa.array(maxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"flow_d8_sf{sf:g}.parquet"),
+    )
+    print(f"flow_d8 golden: {len(ids)} rows (jpg skipped)")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

@@ -507,6 +507,101 @@ def sobel_stats(images: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D8 flow direction + accumulation (r05) — the hydrology terrain op
+# (GeoTrellis-world: focal flow / accumulation), luminance-as-elevation
+# like hillshade.  ALL INTEGER, so parity with the golden twin is exact.
+# ---------------------------------------------------------------------------
+
+# SPEC shared with the golden twin (scripts/make_goldens.py):
+#   elev = 299*R + 587*G + 114*B  (int64 milli-luma)
+#   neighbors in FIXED order N NE E SE S SW W NW; out-of-bounds
+#   neighbor = the cell itself (clamp), so its drop is 0 and it can
+#   never win the strict-positive steepest-descent test
+#   drop(c,n) = elev(c) - elev(n); target = FIRST neighbor in order
+#   achieving the maximum drop > 0; SINK when no neighbor is lower
+#   acc(c) = 1 + sum(acc(u) for upstream u) — a DAG by strict descent
+#   chk = sum(acc_i * ((i % 97) + 1)) over row-major i (position-aware)
+_D8_OFFS = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+
+
+def d8_flow_accum(lum_i: np.ndarray) -> tuple[np.ndarray, int]:
+    """D8 accumulation of an int64 DEM: steepest-descent target per
+    cell (vectorized over the 8 offsets), then ONE high-to-low sweep —
+    processing cells in strictly decreasing elevation order means every
+    upstream cell is finished before its target accumulates it (cells
+    of EQUAL elevation cannot flow to each other: the drop test is
+    strict), so a single pass computes acc = 1 + sum(upstream) exactly.
+    Returns (acc flat int64, n_sinks)."""
+    h, w = lum_i.shape
+    rr, cc = np.indices((h, w))
+    best = np.zeros((h, w), dtype=np.int64)
+    tgt = np.full((h, w), -1, dtype=np.int64)
+    for dr, dc in _D8_OFFS:
+        ri = np.clip(rr + dr, 0, h - 1)
+        ci = np.clip(cc + dc, 0, w - 1)
+        drop = lum_i - lum_i[ri, ci]
+        better = drop > best  # strict: the FIRST offset at the max wins
+        best = np.where(better, drop, best)
+        tgt = np.where(better, ri * w + ci, tgt)
+    flat_t = tgt.ravel()
+    order = np.argsort(lum_i.ravel(), kind="stable")[::-1]  # high -> low
+    tl = flat_t.tolist()
+    al = [1] * (h * w)
+    for i in order.tolist():
+        t = tl[i]
+        if t >= 0:
+            al[t] += al[i]
+    return np.asarray(al, dtype=np.int64), int((flat_t < 0).sum())
+
+
+def d8_flow_stats(images: DataFrame) -> DataFrame:
+    """Per-image D8 flow-accumulation stats: decode -> integer luma
+    DEM -> steepest-descent accumulation -> exact-BIGINT summaries.
+
+    Map-only mapInPandas like hillshade/sobel — payload bytes never
+    shuffle; the per-image DAG sweep is local (a DEM tile's flow field
+    is interior under clamp borders), and every output is an exact
+    integer, fold-order independent at any partitioning."""
+
+    def _flow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w), int(rr.h))
+                lum = (
+                    299 * img[:, :, 0].astype(np.int64)
+                    + 587 * img[:, :, 1].astype(np.int64)
+                    + 114 * img[:, :, 2].astype(np.int64)
+                )
+                acc, n_sinks = d8_flow_accum(lum)
+                wgt = (np.arange(acc.size, dtype=np.int64) % 97) + 1
+                out.append(
+                    (
+                        rr.image_id,
+                        int(acc.size),
+                        n_sinks,
+                        int(acc.sum()),
+                        int(acc.max()),
+                        int((acc * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_px", "n_sinks",
+                         "sum_acc", "max_acc", "chk"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _flow,
+        "image_id string, n_px int, n_sinks int, "
+        "sum_acc bigint, max_acc bigint, chk bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Marching-squares contour extraction stats (r05) — the raster->vector
 # contouring analogue (GeoTrellis-world: toVector/contour ops).
 # ---------------------------------------------------------------------------

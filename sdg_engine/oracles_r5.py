@@ -1924,6 +1924,14 @@ FROM read_parquet('{gdir}/sobel_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """
+    # image_flow_d8: same policy/filter; golden from the stacked-argmax
+    # + postorder-DFS accumulation twin (all int64 — exact parity).
+    d8 = f"""
+SELECT g.image_id, g.n_px, g.n_sinks, g.sum_acc, g.max_acc, g.chk
+FROM read_parquet('{gdir}/flow_d8_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
     # image_zonal_stats: per-country luminance stats from the decode
     # golden (pixels) x the rai golden (country assignment) — both
     # INDEPENDENT generator-side twins; mils snap before SUM makes the
@@ -2164,6 +2172,7 @@ FROM f GROUP BY 1
             "voronoi_assign": vor,
             "spatial_dbscan": dbscan,
             "image_sobel_edges": sob,
+            "image_flow_d8": d8,
             "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,

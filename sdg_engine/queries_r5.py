@@ -535,6 +535,29 @@ def image_sobel_edges(spark, sf_dir):
     return sobel_stats(sel)
 
 
+def image_flow_d8(spark, sf_dir):
+    """D8 FLOW-DIRECTION + ACCUMULATION over the image tiles
+    (luminance-as-elevation) — the hydrology terrain op (GeoTrellis
+    focal flow/accumulation analogue) next to hillshade: steepest
+    descent among the 8 neighbors (clamp borders, strict drop, FIRST
+    winner), then acc = 1 + sum(upstream) via ONE high-to-low
+    elevation sweep (strict descent makes the flow field a DAG).
+    Map-only mapInPandas — payload bytes never shuffle; every output
+    is an exact int64.  jpg excluded / first-500 bound like the other
+    golden-backed image queries.  Oracle: committed INDEPENDENT golden
+    (generator pixels + argmax-stacked targets + memoized postorder
+    DFS — a different accumulation algorithm than the engine sweep).
+    """
+    from .ops.payload import d8_flow_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return d8_flow_stats(sel)
+
+
 def image_zonal_stats(spark, sf_dir):
     """ZONAL STATISTICS (GeoTrellis polygonal-summary analogue): decode
     every harness image, assign its footprint center to a country via
@@ -4168,6 +4191,7 @@ QUERIES_R5 = {
     "label_propagation_roads": label_propagation_roads,
     "voronoi_assign": voronoi_assign,
     "image_sobel_edges": image_sobel_edges,
+    "image_flow_d8": image_flow_d8,
     "events_ewma": events_ewma,
     "events_seasonality": events_seasonality,
     "rake_keywords": rake_keywords,

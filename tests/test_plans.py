@@ -512,6 +512,14 @@ def test_sobel_is_map_only(spark):
     assert "Exchange" not in _plan(image_sobel_edges(spark, SF))
 
 
+def test_flow_d8_is_map_only(spark):
+    """D8 flow accumulation: payload bytes never shuffle — zero
+    Exchange (the per-image DAG sweep is local under clamp borders)."""
+    from sdg_engine.queries_r5 import image_flow_d8
+
+    assert "Exchange" not in _plan(image_flow_d8(spark, SF))
+
+
 def test_voronoi_broadcast_bounded_fanout(spark):
     """Voronoi assignment: the seed side must broadcast (the bounded
     16-row cartesian pattern), the argmin must partially aggregate

@@ -179,6 +179,53 @@ def test_hillshade_slope_direction():
     assert nw_up[16, 16] > 180 > se_up[16, 16]
 
 
+def test_d8_flow_accum_vs_bruteforce():
+    """The elevation-ordered single sweep must equal a brute-force
+    fixpoint propagation (acc = 1 + sum upstream, iterated to
+    convergence) on a deterministic pseudo-random integer DEM, and a
+    monotone ramp must accumulate everything into one corner sink."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import _D8_OFFS, d8_flow_accum
+
+    rng_vals = (np.arange(12 * 17, dtype=np.int64) * 2654435761) % 1009
+    z = rng_vals.reshape(12, 17)
+    acc, n_sinks = d8_flow_accum(z)
+
+    # brute force: recompute targets independently, then fixpoint.
+    h, w = z.shape
+    tgt = np.full(h * w, -1, dtype=np.int64)
+    best = np.zeros(h * w, dtype=np.int64)
+    for i in range(h * w):
+        r, c = divmod(i, w)
+        for dr, dc in _D8_OFFS:
+            nr, nc = min(max(r + dr, 0), h - 1), min(max(c + dc, 0), w - 1)
+            d = z[r, c] - z[nr, nc]
+            if d > best[i]:
+                best[i] = d
+                tgt[i] = nr * w + nc
+    ref = np.ones(h * w, dtype=np.int64)
+    for _ in range(h * w):
+        nxt = np.ones(h * w, dtype=np.int64)
+        for i in range(h * w):
+            if tgt[i] >= 0:
+                nxt[tgt[i]] += ref[i]
+        if (nxt == ref).all():
+            break
+        ref = nxt
+    assert (acc == ref).all()
+    assert n_sinks == int((tgt < 0).sum())
+    # conservation: every cell's unit mass reaches exactly one sink.
+    assert int(acc[tgt < 0].sum()) == h * w
+
+    # monotone ramp: strictly increasing both ways -> single sink at
+    # the minimum corner accumulating all h*w cells.
+    ramp = np.add.outer(np.arange(6, dtype=np.int64) * 10,
+                        np.arange(7, dtype=np.int64) * 10)
+    acc2, s2 = d8_flow_accum(ramp)
+    assert s2 == 1 and acc2.max() == ramp.size and acc2[0] == ramp.size
+
+
 def test_zonal_stats_covers_all_images(spark, sf_dir):
     from sdg_engine.queries_r5 import image_zonal_stats
 
