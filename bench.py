@@ -54,6 +54,9 @@ R5_EXTRAS = [
     "mvt_pyramid_simplified",
     "image_hillshade",
     "image_flow_d8",
+    "image_watershed",
+    "image_viewshed",
+    "image_pit_fill",
     "image_contours",
     "image_zonal_stats",
     "country_convex_hull",

@@ -161,6 +161,9 @@ def main() -> None:
     make_hillshade_golden()
     make_sobel_golden()
     make_flow_d8_golden()
+    make_watershed_golden()
+    make_viewshed_golden()
+    make_pitfill_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
     make_contours_golden()
@@ -1227,6 +1230,201 @@ def make_flow_d8_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"flow_d8_sf{sf:g}.parquet"),
     )
     print(f"flow_d8 golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_watershed_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_watershed query (r05).
+
+    INDEPENDENT twin: generator pixels; steepest-descent targets via
+    the stacked-drops argmax (vs the engine's incremental loop); basin
+    labels by MEMOIZED CHAIN WALKING with path compression (vs the
+    engine's vectorized pointer jumping).  All int64 — exact parity.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, basins, largest, sumsq, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        tflat = _golden_d8_targets(px)
+        n = tflat.size
+        lbl = [-1] * n
+        tl = tflat.tolist()
+        for s in range(n):
+            if lbl[s] >= 0:
+                continue
+            path = []
+            c = s
+            while lbl[c] < 0 and tl[c] >= 0:
+                path.append(c)
+                c = tl[c]
+            sink = lbl[c] if lbl[c] >= 0 else c
+            lbl[c] = sink
+            for u in path:
+                lbl[u] = sink
+        la = np.asarray(lbl, dtype=np.int64)
+        sizes = np.bincount(la, minlength=n).astype(np.int64)
+        wgt = (np.arange(n, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(n)
+        basins.append(int((tflat < 0).sum()))
+        largest.append(int(sizes.max()))
+        sumsq.append(int((sizes * sizes).sum()))
+        chks.append(int(((la + 1) * wgt).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_basins": pa.array(basins, pa.int32()),
+            "largest_px": pa.array(largest, pa.int32()),
+            "sum_sq": pa.array(sumsq, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"watershed_sf{sf:g}.parquet"),
+    )
+    print(f"watershed golden: {len(ids)} rows (jpg skipped)")
+
+
+def _golden_lum_i64(px: np.ndarray) -> np.ndarray:
+    return (299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64))
+
+
+def _golden_d8_targets(px: np.ndarray) -> np.ndarray:
+    """Stacked-argmax steepest-descent targets (the flow golden's
+    formulation, shared by the watershed golden)."""
+    offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+    lum = _golden_lum_i64(px)
+    hh, ww = lum.shape
+    drops = np.empty((len(offs), hh, ww), dtype=np.int64)
+    targets = np.empty((len(offs), hh, ww), dtype=np.int64)
+    for k, (dr, dc) in enumerate(offs):
+        ri = np.clip(np.arange(hh) + dr, 0, hh - 1)
+        ci = np.clip(np.arange(ww) + dc, 0, ww - 1)
+        drops[k] = lum - lum[np.ix_(ri, ci)]
+        targets[k] = ri[:, None] * ww + ci[None, :]
+    kbest = np.argmax(drops, axis=0)  # first max index
+    maxdrop = np.take_along_axis(drops, kbest[None], 0)[0]
+    tflat = np.take_along_axis(targets, kbest[None], 0)[0].ravel()
+    return np.where(maxdrop.ravel() > 0, tflat, -1)
+
+
+def make_viewshed_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_viewshed query (r05).
+
+    Same SPEC as the engine (center viewpoint, exact integer DDA
+    samples, strict cross-multiplied slope test) but the visibility
+    REDUCTION differs: this twin tracks the running MAX slope per
+    target as an exact rational best_num/best_den and compares once at
+    the end (the engine accumulates any-step violations instead).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, n_vis, sums, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        r0, c0 = hh // 2, ww // 2
+        ev = int(lum[r0, c0])
+        flat = lum.ravel()
+        rr, cc = np.indices((hh, ww))
+        dr = (rr - r0).ravel().astype(np.int64)
+        dc = (cc - c0).ravel().astype(np.int64)
+        n = np.maximum(np.abs(dr), np.abs(dc))
+        et = flat - ev
+        bestn = np.full(flat.size, -(1 << 40), dtype=np.int64)
+        bestd = np.ones(flat.size, dtype=np.int64)
+        nn = np.where(n == 0, 1, n)
+        for k in range(1, int(n.max())):
+            m = n > k
+            if not m.any():
+                break
+            rk = np.clip(r0 + (2 * k * dr + nn) // (2 * nn), 0, hh - 1)
+            ck = np.clip(c0 + (2 * k * dc + nn) // (2 * nn), 0, ww - 1)
+            ep = flat[rk * ww + ck] - ev
+            upd = m & (ep * bestd > bestn * k)
+            bestn = np.where(upd, ep, bestn)
+            bestd = np.where(upd, k, bestd)
+        vis = et * bestd >= bestn * n  # grazing sightlines pass
+        vis |= n <= 1  # no intermediates -> visible (incl. center)
+        wgt = (np.arange(flat.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(int(flat.size))
+        n_vis.append(int(vis.sum()))
+        sums.append(int(flat[vis].sum()))
+        chks.append(int(wgt[vis].sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_visible": pa.array(n_vis, pa.int32()),
+            "sum_vis_lum": pa.array(sums, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"viewshed_sf{sf:g}.parquet"),
+    )
+    print(f"viewshed golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_pitfill_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_pit_fill query (r05).
+
+    The filled surface is the unique minimax fixpoint filled(c) =
+    max(elev(c), min over 8-neighbors n of filled(n)) with the border
+    pinned to elev — this twin iterates that BELLMAN RECURRENCE with
+    shifted clamp views until convergence (the engine settles cells
+    once each off a priority-flood min-heap).  All int64.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+    BIG = np.int64(1) << 40
+    ids, n_pxs, raised, deltas, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        border = np.zeros((hh, ww), dtype=bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        filled = np.where(border, lum, BIG)
+        while True:
+            mn = np.full((hh, ww), BIG, dtype=np.int64)
+            for dr, dc in offs:
+                ri = np.clip(np.arange(hh) + dr, 0, hh - 1)
+                ci = np.clip(np.arange(ww) + dc, 0, ww - 1)
+                mn = np.minimum(mn, filled[np.ix_(ri, ci)])
+            nxt = np.where(border, lum, np.maximum(lum, mn))
+            if (nxt == filled).all():
+                break
+            filled = nxt
+        delta = (filled - lum).ravel()
+        wgt = (np.arange(delta.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(int(delta.size))
+        raised.append(int((delta > 0).sum()))
+        deltas.append(int(delta.sum()))
+        chks.append(int((filled.ravel() * wgt).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_raised": pa.array(raised, pa.int32()),
+            "sum_delta": pa.array(deltas, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"pitfill_sf{sf:g}.parquet"),
+    )
+    print(f"pitfill golden: {len(ids)} rows (jpg skipped)")
 
 
 def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:

@@ -525,14 +525,9 @@ _D8_OFFS = ((-1, 0), (-1, 1), (0, 1), (1, 1),
             (1, 0), (1, -1), (0, -1), (-1, -1))
 
 
-def d8_flow_accum(lum_i: np.ndarray) -> tuple[np.ndarray, int]:
-    """D8 accumulation of an int64 DEM: steepest-descent target per
-    cell (vectorized over the 8 offsets), then ONE high-to-low sweep —
-    processing cells in strictly decreasing elevation order means every
-    upstream cell is finished before its target accumulates it (cells
-    of EQUAL elevation cannot flow to each other: the drop test is
-    strict), so a single pass computes acc = 1 + sum(upstream) exactly.
-    Returns (acc flat int64, n_sinks)."""
+def d8_targets(lum_i: np.ndarray) -> np.ndarray:
+    """Flat steepest-descent target per cell (-1 = sink), vectorized
+    over the 8 offsets per the SPEC above."""
     h, w = lum_i.shape
     rr, cc = np.indices((h, w))
     best = np.zeros((h, w), dtype=np.int64)
@@ -544,7 +539,19 @@ def d8_flow_accum(lum_i: np.ndarray) -> tuple[np.ndarray, int]:
         better = drop > best  # strict: the FIRST offset at the max wins
         best = np.where(better, drop, best)
         tgt = np.where(better, ri * w + ci, tgt)
-    flat_t = tgt.ravel()
+    return tgt.ravel()
+
+
+def d8_flow_accum(lum_i: np.ndarray) -> tuple[np.ndarray, int]:
+    """D8 accumulation of an int64 DEM: steepest-descent target per
+    cell, then ONE high-to-low sweep — processing cells in strictly
+    decreasing elevation order means every upstream cell is finished
+    before its target accumulates it (cells of EQUAL elevation cannot
+    flow to each other: the drop test is strict), so a single pass
+    computes acc = 1 + sum(upstream) exactly.
+    Returns (acc flat int64, n_sinks)."""
+    h, w = lum_i.shape
+    flat_t = d8_targets(lum_i)
     order = np.argsort(lum_i.ravel(), kind="stable")[::-1]  # high -> low
     tl = flat_t.tolist()
     al = [1] * (h * w)
@@ -598,6 +605,200 @@ def d8_flow_stats(images: DataFrame) -> DataFrame:
         _flow,
         "image_id string, n_px int, n_sinks int, "
         "sum_acc bigint, max_acc bigint, chk bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Terrain family (r05, continued): watershed basins, viewshed, and
+# priority-flood pit fill — the three classic DEM-conditioning /
+# visibility ops next to hillshade + D8 accumulation.  All integer,
+# all map-only; each has an INDEPENDENT golden twin that computes the
+# same SPEC with a different algorithm (see scripts/make_goldens.py).
+# ---------------------------------------------------------------------------
+
+
+def _int_terrain_op(images: DataFrame, kernel, cols: list[str],
+                    schema_tail: str) -> DataFrame:
+    """Shared map-only scaffold for the integer terrain stats ops:
+    decode -> int64 milli-luma DEM -> per-image kernel(lum) -> row
+    tuple.  Payload bytes never shuffle (zero Exchange, plan-pinned
+    per query); every kernel output is an exact integer so results are
+    partitioning- and fold-order-independent."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w), int(rr.h))
+                lum = (
+                    299 * img[:, :, 0].astype(np.int64)
+                    + 587 * img[:, :, 1].astype(np.int64)
+                    + 114 * img[:, :, 2].astype(np.int64)
+                )
+                out.append((rr.image_id, *kernel(lum)))
+            yield pd.DataFrame(out, columns=["image_id", *cols])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _run, "image_id string, " + schema_tail
+    )
+
+
+def d8_watershed(lum_i: np.ndarray) -> tuple[np.ndarray, int]:
+    """WATERSHED BASIN labels: every cell is labeled with the flat
+    index of the SINK its D8 steepest-descent path terminates at (the
+    drainage-basin partition of the DEM).  Resolution is POINTER
+    JUMPING — next = next[next] doubles the resolved path length per
+    round, so convergence is O(log diameter) rounds of O(n) numpy
+    (the golden twin walks chains with scalar memoization instead).
+    Returns (labels flat int64, n_basins)."""
+    flat_t = d8_targets(lum_i)
+    n = flat_t.size
+    idx = np.arange(n, dtype=np.int64)
+    nxt = np.where(flat_t < 0, idx, flat_t)
+    while True:
+        nxt2 = nxt[nxt]
+        if (nxt2 == nxt).all():
+            break
+        nxt = nxt2
+    return nxt, int((flat_t < 0).sum())
+
+
+def watershed_stats_kernel(lum: np.ndarray) -> tuple[int, int, int, int, int]:
+    # SPEC: labels = sink flat index; largest_px = max basin size;
+    # sum_sq = sum over basins of size^2 (the collision/Simpson mass —
+    # position-independent); chk = sum((label_i + 1) * wgt_i), wgt as
+    # in the flow op (position-aware).
+    labels, n_basins = d8_watershed(lum)
+    sizes = np.bincount(labels, minlength=labels.size).astype(np.int64)
+    wgt = (np.arange(labels.size, dtype=np.int64) % 97) + 1
+    return (int(labels.size), n_basins, int(sizes.max()),
+            int((sizes * sizes).sum()), int(((labels + 1) * wgt).sum()))
+
+
+def watershed_stats(images: DataFrame) -> DataFrame:
+    """Per-image D8 watershed-basin stats (map-only; see
+    _int_terrain_op)."""
+    return _int_terrain_op(
+        images, watershed_stats_kernel,
+        ["n_px", "n_basins", "largest_px", "sum_sq", "chk"],
+        "n_px int, n_basins int, largest_px int, sum_sq bigint, chk bigint",
+    )
+
+
+# Viewshed SPEC (shared with the golden twin):
+#   viewpoint v = (h//2, w//2); ev = elev(v)
+#   for target t at (r,c): dr = r - h//2, dc = c - w//2,
+#   n = max(|dr|, |dc|) (Chebyshev ray length)
+#   intermediate sample at step k in 1..n-1:
+#     p_k = (h//2 + floor((2*k*dr + n) / (2*n)),
+#            w//2 + floor((2*k*dc + n) / (2*n)))   [exact integer DDA]
+#   VISIBLE iff for every k: (elev(p_k) - ev) * n <= (elev(t) - ev) * k
+#   (blocked only when an intermediate subtends a STRICTLY greater
+#   slope — grazing sightlines pass, so a flat DEM is fully visible;
+#   cross-multiplied rationals, n, k > 0 so the direction is exact);
+#   n <= 1 targets are visible.
+#   chk = sum(wgt_i over visible i), wgt as above (position-aware).
+
+
+def viewshed_visible(lum_i: np.ndarray) -> np.ndarray:
+    """Flat bool visibility mask from the center cell — vectorized
+    ANY-VIOLATION formulation: for each step k, compute every ray's
+    k-th intermediate sample at once and accumulate violations (the
+    golden twin instead tracks the running MAX slope as an exact
+    rational best_num/best_den per target)."""
+    h, w = lum_i.shape
+    r0, c0 = h // 2, w // 2
+    ev = int(lum_i[r0, c0])
+    flat = lum_i.ravel()
+    rr, cc = np.indices((h, w))
+    dr = (rr - r0).ravel().astype(np.int64)
+    dc = (cc - c0).ravel().astype(np.int64)
+    n = np.maximum(np.abs(dr), np.abs(dc))
+    et = flat.astype(np.int64) - ev
+    viol = np.zeros(flat.size, dtype=bool)
+    nn = np.where(n == 0, 1, n)  # avoid div-by-0; masked out anyway
+    for k in range(1, int(n.max())):
+        m = n > k  # rays long enough to have a k-th intermediate
+        if not m.any():
+            break
+        # clip keeps the gather in-bounds for the masked-out short
+        # rays (k >= n); their rows never reach the violation test
+        rk = np.clip(r0 + (2 * k * dr + nn) // (2 * nn), 0, h - 1)
+        ck = np.clip(c0 + (2 * k * dc + nn) // (2 * nn), 0, w - 1)
+        ep = flat[rk * w + ck] - ev
+        viol |= m & (ep * n > et * k)
+    return ~viol
+
+
+def viewshed_stats_kernel(lum: np.ndarray) -> tuple[int, int, int, int]:
+    vis = viewshed_visible(lum)
+    wgt = (np.arange(vis.size, dtype=np.int64) % 97) + 1
+    return (int(vis.size), int(vis.sum()),
+            int(lum.ravel()[vis].sum()), int(wgt[vis].sum()))
+
+
+def viewshed_stats(images: DataFrame) -> DataFrame:
+    """Per-image viewshed stats from the center cell (map-only; see
+    _int_terrain_op)."""
+    return _int_terrain_op(
+        images, viewshed_stats_kernel,
+        ["n_px", "n_visible", "sum_vis_lum", "chk"],
+        "n_px int, n_visible int, sum_vis_lum bigint, chk bigint",
+    )
+
+
+def pit_fill(lum_i: np.ndarray) -> np.ndarray:
+    """PRIORITY-FLOOD depression filling (Barnes et al. 2014 recipe,
+    public-literature algorithm): filled(c) = max(elev(c), min over
+    all border-reaching paths of the max elevation along the path) —
+    the unique minimax fixpoint, so any settle order yields the same
+    surface.  Engine: min-heap seeded with the border ring, each pop
+    settles one cell and relaxes its unvisited 8-neighbors (the golden
+    twin iterates the Bellman fixpoint with shifted-view numpy minima
+    instead).  Returns filled int64 (same shape)."""
+    import heapq
+
+    h, w = lum_i.shape
+    filled = lum_i.copy()
+    visited = np.zeros((h, w), dtype=bool)
+    heap: list[tuple[int, int]] = []
+    for r in range(h):
+        for c in range(w):
+            if r in (0, h - 1) or c in (0, w - 1):
+                visited[r, c] = True
+                heapq.heappush(heap, (int(lum_i[r, c]), r * w + c))
+    while heap:
+        val, i = heapq.heappop(heap)
+        r, c = divmod(i, w)
+        for dr, dc in _D8_OFFS:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and not visited[nr, nc]:
+                visited[nr, nc] = True
+                nv = max(int(lum_i[nr, nc]), val)
+                filled[nr, nc] = nv
+                heapq.heappush(heap, (nv, nr * w + nc))
+    return filled
+
+
+def pit_fill_stats_kernel(lum: np.ndarray) -> tuple[int, int, int, int]:
+    # SPEC: n_raised = cells where filled > elev; sum_delta = total
+    # fill volume; chk = sum(filled_i * wgt_i) (position-aware).
+    filled = pit_fill(lum)
+    delta = (filled - lum).ravel()
+    wgt = (np.arange(delta.size, dtype=np.int64) % 97) + 1
+    return (int(delta.size), int((delta > 0).sum()), int(delta.sum()),
+            int((filled.ravel() * wgt).sum()))
+
+
+def pit_fill_stats(images: DataFrame) -> DataFrame:
+    """Per-image priority-flood pit-fill stats (map-only; see
+    _int_terrain_op)."""
+    return _int_terrain_op(
+        images, pit_fill_stats_kernel,
+        ["n_px", "n_raised", "sum_delta", "chk"],
+        "n_px int, n_raised int, sum_delta bigint, chk bigint",
     )
 
 

@@ -1932,6 +1932,28 @@ FROM read_parquet('{gdir}/flow_d8_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """
+    # image_watershed / image_viewshed / image_pit_fill: same
+    # policy/filter; goldens from algorithm-independent twins (chain
+    # walking / max-slope rationals / Bellman fixpoint — see
+    # scripts/make_goldens.py).  All int64 — exact parity.
+    wsh = f"""
+SELECT g.image_id, g.n_px, g.n_basins, g.largest_px, g.sum_sq, g.chk
+FROM read_parquet('{gdir}/watershed_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
+    vsh = f"""
+SELECT g.image_id, g.n_px, g.n_visible, g.sum_vis_lum, g.chk
+FROM read_parquet('{gdir}/viewshed_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
+    pit = f"""
+SELECT g.image_id, g.n_px, g.n_raised, g.sum_delta, g.chk
+FROM read_parquet('{gdir}/pitfill_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
     # image_zonal_stats: per-country luminance stats from the decode
     # golden (pixels) x the rai golden (country assignment) — both
     # INDEPENDENT generator-side twins; mils snap before SUM makes the
@@ -2173,6 +2195,9 @@ FROM f GROUP BY 1
             "spatial_dbscan": dbscan,
             "image_sobel_edges": sob,
             "image_flow_d8": d8,
+            "image_watershed": wsh,
+            "image_viewshed": vsh,
+            "image_pit_fill": pit,
             "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,

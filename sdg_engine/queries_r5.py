@@ -558,6 +558,64 @@ def image_flow_d8(spark, sf_dir):
     return d8_flow_stats(sel)
 
 
+def image_watershed(spark, sf_dir):
+    """WATERSHED BASIN labeling over the image tiles — partition every
+    DEM into its D8 drainage basins (each cell labeled with the sink
+    its steepest-descent path terminates at).  Engine resolves labels
+    by vectorized POINTER JUMPING (O(log diameter) numpy rounds);
+    map-only mapInPandas, all-int64 outputs.  jpg excluded /
+    first-500 bound like the other golden-backed image queries.
+    Oracle: committed INDEPENDENT golden (generator pixels +
+    stacked-argmax targets + memoized scalar chain walking).
+    """
+    from .ops.payload import watershed_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return watershed_stats(sel)
+
+
+def image_viewshed(spark, sf_dir):
+    """VIEWSHED from the center cell (GeoTrellis viewshed analogue,
+    luminance-as-elevation): a target is visible iff every exact
+    integer-DDA intermediate sample along the ray subtends a strictly
+    smaller slope (cross-multiplied rationals — no floats anywhere).
+    Engine: vectorized any-violation sweep over ray steps; map-only.
+    Oracle: committed INDEPENDENT golden (same SPEC, visibility
+    reduced via running max-slope rationals instead).
+    """
+    from .ops.payload import viewshed_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return viewshed_stats(sel)
+
+
+def image_pit_fill(spark, sf_dir):
+    """PRIORITY-FLOOD depression filling (the DEM-conditioning pass
+    hydrology pipelines run before flow routing): filled(c) is the
+    unique minimax fixpoint max(elev, min over border-reaching paths
+    of the path max) — engine settles cells once each off a min-heap
+    seeded with the border ring (Barnes et al. 2014 recipe); map-only,
+    all-int64.  Oracle: committed INDEPENDENT golden (the same
+    fixpoint iterated as a shifted-view Bellman recurrence).
+    """
+    from .ops.payload import pit_fill_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return pit_fill_stats(sel)
+
+
 def image_zonal_stats(spark, sf_dir):
     """ZONAL STATISTICS (GeoTrellis polygonal-summary analogue): decode
     every harness image, assign its footprint center to a country via
@@ -4192,6 +4250,9 @@ QUERIES_R5 = {
     "voronoi_assign": voronoi_assign,
     "image_sobel_edges": image_sobel_edges,
     "image_flow_d8": image_flow_d8,
+    "image_watershed": image_watershed,
+    "image_viewshed": image_viewshed,
+    "image_pit_fill": image_pit_fill,
     "events_ewma": events_ewma,
     "events_seasonality": events_seasonality,
     "rake_keywords": rake_keywords,

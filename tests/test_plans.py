@@ -520,6 +520,19 @@ def test_flow_d8_is_map_only(spark):
     assert "Exchange" not in _plan(image_flow_d8(spark, SF))
 
 
+def test_terrain_trio_is_map_only(spark):
+    """Watershed / viewshed / pit-fill: payload bytes never shuffle —
+    zero Exchange in all three plans."""
+    from sdg_engine.queries_r5 import (
+        image_pit_fill,
+        image_viewshed,
+        image_watershed,
+    )
+
+    for fn in (image_watershed, image_viewshed, image_pit_fill):
+        assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
+
+
 def test_voronoi_broadcast_bounded_fanout(spark):
     """Voronoi assignment: the seed side must broadcast (the bounded
     16-row cartesian pattern), the argmin must partially aggregate

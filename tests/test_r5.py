@@ -226,6 +226,73 @@ def test_d8_flow_accum_vs_bruteforce():
     assert s2 == 1 and acc2.max() == ramp.size and acc2[0] == ramp.size
 
 
+def test_watershed_labels_are_sinks_and_partition():
+    """Every watershed label must be a sink cell; basin sizes sum to
+    n; a monotone ramp is a single basin labeled by its min corner."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import d8_targets, d8_watershed
+
+    z = ((np.arange(10 * 13, dtype=np.int64) * 2654435761) % 1009
+         ).reshape(10, 13)
+    lbl, n_basins = d8_watershed(z)
+    tgt = d8_targets(z)
+    assert set(np.unique(lbl)) == set(np.flatnonzero(tgt < 0))
+    assert n_basins == len(np.unique(lbl))
+    assert np.bincount(lbl, minlength=lbl.size).sum() == lbl.size
+    # every cell's label equals its target's label (flow-invariant)
+    flows = tgt >= 0
+    assert (lbl[flows] == lbl[tgt[flows]]).all()
+
+    ramp = np.add.outer(np.arange(6, dtype=np.int64) * 10,
+                        np.arange(7, dtype=np.int64) * 10)
+    lbl2, nb2 = d8_watershed(ramp)
+    assert nb2 == 1 and (lbl2 == 0).all()
+
+
+def test_viewshed_flat_all_visible_and_wall_blocks():
+    """On a flat DEM every cell is visible from the center; a tall
+    wall column hides the strictly-behind cells on the perpendicular
+    ray but not the wall itself."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import viewshed_visible
+
+    flat = np.full((11, 11), 500, dtype=np.int64)
+    assert viewshed_visible(flat).all()
+
+    z = np.full((11, 11), 500, dtype=np.int64)
+    z[5, 7] = 50_000  # wall east of the center (5,5)
+    vis = viewshed_visible(z).reshape(11, 11)
+    assert vis[5, 7]          # the wall face is visible
+    assert not vis[5, 8] and not vis[5, 9] and not vis[5, 10]
+    assert vis[5, 4] and vis[5, 6]  # unobstructed directions remain
+
+
+def test_pit_fill_crater_and_invariants():
+    """A crater floor rises exactly to the lowest rim saddle; filling
+    is >= elev, leaves the border untouched, and is idempotent."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import pit_fill
+
+    z = np.full((7, 7), 900, dtype=np.int64)
+    z[2:5, 2:5] = 100          # depression
+    z[3, 3] = 50               # deepest point
+    z[2, 3] = 100              # (interior of the bowl)
+    rim = 900
+    f = pit_fill(z)
+    assert (f[2:5, 2:5] == rim).all()   # floor rises to the rim
+    assert (f >= z).all()
+    assert (f[0, :] == z[0, :]).all() and (f[:, 0] == z[:, 0]).all()
+    assert (pit_fill(f) == f).all()
+
+    # a drained slope needs no filling at all
+    ramp = np.add.outer(np.arange(8, dtype=np.int64) * 5,
+                        np.arange(9, dtype=np.int64) * 5)
+    assert (pit_fill(ramp) == ramp).all()
+
+
 def test_zonal_stats_covers_all_images(spark, sf_dir):
     from sdg_engine.queries_r5 import image_zonal_stats
 
