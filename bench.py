@@ -57,6 +57,9 @@ R5_EXTRAS = [
     "image_watershed",
     "image_viewshed",
     "image_pit_fill",
+    "snapshot_position_deletes",
+    "snapshot_metadata_tables",
+    "events_sessionize_batch",
     "image_contours",
     "image_zonal_stats",
     "country_convex_hull",

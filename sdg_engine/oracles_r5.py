@@ -1547,7 +1547,84 @@ FROM wc GROUP BY 1
 """
 
 
+# position deletes: the tombstoned set is exactly the predicate rows
+# in the first two appends (positions were located BY the predicate),
+# the third append re-inserts the sub-50 portion (sequence semantics);
+# tombstone count recovered relationally; file counts pinned
+SNAPSHOT_POSITION_DELETES = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % 5 = 2) AS n_tombstones,
+       CAST(1 AS INT) AS pos_delete_files,
+       CAST(3 AS INT) AS data_files
+FROM (
+  SELECT lang, n_chars FROM documents WHERE doc_id % 5 <> 2
+  UNION ALL
+  SELECT lang, n_chars FROM documents
+  WHERE doc_id % 5 = 2 AND doc_id < 50
+)
+GROUP BY lang
+"""
+
+# metadata tables: footer row counts per commit vs relational counts
+# over the same doc_id split; file counts pinned by the repartition
+# layout (3 then 2); history accounting pinned (3 commits, delete
+# head, 1 delete file)
+SNAPSHOT_METADATA_TABLES = """
+SELECT commit_pos, n_files, n_rows,
+       CAST(3 AS INT) AS n_commits,
+       'delete' AS head_mode,
+       CAST(1 AS INT) AS sum_delete_files
+FROM (
+  SELECT CAST(1 AS INT) AS commit_pos, CAST(3 AS INT) AS n_files,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE doc_id < 250) AS n_rows
+  UNION ALL
+  SELECT CAST(2 AS INT), CAST(2 AS INT),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE doc_id >= 250)
+)
+"""
+
+# batch sessionization: identical gaps-and-islands windows (lag +
+# running sum) in DuckDB; epoch_us ties out with unix_micros under
+# the UTC session pin; ties break on event_id in both engines
+EVENTS_SESSIONIZE_BATCH = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT user_id, event_id, us,
+         us - LAG(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS gap
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l
+),
+p AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS session_len,
+         MAX(us) - MIN(us) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT session_len, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
+FROM p GROUP BY 1
+"""
+
+
 ORACLES_R5 = {
+    "snapshot_position_deletes": SNAPSHOT_POSITION_DELETES,
+    "snapshot_metadata_tables": SNAPSHOT_METADATA_TABLES,
+    "events_sessionize_batch": EVENTS_SESSIONIZE_BATCH,
     "events_seasonality": EVENTS_SEASONALITY,
     "doc_word_diversity": DOC_WORD_DIVERSITY,
     "snapshot_zone_map": SNAPSHOT_ZONE_MAP,

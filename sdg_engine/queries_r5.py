@@ -3883,6 +3883,143 @@ def snapshot_mor_deletes(spark, sf_dir):
     )
 
 
+def snapshot_position_deletes(spark, sf_dir):
+    """MERGE-ON-READ **position** deletes (Iceberg v2's other delete
+    flavor, next to the equality deletes of snapshot_mor_deletes):
+    after two appends, every doc_id ≡ 2 (mod 5) row is located by a
+    scan and tombstoned by PHYSICAL ADDRESS — one tiny (file_path,
+    pos) parquet keyed on the parquet scanner's _metadata.row_index,
+    no data rewrite (the DELETE-after-scan shape; cost O(victims),
+    never O(table)).  Readers broadcast-anti-join on the address,
+    scoped to the dirs that existed at delete time, so a third append
+    legitimately RE-INSERTS equal-valued rows (sequence semantics —
+    the aggregate sees them back).  Pinned: tombstone row count
+    (recovered relationally in the oracle), 1 position-delete file,
+    3 data files, and the pre-delete row count via time travel."""
+    from .queries_ext import _stream_base
+    from .storage import (
+        _read_manifest,
+        count_data_files,
+        delete_positions_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'posdel_')}/tbl"
+    write_snapshot(docs.filter("doc_id < 250").coalesce(1), path,
+                   mode="append")
+    write_snapshot(docs.filter("doc_id >= 250").coalesce(1), path,
+                   mode="append")
+    _snap, n_pos = delete_positions_where(spark, path, "doc_id % 5 = 2")
+    write_snapshot(
+        docs.filter("doc_id % 5 = 2 AND doc_id < 50").coalesce(1),
+        path, mode="append",
+    )
+    n_posfiles = len(_read_manifest(path, 4)["pos_deletes"])
+    files = count_data_files(path, 4)
+    before = read_snapshot(spark, path, as_of=2).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(before))
+        .withColumn("n_tombstones", F.lit(int(n_pos)).cast("long"))
+        .withColumn("pos_delete_files", F.lit(n_posfiles).cast("int"))
+        .withColumn("data_files", F.lit(files).cast("int"))
+    )
+
+
+def snapshot_metadata_tables(spark, sf_dir):
+    """Iceberg METADATA TABLES (``files`` + ``history``/``snapshots``)
+    as queryable DataFrames — the surface maintenance jobs plan
+    against (compaction targets, small-file counts, row accounting)
+    without touching a single data page: both tables are driver-side
+    manifest walks (file sizes + parquet FOOTER row counts), small by
+    design at any table size.  The fixture commits two appends with
+    pinned layouts (repartition 3 then 2 ⇒ exactly 3 + 2 files) and
+    one equality delete; the check cross-verifies the files table's
+    FOOTER row counts against relational counts over the same filters
+    plus the history table's commit/delete-file accounting."""
+    from .queries_ext import _stream_base
+    from .storage import (
+        delete_from_snapshot,
+        snapshot_files_df,
+        snapshot_history_df,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'metatbl_')}/tbl"
+    write_snapshot(docs.filter("doc_id < 250").repartition(3), path,
+                   mode="append")
+    write_snapshot(docs.filter("doc_id >= 250").repartition(2), path,
+                   mode="append")
+    delete_from_snapshot(
+        spark, path, docs.filter("doc_id % 11 = 0").select("doc_id"),
+        "doc_id",
+    )
+    files = snapshot_files_df(spark, path)
+    hist = snapshot_history_df(spark, path)
+    h = hist.agg(
+        F.count(F.lit(1)).cast("int").alias("n_commits"),
+        F.max(F.when(F.col("snapshot_id") == 3, F.col("mode"))
+              ).alias("head_mode"),
+        F.sum("n_delete_files").cast("int").alias("sum_delete_files"),
+    )
+    return (
+        files.groupBy("commit_pos")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(h))
+    )
+
+
+def events_sessionize_batch(spark, sf_dir):
+    """BATCH SESSIONIZATION (gaps-and-islands, the batch twin of the
+    stateful streaming sessionize): a new session starts at every
+    >30-minute gap in a user's event stream — lag + running-sum
+    windows partitioned by user_id (ONE hash exchange on the user
+    key; per-partition state is O(1) per row, so the same plan holds
+    at 10^12 events), then per-session aggregates rolled into a
+    session-length histogram with exact BIGINT durations in unix
+    micros (engines cannot disagree on sub-second ordering; ties
+    break on event_id)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", f"{_TS_US_SQL} AS us"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > F.lit(1_800_000_000)), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per = sess.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("session_len"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per.groupBy("session_len").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_us").alias("sum_dur_us"),
+    )
+
+
 # quantized 8×8 grid derived from doc_id (full coverage at every SF:
 # doc_ids are consecutive from 0 and ≥ 64 rows exist) — shared VERBATIM
 # with the DuckDB twin so the clustering key is semantics, not layout
@@ -4230,6 +4367,9 @@ QUERIES_R5 = {
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,
     "snapshot_mor_deletes": snapshot_mor_deletes,
+    "snapshot_position_deletes": snapshot_position_deletes,
+    "snapshot_metadata_tables": snapshot_metadata_tables,
+    "events_sessionize_batch": events_sessionize_batch,
     "snapshot_bloom_index": snapshot_bloom_index,
     "events_welch_ttest": events_welch_ttest,
     "snapshot_wap_publish": snapshot_wap_publish,

@@ -491,6 +491,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
             snap_id = (hist[-1] + 1) if hist else 1
             dirs = [data_dir]
             deletes: list = []
+            pos_deletes: list = []
             schema_json = df.schema.jsonValue()
             if mode == "append" and hist:
                 parent_m = _read_manifest(path, hist[-1])
@@ -500,6 +501,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                 # semantics — the NEW dir is not in applies_to, so
                 # appended rows may re-insert a deleted key)
                 deletes = parent_m.get("deletes") or []
+                pos_deletes = parent_m.get("pos_deletes") or []
                 # add-column evolution: appends commit the MERGED schema
                 # so every snapshot's manifest is self-describing (r05)
                 schema_json = _merge_schema(
@@ -519,6 +521,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                            "mode": mode, "dirs": dirs,
                            "files": files_json,
                            "deletes": deletes,
+                           "pos_deletes": pos_deletes,
                            "schema": schema_json}, f)
             try:
                 os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
@@ -619,6 +622,7 @@ def _read_manifest_df(spark: SparkSession, m: dict,
         return out
 
     deletes = m.get("deletes") or []
+    pos_deletes = m.get("pos_deletes") or []
     dirs_all = (m["dirs"] if dir_files is None
                 else [d for d in m["dirs"] if dir_files.get(d)])
     if not dirs_all:
@@ -627,17 +631,44 @@ def _read_manifest_df(spark: SparkSession, m: dict,
         if schema is None:
             raise ValueError("all files pruned and manifest has no schema")
         return spark.createDataFrame([], schema)
-    if not deletes:
+    if not deletes and not pos_deletes:
         return _read(_paths(dirs_all))
     groups: dict[tuple, list[str]] = {}
     for d in dirs_all:
-        sig = tuple(i for i, e in enumerate(deletes)
-                    if d in e["applies_to"])
+        sig = tuple(
+            [("e", i) for i, e in enumerate(deletes)
+             if d in e["applies_to"]]
+            + [("p", j) for j, e in enumerate(pos_deletes)
+               if d in e["applies_to"]]
+        )
         groups.setdefault(sig, []).append(d)
     parts = []
     for sig, dirs in sorted(groups.items()):
         df = _read(_paths(dirs))
-        for i in sig:
+        pos_idx = [j for kind, j in sig if kind == "p"]
+        if pos_idx:
+            # position deletes key on the PHYSICAL row address — the
+            # parquet source's hidden _metadata struct supplies it
+            # exactly (file_path, row_index), no content column is
+            # touched; the anti-join broadcasts (tombstone files are
+            # tiny by construction — that is the point of the format)
+            df = df.select(
+                F.col("_metadata.file_path").alias("_pd_file"),
+                F.col("_metadata.row_index").alias("_pd_pos"),
+                "*",
+            )
+            for j in pos_idx:
+                e = pos_deletes[j]
+                tomb = spark.read.parquet(e["dir"]).select(
+                    F.col("file_path").alias("_pd_file"),
+                    F.col("pos").alias("_pd_pos"),
+                )
+                df = df.join(F.broadcast(tomb), ["_pd_file", "_pd_pos"],
+                             "left_anti")
+            df = df.drop("_pd_file", "_pd_pos")
+        for kind, i in sig:
+            if kind != "e":
+                continue
             e = deletes[i]
             ks = spark.read.parquet(e["dir"]).select(e["key"]).distinct()
             df = df.join(F.broadcast(ks), e["key"], "left_anti")
@@ -692,6 +723,122 @@ def delete_from_snapshot(spark: SparkSession, path: str,
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+
+
+def delete_positions_where(spark: SparkSession, path: str,
+                           condition: str) -> tuple[int, int]:
+    """MERGE-ON-READ **position** deletes (the other Iceberg v2 delete
+    flavor, next to ``delete_from_snapshot``'s equality deletes): find
+    the rows matching ``condition`` in the CURRENT head's data files
+    and tombstone them by PHYSICAL ADDRESS — one tiny parquet of
+    (file_path, pos) pairs, where pos is the parquet row index the
+    scanner reports via the hidden ``_metadata`` struct.  No data is
+    rewritten and readers anti-join on the address, so the delete cost
+    is O(matched rows), never O(table) — the row-level DELETE shape
+    engines emit after a scan has already located the victims.
+    Sequence semantics match equality deletes: applies_to pins the
+    dirs that exist NOW, so later appends may re-insert equal-valued
+    rows.  Returns (snapshot_id, n_positions)."""
+    import json
+    import os
+    import uuid
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots committed at {path!r}")
+    head = _read_manifest(path, hist[-1])
+    scan = spark.read.parquet(*head["dirs"]).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    pos = scan.filter(condition).select("file_path", "pos")
+    ddir = os.path.join(path, "deletes", f"pos-{uuid.uuid4().hex[:12]}")
+    pos.coalesce(1).write.mode("error").parquet(ddir)
+    n_pos = spark.read.parquet(ddir).count()
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    try:
+        while True:
+            hist = snapshot_history(path)
+            snap_id = hist[-1] + 1
+            parent = _read_manifest(path, hist[-1])
+            man = dict(parent)
+            man.update({
+                "snapshot_id": snap_id,
+                "parent": hist[-1],
+                "mode": "delete",
+                "pos_deletes": (parent.get("pos_deletes") or []) + [
+                    {"dir": ddir, "applies_to": list(parent["dirs"])}
+                ],
+            })
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            try:
+                os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+                return snap_id, int(n_pos)
+            except FileExistsError:
+                continue  # lost the race — recompute against the new head
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def _walk_parquet(d: str) -> list[str]:
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out.extend(os.path.join(root, f) for f in sorted(files)
+                   if f.endswith(".parquet") and not f.startswith("."))
+    return sorted(out)
+
+
+def snapshot_files_df(spark: SparkSession, path: str,
+                      as_of: int | None = None) -> DataFrame:
+    """Iceberg ``files`` METADATA TABLE analogue: one row per live data
+    file of a snapshot, with size and the parquet FOOTER row count —
+    all driver-side manifest + footer reads (metadata is small by
+    design; no executor scan of any data page).  This is the surface
+    maintenance jobs plan against (compaction targets, small-file
+    counts, row accounting)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots committed at {path!r}")
+    snap_id = hist[-1] if as_of is None else as_of
+    m = _read_manifest(path, snap_id)
+    rows = []
+    for pos, d in enumerate(m["dirs"]):
+        for f in _walk_parquet(d):
+            rows.append((f, d, pos + 1, int(os.path.getsize(f)),
+                         int(pq.ParquetFile(f).metadata.num_rows)))
+    return spark.createDataFrame(
+        rows,
+        "file_path string, dir string, commit_pos int, "
+        "size_bytes bigint, n_rows bigint",
+    )
+
+
+def snapshot_history_df(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg ``history``/``snapshots`` METADATA TABLE analogue: one
+    row per committed snapshot (id, parent, mode, live dir and
+    delete-file counts) — a driver-side manifest walk."""
+    rows = []
+    for sid in snapshot_history(path):
+        m = _read_manifest(path, sid)
+        rows.append((
+            sid, m.get("parent"), m["mode"], len(m["dirs"]),
+            len(m.get("deletes") or []) + len(m.get("pos_deletes") or []),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, parent int, mode string, n_dirs int, "
+        "n_delete_files int",
+    )
 
 
 def read_snapshot(spark: SparkSession, path: str,
@@ -777,6 +924,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         m = _read_manifest(path, s)
         live.update(m["dirs"])
         live.update(e["dir"] for e in m.get("deletes") or [])
+        live.update(e["dir"] for e in m.get("pos_deletes") or [])
     for s in drop:
         os.remove(os.path.join(_manifest_dir(path), f"{s}.json"))
     removed_dirs = 0

@@ -421,6 +421,20 @@ def test_asof_join_is_single_window_pass(spark):
         assert j not in plan
 
 
+def test_sessionize_batch_single_user_exchange(spark):
+    """Batch sessionization: the windows and the per-session agg all
+    key on user_id, so the plan needs exactly ONE hash exchange on the
+    user key before the final histogram agg — and never a join."""
+    from sdg_engine.queries import QUERIES
+
+    plan = _plan(QUERIES["events_sessionize_batch"](spark, SF))
+    user_ex = [m for m in re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan) if "user_id" in m]
+    assert len(user_ex) == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+
+
 def test_bm25_small_sides_broadcast(spark):
     """df/corpus are vocabulary-sized at any corpus scale: they must
     broadcast; the fact-side joins must never sort-merge or cartesian."""

@@ -671,6 +671,68 @@ def test_mor_delete_sequence_semantics(spark, tmp_path):
         os.listdir(os.path.join(tbl, "deletes")) == []
 
 
+def test_position_delete_addresses_physical_rows(spark, tmp_path):
+    """Iceberg-v2 POSITION deletes: tombstones key on (file_path,
+    row_index), suppress exactly the located rows, scope to the dirs
+    that existed at delete time (a later append re-inserts the same
+    VALUES untouched), time travel sees the pre-delete table, and
+    DUPLICATE values at other positions survive — the discriminator
+    vs equality deletes."""
+    from sdg_engine.storage import (compact_snapshot,
+                                    delete_positions_where,
+                                    read_snapshot, write_snapshot,
+                                    _read_manifest)
+
+    tbl = str(tmp_path / "pos")
+    a = spark.range(1, 11).withColumnRenamed("id", "k")
+    # TWO copies of k=5 in snap 1: a position delete on "k = 5" kills
+    # both located rows; an equality-vs-position discriminator needs
+    # the re-insert (below) to come back even though its VALUE matches
+    write_snapshot(a.union(a.filter("k = 5")).coalesce(1), tbl,
+                   mode="append")                               # snap 1
+    _sid, n_pos = delete_positions_where(spark, tbl, "k = 5")   # snap 2
+    assert n_pos == 2
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) ==         [1, 2, 3, 4, 6, 7, 8, 9, 10]
+    assert sorted(r.k for r in
+                  read_snapshot(spark, tbl, as_of=1).collect()) ==         sorted([*range(1, 11), 5])
+    write_snapshot(a.filter("k = 5"), tbl, mode="append")       # snap 3
+    ks = [r.k for r in read_snapshot(spark, tbl).collect()]
+    assert sorted(ks) == list(range(1, 11)) and ks.count(5) == 1
+    compact_snapshot(spark, tbl, target_partitions=1)           # snap 4
+    assert _read_manifest(tbl, 4).get("pos_deletes") == []
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) ==         list(range(1, 11))
+
+
+def test_metadata_tables_match_layout(spark, tmp_path):
+    """The files metadata table's footer row counts and file counts
+    must match the physical layout; history rows track commit modes
+    and delete-file accounting."""
+    from sdg_engine.storage import (delete_from_snapshot,
+                                    snapshot_files_df,
+                                    snapshot_history_df, write_snapshot)
+
+    tbl = str(tmp_path / "meta")
+    a = spark.range(0, 40).withColumnRenamed("id", "k")
+    write_snapshot(a.filter("k < 30").repartition(3), tbl, mode="append")
+    write_snapshot(a.filter("k >= 30").repartition(2), tbl, mode="append")
+    delete_from_snapshot(spark, tbl, a.filter("k % 10 = 0"), "k")
+    f = snapshot_files_df(spark, tbl).collect()
+    by_pos = {}
+    for r in f:
+        by_pos.setdefault(r.commit_pos, [0, 0])
+        by_pos[r.commit_pos][0] += 1
+        by_pos[r.commit_pos][1] += r.n_rows
+    assert by_pos == {1: [3, 30], 2: [2, 10]}
+    assert all(r.size_bytes > 0 for r in f)
+    h = sorted(snapshot_history_df(spark, tbl).collect(),
+               key=lambda r: r.snapshot_id)
+    assert [r.mode for r in h] == ["append", "append", "delete"]
+    assert [r.n_delete_files for r in h] == [0, 0, 1]
+    # time-travel view of the files table: snapshot 1 shows one commit
+    f1 = snapshot_files_df(spark, tbl, as_of=1).collect()
+    assert len(f1) == 3 and sum(r.n_rows for r in f1) == 30
+
+
 def test_zorder_cluster_prunes_box(spark, tmp_path):
     """Clustered rewrite: one file per occupied z-bucket with tight
     2-D zones; the quadrant box opens 2/8 files vs 4/4 on the
