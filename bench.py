@@ -60,6 +60,11 @@ R5_EXTRAS = [
     "snapshot_position_deletes",
     "snapshot_metadata_tables",
     "events_sessionize_batch",
+    "events_auc",
+    "doc_bigram_rarity",
+    "snapshot_rollback",
+    "image_texture_glcm",
+    "roads_sinuosity",
     "image_contours",
     "image_zonal_stats",
     "country_convex_hull",

@@ -164,6 +164,7 @@ def main() -> None:
     make_watershed_golden()
     make_viewshed_golden()
     make_pitfill_golden()
+    make_glcm_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
     make_contours_golden()
@@ -1370,6 +1371,46 @@ def make_viewshed_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"viewshed_sf{sf:g}.parquet"),
     )
     print(f"viewshed golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_glcm_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_texture_glcm query (r05).
+
+    INDEPENDENT twin: generator pixels; co-occurrence accumulated by
+    np.add.at SCATTER into a 16x16 matrix (vs the engine's flat
+    bincount over combined codes); features from the matrix with the
+    same integer SPEC.  All int64 — exact parity.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_prs, cons, eners, homs = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        q = np.minimum(lum // 16000, 15)
+        m = np.zeros((16, 16), dtype=np.int64)
+        np.add.at(m, (q[:, :-1].ravel(), q[:, 1:].ravel()), 1)
+        np.add.at(m, (q[:-1, :].ravel(), q[1:, :].ravel()), 1)
+        ii, jj = np.indices((16, 16))
+        d2 = ((ii - jj) * (ii - jj)).astype(np.int64)
+        ids.append(image_id)
+        n_prs.append(int(m.sum()))
+        cons.append(int((m * d2).sum()))
+        eners.append(int((m * m).sum()))
+        homs.append(int(((1000 * m) // (1 + d2)).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_pairs": pa.array(n_prs, pa.int32()),
+            "contrast": pa.array(cons, pa.int64()),
+            "energy": pa.array(eners, pa.int64()),
+            "homog_mils": pa.array(homs, pa.int64()),
+        }),
+        os.path.join(OUT, f"glcm_sf{sf:g}.parquet"),
+    )
+    print(f"glcm golden: {len(ids)} rows (jpg skipped)")
 
 
 def make_pitfill_golden(sf: float = 0.01, n_limit: int = 500) -> None:

@@ -802,6 +802,45 @@ def pit_fill_stats(images: DataFrame) -> DataFrame:
     )
 
 
+# GLCM SPEC (shared with the golden twin): quantize q = min(15,
+# elev // 16000) (16 gray levels over the 0..255000 milli-luma
+# range); co-occurrence counts over the two directed offsets right
+# (0,1) and down (1,0), UNNORMALIZED (integer counts).  Features:
+#   contrast   = sum c(i,j) * (i-j)^2
+#   energy     = sum c(i,j)^2
+#   homog_mils = sum (1000 * c(i,j)) DIV (1 + (i-j)^2)
+# All int64 — exact parity at any fold order.
+
+
+def glcm_features(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """Gray-level co-occurrence texture features — the classic Haralick
+    curation signal (flat/synthetic images separate from natural
+    texture).  Engine: flat bincount over combined 16*qa+qb codes (the
+    golden twin scatter-adds into a 16x16 matrix instead)."""
+    q = np.minimum(lum_i // 16000, 15)
+    pairs_h = (16 * q[:, :-1] + q[:, 1:]).ravel()
+    pairs_v = (16 * q[:-1, :] + q[1:, :]).ravel()
+    c = (np.bincount(pairs_h, minlength=256)
+         + np.bincount(pairs_v, minlength=256)).astype(np.int64)
+    i, j = np.divmod(np.arange(256, dtype=np.int64), 16)
+    d2 = (i - j) * (i - j)
+    return (
+        int(pairs_h.size + pairs_v.size),
+        int((c * d2).sum()),
+        int((c * c).sum()),
+        int(((1000 * c) // (1 + d2)).sum()),
+    )
+
+
+def glcm_stats(images: DataFrame) -> DataFrame:
+    """Per-image GLCM texture stats (map-only; see _int_terrain_op)."""
+    return _int_terrain_op(
+        images, glcm_features,
+        ["n_pairs", "contrast", "energy", "homog_mils"],
+        "n_pairs int, contrast bigint, energy bigint, homog_mils bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Marching-squares contour extraction stats (r05) — the raster->vector
 # contouring analogue (GeoTrellis-world: toVector/contour ops).

@@ -831,6 +831,57 @@ FROM d{_SPW_ROUNDS} GROUP BY band
 """
 
 
+def _sinuosity_sql(roads_pq: str) -> str:
+    """Identical sequential-fold path length (the route_interpolate
+    running-sum window) over endpoint chord, micro-snap at the end."""
+    return f"""
+WITH r AS (SELECT road_id, kind, coords FROM read_parquet('{roads_pq}')),
+verts AS (
+  SELECT road_id, kind, u.i AS i,
+         coords[u.i].x AS x, coords[u.i].y AS y
+  FROM r, UNNEST(generate_series(1, len(coords))) AS u(i)
+),
+seg0 AS (
+  SELECT road_id, i, x, y,
+         lead(x) OVER (PARTITION BY road_id ORDER BY i) AS x2,
+         lead(y) OVER (PARTITION BY road_id ORDER BY i) AS y2
+  FROM verts
+),
+seg AS (
+  SELECT road_id, i,
+         SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS slen
+  FROM seg0 WHERE x2 IS NOT NULL
+),
+tot AS (
+  SELECT road_id, MAX(cum) AS total FROM (
+    SELECT road_id,
+           SUM(slen) OVER (PARTITION BY road_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM seg
+  ) GROUP BY 1
+),
+ends AS (
+  SELECT road_id, kind,
+         SQRT((coords[len(coords)].x - coords[1].x)
+              * (coords[len(coords)].x - coords[1].x)
+              + (coords[len(coords)].y - coords[1].y)
+              * (coords[len(coords)].y - coords[1].y)) AS chord
+  FROM r
+),
+per AS (
+  SELECT e.kind,
+         CAST(FLOOR(t.total / e.chord * 1000000 + 0.5) AS BIGINT)
+           AS sin_micros
+  FROM ends e JOIN tot t USING (road_id)
+  WHERE e.chord > 0
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_roads,
+       CAST(SUM(sin_micros) AS BIGINT) AS sum_sin_micros,
+       CAST(MAX(sin_micros) AS BIGINT) AS max_sin_micros
+FROM per GROUP BY 1
+"""
+
+
 def _route_interp_sql(roads_pq: str) -> str:
     """Identical lead/running-sum/half-open-pick construction; the
     running sum is a sequential ordered fold in both engines (gotcha 8:
@@ -1621,7 +1672,87 @@ FROM p GROUP BY 1
 """
 
 
+# exact tie-midrank AUC via the score-group recurrence; DuckDB //
+# and Spark DIV are both exact integer floor division (doubles lose
+# exactness past 2^53 — gotcha 7/8 territory)
+EVENTS_AUC = """
+WITH e AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS np_s,
+         CAST(SUM(1 - y) AS BIGINT) AS nn_s
+  FROM e GROUP BY 1
+),
+c AS (
+  SELECT np_s, nn_s,
+         CAST(COALESCE(SUM(nn_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS cum_neg
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
+         CAST(SUM(nn_s) AS BIGINT) AS n_neg,
+         CAST(SUM(np_s * (2 * cum_neg + nn_s)) AS BIGINT) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg, u2,
+       CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT) AS auc_micros
+FROM t
+"""
+
+# identical bigram pipeline: ordinal word positions, LEAD, frequency
+# rank with the same (cnt DESC, bg) total order, per-doc mean rank
+DOC_BIGRAM_RARITY = """
+WITH bg AS (
+  SELECT doc_id, parts[i] || ' ' || parts[i + 1] AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        FROM documents) t,
+       UNNEST(range(1, len(parts))) AS r(i)
+),
+cnt AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
+),
+rk AS (
+  SELECT bg, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, bg) AS BIGINT)
+           AS rnk
+  FROM cnt
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(r.rnk) AS BIGINT) AS sum_rank,
+       CAST((1000 * SUM(r.rnk)) // COUNT(*) AS BIGINT) AS rarity_mils
+FROM bg b JOIN rk r USING (bg)
+GROUP BY 1
+"""
+
+# rollback: the head serves snapshot-1 content; the bad doubled
+# append is only visible via time travel (count recovered
+# relationally); commit count + head mode pinned
+SNAPSHOT_ROLLBACK = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT doc_id FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id FROM documents WHERE doc_id >= 300
+          UNION ALL
+          SELECT doc_id FROM documents WHERE doc_id >= 300
+       )) AS n_at_bad,
+       CAST(3 AS INT) AS n_commits,
+       'rollback' AS head_mode
+FROM documents WHERE doc_id < 300
+GROUP BY lang
+"""
+
+
 ORACLES_R5 = {
+    "events_auc": EVENTS_AUC,
+    "doc_bigram_rarity": DOC_BIGRAM_RARITY,
+    "snapshot_rollback": SNAPSHOT_ROLLBACK,
     "snapshot_position_deletes": SNAPSHOT_POSITION_DELETES,
     "snapshot_metadata_tables": SNAPSHOT_METADATA_TABLES,
     "events_sessionize_batch": EVENTS_SESSIONIZE_BATCH,
@@ -2031,6 +2162,12 @@ FROM read_parquet('{gdir}/pitfill_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """
+    glcm = f"""
+SELECT g.image_id, g.n_pairs, g.contrast, g.energy, g.homog_mils
+FROM read_parquet('{gdir}/glcm_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
     # image_zonal_stats: per-country luminance stats from the decode
     # golden (pixels) x the rai golden (country assignment) — both
     # INDEPENDENT generator-side twins; mils snap before SUM makes the
@@ -2275,6 +2412,7 @@ FROM f GROUP BY 1
             "image_watershed": wsh,
             "image_viewshed": vsh,
             "image_pit_fill": pit,
+            "image_texture_glcm": glcm,
             "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
@@ -2284,6 +2422,7 @@ FROM f GROUP BY 1
             "cells_line_density": _line_density_sql(roads_pq),
             "shortest_path_weighted": _spw_sql(roads_pq, node),
             "route_interpolate": _route_interp_sql(roads_pq),
+            "roads_sinuosity": _sinuosity_sql(roads_pq),
             "roads_buffer_cells": _buffer_cells_sql(roads_pq),
             "road_intersections": _road_intersections_sql(roads_pq),
             "country_convex_hull": hull,

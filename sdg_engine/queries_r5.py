@@ -4020,6 +4020,207 @@ def events_sessionize_batch(spark, sf_dir):
     )
 
 
+def events_auc(spark, sf_dir):
+    """EXACT AUC / Mann-Whitney U of `value` as a purchase classifier
+    — the ML-eval primitive next to ann_recall_eval, computed WITHOUT
+    a global sort: group rows by distinct integer score (cents), take
+    the cumulative negative count below each score via the two-level
+    bucket prefix (local running sums + a broadcast bucket-offset
+    window over the tiny bucket table — the _rank2 trick on the
+    score-GROUP table, so the windowed relation is |distinct scores|,
+    never |rows|), then 2U = Σ_s n_pos(s)·(2·cum_neg(s) + n_neg(s))
+    handles ties as midranks EXACTLY in integers.  Final division is
+    integer DIV (both engines floor identically; doubles would lose
+    exactness past 2^53)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+    )
+    g = ev.groupBy("s").agg(
+        F.sum("y").alias("np_s"),
+        F.sum(F.expr("1 - y")).alias("nn_s"),
+    )
+    b = g.withColumn("_b", F.expr("CAST(FLOOR(s / 4096) AS BIGINT)"))
+    wb = (Window.partitionBy("_b").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    local = b.withColumn(
+        "cum_local", F.coalesce(F.sum("nn_s").over(wb), F.lit(0))
+    )
+    btot = b.groupBy("_b").agg(F.sum("nn_s").alias("_bt"))
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wo), F.lit(0))
+    ).select("_b", "_off")
+    cum = local.join(F.broadcast(offs), "_b").selectExpr(
+        "np_s", "nn_s", "cum_local + _off AS cum_neg"
+    )
+    tot = cum.agg(
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+        F.sum(F.expr("np_s * (2 * cum_neg + nn_s)")).alias("u2"),
+    )
+    return tot.selectExpr(
+        "n_pos", "n_neg", "u2",
+        "(1000000 * u2) DIV (2 * n_pos * n_neg) AS auc_micros",
+    )
+
+
+def doc_bigram_rarity(spark, sf_dir):
+    """BIGRAM-RARITY novelty scoring — a curation signal ranking docs
+    by how unusual their word transitions are: global bigram table →
+    frequency rank (vocabulary-sized ranking window, never the
+    corpus) → per-doc mean rank in integer mils.  Bigrams come from
+    ONE posexplode + a lead window on (doc_id, pos) — no per-element
+    re-split of the text (gotcha 16b), one exchange on doc_id, then a
+    hash join on the bigram key against the vocab-sized rank side."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        words.withColumn("w2", F.lead("w").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .selectExpr("doc_id", "concat(w, ' ', w2) AS bg")
+    )
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), "bg")
+    rk = cnt.withColumn("rnk", F.row_number().over(wr).cast("long")).select(
+        "bg", "rnk"
+    )
+    return (
+        bg.join(rk, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("rnk").alias("sum_rank"),
+        )
+        .selectExpr(
+            "doc_id", "n_bigrams", "sum_rank",
+            "(1000 * sum_rank) DIV n_bigrams AS rarity_mils",
+        )
+    )
+
+
+def image_texture_glcm(spark, sf_dir):
+    """GLCM TEXTURE features (Haralick contrast / energy /
+    homogeneity) — the texture-curation signal separating flat or
+    synthetic images from natural ones: 16-level quantized luma,
+    unnormalized co-occurrence over the right+down offsets, integer
+    features only (homogeneity uses per-cell integer DIV by
+    1+(i-j)^2, never a float fold).  Map-only like the other decode
+    queries.  Oracle: committed INDEPENDENT golden (scatter-add
+    matrix twin vs the engine's flat bincount)."""
+    from .ops.payload import glcm_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return glcm_stats(sel)
+
+
+def roads_sinuosity(spark, sf_dir):
+    """SINUOSITY of every road polyline (path length / endpoint
+    chord — the curviness metric linear referencing pipelines
+    publish): segment lengths folded SEQUENTIALLY per road (the
+    route_interpolate running-sum window — gotcha 8: never a
+    partial-agg double SUM), endpoint chord read directly off the
+    coords array (no window), micro-unit snap on the final ratio
+    (only + - * / sqrt floor on the float path).  One hash exchange
+    on road_id; per-kind rollup keeps the compare tiny."""
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    verts = roads.selectExpr(
+        "road_id", "kind", "posexplode(coords) AS (i, c)"
+    ).selectExpr("road_id", "kind", "i", "c.x AS x", "c.y AS y")
+    wo = Window.partitionBy("road_id").orderBy("i")
+    seg = (
+        verts.withColumn("x2", F.lead("x").over(wo))
+        .withColumn("y2", F.lead("y").over(wo))
+        .filter(F.col("x2").isNotNull())
+        .withColumn(
+            "slen",
+            F.expr("SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))"),
+        )
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    tot = (
+        seg.withColumn("cum", F.sum("slen").over(wcum))
+        .groupBy("road_id")
+        .agg(F.max("cum").alias("total"))
+    )
+    ends = roads.selectExpr(
+        "road_id", "kind",
+        "element_at(coords, 1).x AS x0",
+        "element_at(coords, 1).y AS y0",
+        "element_at(coords, size(coords)).x AS xn",
+        "element_at(coords, size(coords)).y AS yn",
+    ).withColumn(
+        "chord",
+        F.expr("SQRT((xn - x0) * (xn - x0) + (yn - y0) * (yn - y0))"),
+    )
+    per = (
+        ends.join(tot, "road_id")
+        .filter("chord > 0")
+        .selectExpr(
+            "kind",
+            "CAST(FLOOR(total / chord * 1000000 + 0.5) AS BIGINT)"
+            " AS sin_micros",
+        )
+    )
+    return per.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_roads"),
+        F.sum("sin_micros").alias("sum_sin_micros"),
+        F.max("sin_micros").alias("max_sin_micros"),
+    )
+
+
+def snapshot_rollback(spark, sf_dir):
+    """ROLLBACK (Iceberg rollback_to_snapshot): a bad append is undone
+    by ONE metadata-only commit pointing the head back at the good
+    snapshot — the bad snapshot stays in history for audit (time
+    travel still reads it).  The aggregate reads the rolled-back
+    head (= snapshot-1 content); the bad-append row count is
+    recovered via as-of(2) and tied out relationally; commit count
+    and head mode pinned."""
+    from .queries_ext import _stream_base
+    from .storage import (
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{_stream_base(spark, 'rollback_')}/tbl"
+    write_snapshot(docs.filter("doc_id < 300").coalesce(1), path,
+                   mode="append")
+    # the "bad" append: doubled rows (a botched retry)
+    bad = docs.filter("doc_id >= 300").union(
+        docs.filter("doc_id >= 300")
+    )
+    write_snapshot(bad.coalesce(1), path, mode="append")
+    rollback_snapshot(path, 1)
+    n_commits = len(snapshot_history(path))
+    bad_vis = read_snapshot(spark, path, as_of=2).agg(
+        F.count(F.lit(1)).alias("n_at_bad")
+    )
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(bad_vis))
+        .withColumn("n_commits", F.lit(n_commits).cast("int"))
+        .withColumn("head_mode", F.lit("rollback"))
+    )
+
+
 # quantized 8×8 grid derived from doc_id (full coverage at every SF:
 # doc_ids are consecutive from 0 and ≥ 64 rows exist) — shared VERBATIM
 # with the DuckDB twin so the clustering key is semantics, not layout
@@ -4370,6 +4571,11 @@ QUERIES_R5 = {
     "snapshot_position_deletes": snapshot_position_deletes,
     "snapshot_metadata_tables": snapshot_metadata_tables,
     "events_sessionize_batch": events_sessionize_batch,
+    "events_auc": events_auc,
+    "doc_bigram_rarity": doc_bigram_rarity,
+    "snapshot_rollback": snapshot_rollback,
+    "image_texture_glcm": image_texture_glcm,
+    "roads_sinuosity": roads_sinuosity,
     "snapshot_bloom_index": snapshot_bloom_index,
     "events_welch_ttest": events_welch_ttest,
     "snapshot_wap_publish": snapshot_wap_publish,

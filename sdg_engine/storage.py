@@ -942,6 +942,42 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
             "orphan_dirs_removed": removed_dirs}
 
 
+def rollback_snapshot(path: str, to_snap: int) -> int:
+    """ROLLBACK to an earlier snapshot (Iceberg
+    ``rollback_to_snapshot``): commit a NEW manifest that references
+    the target snapshot's exact dirs/deletes/schema — the bad commits
+    stay in history for audit (as-of reads still see them) but the
+    head now serves the old content.  A metadata-only O(1) commit:
+    no data moves, same hard-link optimistic concurrency."""
+    import json
+    import os
+    import uuid
+
+    hist = snapshot_history(path)
+    if to_snap not in hist:
+        raise ValueError(f"snapshot {to_snap} not in history {hist}")
+    target = _read_manifest(path, to_snap)
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    try:
+        while True:
+            hist = snapshot_history(path)
+            snap_id = hist[-1] + 1
+            man = dict(target)
+            man.update({"snapshot_id": snap_id, "parent": hist[-1],
+                        "mode": "rollback", "rolled_back_to": to_snap})
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            try:
+                os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+                return snap_id
+            except FileExistsError:
+                continue  # lost the race — recompute against the new head
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def count_data_files(path: str, snap_id: int) -> int:
     """Number of parquet data files referenced by a snapshot's manifest
     — the metric compaction improves (driver-side listing of the

