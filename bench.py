@@ -65,6 +65,8 @@ R5_EXTRAS = [
     "snapshot_rollback",
     "image_texture_glcm",
     "roads_sinuosity",
+    "image_quadtree",
+    "streaming_static_enrich",
     "image_contours",
     "image_zonal_stats",
     "country_convex_hull",

@@ -165,6 +165,7 @@ def main() -> None:
     make_viewshed_golden()
     make_pitfill_golden()
     make_glcm_golden()
+    make_quadtree_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
     make_contours_golden()
@@ -1411,6 +1412,72 @@ def make_glcm_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"glcm_sf{sf:g}.parquet"),
     )
     print(f"glcm golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_quadtree_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_quadtree query (r05).
+
+    INDEPENDENT twin: generator pixels; leaves found BOTTOM-UP on
+    min/max PYRAMIDS (a node is a leaf iff uniform and its parent is
+    not — equivalent to the engine's top-down split because range is
+    monotone under containment), fully vectorized per level.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    THRESH = 8000
+    ids, n_pxs, n_lvs, maxd, sumr, sumdp = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        n = lum.shape[0]
+        levels = int(np.log2(n))
+        mins, maxs = [lum], [lum]
+        for _k in range(levels):
+            a, b = mins[-1], maxs[-1]
+            mins.append(np.minimum(
+                np.minimum(a[0::2, 0::2], a[0::2, 1::2]),
+                np.minimum(a[1::2, 0::2], a[1::2, 1::2])))
+            maxs.append(np.maximum(
+                np.maximum(b[0::2, 0::2], b[0::2, 1::2]),
+                np.maximum(b[1::2, 0::2], b[1::2, 1::2])))
+        nl = md = sr = sdp = 0
+        for k in range(levels + 1):  # k = log2(block size)
+            rng = maxs[k] - mins[k]
+            uni = rng <= THRESH
+            if k == 0:
+                uni = np.ones_like(uni, dtype=bool)  # 1x1 ranges are 0
+            if k < levels:
+                pr = (maxs[k + 1] - mins[k + 1]) <= THRESH
+                pr_up = np.repeat(np.repeat(pr, 2, 0), 2, 1)
+                leaf = uni & ~pr_up
+            else:
+                leaf = uni  # root
+            if leaf.any():
+                depth = levels - k
+                nl += int(leaf.sum())
+                md = max(md, depth)
+                sr += int(rng[leaf].sum())
+                sdp += int(leaf.sum()) * depth * (1 << k) * (1 << k)
+        ids.append(image_id)
+        n_pxs.append(int(lum.size))
+        n_lvs.append(nl)
+        maxd.append(md)
+        sumr.append(sr)
+        sumdp.append(sdp)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_leaves": pa.array(n_lvs, pa.int32()),
+            "max_depth": pa.array(maxd, pa.int32()),
+            "sum_range": pa.array(sumr, pa.int64()),
+            "sum_depth_px": pa.array(sumdp, pa.int64()),
+        }),
+        os.path.join(OUT, f"quadtree_sf{sf:g}.parquet"),
+    )
+    print(f"quadtree golden: {len(ids)} rows (jpg skipped)")
 
 
 def make_pitfill_golden(sf: float = 0.01, n_limit: int = 500) -> None:

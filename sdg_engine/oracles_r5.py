@@ -1749,7 +1749,23 @@ GROUP BY lang
 """
 
 
+# stream-static enrich: tier is a pure function of user_id, so the
+# relational twin recomputes it straight from events — the streaming
+# sink only matches if the broadcast join dropped/duplicated nothing
+STREAMING_STATIC_ENRICH = """
+SELECT CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'bronze'
+            WHEN 1 THEN 'silver' WHEN 2 THEN 'gold'
+            ELSE 'platinum' END AS tier,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 ORACLES_R5 = {
+    "streaming_static_enrich": STREAMING_STATIC_ENRICH,
     "events_auc": EVENTS_AUC,
     "doc_bigram_rarity": DOC_BIGRAM_RARITY,
     "snapshot_rollback": SNAPSHOT_ROLLBACK,
@@ -2168,6 +2184,13 @@ FROM read_parquet('{gdir}/glcm_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """
+    qt = f"""
+SELECT g.image_id, g.n_px, g.n_leaves, g.max_depth, g.sum_range,
+       g.sum_depth_px
+FROM read_parquet('{gdir}/quadtree_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+"""
     # image_zonal_stats: per-country luminance stats from the decode
     # golden (pixels) x the rai golden (country assignment) — both
     # INDEPENDENT generator-side twins; mils snap before SUM makes the
@@ -2413,6 +2436,7 @@ FROM f GROUP BY 1
             "image_viewshed": vsh,
             "image_pit_fill": pit,
             "image_texture_glcm": glcm,
+            "image_quadtree": qt,
             "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,

@@ -4178,6 +4178,71 @@ def roads_sinuosity(spark, sf_dir):
     )
 
 
+def image_quadtree(spark, sf_dir):
+    """QUADTREE homogeneous-block compression stats — the engine's
+    spatial quadtree family adapted to CONTENT (GeoTrellis-world:
+    pyramid/quad decomposition): a block is a leaf iff its luma range
+    <= 8000, else it splits in 4.  Map-only, all-integer.  Oracle:
+    committed INDEPENDENT golden — leaves selected BOTTOM-UP on
+    vectorized min/max pyramids (equivalent by range monotonicity
+    under containment; a genuinely different algorithm than the
+    engine's top-down split stack)."""
+    from .ops.payload import quadtree_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return quadtree_stats(sel)
+
+
+def streaming_static_enrich(spark, sf_dir):
+    """STREAM-STATIC broadcast-join enrichment (§2.10) — the canonical
+    production dimension join: every micro-batch of the event stream
+    inner-joins a static user→tier dimension as a BROADCAST hash join;
+    stateless (no watermark, no state stores — the per-batch fixed
+    cost of gotcha 16d does not exist here), so availableNow drains at
+    scan speed.  The dimension is built from the distinct user set so
+    the inner join drops nothing; the aggregate reads the SINK, so a
+    broken join (missed or duplicated rows) flips counts or tiers.
+    Oracle: the same tier CASE computed relationally from events."""
+    import os
+    import shutil
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "senrich_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/events.parquet",
+                os.path.join(in_dir, "events.parquet"))
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    dim = (
+        spark.read.parquet(os.path.join(in_dir, "events.parquet"))
+        .select("user_id").distinct()
+        .selectExpr(
+            "user_id",
+            "CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'bronze' "
+            "WHEN 1 THEN 'silver' WHEN 2 THEN 'gold' "
+            "ELSE 'platinum' END AS tier",
+        )
+    )
+    STR.stream_static_enrich(spark, in_dir, out, ck, dim)
+    return (
+        spark.read.parquet(out)
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+            .alias("sum_cents"),
+        )
+    )
+
+
 def snapshot_rollback(spark, sf_dir):
     """ROLLBACK (Iceberg rollback_to_snapshot): a bad append is undone
     by ONE metadata-only commit pointing the head back at the good
@@ -4576,6 +4641,8 @@ QUERIES_R5 = {
     "snapshot_rollback": snapshot_rollback,
     "image_texture_glcm": image_texture_glcm,
     "roads_sinuosity": roads_sinuosity,
+    "image_quadtree": image_quadtree,
+    "streaming_static_enrich": streaming_static_enrich,
     "snapshot_bloom_index": snapshot_bloom_index,
     "events_welch_ttest": events_welch_ttest,
     "snapshot_wap_publish": snapshot_wap_publish,

@@ -323,6 +323,39 @@ def stream_sessionize(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    dim: DataFrame,
+) -> None:
+    """STREAM-STATIC broadcast-join enrichment — the canonical
+    dimension-join shape of production ingest: every micro-batch of
+    the event stream inner-joins a STATIC dimension (user → tier).
+    Stateless: no watermark, no state store (the static side is just
+    re-planned into each micro-batch as a broadcast hash join), so
+    the fixed per-batch cost that dominates stateful streams (gotcha
+    16d) does not apply here at any partitioning."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    joined = src.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier", "event_type", "value"
+    )
+    (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_snapshot_sink(
     spark: SparkSession,
     in_dir: str,

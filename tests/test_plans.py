@@ -554,6 +554,13 @@ def test_glcm_is_map_only(spark):
     assert "Exchange" not in _plan(image_texture_glcm(spark, SF))
 
 
+def test_quadtree_is_map_only(spark):
+    """Quadtree compression stats: payload bytes never shuffle."""
+    from sdg_engine.queries_r5 import image_quadtree
+
+    assert "Exchange" not in _plan(image_quadtree(spark, SF))
+
+
 def test_voronoi_broadcast_bounded_fanout(spark):
     """Voronoi assignment: the seed side must broadcast (the bounded
     16-row cartesian pattern), the argmin must partially aggregate

@@ -783,6 +783,28 @@ def test_sinuosity_straight_vs_bent():
     )
 
 
+def test_quadtree_flat_and_checkerboard():
+    """A flat image is ONE root leaf (depth 0); a 2-level checkerboard
+    splits all the way to 1x1 leaves; leaf pixels always tile the
+    image exactly."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import quadtree_leaves
+
+    flat = np.full((16, 16), 123_456, dtype=np.int64)
+    lv = quadtree_leaves(flat)
+    assert lv == [(0, 16, 0)]
+
+    cb = (np.add.outer(np.arange(16), np.arange(16)) % 2) * 255_000
+    lv2 = quadtree_leaves(cb.astype(np.int64))
+    assert len(lv2) == 256 and all(s == 1 and d == 4 for d, s, _r in lv2)
+
+    z = ((np.arange(16 * 16, dtype=np.int64) * 2654435761) % 255000
+         ).reshape(16, 16)
+    lv3 = quadtree_leaves(z)
+    assert sum(s * s for _d, s, _r in lv3) == 256  # exact tiling
+
+
 def test_rollback_is_metadata_only_and_auditable(spark, tmp_path):
     """Rollback serves the old content from a NEW commit, keeps the
     bad snapshot time-travel readable, and moves no data; appends
