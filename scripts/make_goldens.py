@@ -1485,36 +1485,44 @@ def make_pitfill_golden(sf: float = 0.01, n_limit: int = 500) -> None:
 
     The filled surface is the unique minimax fixpoint filled(c) =
     max(elev(c), min over 8-neighbors n of filled(n)) with the border
-    pinned to elev — this twin iterates that BELLMAN RECURRENCE with
-    shifted clamp views until convergence (the engine settles cells
-    once each off a priority-flood min-heap).  All int64.
+    pinned to elev — this twin settles cells ONE AT A TIME off a
+    border-seeded priority-flood MIN-HEAP (Barnes et al. 2014; the
+    engine iterates the Bellman recurrence with shifted clamp views
+    instead — the two algorithms swapped roles in r05 when the
+    vectorized form proved 14x faster and moved engine-side).
+    All int64.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import heapq
+
     offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
             (1, 0), (1, -1), (0, -1), (-1, -1))
-    BIG = np.int64(1) << 40
     ids, n_pxs, raised, deltas, chks = [], [], [], [], []
     for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
         sf, n_limit=n_limit, jpg="skip"
     ):
         lum = _golden_lum_i64(px)
         hh, ww = lum.shape
-        border = np.zeros((hh, ww), dtype=bool)
-        border[0, :] = border[-1, :] = True
-        border[:, 0] = border[:, -1] = True
-        filled = np.where(border, lum, BIG)
-        while True:
-            mn = np.full((hh, ww), BIG, dtype=np.int64)
+        filled = lum.copy()
+        visited = np.zeros((hh, ww), dtype=bool)
+        heap = []
+        for r in range(hh):
+            for c in range(ww):
+                if r in (0, hh - 1) or c in (0, ww - 1):
+                    visited[r, c] = True
+                    heapq.heappush(heap, (int(lum[r, c]), r * ww + c))
+        while heap:
+            val, j = heapq.heappop(heap)
+            r, c = divmod(j, ww)
             for dr, dc in offs:
-                ri = np.clip(np.arange(hh) + dr, 0, hh - 1)
-                ci = np.clip(np.arange(ww) + dc, 0, ww - 1)
-                mn = np.minimum(mn, filled[np.ix_(ri, ci)])
-            nxt = np.where(border, lum, np.maximum(lum, mn))
-            if (nxt == filled).all():
-                break
-            filled = nxt
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < hh and 0 <= nc < ww and not visited[nr, nc]:
+                    visited[nr, nc] = True
+                    nv = max(int(lum[nr, nc]), val)
+                    filled[nr, nc] = nv
+                    heapq.heappush(heap, (nv, nr * ww + nc))
         delta = (filled - lum).ravel()
         wgt = (np.arange(delta.size, dtype=np.int64) % 97) + 1
         ids.append(image_id)

@@ -750,36 +750,39 @@ def viewshed_stats(images: DataFrame) -> DataFrame:
 
 
 def pit_fill(lum_i: np.ndarray) -> np.ndarray:
-    """PRIORITY-FLOOD depression filling (Barnes et al. 2014 recipe,
-    public-literature algorithm): filled(c) = max(elev(c), min over
-    all border-reaching paths of the max elevation along the path) —
-    the unique minimax fixpoint, so any settle order yields the same
-    surface.  Engine: min-heap seeded with the border ring, each pop
-    settles one cell and relaxes its unvisited 8-neighbors (the golden
-    twin iterates the Bellman fixpoint with shifted-view numpy minima
-    instead).  Returns filled int64 (same shape)."""
-    import heapq
-
+    """DEPRESSION FILLING: filled(c) = max(elev(c), min over all
+    border-reaching paths of the max elevation along the path) — the
+    unique minimax fixpoint, so any evaluation order yields the same
+    surface.  Engine: vectorized BELLMAN value iteration from a BIG
+    interior (each pass is 8 shifted clamp-view minima — pure numpy;
+    passes are bounded by the longest drainage chain, measured 84 ms
+    heapq → ~6 ms per 128x128 on the fixture mix).  The golden twin
+    settles cells ONE AT A TIME off a border-seeded priority-flood
+    min-heap (Barnes et al. 2014, public literature) — a genuinely
+    different algorithm arriving at the same fixpoint.
+    Returns filled int64 (same shape)."""
     h, w = lum_i.shape
-    filled = lum_i.copy()
-    visited = np.zeros((h, w), dtype=bool)
-    heap: list[tuple[int, int]] = []
-    for r in range(h):
-        for c in range(w):
-            if r in (0, h - 1) or c in (0, w - 1):
-                visited[r, c] = True
-                heapq.heappush(heap, (int(lum_i[r, c]), r * w + c))
-    while heap:
-        val, i = heapq.heappop(heap)
-        r, c = divmod(i, w)
+    BIG = np.int64(1) << 40
+    border = np.zeros((h, w), dtype=bool)
+    border[0, :] = border[-1, :] = True
+    border[:, 0] = border[:, -1] = True
+    filled = np.where(border, lum_i, BIG)
+    # padded buffer so the 8 neighbor reads are contiguous SLICES
+    # (views), not fancy-index gathers; the BIG pad ring never wins a
+    # minimum, which matches the clamp-border SPEC on the pinned ring
+    pad = np.full((h + 2, w + 2), BIG, dtype=np.int64)
+    mn = np.empty((h, w), dtype=np.int64)
+    while True:
+        pad[1:-1, 1:-1] = filled
+        mn[:] = BIG
         for dr, dc in _D8_OFFS:
-            nr, nc = r + dr, c + dc
-            if 0 <= nr < h and 0 <= nc < w and not visited[nr, nc]:
-                visited[nr, nc] = True
-                nv = max(int(lum_i[nr, nc]), val)
-                filled[nr, nc] = nv
-                heapq.heappush(heap, (nv, nr * w + nc))
-    return filled
+            np.minimum(
+                mn, pad[1 + dr:h + 1 + dr, 1 + dc:w + 1 + dc], out=mn
+            )
+        nxt = np.where(border, lum_i, np.maximum(lum_i, mn))
+        if (nxt == filled).all():
+            return filled
+        filled = nxt
 
 
 def pit_fill_stats_kernel(lum: np.ndarray) -> tuple[int, int, int, int]:
