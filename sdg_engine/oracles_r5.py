@@ -1764,7 +1764,213 @@ FROM events GROUP BY 1, 2
 """
 
 
+EVENTS_KS_TEST = """
+WITH ev AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s,
+         CAST(event_type = 'view' AS INT) AS a
+  FROM events WHERE event_type IN ('view', 'click')
+),
+g AS (
+  SELECT s, CAST(SUM(a) AS BIGINT) AS na_s,
+         CAST(SUM(1 - a) AS BIGINT) AS nb_s
+  FROM ev GROUP BY s
+),
+cum AS (
+  SELECT CAST(SUM(na_s) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS ca,
+         CAST(SUM(nb_s) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS cb
+  FROM g
+),
+tots AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(1 - a) AS BIGINT) AS n_b
+  FROM ev
+)
+SELECT n_a, n_b, CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+       (1000000 * CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT))
+         // (n_a * n_b) AS ks_micros
+FROM cum, tots GROUP BY n_a, n_b
+"""
+
+
+EVENTS_MANN_KENDALL = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.x AS x1, b.x AS x2
+  FROM hourly a JOIN hourly b ON b.h > a.h
+),
+s AS (
+  SELECT COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(x2 > x1 AS BIGINT)
+              - CAST(x2 < x1 AS BIGINT)) AS BIGINT) AS s
+  FROM pairs
+),
+n AS (SELECT COUNT(*) AS n_hours FROM hourly)
+SELECT CAST(n_hours AS BIGINT) AS n_hours, CAST(n_pairs AS BIGINT) AS n_pairs,
+       s,
+       CAST(FLOOR(1000000.0 * CAST(s AS DOUBLE)
+            / CAST(n_pairs AS DOUBLE)) AS BIGINT) AS tau_micros
+FROM n, s
+"""
+
+
+DOC_NORMALIZED_DEDUP = """
+WITH docs AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nkey
+  FROM documents
+),
+grp AS (
+  SELECT nkey, CAST(COUNT(*) AS BIGINT) AS sz,
+         MIN(doc_id) AS keeper
+  FROM docs GROUP BY nkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CAST(sz > 1 AS BIGINT)) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_redundant,
+       MAX(sz) AS max_group,
+       CAST(SUM(keeper % 1000003) AS BIGINT) AS keeper_checksum
+FROM grp
+"""
+
+
+EVENTS_SEQ_TRIGRAMS = """
+WITH tri AS (
+  SELECT concat(event_type, '>',
+                lead(event_type, 1) OVER u, '>',
+                lead(event_type, 2) OVER u) AS tri,
+         lead(event_type, 2) OVER u AS e3
+  FROM events
+  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cnt AS (
+  SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tri WHERE e3 IS NOT NULL GROUP BY tri
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tri) AS INT) AS rk,
+       tri, cnt
+FROM cnt
+QUALIFY rk <= 10
+"""
+
+
+_REG_DET = (
+    "(CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE) "
+    "- CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))"
+)
+
+EVENTS_REGRESSION = f"""
+WITH ev AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS x1,
+         CAST(FLOOR(CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT)
+           / 24) AS BIGINT) AS d,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+mind AS (SELECT MIN(d) AS d0 FROM ev),
+base AS (SELECT x1, d - d0 AS x2, y FROM ev, mind),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM base
+),
+c AS (
+  SELECT n,
+         n * s11 - s1 * s1 AS c11,
+         n * s22 - s2 * s2 AS c22,
+         n * s12 - s1 * s2 AS c12,
+         n * s1y - s1 * sy AS c1y,
+         n * s2y - s2 * sy AS c2y
+  FROM m
+)
+SELECT n, c11, c22, c12,
+       CAST(FLOOR(1000000.0 * (CAST(c22 AS DOUBLE) * CAST(c1y AS DOUBLE)
+         - CAST(c12 AS DOUBLE) * CAST(c2y AS DOUBLE)) / {_REG_DET})
+         AS BIGINT) AS b1_micros,
+       CAST(FLOOR(1000000.0 * (CAST(c11 AS DOUBLE) * CAST(c2y AS DOUBLE)
+         - CAST(c12 AS DOUBLE) * CAST(c1y AS DOUBLE)) / {_REG_DET})
+         AS BIGINT) AS b2_micros
+FROM c
+"""
+
+
+def _getis_ord_sql() -> str:
+    from .harness import PX, PY
+    from .queries_r5 import _MI_LEVEL
+    from .sqlgen import grid_index_expr
+
+    z_expr = (
+        "CAST(n * wsum - s * w AS DOUBLE) "
+        "/ (SQRT(CAST(n * s2 - s * s AS DOUBLE)) "
+        "* SQRT(CAST(n * w - w * w AS DOUBLE) / CAST(n - 1 AS DOUBLE)))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT {grid_index_expr(PX, _MI_LEVEL)} AS ix,
+         {grid_index_expr(PY, _MI_LEVEL)} AS iy
+  FROM orders
+),
+cells AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY ix, iy),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM cells
+),
+nb AS (
+  SELECT ix + (k.k % 3) - 1 AS ix,
+         iy + CAST(FLOOR(k.k / 3) AS BIGINT) - 1 AS iy,
+         c AS c_j
+  FROM cells, (SELECT unnest(range(0, 9)) AS k) k
+),
+g AS (
+  SELECT cells.ix, cells.iy, CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(SUM(c_j) AS BIGINT) AS wsum
+  FROM cells JOIN nb ON nb.ix = cells.ix AND nb.iy = cells.iy
+  GROUP BY cells.ix, cells.iy
+),
+zs AS (
+  SELECT ix, iy, w, wsum,
+         n * wsum - s * w AS znum,
+         CAST(FLOOR(1000.0 * {z_expr}) AS BIGINT) AS z_mils
+  FROM g, tot
+)
+SELECT CAST(row_number() OVER (ORDER BY z_mils DESC, ix, iy) AS INT) AS rk,
+       ix, iy, w, wsum, znum, z_mils
+FROM zs
+QUALIFY rk <= 10
+"""
+
+
+ORC_ROUNDTRIP_EVENTS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_mils,
+       MIN(event_id) AS min_event,
+       MAX(user_id) AS max_user
+FROM events GROUP BY event_type
+"""
+
+
 ORACLES_R5 = {
+    "events_ks_test": EVENTS_KS_TEST,
+    "events_mann_kendall": EVENTS_MANN_KENDALL,
+    "doc_normalized_dedup": DOC_NORMALIZED_DEDUP,
+    "events_seq_trigrams": EVENTS_SEQ_TRIGRAMS,
+    "events_regression": EVENTS_REGRESSION,
+    "cells_getis_ord": _getis_ord_sql(),
+    "orc_roundtrip_events": ORC_ROUNDTRIP_EVENTS,
     "streaming_static_enrich": STREAMING_STATIC_ENRICH,
     "events_auc": EVENTS_AUC,
     "doc_bigram_rarity": DOC_BIGRAM_RARITY,

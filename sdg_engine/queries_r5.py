@@ -4628,7 +4628,317 @@ def snapshot_zorder_cluster(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation: distribution tests, trend tests, normalization
+# dedup, sequence mining, multi-feature regression, Gi* hotspots, ORC
+# ---------------------------------------------------------------------------
+
+
+def events_ks_test(spark, sf_dir):
+    """Two-sample KOLMOGOROV-SMIRNOV test of the `value` distribution,
+    'view' vs 'click' — the standard drift/split-sanity check before
+    trusting an A/B bucket.  Exact integers end to end: scores are
+    cents, ECDFs are cumulative counts, and the statistic is
+    D_num = max |ca(s)*n_b - cb(s)*n_a| over distinct scores, so the
+    comparison never touches a float.  Reported as ks_micros =
+    (1e6 * D_num) DIV (n_a * n_b) — integer division, exact while
+    n_a*n_b < 2^63/1e6 (≈3M rows per class; past that, rescale or
+    accept double rounding — the two-pass structure is unchanged).
+
+    Plan shape: ONE hash agg collapses the corpus to distinct-score
+    rows; cumulatives come from the two-level bucket prefix (local
+    running sums inside 4096-wide score buckets + a broadcast
+    bucket-offset window over the tiny bucket table) — the windowed
+    relation is |distinct scores|, never |rows|, and no partition is
+    global."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .selectExpr(
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s",
+            "CAST(event_type = 'view' AS INT) AS a",
+        )
+    )
+    g = ev.groupBy("s").agg(
+        F.sum("a").alias("na_s"), F.sum(F.expr("1 - a")).alias("nb_s")
+    )
+    b = g.withColumn("_b", F.expr("CAST(FLOOR(s / 4096) AS BIGINT)"))
+    wb = (
+        Window.partitionBy("_b").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("ca_l", F.sum("na_s").over(wb)).withColumn(
+        "cb_l", F.sum("nb_s").over(wb)
+    )
+    btot = b.groupBy("_b").agg(
+        F.sum("na_s").alias("_ba"), F.sum("nb_s").alias("_bb")
+    )
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        btot.withColumn("_oa", F.coalesce(F.sum("_ba").over(wo), F.lit(0)))
+        .withColumn("_ob", F.coalesce(F.sum("_bb").over(wo), F.lit(0)))
+        .select("_b", "_oa", "_ob")
+    )
+    cum = local.join(F.broadcast(offs), "_b").selectExpr(
+        "ca_l + _oa AS ca", "cb_l + _ob AS cb"
+    )
+    tots = ev.agg(
+        F.sum("a").alias("n_a"), F.sum(F.expr("1 - a")).alias("n_b")
+    )
+    d = cum.crossJoin(F.broadcast(tots)).selectExpr(
+        "abs(ca * n_b - cb * n_a) AS dnum", "n_a", "n_b"
+    )
+    return d.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("dnum").alias("d_num"),
+    ).selectExpr(
+        "n_a", "n_b", "d_num",
+        "(1000000 * d_num) DIV (n_a * n_b) AS ks_micros",
+    )
+
+
+def events_mann_kendall(spark, sf_dir):
+    """MANN-KENDALL monotone-trend test on the hourly event-count
+    series — the non-parametric companion to events_trend's OLS slope:
+    S = sum over hour pairs i<j of sign(x_j - x_i), tau = S / C(n,2).
+    All-integer S; tau reported in micros via one FLOOR of a double
+    ratio (|S| bounded by the pair count, far inside 2^53).
+
+    Plan shape: one map-side-combined hash agg reduces the corpus to
+    observed hours; the pair join is over the TIME GRID (bounded by
+    the observation window — 720 rows for a month of hours — never by
+    event volume), the same boundedness argument as events_acf's lag
+    join.  Nothing after the first agg scales with the data."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US_SQL} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()  # tiny (observed hours); both join sides
+    )
+    pairs = hourly.selectExpr("h AS h1", "x AS x1").join(
+        hourly.selectExpr("h AS h2", "x AS x2"), F.col("h2") > F.col("h1")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.expr("CAST(x2 > x1 AS BIGINT) - CAST(x2 < x1 AS BIGINT)")
+        ).alias("s"),
+    )
+    n = hourly.agg(F.count(F.lit(1)).alias("n_hours"))
+    return n.crossJoin(F.broadcast(s)).selectExpr(
+        "n_hours", "n_pairs", "s",
+        "CAST(FLOOR(1000000.0 * CAST(s AS DOUBLE) "
+        "/ CAST(n_pairs AS DOUBLE)) AS BIGINT) AS tau_micros",
+    )
+
+
+def doc_normalized_dedup(spark, sf_dir):
+    """NORMALIZATION-THEN-EXACT dedup — the cheap first rung of the
+    dedup ladder (below MinHash): lowercase, strip non-alphanumerics,
+    collapse whitespace, then group by the md5 of the normalized text
+    so the shuffle key is constant-width regardless of document length
+    (at 10^12 docs the raw text never becomes a join/group key).
+    Output is the dedup ledger: group counts, redundant-doc count, max
+    clone family, and a keeper-id checksum.
+
+    ASCII-range regexes behave identically in Java regex (Spark) and
+    RE2 (DuckDB); the oracle runs the same normalization chain."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "md5(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ' '), ' +', ' '))) AS nkey",
+    )
+    grp = docs.groupBy("nkey").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("keeper")
+    )
+    return grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.expr("CAST(sz > 1 AS BIGINT)")).alias("n_dup_groups"),
+        F.sum(F.expr("sz - 1")).alias("n_redundant"),
+        F.max("sz").alias("max_group"),
+        F.sum(F.expr("keeper % 1000003")).alias("keeper_checksum"),
+    )
+
+
+def events_seq_trigrams(spark, sf_dir):
+    """SEQUENTIAL-PATTERN MINING: the 10 most common per-user
+    event-type trigrams (ordered 3-step paths) — the n-gram
+    generalization of event_transitions' Markov pairs.  Two lead
+    windows over (user_id, ts, event_id) produce each user's ordered
+    path in ONE exchange on user_id; the count table is bounded by
+    |event_types|^3, so the ranking window is vocabulary-sized, never
+    corpus-sized.  Deterministic top-10: count desc, trigram asc."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .selectExpr("concat(event_type, '>', e2, '>', e3) AS tri")
+    )
+    cnt = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), "tri")
+    return (
+        cnt.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter("rk <= 10")
+        .select("rk", "tri", "cnt")
+    )
+
+
+def events_regression(spark, sf_dir):
+    """TWO-FEATURE OLS via the normal equations — value (cents) on
+    hour-of-day and day-index: b = C^-1 c with the 2x2 centered-moment
+    matrix built from exact BIGINT raw sums (C11 = n*S11 - S1^2 ...),
+    then the closed-form solve in doubles over textually identical
+    expressions (only * - / on both engines).  Day index is shifted to
+    start at 0 (one broadcast min) so the scaled moments stay far from
+    2^63; at extreme row counts the same two-pass shape centers on the
+    broadcast means instead — the plan is unchanged.
+
+    Plan shape: one broadcast min, ONE map-side-combined agg over the
+    corpus folding all 9 moments, then a one-row projection.  No
+    shuffle is proportional to events."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        f"FLOOR({_TS_US_SQL} / {_HOUR_US}) AS ht",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y",
+    ).selectExpr(
+        "CAST(ht % 24 AS BIGINT) AS x1",
+        "CAST(FLOOR(ht / 24) AS BIGINT) AS d",
+        "y",
+    )
+    mind = ev.agg(F.min("d").alias("d0"))
+    base = ev.join(F.broadcast(mind)).selectExpr("x1", "d - d0 AS x2", "y")
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x1 * y")).alias("s1y"),
+        F.sum(F.expr("x2 * y")).alias("s2y"),
+    )
+    det = (
+        "(CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE) "
+        "- CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))"
+    )
+    return m.selectExpr(
+        "n",
+        "n * s11 - s1 * s1 AS c11",
+        "n * s22 - s2 * s2 AS c22",
+        "n * s12 - s1 * s2 AS c12",
+        "n * s1y - s1 * sy AS c1y",
+        "n * s2y - s2 * sy AS c2y",
+    ).selectExpr(
+        "n", "c11", "c22", "c12",
+        "CAST(FLOOR(1000000.0 * (CAST(c22 AS DOUBLE) * CAST(c1y AS DOUBLE) "
+        f"- CAST(c12 AS DOUBLE) * CAST(c2y AS DOUBLE)) / {det}) AS BIGINT) "
+        "AS b1_micros",
+        "CAST(FLOOR(1000000.0 * (CAST(c11 AS DOUBLE) * CAST(c2y AS DOUBLE) "
+        f"- CAST(c12 AS DOUBLE) * CAST(c1y AS DOUBLE)) / {det}) AS BIGINT) "
+        "AS b2_micros",
+    )
+
+
+def cells_getis_ord(spark, sf_dir):
+    """GETIS-ORD Gi* HOTSPOT detection on the level-5 cell grid — the
+    local companion to cells_morans_i's global autocorrelation: for
+    each occupied cell, the 3x3-neighborhood (queen + self) count sum
+    W_i against the global distribution, z_i = (n*W_i - S*w_i) /
+    (sqrt(n*SUM(x^2) - S^2) * sqrt((n*w_i - w_i^2)/(n-1))) — the
+    textbook statistic with numerator and variance terms kept as exact
+    BIGINTs, sqrt/division as the only float ops (IEEE-identical in
+    both engines over identical expression text).  Top-10 hotspots,
+    deterministic tie-break on (ix, iy).
+
+    Plan shape: one count agg -> 9-offset explode equi-join (cells
+    side bounded by the grid at any data scale) -> grid-bounded
+    ranking window.  Nothing after the first agg scales with rows."""
+    from .harness import points_df
+    from .sqlgen import grid_index_expr
+
+    pts = points_df(spark, sf_dir).selectExpr(
+        f"{grid_index_expr('lon', _MI_LEVEL)} AS ix",
+        f"{grid_index_expr('lat', _MI_LEVEL)} AS iy",
+    )
+    cells = (
+        pts.groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # tiny (grid-bounded); referenced 3x
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    nb = cells.selectExpr(
+        "ix", "iy", "c AS c_j", "explode(sequence(0, 8)) AS k"
+    ).selectExpr(
+        "ix + (k % 3) - 1 AS ix",
+        "iy + CAST(FLOOR(k / 3) AS BIGINT) - 1 AS iy",
+        "c_j",
+    )
+    g = cells.join(nb, ["ix", "iy"]).groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("c_j").alias("wsum")
+    )
+    z_expr = (
+        "CAST(n * wsum - s * w AS DOUBLE) "
+        "/ (SQRT(CAST(n * s2 - s * s AS DOUBLE)) "
+        "* SQRT(CAST(n * w - w * w AS DOUBLE) / CAST(n - 1 AS DOUBLE)))"
+    )
+    zs = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "ix", "iy", "w", "wsum",
+        "n * wsum - s * w AS znum",
+        f"CAST(FLOOR(1000.0 * {z_expr}) AS BIGINT) AS z_mils",
+    )
+    wr = Window.orderBy(F.col("z_mils").desc(), "ix", "iy")
+    return (
+        zs.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter("rk <= 10")
+        .select("rk", "ix", "iy", "w", "wsum", "znum", "z_mils")
+    )
+
+
+def orc_roundtrip_events(spark, sf_dir):
+    """S8 source-format breadth, ORC flavor (the Hadoop-ecosystem
+    columnar format the reference's OSM snapshots ship in): parquet ->
+    ORC sink -> ORC source (explicit schema, no inference pass) ->
+    aggregate; the oracle aggregates the original parquet directly, so
+    a serialization bug on either leg flips the hash.  Values snap to
+    integer mils BEFORE the ORC leg so the round trip compares exact
+    integers, not re-parsed doubles."""
+    import os
+
+    from .queries_ext import _stream_base
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_mils",
+    )
+    base = _stream_base(spark, "orc_")
+    out = os.path.join(base, "out")
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, v_mils bigint"
+    ).orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_mils").alias("sum_mils"),
+        F.min("event_id").alias("min_event"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
 QUERIES_R5 = {
+    "events_ks_test": events_ks_test,
+    "events_mann_kendall": events_mann_kendall,
+    "doc_normalized_dedup": doc_normalized_dedup,
+    "events_seq_trigrams": events_seq_trigrams,
+    "events_regression": events_regression,
+    "cells_getis_ord": cells_getis_ord,
+    "orc_roundtrip_events": orc_roundtrip_events,
     "kcore_roads": kcore_roads,
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,
