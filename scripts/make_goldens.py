@@ -165,6 +165,10 @@ def main() -> None:
     make_viewshed_golden()
     make_pitfill_golden()
     make_glcm_golden()
+    make_slope_aspect_golden()
+    make_strahler_golden()
+    make_hist_equalize_golden()
+    make_morphology_golden()
     make_quadtree_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
@@ -1607,3 +1611,239 @@ def make_hillshade_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"hillshade_sf{sf:g}.parquet"),
     )
     print(f"hillshade golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_slope_aspect_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_slope_aspect query (r05).
+
+    Same SPEC as ops/payload.slope_aspect_kernel (Horn clamp-border
+    gradients, first-match octant rule), INDEPENDENT path: generator
+    pixels (vs engine decode), np.ix_ clamp gathers (vs pad slices),
+    and a SCALAR per-pixel if/elif octant chain (vs np.select)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def cv(z, dr, dc):
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)]
+
+    STEEP = 10_000_000_000
+    ids, n_pxs, flats, hists, steeps, sums = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        tl, t, tr = cv(lum, -1, -1), cv(lum, -1, 0), cv(lum, -1, 1)
+        le, ri_ = cv(lum, 0, -1), cv(lum, 0, 1)
+        bl, b, br = cv(lum, 1, -1), cv(lum, 1, 0), cv(lum, 1, 1)
+        gx = ((tr + 2 * ri_ + br) - (tl + 2 * le + bl)).ravel()
+        gy = ((bl + 2 * b + br) - (tl + 2 * t + tr)).ravel()
+        cnt = [0] * 8
+        n_flat = 0
+        s2sum = 0
+        n_steep = 0
+        for x, y in zip(gx.tolist(), gy.tolist()):
+            s2 = x * x + y * y
+            s2sum += s2
+            if s2 > STEEP:
+                n_steep += 1
+            ax, ay = abs(x), abs(y)
+            if x == 0 and y == 0:
+                n_flat += 1
+            elif ax > ay:
+                cnt[0 if x > 0 else 4] += 1
+            elif ay > ax:
+                cnt[2 if y > 0 else 6] += 1
+            elif x > 0 and y > 0:
+                cnt[1] += 1
+            elif x < 0 and y > 0:
+                cnt[3] += 1
+            elif x < 0 and y < 0:
+                cnt[5] += 1
+            else:
+                cnt[7] += 1
+        ids.append(image_id)
+        n_pxs.append(int(lum.size))
+        flats.append(n_flat)
+        hists.append(sum((k + 1) * c for k, c in enumerate(cnt)))
+        steeps.append(n_steep)
+        sums.append(s2sum)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_flat": pa.array(flats, pa.int64()),
+            "hist_chk": pa.array(hists, pa.int64()),
+            "n_steep": pa.array(steeps, pa.int64()),
+            "sum_s2": pa.array(sums, pa.int64()),
+        }),
+        os.path.join(OUT, f"slope_aspect_sf{sf:g}.parquet"),
+    )
+    print(f"slope_aspect golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_strahler_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_strahler query (r05).
+
+    Strahler order over the shared D8-target SPEC; INDEPENDENT path:
+    stacked-argmax targets (_golden_d8_targets) + a memoized iterative
+    POSTORDER DFS over the reverse adjacency computing order =
+    max-child-order (+1 if >=2 children attain it), vs the engine's
+    elevation-ordered single sweep."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, maxo, sumo, ge2s, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        tflat = _golden_d8_targets(px)
+        n = tflat.size
+        children: list[list[int]] = [[] for _ in range(n)]
+        for c, t in enumerate(tflat.tolist()):
+            if t >= 0:
+                children[t].append(c)
+        order = [0] * n
+        done = [False] * n
+        for s in range(n):
+            if done[s]:
+                continue
+            stack = [(s, False)]
+            while stack:
+                c, expanded = stack.pop()
+                if done[c]:
+                    continue
+                if expanded or not children[c]:
+                    if children[c]:
+                        m = max(order[u] for u in children[c])
+                        at_m = sum(1 for u in children[c] if order[u] == m)
+                        order[c] = m + 1 if at_m >= 2 else m
+                    else:
+                        order[c] = 1
+                    done[c] = True
+                else:
+                    stack.append((c, True))
+                    stack.extend((u, False) for u in children[c])
+        o = np.asarray(order, dtype=np.int64)
+        wgt = (np.arange(n, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(int(n))
+        maxo.append(int(o.max()))
+        sumo.append(int(o.sum()))
+        ge2s.append(int((o >= 2).sum()))
+        chks.append(int((wgt * o).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "max_order": pa.array(maxo, pa.int64()),
+            "sum_order": pa.array(sumo, pa.int64()),
+            "n_ge2": pa.array(ge2s, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"strahler_sf{sf:g}.parquet"),
+    )
+    print(f"strahler golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_hist_equalize_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_hist_equalize query (r05).
+
+    Same equalization SPEC as ops/payload.hist_equalize_kernel;
+    INDEPENDENT path: a scalar counting-dict CDF + per-pixel dict
+    remap, vs the engine's bincount/cumsum/LUT vectorization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, sums, lvls, maxs, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        v = (_golden_lum_i64(px) // 1000).ravel().tolist()
+        counts: dict[int, int] = {}
+        for x in v:
+            counts[x] = counts.get(x, 0) + 1
+        npx = len(v)
+        cum = 0
+        cdf: dict[int, int] = {}
+        cdfmin = None
+        for lvl in sorted(counts):
+            cum += counts[lvl]
+            cdf[lvl] = cum
+            if cdfmin is None:
+                cdfmin = cum
+        denom = max(npx - cdfmin, 1)
+        remap = {lvl: (c - cdfmin) * 255 // denom for lvl, c in cdf.items()}
+        eq = [remap[x] for x in v]
+        ids.append(image_id)
+        n_pxs.append(npx)
+        sums.append(sum(eq))
+        lvls.append(len(set(eq)))
+        maxs.append(max(eq))
+        chks.append(sum((j % 97 + 1) * e for j, e in enumerate(eq)))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "sum_eq": pa.array(sums, pa.int64()),
+            "n_levels_out": pa.array(lvls, pa.int64()),
+            "max_eq": pa.array(maxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"hist_equalize_sf{sf:g}.parquet"),
+    )
+    print(f"hist_equalize golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_morphology_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_morphology query (r05).
+
+    Same 3x3 clamp-border min/max SPEC as ops/payload
+    .morphology_kernel; INDEPENDENT path: np.ix_ clamp gathers per
+    offset (vs the engine's edge-replicated pad slices)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def cv(z, dr, dc):
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)]
+
+    EDGE = 20_000
+    ids, n_pxs, ers, dis, edges, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        er = lum.copy()
+        di = lum.copy()
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nb = cv(lum, dr, dc)
+                er = np.minimum(er, nb)
+                di = np.maximum(di, nb)
+        grad = (di - er).ravel()
+        wgt = (np.arange(grad.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(int(grad.size))
+        ers.append(int(er.sum()))
+        dis.append(int(di.sum()))
+        edges.append(int((grad > EDGE).sum()))
+        chks.append(int((wgt * grad).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "sum_erode": pa.array(ers, pa.int64()),
+            "sum_dilate": pa.array(dis, pa.int64()),
+            "n_edge": pa.array(edges, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"morphology_sf{sf:g}.parquet"),
+    )
+    print(f"morphology golden: {len(ids)} rows (jpg skipped)")

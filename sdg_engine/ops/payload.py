@@ -977,3 +977,215 @@ def contour_stats(images: DataFrame, iso: float = CONTOUR_ISO) -> DataFrame:
         "image_id string, n_cells int, n_crossed int, n_segments int, "
         "sum_case bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# r05 continuation: slope/aspect, Strahler order, histogram
+# equalization, 3x3 morphology — all integer-exact map-only kernels
+# ---------------------------------------------------------------------------
+
+# slope/aspect SPEC (shared with the golden twin): Horn 3x3 gradients
+# on the int64 milli-luma DEM under clamp (edge-replicate) borders —
+#   gx = (tr + 2r + br) - (tl + 2l + bl)   (east-positive)
+#   gy = (bl + 2b + br) - (tl + 2t + tr)   (south-positive)
+# aspect octant (first-match rule, total + deterministic):
+#   flat         iff gx == 0 and gy == 0          -> class -1
+#   |gx| >  |gy| -> E(0) if gx > 0 else W(4)
+#   |gy| >  |gx| -> S(2) if gy > 0 else N(6)
+#   |gx| == |gy| -> SE(1)/SW(3)/NW(5)/NE(7) by the sign pair
+# slope energy s2 = gx^2 + gy^2; steep iff s2 > _SA_STEEP.
+_SA_STEEP = 10_000_000_000
+
+
+def _horn_grads(lum_i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Clamp-border Horn gradients via an edge-replicated pad (the 8
+    neighbor reads are contiguous slices — views, not gathers)."""
+    h, w = lum_i.shape
+    p = np.pad(lum_i, 1, mode="edge")
+    tl, t, tr = p[:h, :w], p[:h, 1:w + 1], p[:h, 2:]
+    le, ri = p[1:h + 1, :w], p[1:h + 1, 2:]
+    bl, b, br = p[2:, :w], p[2:, 1:w + 1], p[2:, 2:]
+    gx = (tr + 2 * ri + br) - (tl + 2 * le + bl)
+    gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+    return gx, gy
+
+
+def slope_aspect_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Vectorized octant classification per the SPEC above (the golden
+    twin runs a scalar per-pixel if/elif chain over np.ix_ clamp
+    gathers instead).  Returns (n_px, n_flat, hist_chk, n_steep,
+    sum_s2) — hist_chk = sum over octants of (k+1)*count_k."""
+    gx, gy = _horn_grads(lum_i)
+    ax, ay = np.abs(gx), np.abs(gy)
+    flat = (gx == 0) & (gy == 0)
+    octant = np.select(
+        [
+            ax > ay,            # E / W
+            ay > ax,            # S / N
+            (gx > 0) & (gy > 0),    # |gx|==|gy| diagonals
+            (gx < 0) & (gy > 0),
+            (gx < 0) & (gy < 0),
+        ],
+        [
+            np.where(gx > 0, 0, 4),
+            np.where(gy > 0, 2, 6),
+            np.full(gx.shape, 1, dtype=np.int64),
+            np.full(gx.shape, 3, dtype=np.int64),
+            np.full(gx.shape, 5, dtype=np.int64),
+        ],
+        default=7,  # gx > 0, gy < 0 (NE); flats masked out below
+    )
+    cnt = np.bincount(octant[~flat].ravel(), minlength=8).astype(np.int64)
+    s2 = gx * gx + gy * gy
+    return (
+        int(lum_i.size),
+        int(flat.sum()),
+        int((cnt * (np.arange(8, dtype=np.int64) + 1)).sum()),
+        int((s2 > _SA_STEEP).sum()),
+        int(s2.sum()),
+    )
+
+
+def slope_aspect_stats(images: DataFrame) -> DataFrame:
+    """Per-image Horn slope/aspect stats (map-only; _int_terrain_op)."""
+    return _int_terrain_op(
+        images, slope_aspect_kernel,
+        ["n_px", "n_flat", "hist_chk", "n_steep", "sum_s2"],
+        "n_px int, n_flat bigint, hist_chk bigint, n_steep bigint, "
+        "sum_s2 bigint",
+    )
+
+
+def strahler_orders(lum_i: np.ndarray) -> np.ndarray:
+    """STRAHLER stream order over the D8 flow DAG: a cell with no
+    upstream is order 1; otherwise order = m + 1 if >= 2 upstream
+    cells attain the max upstream order m, else m.  Engine: ONE
+    high-to-low elevation sweep (strict drop makes every upstream cell
+    strictly higher, so its order is final before its target folds it
+    in), maintaining per-cell (max upstream order, count at that max).
+    The golden twin runs a memoized postorder DFS over the reverse
+    adjacency instead.  Returns flat int64 orders."""
+    flat_t = d8_targets(lum_i)
+    n = flat_t.size
+    order_v = [0] * n  # max upstream order seen so far
+    cnt_v = [0] * n    # how many upstream attain it
+    out = [1] * n
+    tl = flat_t.tolist()
+    high_to_low = np.argsort(lum_i.ravel(), kind="stable")[::-1]
+    for i in high_to_low.tolist():
+        o = 1
+        if order_v[i] > 0:
+            o = order_v[i] + 1 if cnt_v[i] >= 2 else order_v[i]
+        out[i] = o
+        t = tl[i]
+        if t >= 0:
+            if o > order_v[t]:
+                order_v[t] = o
+                cnt_v[t] = 1
+            elif o == order_v[t]:
+                cnt_v[t] += 1
+    return np.asarray(out, dtype=np.int64)
+
+
+def strahler_stats_kernel(lum: np.ndarray) -> tuple[int, int, int, int, int]:
+    orders = strahler_orders(lum)
+    wgt = (np.arange(orders.size, dtype=np.int64) % 97) + 1
+    return (
+        int(orders.size),
+        int(orders.max()),
+        int(orders.sum()),
+        int((orders >= 2).sum()),
+        int((wgt * orders).sum()),
+    )
+
+
+def strahler_stats(images: DataFrame) -> DataFrame:
+    """Per-image Strahler-order stats (map-only; _int_terrain_op)."""
+    return _int_terrain_op(
+        images, strahler_stats_kernel,
+        ["n_px", "max_order", "sum_order", "n_ge2", "chk"],
+        "n_px int, max_order bigint, sum_order bigint, n_ge2 bigint, "
+        "chk bigint",
+    )
+
+
+# hist-equalize SPEC (shared with the golden twin): v = lum // 1000
+# (0..255), cdf = inclusive cumulative histogram, cdfmin = smallest
+# nonzero cdf value, eq(v) = (cdf[v] - cdfmin) * 255 // max(npx -
+# cdfmin, 1) — the classic integer equalization remap; a constant
+# image maps to all-zeros.
+
+
+def hist_equalize_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Vectorized bincount/cumsum equalization (the golden twin builds
+    the CDF with a scalar counting dict).  Returns (n_px, sum_eq,
+    n_levels_out, max_eq, chk) with chk = sum((idx%97+1) * eq_pixel)."""
+    v = (lum_i // 1000).ravel()
+    cnt = np.bincount(v, minlength=256).astype(np.int64)
+    cdf = np.cumsum(cnt)
+    npx = int(v.size)
+    cdfmin = int(cdf[cnt.nonzero()[0][0]])
+    denom = max(npx - cdfmin, 1)
+    lut = (cdf - cdfmin) * 255 // denom
+    eq = lut[v]
+    wgt = (np.arange(npx, dtype=np.int64) % 97) + 1
+    return (
+        npx,
+        int(eq.sum()),
+        int(np.unique(eq).size),
+        int(eq.max()),
+        int((wgt * eq).sum()),
+    )
+
+
+def hist_equalize_stats(images: DataFrame) -> DataFrame:
+    """Per-image histogram-equalization stats (map-only)."""
+    return _int_terrain_op(
+        images, hist_equalize_kernel,
+        ["n_px", "sum_eq", "n_levels_out", "max_eq", "chk"],
+        "n_px int, sum_eq bigint, n_levels_out bigint, max_eq bigint, "
+        "chk bigint",
+    )
+
+
+# morphology SPEC (shared with the golden twin): 3x3 erosion = window
+# min, dilation = window max, under clamp (edge-replicate) borders;
+# gradient = dilate - erode; edge iff gradient > 20000 milli-luma.
+_MORPH_EDGE = 20_000
+
+
+def morphology_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Edge-replicated pad + 9 contiguous slices (views); the golden
+    twin gathers each offset with np.ix_ clamp indices instead.
+    Returns (n_px, sum_erode, sum_dilate, n_edge, chk) with chk =
+    sum((idx%97+1) * gradient)."""
+    h, w = lum_i.shape
+    p = np.pad(lum_i, 1, mode="edge")
+    er = lum_i.copy()
+    di = lum_i.copy()
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            win = p[1 + dr:h + 1 + dr, 1 + dc:w + 1 + dc]
+            np.minimum(er, win, out=er)
+            np.maximum(di, win, out=di)
+    grad = (di - er).ravel()
+    wgt = (np.arange(grad.size, dtype=np.int64) % 97) + 1
+    return (
+        int(grad.size),
+        int(er.sum()),
+        int(di.sum()),
+        int((grad > _MORPH_EDGE).sum()),
+        int((wgt * grad).sum()),
+    )
+
+
+def morphology_stats(images: DataFrame) -> DataFrame:
+    """Per-image 3x3 morphology stats (map-only)."""
+    return _int_terrain_op(
+        images, morphology_kernel,
+        ["n_px", "sum_erode", "sum_dilate", "n_edge", "chk"],
+        "n_px int, sum_erode bigint, sum_dilate bigint, n_edge bigint, "
+        "chk bigint",
+    )

@@ -2643,6 +2643,30 @@ FROM f GROUP BY 1
             "image_pit_fill": pit,
             "image_texture_glcm": glcm,
             "image_quadtree": qt,
+            "image_slope_aspect": f"""
+SELECT g.image_id, g.n_px, g.n_flat, g.hist_chk, g.n_steep, g.sum_s2
+FROM read_parquet('{gdir}/slope_aspect_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+            "image_strahler": f"""
+SELECT g.image_id, g.n_px, g.max_order, g.sum_order, g.n_ge2, g.chk
+FROM read_parquet('{gdir}/strahler_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+            "image_hist_equalize": f"""
+SELECT g.image_id, g.n_px, g.sum_eq, g.n_levels_out, g.max_eq, g.chk
+FROM read_parquet('{gdir}/hist_equalize_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+            "image_morphology": f"""
+SELECT g.image_id, g.n_px, g.sum_erode, g.sum_dilate, g.n_edge, g.chk
+FROM read_parquet('{gdir}/morphology_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
             "roads_simplify_dp": dp, "image_hillshade": hill,
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,

@@ -4901,6 +4901,82 @@ def cells_getis_ord(spark, sf_dir):
     )
 
 
+def image_slope_aspect(spark, sf_dir):
+    """SLOPE / ASPECT classification (the terrain derivative the
+    reference's GeoTrellis stack publishes next to hillshade): Horn
+    3x3 gradients on the milli-luma DEM under clamp borders, aspect
+    bucketed into 8 octants by a first-match INTEGER rule (no atan2 —
+    sign/magnitude comparisons only, so parity is exact), slope energy
+    gx^2+gy^2 as int64.  Map-only mapInPandas like the other terrain
+    queries; jpg excluded / first-500 bound.  Oracle: committed
+    INDEPENDENT golden (generator pixels + np.ix_ clamp gathers + a
+    scalar per-pixel octant chain vs the engine's pad-slice
+    np.select)."""
+    from .ops.payload import slope_aspect_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return slope_aspect_stats(sel)
+
+
+def image_strahler(spark, sf_dir):
+    """STRAHLER STREAM ORDER over the D8 flow DAG — the stream-network
+    hierarchy op completing the hydrology family (flow -> accumulation
+    -> watershed -> order): order 1 at leaves, +1 where >= 2 upstream
+    branches of equal max order meet.  Engine: ONE high-to-low
+    elevation sweep (strict drop means upstream orders are final
+    before their target folds them).  Map-only; exact int64.  Oracle:
+    committed INDEPENDENT golden (stacked-argmax targets + memoized
+    postorder DFS)."""
+    from .ops.payload import strahler_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return strahler_stats(sel)
+
+
+def image_hist_equalize(spark, sf_dir):
+    """HISTOGRAM EQUALIZATION stats — the contrast-normalization step
+    of an imagery ingest pipeline, as the classic integer remap
+    eq(v) = (cdf(v) - cdfmin) * 255 // (npx - cdfmin) over 256 luma
+    levels (all integer division — exact at any partitioning).
+    Map-only; jpg excluded / first-500 bound.  Oracle: committed
+    INDEPENDENT golden (scalar counting-dict CDF vs the engine's
+    bincount/cumsum LUT)."""
+    from .ops.payload import hist_equalize_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return hist_equalize_stats(sel)
+
+
+def image_morphology(spark, sf_dir):
+    """3x3 MORPHOLOGY (erosion / dilation / morphological gradient)
+    under clamp borders — the denoise/edge-strength curation signal
+    next to Sobel; min/max filters are also the focal-statistics
+    primitive of the raster family.  Engine: edge-replicated pad + 8
+    contiguous slice min/maxes (views, never gathers).  Map-only;
+    exact int64.  Oracle: committed INDEPENDENT golden (np.ix_ clamp
+    gathers per offset)."""
+    from .ops.payload import morphology_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return morphology_stats(sel)
+
+
 def orc_roundtrip_events(spark, sf_dir):
     """S8 source-format breadth, ORC flavor (the Hadoop-ecosystem
     columnar format the reference's OSM snapshots ship in): parquet ->
@@ -4939,6 +5015,10 @@ QUERIES_R5 = {
     "events_regression": events_regression,
     "cells_getis_ord": cells_getis_ord,
     "orc_roundtrip_events": orc_roundtrip_events,
+    "image_slope_aspect": image_slope_aspect,
+    "image_strahler": image_strahler,
+    "image_hist_equalize": image_hist_equalize,
+    "image_morphology": image_morphology,
     "kcore_roads": kcore_roads,
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,

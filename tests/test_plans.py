@@ -547,6 +547,21 @@ def test_terrain_trio_is_map_only(spark):
         assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
 
 
+def test_terrain_r5b_is_map_only(spark):
+    """Slope/aspect, Strahler, equalization, morphology: payload bytes
+    never shuffle — zero Exchange in all four plans."""
+    from sdg_engine.queries_r5 import (
+        image_hist_equalize,
+        image_morphology,
+        image_slope_aspect,
+        image_strahler,
+    )
+
+    for fn in (image_slope_aspect, image_strahler, image_hist_equalize,
+               image_morphology):
+        assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
+
+
 def test_glcm_is_map_only(spark):
     """GLCM texture stats: payload bytes never shuffle."""
     from sdg_engine.queries_r5 import image_texture_glcm

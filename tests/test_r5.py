@@ -982,3 +982,100 @@ def test_wap_branch_publish_and_rollback(spark, tmp_path):
     except ValueError:
         pass
     assert get_ref(tbl, "main") == s2
+
+
+def test_slope_aspect_octants_on_ramps():
+    """East ramp -> all octant E(0); its transpose -> all S(2); a
+    constant DEM is all-flat."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import slope_aspect_kernel
+
+    east = np.tile(np.arange(9, dtype=np.int64) * 1000, (7, 1))
+    n_px, n_flat, hist_chk, n_steep, sum_s2 = slope_aspect_kernel(east)
+    assert n_flat == 0 and hist_chk == n_px * 1  # octant 0 -> weight 1
+
+    south = east.T.copy()
+    n_px, n_flat, hist_chk, _, _ = slope_aspect_kernel(south)
+    assert n_flat == 0 and hist_chk == n_px * 3  # octant 2 -> weight 3
+
+    flat = np.full((6, 6), 777, dtype=np.int64)
+    n_px, n_flat, hist_chk, n_steep, sum_s2 = slope_aspect_kernel(flat)
+    assert n_flat == n_px and hist_chk == 0 and sum_s2 == 0
+
+
+def test_strahler_invariants_and_cross_algorithm():
+    """Constant DEM -> all order 1 (no strict drop anywhere); orders
+    from the engine's elevation sweep match a memoized recursive DFS
+    twin on random DEMs; max order is bounded by log2(leaves)+1."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import d8_targets, strahler_orders
+
+    flat = np.full((5, 5), 10, dtype=np.int64)
+    assert (strahler_orders(flat) == 1).all()
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        h, w = rng.integers(4, 24, 2)
+        z = rng.integers(0, 255001, (h, w)).astype(np.int64)
+        got = strahler_orders(z)
+        tflat = d8_targets(z)
+        children = [[] for _ in range(tflat.size)]
+        for c, t in enumerate(tflat.tolist()):
+            if t >= 0:
+                children[t].append(c)
+        import sys
+        sys.setrecursionlimit(10000)
+        memo = {}
+
+        def order(c):
+            if c in memo:
+                return memo[c]
+            if not children[c]:
+                memo[c] = 1
+                return 1
+            os_ = [order(u) for u in children[c]]
+            m = max(os_)
+            memo[c] = m + 1 if os_.count(m) >= 2 else m
+            return memo[c]
+
+        want = np.asarray([order(c) for c in range(tflat.size)])
+        assert (got == want).all()
+        assert got.max() <= int(np.log2(max((got == 1).sum(), 2))) + 1
+
+
+def test_hist_equalize_known_cases():
+    """Constant image -> all zeros; a half/half binary image maps the
+    high level to exactly 255 and the low level to 0."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import hist_equalize_kernel
+
+    flat = np.full((8, 8), 123_000, dtype=np.int64)
+    n_px, sum_eq, n_levels, max_eq, chk = hist_equalize_kernel(flat)
+    assert sum_eq == 0 and max_eq == 0 and n_levels == 1
+
+    z = np.zeros((4, 8), dtype=np.int64)
+    z[:, 4:] = 255_000
+    n_px, sum_eq, n_levels, max_eq, chk = hist_equalize_kernel(z)
+    assert max_eq == 255 and n_levels == 2 and sum_eq == 16 * 255
+
+
+def test_morphology_single_spike():
+    """A single bright pixel dilates to its full 3x3 block and erodes
+    away entirely; a constant image has zero gradient."""
+    import numpy as np
+
+    from sdg_engine.ops.payload import morphology_kernel
+
+    base = np.full((7, 7), 1000, dtype=np.int64)
+    z = base.copy()
+    z[3, 3] = 100_000
+    n_px, s_er, s_di, n_edge, chk = morphology_kernel(z)
+    assert s_er == 1000 * 49                      # spike eroded away
+    assert s_di == 1000 * 49 + 9 * (100_000 - 1000)  # 3x3 block dilated
+    assert n_edge == 9
+
+    n_px, s_er, s_di, n_edge, chk = morphology_kernel(base)
+    assert s_er == s_di and n_edge == 0 and chk == 0
