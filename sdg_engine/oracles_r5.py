@@ -2147,6 +2147,144 @@ FROM q LEFT JOIN h USING (query_id)
 
 ORACLES_R5["ann_recall_eval"] = _ann_recall_sql()
 
+
+def _ann_sq8_sql() -> str:
+    """ann_sq8_recall: the same per-tensor SQ8 quantization chain
+    (shared FLOOR text — IEEE-identical), integer quantized dots, and
+    recall@3 against the SAME certified exact baseline."""
+    from .oracles import ANN_COSINE_TOPK
+    from .queries_r5 import _SQ8_Q
+
+    qexpr = _SQ8_Q.format(col="embedding").replace(
+        "transform(", "list_transform(", 1
+    )
+    return f"""
+WITH rng AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx
+  FROM (SELECT unnest(embedding) AS v FROM embeddings)
+),
+q AS (SELECT vec_id, {qexpr} AS qv FROM embeddings, rng),
+qn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q2
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot,
+         a.q2 AS qa2, b.q2 AS qb2
+  FROM qn a CROSS JOIN qn b
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    AND a.q2 > 0 AND b.q2 > 0
+),
+approx AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             CAST(qdot AS DOUBLE) / (SQRT(CAST(qa2 AS DOUBLE))
+               * SQRT(CAST(qb2 AS DOUBLE))) DESC,
+             neighbor_id ASC) AS INT) AS rnk
+    FROM pairs
+  ) WHERE rnk <= 3
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM ({ANN_COSINE_TOPK}) WHERE rnk <= 3
+),
+qs AS (SELECT DISTINCT query_id FROM exact),
+h AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT qs.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(FLOOR(COALESCE(h.n_hit, 0) * 1000 / 3) AS BIGINT) AS recall_mils
+FROM qs LEFT JOIN h USING (query_id)
+"""
+
+
+ORACLES_R5["ann_sq8_recall"] = _ann_sq8_sql()
+
+
+EVENTS_BENFORD = """
+WITH ev AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           AS STRING), 1, 1) AS INT) AS d
+  FROM events
+),
+pos AS (SELECT d FROM ev WHERE d > 0),
+cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY d),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+exp AS (
+  SELECT d, micros FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+    (9, 45757)) AS t(d, micros)
+)
+SELECT cnt.d, cnt.cnt, tot.n,
+       (1000000 * cnt.cnt) // tot.n AS obs_micros,
+       CAST(exp.micros AS BIGINT) AS exp_micros,
+       CAST(abs(1000000 * cnt.cnt - exp.micros * tot.n) AS BIGINT)
+         AS dev_scaled
+FROM cnt JOIN exp USING (d), tot
+ORDER BY cnt.d
+"""
+
+
+BITMAP_DISTINCT_USERS = """
+WITH ev AS (
+  SELECT event_type, user_id,
+         user_id // 63 AS word,
+         (CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bit
+  FROM events
+),
+words AS (
+  SELECT event_type, word, bit_or(bit) AS m
+  FROM ev GROUP BY event_type, word
+),
+bm AS (
+  SELECT event_type, CAST(SUM(bit_count(m)) AS BIGINT) AS n_distinct_bitmap,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM words GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS n_distinct_exact
+  FROM events GROUP BY event_type
+)
+SELECT bm.event_type, bm.n_distinct_bitmap, bm.n_words, ex.n_distinct_exact
+FROM bm JOIN ex USING (event_type)
+"""
+
+
+EVENTS_TWAP = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_mils
+  FROM events
+),
+seg AS (
+  SELECT event_type, v_mils,
+         CAST(FLOOR((lead(us) OVER (PARTITION BY event_type
+           ORDER BY us, event_id) - us) / 1000000) AS BIGINT) AS dur_s
+  FROM ev
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_holds,
+         CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s,
+         CAST(SUM(v_mils * dur_s) AS BIGINT) AS sum_wv
+  FROM seg WHERE dur_s IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_holds, sum_dur_s, sum_wv,
+       sum_wv // sum_dur_s AS twap_mils
+FROM agg
+"""
+
+ORACLES_R5["events_benford"] = EVENTS_BENFORD
+ORACLES_R5["bitmap_distinct_users"] = BITMAP_DISTINCT_USERS
+ORACLES_R5["events_twap"] = EVENTS_TWAP
+
 # events_variant_json: the oracle bypasses the JSON/variant round trip
 # entirely — same aggregate from the base columns, so Spark's variant
 # encode/extract path is what's under test.
@@ -2312,6 +2450,74 @@ SELECT LEAST(a_kind, b_kind) AS kind_lo,
        GREATEST(a_kind, b_kind) AS kind_hi,
        COUNT(*) AS n_crossings
 FROM hits GROUP BY kind_lo, kind_hi
+"""
+
+
+def _supercover_sql(roads_pq: str) -> str:
+    """roads_supercover_cells: the SAME column-sweep supercover SPEC
+    (shared grid_index_expr + interpolation text, so FLOOR boundary
+    cells agree bit-for-bit); plumbing is unnest/generate_series vs
+    explode/sequence."""
+    from .queries_r5 import _SC_LEVEL
+    from .sqlgen import grid_index_expr
+
+    n = 1 << _SC_LEVEL
+    bnd = "(CAST({k} AS DOUBLE) * (CAST(10 AS DOUBLE) / CAST(%d AS DOUBLE)))" % n
+    gi = grid_index_expr
+    return f"""
+WITH raw AS (
+  SELECT kind, coords AS cs FROM read_parquet('{roads_pq}')
+),
+segp AS (
+  SELECT kind, cs[i].x AS ax, cs[i].y AS ay,
+         cs[i + 1].x AS bx, cs[i + 1].y AS by
+  FROM (SELECT kind, cs,
+               unnest(generate_series(1, len(cs) - 1)) AS i FROM raw)
+),
+segs AS (
+  SELECT kind,
+         CASE WHEN bx < ax THEN bx ELSE ax END AS x1,
+         CASE WHEN bx < ax THEN by ELSE ay END AS y1,
+         CASE WHEN bx < ax THEN ax ELSE bx END AS x2,
+         CASE WHEN bx < ax THEN ay ELSE by END AS y2
+  FROM segp
+),
+cols0 AS (
+  SELECT kind, x1, y1, x2, y2,
+         unnest(generate_series({gi('x1', _SC_LEVEL)},
+                                {gi('x2', _SC_LEVEL)})) AS k
+  FROM segs
+),
+colsx AS (
+  SELECT kind, k,
+         GREATEST(x1, {bnd.format(k='k')}) AS xa,
+         LEAST(x2, {bnd.format(k='k + 1')}) AS xb,
+         x1, y1, x2, y2
+  FROM cols0
+),
+cols AS (
+  SELECT kind, k,
+         CASE WHEN x2 = x1 THEN LEAST(y1, y2)
+           ELSE y1 + (y2 - y1) * (xa - x1) / (x2 - x1) END AS ya,
+         CASE WHEN x2 = x1 THEN GREATEST(y1, y2)
+           ELSE y1 + (y2 - y1) * (xb - x1) / (x2 - x1) END AS yb
+  FROM colsx
+),
+cells AS (
+  SELECT kind, k AS ix,
+         unnest(generate_series(
+           LEAST({gi('ya', _SC_LEVEL)}, {gi('yb', _SC_LEVEL)}),
+           GREATEST({gi('ya', _SC_LEVEL)}, {gi('yb', _SC_LEVEL)}))) AS iy
+  FROM cols
+),
+per_cell AS (
+  SELECT kind, ix, iy, CAST(COUNT(*) AS BIGINT) AS visits
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(visits) AS BIGINT) AS n_visits,
+       CAST(SUM(ix * {n} + iy) AS BIGINT) AS cell_chk
+FROM per_cell GROUP BY kind
 """
 
 
@@ -2643,6 +2849,7 @@ FROM f GROUP BY 1
             "image_pit_fill": pit,
             "image_texture_glcm": glcm,
             "image_quadtree": qt,
+            "roads_supercover_cells": _supercover_sql(roads_pq),
             "image_slope_aspect": f"""
 SELECT g.image_id, g.n_px, g.n_flat, g.hist_chk, g.n_steep, g.sum_s2
 FROM read_parquet('{gdir}/slope_aspect_sf0.01.parquet') g

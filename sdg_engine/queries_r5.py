@@ -4977,6 +4977,245 @@ def image_morphology(spark, sf_dir):
     return morphology_stats(sel)
 
 
+# SQ8 SPEC (shared with the oracle): per-tensor scalar quantization
+# q = clamp(FLOOR((x - mn) * 255 / (mx - mn)), 0, 255) over the GLOBAL
+# component range; identical FLOOR chain text in both engines (IEEE).
+_SQ8_Q = (
+    "transform({col}, x -> CAST(LEAST(GREATEST("
+    "FLOOR((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0 "
+    "/ (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))), "
+    "CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS BIGINT))"
+)
+
+
+def ann_sq8_recall(spark, sf_dir):
+    """SQ8 SCALAR-QUANTIZATION ANN + recall eval — the third index
+    family next to IVF and PQ (Faiss SQ8 analogue): embeddings
+    compress to one byte per component against the global component
+    range, candidate ranking runs on INTEGER quantized dots (qcos =
+    qdot / (|qa||qb|), a double derived from exact BIGINTs — IEEE-
+    identical in both engines), and recall@3 is measured against the
+    exact cosine baseline the same way ann_recall_eval certifies IVF.
+    At scale the quantized table is 64 bytes/vector and the ranking
+    never touches floats until the final normalization.  The pair scan
+    is broadcast-bounded (<=10 query rows) exactly like the exact
+    baseline it is scored against."""
+    from .queries import QUERIES as _Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rng_row = emb.selectExpr("explode(embedding) AS v").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    q = emb.join(F.broadcast(rng_row)).selectExpr(
+        "vec_id", _SQ8_Q.format(col="embedding") + " AS qv"
+    )
+    qn = q.selectExpr(
+        "vec_id", "qv",
+        "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS q2",
+    ).localCheckpoint()  # quantized table: both sides of the pair scan
+    qq = F.broadcast(qn.filter("vec_id < 10")).alias("a")
+    pairs = (
+        qq.crossJoin(qn.alias("b"))
+        .filter("a.vec_id <> b.vec_id AND a.q2 > 0 AND b.q2 > 0")
+        .selectExpr(
+            "a.vec_id AS query_id", "b.vec_id AS neighbor_id",
+            "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, z) -> acc + z) AS qdot",
+            "a.q2 AS qa2", "b.q2 AS qb2",
+        )
+        .selectExpr(
+            "query_id", "neighbor_id",
+            "CAST(qdot AS DOUBLE) / (SQRT(CAST(qa2 AS DOUBLE)) "
+            "* SQRT(CAST(qb2 AS DOUBLE))) AS qcos",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        _Q["ann_cosine_topk"](spark, sf_dir)
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").selectExpr(
+        "query_id",
+        "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit",
+        "CAST(FLOOR(COALESCE(n_hit, 0) * 1000 / 3) AS BIGINT) AS recall_mils",
+    )
+
+
+# Supercover SPEC (shared with the oracle): level-6 grid; segments
+# normalized west-to-east; per x-column k the segment occupies y rows
+# gi(ya)..gi(yb) where ya/yb interpolate y at the clipped column span
+# (vertical segments span min..max y in their single column).  Both
+# engines run the SAME interpolation/FLOOR text, so boundary cells
+# agree bit-for-bit.
+_SC_LEVEL = 6
+
+
+def roads_supercover_cells(spark, sf_dir):
+    """EXACT SUPERCOVER RASTERIZATION of road polylines — every grid
+    cell a segment passes through (the raster<->vector burn primitive,
+    exact rather than midpoint-attributed like cells_line_density):
+    per segment, explode its x-columns, interpolate the y span inside
+    each column, explode the y range — fanout is exactly the number of
+    crossed cells.  Per kind: distinct-cell count, visit count, and a
+    packed-cell checksum.  Plan: two Generates + one hash agg on
+    (kind, cell); nothing is quadratic and the agg output is
+    grid-bounded."""
+    from .queries_ext import _fixture_images
+    from .sqlgen import grid_index_expr
+
+    n = 1 << _SC_LEVEL
+    bnd = f"(CAST({{k}} AS DOUBLE) * (CAST(10 AS DOUBLE) / CAST({n} AS DOUBLE)))"
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    segs = roads.selectExpr("kind", "coords AS cs").selectExpr(
+        "kind",
+        "explode(transform(sequence(1, size(cs) - 1), "
+        "i -> struct(cs[i - 1].x AS ax, cs[i - 1].y AS ay, "
+        "cs[i].x AS bx, cs[i].y AS by))) AS s",
+    ).selectExpr(
+        "kind",
+        "CASE WHEN s.bx < s.ax THEN s.bx ELSE s.ax END AS x1",
+        "CASE WHEN s.bx < s.ax THEN s.by ELSE s.ay END AS y1",
+        "CASE WHEN s.bx < s.ax THEN s.ax ELSE s.bx END AS x2",
+        "CASE WHEN s.bx < s.ax THEN s.ay ELSE s.by END AS y2",
+    )
+    cols = segs.selectExpr(
+        "kind", "x1", "y1", "x2", "y2",
+        f"explode(sequence({grid_index_expr('x1', _SC_LEVEL)}, "
+        f"{grid_index_expr('x2', _SC_LEVEL)})) AS k",
+    ).selectExpr(
+        "kind", "k",
+        f"GREATEST(x1, {bnd.format(k='k')}) AS xa",
+        f"LEAST(x2, {bnd.format(k='k + 1')}) AS xb",
+        "x1", "y1", "x2", "y2",
+    ).selectExpr(
+        "kind", "k",
+        "CASE WHEN x2 = x1 THEN LEAST(y1, y2) "
+        "ELSE y1 + (y2 - y1) * (xa - x1) / (x2 - x1) END AS ya",
+        "CASE WHEN x2 = x1 THEN GREATEST(y1, y2) "
+        "ELSE y1 + (y2 - y1) * (xb - x1) / (x2 - x1) END AS yb",
+    )
+    cells = cols.selectExpr(
+        "kind", "k AS ix",
+        f"explode(sequence(LEAST({grid_index_expr('ya', _SC_LEVEL)}, "
+        f"{grid_index_expr('yb', _SC_LEVEL)}), "
+        f"GREATEST({grid_index_expr('ya', _SC_LEVEL)}, "
+        f"{grid_index_expr('yb', _SC_LEVEL)}))) AS iy",
+    )
+    per_cell = cells.groupBy("kind", "ix", "iy").agg(
+        F.count(F.lit(1)).alias("visits")
+    )
+    return per_cell.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("visits").alias("n_visits"),
+        F.sum(F.expr(f"ix * {n} + iy")).alias("cell_chk"),
+    )
+
+
+# Benford expected first-digit shares, integer micros of log10(1+1/d)
+# (public mathematical constants, embedded as literals so no log()
+# ever runs on an oracle-checked path).
+_BENFORD_MICROS = (301030, 176091, 124939, 96910, 79181,
+                   66947, 57992, 51153, 45757)
+
+
+def events_benford(spark, sf_dir):
+    """BENFORD'S-LAW first-digit audit of `value` — the classic
+    anomaly/fraud screen a data-quality pipeline runs over monetary
+    columns.  The leading digit comes from the STRING form of the
+    cents integer (no log10 anywhere — gotcha 8), expected shares are
+    embedded integer-micro constants, and the per-digit deviation
+    |1e6*cnt - exp*n| stays in exact BIGINTs.  One hash agg over
+    events + a broadcast total; output is 9 rows."""
+    exp_case = "CASE d " + " ".join(
+        f"WHEN {d + 1} THEN {m}" for d, m in enumerate(_BENFORD_MICROS)
+    ) + " END"
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "CAST(substring(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) "
+        "AS STRING), 1, 1) AS INT) AS d"
+    ).filter("d > 0")
+    cnt = ev.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "d", "cnt", "n",
+        "(1000000 * cnt) DIV n AS obs_micros",
+        f"{exp_case} AS exp_micros",
+        f"abs(1000000 * cnt - {exp_case} * n) AS dev_scaled",
+    ).orderBy("d")
+
+
+def bitmap_distinct_users(spark, sf_dir):
+    """EXACT DISTINCT via 63-bit WORD BITMAPS — the roaring-bitmap-lite
+    mergeable summary for COUNT(DISTINCT) over a bounded id domain
+    (the pattern OLAP engines use to make distinct counts partial-agg
+    mergeable instead of a two-level shuffle): set bit (user_id % 63)
+    in word (user_id DIV 63) with bit_or (63 bits per word — DuckDB
+    range-checks bit 63, same convention as bloom_filter_join), then
+    popcount-sum the words.  The exact COUNT(DISTINCT) rides along so
+    the equality is VISIBLE in the oracle-checked output."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "user_id",
+        "user_id DIV 63 AS word",
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)) AS bit",
+    )
+    words = ev.groupBy("event_type", "word").agg(
+        F.expr("bit_or(bit)").alias("m")
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(m)")).alias("n_distinct_bitmap"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
+    return bm.join(ex, "event_type")
+
+
+def events_twap(spark, sf_dir):
+    """TIME-WEIGHTED AVERAGE value (TWAP) per event type — each
+    observation holds until the type's next event (lead window), so
+    irregular sampling doesn't bias the mean toward bursts.  Durations
+    snap to whole seconds and values to mils BEFORE the product fold
+    (exact BIGINTs; at extreme scale the same shape re-buckets the
+    products per day first).  One exchange on event_type; final ratio
+    is integer DIV (both operands positive — floor == trunc in both
+    engines)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "event_id",
+        f"{_TS_US_SQL} AS us",
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_mils",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = (
+        ev.withColumn("nxt", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .selectExpr(
+            "event_type", "v_mils",
+            "CAST(FLOOR((nxt - us) / 1000000) AS BIGINT) AS dur_s",
+        )
+    )
+    return seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_holds"),
+        F.sum("dur_s").alias("sum_dur_s"),
+        F.sum(F.expr("v_mils * dur_s")).alias("sum_wv"),
+    ).selectExpr(
+        "event_type", "n_holds", "sum_dur_s", "sum_wv",
+        "sum_wv DIV sum_dur_s AS twap_mils",
+    )
+
+
 def orc_roundtrip_events(spark, sf_dir):
     """S8 source-format breadth, ORC flavor (the Hadoop-ecosystem
     columnar format the reference's OSM snapshots ship in): parquet ->
@@ -5019,6 +5258,11 @@ QUERIES_R5 = {
     "image_strahler": image_strahler,
     "image_hist_equalize": image_hist_equalize,
     "image_morphology": image_morphology,
+    "ann_sq8_recall": ann_sq8_recall,
+    "roads_supercover_cells": roads_supercover_cells,
+    "events_benford": events_benford,
+    "bitmap_distinct_users": bitmap_distinct_users,
+    "events_twap": events_twap,
     "kcore_roads": kcore_roads,
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,
