@@ -139,6 +139,24 @@ R5_EXTRAS = [
     "cells_kde",
     "udtf_word_runs",
     "textrank_keywords",
+    "events_ks_test",
+    "events_mann_kendall",
+    "doc_normalized_dedup",
+    "events_seq_trigrams",
+    "events_regression",
+    "cells_getis_ord",
+    "orc_roundtrip_events",
+    "image_slope_aspect",
+    "image_strahler",
+    "image_hist_equalize",
+    "image_morphology",
+    "ann_sq8_recall",
+    "roads_supercover_cells",
+    "events_benford",
+    "bitmap_distinct_users",
+    "events_twap",
+    "roads_dissolve",
+    "snapshot_expire",
 ]
 
 HEADLINE = [

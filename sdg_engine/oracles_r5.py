@@ -2285,6 +2285,22 @@ ORACLES_R5["events_benford"] = EVENTS_BENFORD
 ORACLES_R5["bitmap_distinct_users"] = BITMAP_DISTINCT_USERS
 ORACLES_R5["events_twap"] = EVENTS_TWAP
 
+
+# snapshot_expire: head content relationally (the overwrite holds
+# doc_id < 500) + pinned maintenance counts — 4 expired manifests, 1
+# kept, exactly the 4 orphaned append dirs vacuumed, the expired as-of
+# read failing loudly, and the 2-file overwrite layout.
+SNAPSHOT_EXPIRE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(4 AS INT) AS expired, CAST(1 AS INT) AS kept,
+       CAST(4 AS INT) AS orphans_removed, CAST(1 AS INT) AS asof_fails,
+       CAST(2 AS INT) AS n_files_head
+FROM documents WHERE doc_id < 500 GROUP BY lang
+"""
+
+ORACLES_R5["snapshot_expire"] = SNAPSHOT_EXPIRE
+
 # events_variant_json: the oracle bypasses the JSON/variant round trip
 # entirely — same aggregate from the base columns, so Spark's variant
 # encode/extract path is what's under test.
@@ -2450,6 +2466,51 @@ SELECT LEAST(a_kind, b_kind) AS kind_lo,
        GREATEST(a_kind, b_kind) AS kind_hi,
        COUNT(*) AS n_crossings
 FROM hits GROUP BY kind_lo, kind_hi
+"""
+
+
+def _dissolve_sql(roads_pq: str) -> str:
+    """roads_dissolve: identical kind-scoped endpoint keys (shared
+    _BFS_NODE quantization); component labels via the pruned
+    recursive-CTE reachability min (labels only propagate downhill —
+    the component min survives every check, so MIN(lab) is exact)."""
+    from .queries_r5 import _BFS_NODE
+
+    na = _BFS_NODE.format(x="coords[1].x", y="coords[1].y")
+    nb = _BFS_NODE.format(x="coords[len(coords)].x",
+                          y="coords[len(coords)].y")
+    return f"""
+WITH ends AS (
+  SELECT road_id, kind,
+         concat(kind, '|', CAST({na} AS STRING)) AS ka,
+         concat(kind, '|', CAST({nb} AS STRING)) AS kb
+  FROM read_parquet('{roads_pq}')
+),
+verts AS (
+  SELECT DISTINCT k FROM (
+    SELECT ka AS k FROM ends UNION ALL SELECT kb AS k FROM ends
+  )
+),
+adj AS (
+  SELECT ka AS a, kb AS b FROM ends WHERE ka <> kb
+  UNION ALL
+  SELECT kb AS a, ka AS b FROM ends WHERE ka <> kb
+),
+w AS (
+  WITH RECURSIVE t(v, lab) AS (
+    SELECT k, k FROM verts
+    UNION
+    SELECT adj.b, t.lab FROM t JOIN adj ON adj.a = t.v
+    WHERE t.lab < adj.b
+  ) SELECT v, MIN(lab) AS label FROM t GROUP BY v
+),
+rl AS (SELECT e.kind, e.road_id, w.label FROM ends e JOIN w ON w.v = e.ka),
+per AS (SELECT kind, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM rl GROUP BY 1, 2)
+SELECT kind, CAST(SUM(n) AS BIGINT) AS n_roads,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(n) AS BIGINT) AS largest_comp
+FROM per GROUP BY kind
 """
 
 
@@ -2850,6 +2911,7 @@ FROM f GROUP BY 1
             "image_texture_glcm": glcm,
             "image_quadtree": qt,
             "roads_supercover_cells": _supercover_sql(roads_pq),
+            "roads_dissolve": _dissolve_sql(roads_pq),
             "image_slope_aspect": f"""
 SELECT g.image_id, g.n_px, g.n_flat, g.hist_chk, g.n_steep, g.sum_s2
 FROM read_parquet('{gdir}/slope_aspect_sf0.01.parquet') g

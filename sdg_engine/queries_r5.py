@@ -5216,6 +5216,103 @@ def events_twap(spark, sf_dir):
     )
 
 
+def roads_dissolve(spark, sf_dir):
+    """DISSOLVE / merge-touching-features — the vector-overlay
+    counterpart to GROUP BY: roads of the SAME kind that share a
+    quantized endpoint (0.1-degree node, the road_graph_bfs
+    quantization) merge into one feature; per kind the query reports
+    feature count before/after and the largest merged chain.  The
+    endpoint graph runs through the pointer-jumped min-label
+    components primitive (O(log diameter) rounds, kind-scoped node
+    keys so components never cross kinds).  Oracle: pruned
+    recursive-CTE reachability min over the identical node keys."""
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    na = _BFS_NODE.format(
+        x="element_at(coords, 1).x", y="element_at(coords, 1).y"
+    )
+    nb = _BFS_NODE.format(
+        x="element_at(coords, size(coords)).x",
+        y="element_at(coords, size(coords)).y",
+    )
+    ends = roads.selectExpr(
+        "road_id", "kind",
+        f"concat(kind, '|', CAST({na} AS STRING)) AS ka",
+        f"concat(kind, '|', CAST({nb} AS STRING)) AS kb",
+    ).localCheckpoint()  # endpoints: verts + edges + the label join
+    verts = (
+        ends.selectExpr("ka AS k")
+        .unionByName(ends.selectExpr("kb AS k"))
+        .distinct()
+    )
+    edges = ends.filter("ka <> kb").selectExpr("ka AS src", "kb AS dst")
+    labels = _components_jump(edges, verts)
+    rl = ends.join(labels, ends.ka == labels.v).select("kind", "road_id", "label")
+    per = rl.groupBy("kind", "label").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("kind").agg(
+        F.sum("n").alias("n_roads"),
+        F.count(F.lit(1)).alias("n_components"),
+        F.max("n").alias("largest_comp"),
+    )
+
+
+def snapshot_expire(spark, sf_dir):
+    """SNAPSHOT EXPIRY + ORPHAN-FILE VACUUM (Iceberg expire_snapshots
+    + remove_orphan_files — the retention half of table maintenance,
+    closing the snapshot family next to compaction/rollback/WAP):
+    four appends then a full OVERWRITE leave the four append dirs
+    referenced only by expired history; expire(keep_last=1) drops 4
+    manifests and vacuums exactly those 4 orphan dirs, the head read
+    is untouched, and a time-travel read of an expired snapshot now
+    fails LOUDLY (pinned via the asof_fails flag).  Metadata-only plus
+    O(orphans) directory removals — no live data is ever rewritten."""
+    from .queries_ext import _stream_base
+    from .storage import (
+        count_data_files,
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _stream_base(spark, "expire_")
+    path = f"{base}/tbl"
+    for k in range(4):
+        write_snapshot(
+            docs.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < (k + 1) * 100)
+            ).repartition(2),
+            path,
+            mode="append",
+        )
+    write_snapshot(
+        docs.filter("doc_id < 500").repartition(2), path, mode="overwrite"
+    )
+    res = expire_snapshots(path, keep_last=1)
+    asof_fails = 0
+    try:
+        read_snapshot(spark, path, as_of=2).count()
+    except Exception:
+        asof_fails = 1
+    n_files = count_data_files(path, 5)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("expired", F.lit(res["expired"]).cast("int"))
+        .withColumn("kept", F.lit(res["kept"]).cast("int"))
+        .withColumn(
+            "orphans_removed", F.lit(res["orphan_dirs_removed"]).cast("int")
+        )
+        .withColumn("asof_fails", F.lit(asof_fails).cast("int"))
+        .withColumn("n_files_head", F.lit(n_files).cast("int"))
+    )
+
+
 def orc_roundtrip_events(spark, sf_dir):
     """S8 source-format breadth, ORC flavor (the Hadoop-ecosystem
     columnar format the reference's OSM snapshots ship in): parquet ->
@@ -5263,6 +5360,8 @@ QUERIES_R5 = {
     "events_benford": events_benford,
     "bitmap_distinct_users": bitmap_distinct_users,
     "events_twap": events_twap,
+    "roads_dissolve": roads_dissolve,
+    "snapshot_expire": snapshot_expire,
     "kcore_roads": kcore_roads,
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,

@@ -1079,3 +1079,33 @@ def test_morphology_single_spike():
 
     n_px, s_er, s_di, n_edge, chk = morphology_kernel(base)
     assert s_er == s_di and n_edge == 0 and chk == 0
+
+
+def test_expire_vacuums_orphans_and_preserves_head(spark, tmp_path):
+    """expire_snapshots drops history and vacuums ONLY dirs no
+    surviving manifest references; the head read is byte-identical,
+    expired as-of reads fail loudly, and appends continue after."""
+    import os
+
+    import pytest
+
+    from sdg_engine.storage import (expire_snapshots, read_snapshot,
+                                    snapshot_history, write_snapshot)
+
+    tbl = str(tmp_path / "exp")
+    a = spark.range(1, 6).withColumnRenamed("id", "k")
+    write_snapshot(a, tbl, mode="append")                        # snap 1
+    write_snapshot(a.selectExpr("k + 10 AS k"), tbl, mode="append")  # 2
+    write_snapshot(a, tbl, mode="overwrite")                     # snap 3
+    res = expire_snapshots(tbl, keep_last=1)
+    assert res == {"expired": 2, "kept": 1, "orphan_dirs_removed": 2}
+    assert snapshot_history(tbl) == [3]
+    assert sorted(r.k for r in read_snapshot(spark, tbl).collect()) == \
+        [1, 2, 3, 4, 5]
+    with pytest.raises(Exception, match="not in history"):
+        read_snapshot(spark, tbl, as_of=1)
+    # the surviving snapshot's data dir is intact; orphans are gone
+    assert len(os.listdir(os.path.join(tbl, "data"))) == 1
+    # appends continue from the survivor
+    write_snapshot(a.selectExpr("k + 20 AS k"), tbl, mode="append")
+    assert len(read_snapshot(spark, tbl).collect()) == 10
