@@ -621,3 +621,38 @@ def test_containment_never_cartesian(spark):
     plan = _plan(dedup_containment(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_supercover_no_cartesian_and_one_agg_key(spark):
+    """Supercover rasterization: explode-driven fanout only — no
+    nested-loop/cartesian join anywhere, and the pre-rollup exchange
+    hashes on the (kind, cell) agg key, never on segment rows."""
+    from sdg_engine.queries_r5 import roads_supercover_cells
+
+    plan = _plan(roads_supercover_cells(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Generate explode") >= 2
+
+
+def test_ks_test_windows_are_bucketed(spark):
+    """KS statistic: the only unbounded-partition window runs over the
+    tiny bucket-offset table; the per-score cumulative window is
+    partitioned by bucket (never a single global partition over the
+    distinct-score relation)."""
+    from sdg_engine.queries_r5 import events_ks_test
+
+    plan = _plan(events_ks_test(spark, SF))
+    # structural pin: two window operators, one partitioned by _b
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(_b" in plan
+
+
+def test_bitmap_distinct_is_two_level(spark):
+    """Bitmap distinct: word bitmaps fold map-side (partial bit_or
+    before the exchange) — the mergeable-summary shape."""
+    from sdg_engine.queries_r5 import bitmap_distinct_users
+
+    plan = _plan(bitmap_distinct_users(spark, SF))
+    assert "partial_bit_or" in plan
+    assert "HashAggregate" in plan

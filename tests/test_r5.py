@@ -1109,3 +1109,50 @@ def test_expire_vacuums_orphans_and_preserves_head(spark, tmp_path):
     # appends continue from the survivor
     write_snapshot(a.selectExpr("k + 20 AS k"), tbl, mode="append")
     assert len(read_snapshot(spark, tbl).collect()) == 10
+
+
+def test_supercover_spec_contains_all_sampled_cells():
+    """The column-sweep supercover SPEC (roads_supercover_cells) must
+    contain EVERY cell hit by dense parametric sampling of the segment
+    — the defining supercover property — on random segments."""
+    import math
+
+    import numpy as np
+
+    from sdg_engine.queries_r5 import _SC_LEVEL
+
+    n = 1 << _SC_LEVEL
+    cell = 10.0 / n
+
+    def gi(c):
+        return int(min(max(math.floor(c / 10.0 * n), 0), n - 1))
+
+    def sweep_cells(ax, ay, bx, by):
+        if bx < ax:
+            ax, ay, bx, by = bx, by, ax, ay
+        out = set()
+        for k in range(gi(ax), gi(bx) + 1):
+            xa = max(ax, k * cell)
+            xb = min(bx, (k + 1) * cell)
+            if bx == ax:
+                ya, yb = min(ay, by), max(ay, by)
+            else:
+                ya = ay + (by - ay) * (xa - ax) / (bx - ax)
+                yb = ay + (by - ay) * (xb - ax) / (bx - ax)
+            for iy in range(min(gi(ya), gi(yb)), max(gi(ya), gi(yb)) + 1):
+                out.add((k, iy))
+        return out
+
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        ax, ay, bx, by = rng.uniform(0, 10, 4)
+        cells = sweep_cells(ax, ay, bx, by)
+        t = np.linspace(0.0, 1.0, 20001)
+        xs, ys = ax + (bx - ax) * t, ay + (by - ay) * t
+        sampled = {
+            (gi(float(x)), gi(float(y))) for x, y in zip(xs, ys)
+        }
+        assert sampled <= cells, (ax, ay, bx, by, sampled - cells)
+        # the sweep is tight: it never reports more than the sampled
+        # set plus corner-touch cells (each column adds at most 1)
+        assert len(cells) <= len(sampled) + (gi(max(ax, bx)) - gi(min(ax, bx)) + 1)
