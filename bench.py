@@ -158,6 +158,8 @@ R5_EXTRAS = [
     "roads_dissolve",
     "snapshot_expire",
     "dedup_lsh_recall",
+    "streaming_session_window",
+    "q17_small_quantity_revenue",
 ]
 
 HEADLINE = [

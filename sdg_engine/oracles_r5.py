@@ -2338,6 +2338,70 @@ FROM t, c, h
 
 ORACLES_R5["dedup_lsh_recall"] = _dedup_lsh_recall_sql()
 
+
+# streaming_session_window: batch gaps-and-islands twin of the NATIVE
+# session_window drain.  Boundary semantics pinned empirically: events
+# exactly `gap` apart MERGE (break is strictly > gap); append emission
+# is end <= watermark with the watermark tracked in WHOLE MILLISECONDS
+# (Spark's EventTimeStats), i.e. floor-to-ms of the max event time
+# minus the delay.
+STREAMING_SESSION_WINDOW = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT (MAX(us) // 1000) * 1000 AS m FROM ev),
+lagd AS (
+  SELECT user_id, us, cents,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+  SELECT user_id, us, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+),
+per AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         MIN(us) AS s0, MAX(us) AS s1
+  FROM sess GROUP BY 1, 2
+),
+closed AS (
+  SELECT per.* FROM per, mx
+  WHERE s1 + 1800000000 <= m - 7200000000
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(n_events = 1 AS BIGINT)) AS BIGINT) AS n_single,
+       CAST(MAX(s1 + 1800000000 - s0) AS BIGINT) AS max_dur_us
+FROM closed
+"""
+
+ORACLES_R5["streaming_session_window"] = STREAMING_SESSION_WINDOW
+
+
+Q17_SMALL_QUANTITY_REVENUE = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS revenue_cents
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#4' AND p_size < 20
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+ORACLES_R5["q17_small_quantity_revenue"] = Q17_SMALL_QUANTITY_REVENUE
+
 # events_variant_json: the oracle bypasses the JSON/variant round trip
 # entirely — same aggregate from the base columns, so Spark's variant
 # encode/extract path is what's under test.

@@ -5360,6 +5360,73 @@ def dedup_lsh_recall(spark, sf_dir):
     )
 
 
+def streaming_session_window(spark, sf_dir):
+    """NATIVE SESSION WINDOWS in Structured Streaming
+    (``F.session_window`` — the built-in merging-session operator,
+    §2.10 API breadth next to the applyInPandasWithState sessionizer):
+    per-user 30-min-gap sessions over the watermarked event stream,
+    append mode, availableNow drain.  The sink holds exactly the
+    sessions whose end (last event + gap) cleared the final watermark
+    (max event time − 2 h) — the oracle reproduces that set with a
+    batch gaps-and-islands CTE plus the closure filter, so the
+    watermark semantics themselves are oracle-checked.  Output is the
+    one-row session ledger (counts/cents/single-event sessions/max
+    padded duration)."""
+    import os
+    import shutil
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "sesswin_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/events.parquet",
+                os.path.join(in_dir, "events.parquet"))
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    STR.stream_sessions_native(spark, in_dir, out, ck)
+    sess = spark.read.parquet(out).selectExpr(
+        "user_id", "n_events", "sum_cents",
+        "unix_micros(CAST(s_end AS TIMESTAMP)) "
+        "- unix_micros(CAST(s_start AS TIMESTAMP)) AS dur_us",
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("sum_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.sum(F.expr("CAST(n_events = 1 AS BIGINT)")).alias("n_single"),
+        F.max("dur_us").alias("max_dur_us"),
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — CORRELATED SCALAR SUBQUERY surface: revenue
+    from lineitems whose quantity is below 20% of their part's average
+    quantity, for one brand / small sizes.  Written as the correlated
+    subquery ON PURPOSE so Catalyst's decorrelation does the rewrite
+    (per-part aggregate + equi-join — never a per-row subquery
+    execution; pinned in tests/test_plans.py).  Revenue folds as exact
+    cents; the quantity threshold 0.2*AVG is one multiply over an
+    exactly-representable average (integer-valued quantities), so both
+    engines compare identical doubles."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    return spark.sql("""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS revenue_cents
+FROM _q17_lineitem, _q17_part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#4' AND p_size < 20
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM _q17_lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""")
+
+
 def orc_roundtrip_events(spark, sf_dir):
     """S8 source-format breadth, ORC flavor (the Hadoop-ecosystem
     columnar format the reference's OSM snapshots ship in): parquet ->
@@ -5410,6 +5477,8 @@ QUERIES_R5 = {
     "roads_dissolve": roads_dissolve,
     "snapshot_expire": snapshot_expire,
     "dedup_lsh_recall": dedup_lsh_recall,
+    "streaming_session_window": streaming_session_window,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "kcore_roads": kcore_roads,
     "cells_kde": cells_kde,
     "udtf_word_runs": udtf_word_runs,

@@ -508,3 +508,51 @@ def stream_interval_join_left(
         .start()
         .awaitTermination()
     )
+
+
+def stream_sessions_native(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """NATIVE session windows (``F.session_window`` — Spark's built-in
+    merging-session state operator, the declarative counterpart to the
+    applyInPandasWithState sessionizer in stream_sessionize): per-user
+    gap-merged sessions, watermarked, append mode — each session emits
+    exactly once, when the watermark passes its end (last event + gap).
+    State is bounded by the watermark exactly like the hourly windows;
+    the availableNow drain applies the final watermark before
+    terminating, so the sink holds precisely the sessions whose end
+    cleared max(event time) − delay."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+        .select(
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "user_id", "n_events", "sum_cents",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -656,3 +656,16 @@ def test_bitmap_distinct_is_two_level(spark):
     plan = _plan(bitmap_distinct_users(spark, SF))
     assert "partial_bit_or" in plan
     assert "HashAggregate" in plan
+
+
+def test_q17_correlated_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must be rewritten by Catalyst
+    into a per-part aggregate + equi-join: no subquery node and no
+    nested-loop join may survive into the executed plan."""
+    from sdg_engine.queries_r5 import q17_small_quantity_revenue
+
+    plan = _plan(q17_small_quantity_revenue(spark, SF))
+    assert "Subquery" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 3  # part-avg partial+final + result
