@@ -664,6 +664,10 @@ from .oracles_r5 import ORACLES_R5  # noqa: E402 — round-5 breadth
 
 ORACLES.update(ORACLES_R5)
 
+from .oracles_tpch import ORACLES_TPCH  # noqa: E402 — TPC-H-adapted suite
+
+ORACLES.update(ORACLES_TPCH)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed

@@ -840,6 +840,10 @@ from .queries_r5 import QUERIES_R5  # noqa: E402 — round-5 breadth
 
 QUERIES.update(QUERIES_R5)
 
+from .queries_tpch import QUERIES_TPCH  # noqa: E402 — TPC-H-adapted suite
+
+QUERIES.update(QUERIES_TPCH)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and

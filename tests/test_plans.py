@@ -669,3 +669,46 @@ def test_q17_correlated_subquery_is_decorrelated(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 3  # part-avg partial+final + result
+
+
+def test_q21_exists_pair_decorrelates(spark):
+    """Q21's EXISTS + NOT EXISTS over the same fact table must plan as
+    existence/anti hash joins on l_orderkey — never a per-row subquery
+    or a nested loop (the decorrelation stress the query exists for)."""
+    from sdg_engine.queries_tpch import q21_latest_shipper
+
+    plan = _plan(q21_latest_shipper(spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # the NOT EXISTS leg
+    assert "ExistenceJoin" in plan or "LeftSemi" in plan  # the EXISTS leg
+
+
+def test_q19_disjunctive_brackets_keep_hash_join(spark):
+    """Q19's OR-of-brackets predicate must stay a residual on the
+    p_partkey hash join with part broadcast — Catalyst must not fall
+    back to a nested loop over the disjunction."""
+    from sdg_engine.queries_tpch import q19_bracketed_revenue
+
+    plan = _plan(q19_bracketed_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_aggregates_before_joins(spark):
+    """Q18 groups the fact table FIRST (orderkey agg + HAVING) so only
+    the tiny survivor set reaches the orders/customer joins — the scan
+    side must show exactly one fact aggregation below the joins."""
+    from sdg_engine.queries_tpch import q18_large_volume_orders
+
+    plan = _plan(q18_large_volume_orders(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the quantity aggregate happens below any join in the plan text:
+    first_join = min(
+        (plan.find(s) for s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(s) >= 0),
+        default=len(plan),
+    )
+    agg_pos = plan.find("sum(l_quantity")
+    assert 0 <= agg_pos
