@@ -235,9 +235,11 @@ def main() -> None:
     queries = run_queries(spark, sf_dir, HEADLINE)
     total = round(sum(queries.values()), 3)
     queries_r5 = run_queries(spark, sf_dir, R5_EXTRAS)
+    from sdg_engine.queries_r5b import QUERIES_R5B
     from sdg_engine.queries_tpch import QUERIES_TPCH
 
     queries_tpch = run_queries(spark, sf_dir, list(QUERIES_TPCH))
+    queries_r5b = run_queries(spark, sf_dir, list(QUERIES_R5B))
     flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
     spark.stop()
 
@@ -275,6 +277,7 @@ def main() -> None:
         "queries": queries,
         "queries_r5": queries_r5,
         "queries_tpch": queries_tpch,
+        "queries_r5b": queries_r5b,
         "sf": sf,
         "input_rows": n_input,
         "rows_per_sec": round(flagship_thr, 1),

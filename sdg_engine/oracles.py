@@ -668,6 +668,10 @@ from .oracles_tpch import ORACLES_TPCH  # noqa: E402 — TPC-H-adapted suite
 
 ORACLES.update(ORACLES_TPCH)
 
+from .oracles_r5b import ORACLES_R5B  # noqa: E402 — round-5 wave 5
+
+ORACLES.update(ORACLES_R5B)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed

@@ -844,6 +844,10 @@ from .queries_tpch import QUERIES_TPCH  # noqa: E402 — TPC-H-adapted suite
 
 QUERIES.update(QUERIES_TPCH)
 
+from .queries_r5b import QUERIES_R5B  # noqa: E402 — round-5 wave 5
+
+QUERIES.update(QUERIES_R5B)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and
