@@ -133,3 +133,83 @@ SELECT
   (SELECT CAST(FLOOR(CAST(SUM(s * s) AS BIGINT) / {_AMS_SKETCHES}.0)
                AS BIGINT) FROM per_sketch) AS f2_ams
 """
+
+
+ORACLES_R5B["events_theil_sen"] = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY h
+),
+pairs AS (
+  SELECT a.h AS h1, b.h AS h2,
+         CAST(FLOOR(1000000.0 * (b.x - a.x) / (b.h - a.h)) AS BIGINT)
+           AS slope
+  FROM hourly a JOIN hourly b ON b.h > a.h
+),
+ranked AS (
+  SELECT slope, CAST(ROW_NUMBER() OVER (ORDER BY slope, h1, h2) AS BIGINT)
+           AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT n_pairs, slope AS median_slope_micros
+FROM ranked WHERE rn = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)
+"""
+
+# the corpus is ASCII, where UTF8_LCASE equivalence is lower()-equality
+ORACLES_R5B["collation_token_dedup"] = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+t AS (SELECT w FROM toks WHERE w <> '')
+SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_cs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lower(w)) AS BIGINT) AS n_ci
+FROM t
+"""
+
+ORACLES_R5B["param_sql_revenue"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS discount_cc
+FROM lineitem
+WHERE CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 3 AND 6
+  AND l_quantity < 30
+"""
+
+
+def _pca_sql() -> str:
+    """Unrolled integer power iteration: v_i -> w_{i+1} -> v_{i+1},
+    each CTE referencing only its predecessor ONCE (the per-round max
+    is a window over the 64-row relation, not a scalar subquery — a
+    second reference would re-inline the whole chain per round)."""
+    from .queries_r5b import _PCA_DAMP, _PCA_DIM, _PCA_ROUNDS
+
+    ctes = [
+        f"q AS (SELECT vec_id, u.j AS j,"
+        " CAST(FLOOR(CAST(embedding[u.j] AS DOUBLE) * 1000.0 + 0.5)"
+        " AS BIGINT) AS qv"
+        f" FROM embeddings, UNNEST(generate_series(1, {_PCA_DIM})) AS u(j))",
+        "cov AS (SELECT a.j AS j, b.j AS k,"
+        " CAST(SUM(a.qv * b.qv) AS BIGINT) AS s"
+        " FROM q a JOIN q b USING (vec_id) GROUP BY a.j, b.j)",
+        f"m AS (SELECT j, k, CAST(FLOOR(CAST(s AS DOUBLE) / {_PCA_DAMP})"
+        " AS BIGINT) AS m FROM cov)",
+        "v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM m)",
+    ]
+    for i in range(1, _PCA_ROUNDS + 1):
+        ctes.append(
+            f"w{i} AS (SELECT m.j AS j, CAST(SUM(m.m * v{i - 1}.v) AS BIGINT)"
+            f" AS w FROM m JOIN v{i - 1} ON v{i - 1}.j = m.k GROUP BY m.j)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT j, CAST(FLOOR(1000000.0 * w / MAX(ABS(w))"
+            f" OVER ()) AS BIGINT) AS v FROM w{i})"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT j, v AS loading FROM v{_PCA_ROUNDS}")
+
+
+ORACLES_R5B["pca_power_iteration"] = _pca_sql()

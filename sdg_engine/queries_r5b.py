@@ -263,10 +263,198 @@ def ams_f2_sketch(spark, sf_dir):
     return exact.crossJoin(F.broadcast(est))
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: Theil-Sen median slope
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
+
+
+def events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend estimator over the hourly event-count
+    series: the MEDIAN of all pairwise slopes (h1 < h2).  Slopes are
+    micro-snapped via one shared FLOOR over an identical double divide;
+    the median is the lower-median ROW_NUMBER pick over the total order
+    (slope, h1, h2) — deterministic in both engines.  Scale shape: ONE
+    map-side-combined hash agg reduces events to observed hours; the
+    pair join and the ranking window run over the TIME-GRID-bounded
+    pair set (~260k rows for a 720-hour grid — fixed by the calendar,
+    not the data size; the events_acf boundedness argument)."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()  # tiny; both pair-join sides
+    )
+    pairs = (
+        hourly.selectExpr("h AS h1", "x AS x1")
+        .join(hourly.selectExpr("h AS h2", "x AS x2"),
+              F.col("h2") > F.col("h1"))
+        .selectExpr(
+            "h1", "h2",
+            "CAST(FLOOR(1000000.0 * (x2 - x1) / (h2 - h1)) AS BIGINT)"
+            " AS slope",
+        )
+    )
+    w = Window.orderBy("slope", "h1", "h2")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    )
+    n = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.expr("rn = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)"))
+        .selectExpr("n_pairs", "slope AS median_slope_micros")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: collation + named-parameter SQL
+# ---------------------------------------------------------------------------
+
+
+def collation_token_dedup(spark, sf_dir):
+    """COLLATION surface (new in Spark 4): case-insensitive distinct
+    token count via COLLATE UTF8_LCASE grouping, next to the binary
+    (case-sensitive) count — the 'how many tokens modulo case' corpus
+    question.  The oracle lowers explicitly (the corpus is ASCII, where
+    UTF8_LCASE equivalence IS lower()-equality); the case-sensitive
+    count rides along so the two collations are visibly different."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .localCheckpoint()  # both distinct branches
+    )
+    ci = toks.selectExpr(
+        "COUNT(DISTINCT COLLATE(w, 'UTF8_LCASE')) AS n_ci"
+    )
+    cs = toks.agg(
+        F.countDistinct("w").alias("n_cs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return cs.crossJoin(F.broadcast(ci))
+
+
+def param_sql_revenue(spark, sf_dir):
+    """NAMED-PARAMETER SQL (spark.sql(..., args=...), new API in Spark
+    3.4+/4): the revenue band scan parameterized with :min_pct /
+    :max_pct / :max_qty instead of inlined literals — the
+    injection-safe programmatic form.  Parameter binding happens at
+    parse time, so the executed plan is identical to the literal form;
+    the oracle runs the literal-substituted text."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_psql_lineitem")
+    from .queries_tpch import CENTS, PCT
+
+    return spark.sql(
+        f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({CENTS.format(col='l_extendedprice')} * {PCT}) AS BIGINT)
+         AS discount_cc
+FROM _psql_lineitem
+WHERE {PCT} BETWEEN :min_pct AND :max_pct
+  AND l_quantity < :max_qty
+""",
+        args={"min_pct": 3, "max_pct": 6, "max_qty": 30},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: integer-exact power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ROUNDS = 8
+# covariance damping keeps the matvec far inside int64: |q| <= ~530
+# (mils of a [-0.53, 0.46] embedding), C_jk <= rows * 2.8e5, and
+# M = FLOOR(C / 4096) keeps 64 * M * 1e6 <= ~2e15 even at sf100.
+_PCA_DAMP = 4096.0
+
+
+def _pca_cov_partial(it):
+    """mapInPandas partial covariance: per-batch int64 outer-product
+    accumulation (the map-side-combine a 100 TB covariance needs — the
+    shuffle carries 64x64 partial matrices, never rows).  Quantization
+    matches the oracle text exactly: float64 widening FIRST, then
+    FLOOR(x * 1000 + 0.5)."""
+    import numpy as np
+    import pandas as pd
+
+    acc = np.zeros((_PCA_DIM, _PCA_DIM), dtype=np.int64)
+    seen = False
+    for pdf in it:
+        if not len(pdf):
+            continue
+        arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(arr * 1000.0 + 0.5).astype(np.int64)
+        acc += q.T @ q
+        seen = True
+    if seen:
+        j, k = np.meshgrid(
+            np.arange(1, _PCA_DIM + 1), np.arange(1, _PCA_DIM + 1),
+            indexing="ij",
+        )
+        yield pd.DataFrame(
+            {"j": j.ravel(), "k": k.ravel(), "c": acc.ravel()}
+        )
+
+
+def pca_power_iteration(spark, sf_dir):
+    """Distributed PCA, INTEGER-EXACT power iteration: top principal
+    direction of the (uncentered) quantized-embedding second-moment
+    matrix.  Stage 1 is the scale stage — mapInPandas partial
+    covariance (int64 outer products, exact regardless of partitioning
+    or fold order), one 4096-row final agg.  Stage 2 runs 8 power-
+    iteration rounds RELATIONALLY over the tiny (j,k,m) matrix:
+    matvec = equi-join + SUM, then per-round renormalization to
+    micro-units via MAX(ABS(w)) OVER () — a 64-row window, so the
+    single partition is by construction, not by accident.  Every
+    quantity is BIGINT; the one double divide per round is the shared
+    FLOOR(1e6*w/max) text, so both engines walk identical integer
+    states (the pagerank argument).  Output: the 64 loadings of v8.
+    Oracle: identical unrolled LINEAR CTE chain (each round references
+    only its predecessor once — window, not scalar subquery, for the
+    max; the shortest_path_weighted lesson)."""
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    cov = (
+        emb.mapInPandas(_pca_cov_partial, "j int, k int, c bigint")
+        .groupBy("j", "k")
+        .agg(F.expr("CAST(SUM(c) AS BIGINT) AS s"))
+        .selectExpr(
+            "j", "k",
+            f"CAST(FLOOR(CAST(s AS DOUBLE) / {_PCA_DAMP}) AS BIGINT) AS m",
+        )
+        .localCheckpoint()  # referenced every round
+    )
+    v = cov.select("j").distinct().selectExpr(
+        "j", "CAST(1000000 AS BIGINT) AS v"
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(v.selectExpr("j AS k2", "v"), F.col("k") == F.col("k2"))
+            .groupBy("j")
+            .agg(F.expr("CAST(SUM(m * v) AS BIGINT) AS w"))
+        )
+        v = w.selectExpr(
+            "j",
+            "CAST(FLOOR(1000000.0 * w / MAX(ABS(w)) OVER ()) AS BIGINT) AS v",
+        ).localCheckpoint()
+    return v.selectExpr("j", "v AS loading")
+
+
 QUERIES_R5B = {
     "recursive_order_chain": recursive_order_chain,
     "unpivot_order_metrics": unpivot_order_metrics,
     "zipf_word_slope": zipf_word_slope,
     "hits_roads": hits_roads,
     "ams_f2_sketch": ams_f2_sketch,
+    "events_theil_sen": events_theil_sen,
+    "collation_token_dedup": collation_token_dedup,
+    "param_sql_revenue": param_sql_revenue,
+    "pca_power_iteration": pca_power_iteration,
 }

@@ -712,3 +712,13 @@ def test_q18_having_aggregates_before_joins(spark):
     )
     agg_pos = plan.find("sum(l_quantity")
     assert 0 <= agg_pos
+
+
+def test_recursive_cte_runs_natively(spark):
+    """recursive_order_chain must execute through Spark 4's native
+    recursive-CTE operator (UnionLoop), not an analyzer rewrite into
+    something else — the query exists to pin this surface."""
+    from sdg_engine.queries_r5b import recursive_order_chain
+
+    plan = _plan(recursive_order_chain(spark, SF))
+    assert "UnionLoop" in plan
