@@ -18,11 +18,35 @@ from .queries_r5b import (
     _HITS_ITERS,
     _LOG2,
     _ORDER_CENTS,
-    RECURSIVE_CHAIN_TEMPLATE,
+    RECURSIVE_LINKED_SQL,
+    RECURSIVE_WALK_SQL,
 )
 
+
+def _recursive_chain_sql() -> str:
+    """Compose the engine's two fragments into ONE WITH RECURSIVE
+    statement: ord+linked inline (DuckDB plans CTEs once, so no
+    materialization is needed here), walk text identical."""
+    linked_body = RECURSIVE_LINKED_SQL.format(orders="orders").strip()
+    # RECURSIVE_LINKED_SQL is "WITH ord AS (...) SELECT ..."; rewrap it
+    # as CTE members of the recursive WITH.
+    assert linked_body.startswith("WITH ord AS")
+    ord_and_select = linked_body[len("WITH "):]
+    # -> "ord AS (...)\nSELECT ..." ; split at the top-level SELECT
+    idx = ord_and_select.index("\nSELECT")
+    ord_cte = ord_and_select[:idx].rstrip().rstrip(",")
+    linked_select = ord_and_select[idx + 1:]
+    walk = RECURSIVE_WALK_SQL.format(linked="linked").strip()
+    assert walk.startswith("WITH RECURSIVE walk AS")
+    walk_rest = walk[len("WITH RECURSIVE "):]
+    return (
+        "WITH RECURSIVE " + ord_cte + ",\nlinked AS (" + linked_select
+        + "),\n" + walk_rest
+    )
+
+
 ORACLES_R5B = {
-    "recursive_order_chain": RECURSIVE_CHAIN_TEMPLATE.format(orders="orders"),
+    "recursive_order_chain": _recursive_chain_sql(),
 }
 
 ORACLES_R5B["unpivot_order_metrics"] = f"""

@@ -27,35 +27,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _ORDER_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
 
 
-# Shared WITH RECURSIVE template — Spark 4 runs this text natively and
-# DuckDB runs the identical text: the surface under test is the
-# recursive-CTE execution itself (UnionLoop vs recurring CTE scan).
-# The walk follows precomputed next-pointers (a lead-join linked list),
-# so the recursion is linear, cycle-free, and terminates at the longest
-# per-customer order chain (~max orders per customer — depth-bounded by
-# data shape, not data SIZE; Spark's recursion limit of 100 is safely
-# above any plausible per-customer order count and loudly fails rather
-# than silently truncating if exceeded).
-RECURSIVE_CHAIN_TEMPLATE = f"""
-WITH RECURSIVE ord AS (
+# Shared recursive-chain fragments — the ORACLE composes them into one
+# WITH RECURSIVE statement; the ENGINE materializes the linked list
+# first (Spark's UnionLoop re-plans every non-recursive CTE per
+# iteration — the window+self-join re-ran ~25 times, measured 34 s at
+# sf0.1 → 7 s with the pointer table checkpointed once) and recurses
+# over the checkpointed view with the IDENTICAL walk text.  The walk is
+# depth-capped at 12 (the first 12 orders per customer), the standard
+# recursive-CTE bound: rounds are fixed by the CAP, not by the data's
+# longest chain, so the iteration count survives any scale-up.
+_CHAIN_DEPTH = 12
+
+RECURSIVE_LINKED_SQL = f"""
+WITH ord AS (
   SELECT o_custkey, o_orderkey, {_ORDER_CENTS} AS cents,
          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate, o_orderkey)
               AS BIGINT) AS rn
   FROM {{orders}}
-),
-linked AS (
-  SELECT a.o_custkey AS ck, a.o_orderkey AS ok, a.cents AS cents,
-         a.rn AS rn, b.o_orderkey AS nxt
-  FROM ord a LEFT JOIN ord b
-    ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
-),
-walk AS (
+)
+SELECT a.o_custkey AS ck, a.o_orderkey AS ok, a.cents AS cents,
+       a.rn AS rn, b.o_orderkey AS nxt
+FROM ord a LEFT JOIN ord b
+  ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+"""
+
+RECURSIVE_WALK_SQL = f"""
+WITH RECURSIVE walk AS (
   SELECT ck, ok, nxt, CAST(1 AS BIGINT) AS depth, cents AS run_cents
-  FROM linked WHERE rn = 1
+  FROM {{linked}} WHERE rn = 1
   UNION ALL
   SELECT l.ck, l.ok, l.nxt, w.depth + 1, w.run_cents + l.cents
-  FROM walk w JOIN linked l ON l.ok = w.nxt
+  FROM walk w JOIN {{linked}} l ON l.ok = w.nxt
+  WHERE w.depth < {_CHAIN_DEPTH}
 )
 SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_chains,
        CAST(SUM(run_cents) AS BIGINT) AS sum_run_cents,
@@ -67,16 +71,21 @@ FROM walk GROUP BY depth
 def recursive_order_chain(spark, sf_dir):
     """NATIVE WITH RECURSIVE (new in Spark 4): per-customer order
     chains walked as a linked list — depth index + running spend
-    computed by the recursion, then aggregated per depth.  The
-    pointers (next order of the same customer) are precomputed by a
-    window + self-join so the recursive step is a pure equi-join on
-    the pointer; Spark executes the loop natively (UnionLoopExec),
-    DuckDB runs the IDENTICAL text.  The window-function route would
-    compute the same result in one pass — the recursion is the
-    deliberate surface, mirroring hierarchy/BOM walks that windows
-    cannot express."""
+    computed by the recursion (capped at 12 hops), then aggregated per
+    depth.  The pointers (next order of the same customer) are a
+    window + self-join, MATERIALIZED once (localCheckpoint) because
+    UnionLoop replans non-recursive CTEs every iteration; the
+    recursive step is then a pure equi-join on the pointer per round.
+    DuckDB runs the identical fragments composed into one statement.
+    The window-function route would compute the same result in one
+    pass — the recursion is the deliberate surface, mirroring
+    hierarchy/BOM walks that windows cannot express."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_rchain_orders")
-    return spark.sql(RECURSIVE_CHAIN_TEMPLATE.format(orders="_rchain_orders"))
+    linked = spark.sql(
+        RECURSIVE_LINKED_SQL.format(orders="_rchain_orders")
+    ).localCheckpoint()
+    linked.createOrReplaceTempView("_rchain_linked")
+    return spark.sql(RECURSIVE_WALK_SQL.format(linked="_rchain_linked"))
 
 
 def unpivot_order_metrics(spark, sf_dir):
