@@ -237,3 +237,66 @@ def _pca_sql() -> str:
 
 
 ORACLES_R5B["pca_power_iteration"] = _pca_sql()
+
+
+ORACLES_R5B["scd2_user_state"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, us,
+         CASE WHEN LAG(event_type) OVER
+                (PARTITION BY user_id ORDER BY us, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+         event_id
+  FROM ev
+),
+grouped AS (
+  SELECT user_id, event_type, us,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, grp, MIN(event_type) AS state,
+         CAST(MIN(us) AS BIGINT) AS valid_from
+  FROM grouped GROUP BY user_id, grp
+),
+iv2 AS (
+  SELECT state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM iv
+)
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 0
+                ELSE valid_to - valid_from END) AS BIGINT)
+         AS closed_dur_us
+FROM iv2 GROUP BY state
+"""
+
+ORACLES_R5B["events_mad"] = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY h
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours FROM hourly),
+med AS (
+  SELECT x AS median_x, n_hours FROM (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, h) AS BIGINT) AS rn,
+           n_hours
+    FROM hourly, n
+  ) WHERE rn = CAST(FLOOR((n_hours + 1) / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT h, ABS(x - median_x) AS d, median_x, n_hours FROM hourly, med
+)
+SELECT n_hours, median_x, d AS mad FROM (
+  SELECT d, median_x, n_hours,
+         CAST(ROW_NUMBER() OVER (ORDER BY d, h) AS BIGINT) AS rn
+  FROM dev
+) WHERE rn = CAST(FLOOR((n_hours + 1) / 2.0) AS BIGINT)
+"""

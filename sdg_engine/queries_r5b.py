@@ -456,6 +456,83 @@ def pca_power_iteration(spark, sf_dir):
     return v.selectExpr("j", "v AS loading")
 
 
+
+
+def scd2_user_state(spark, sf_dir):
+    """SCD TYPE-2 dimension build (the lakehouse dimension-modelling
+    primitive): per-user event-type state intervals with
+    valid_from/valid_to — consecutive same-type runs collapse
+    (gaps-and-islands: change flag -> running sum -> group), valid_to =
+    next interval's valid_from (lead), open intervals flagged current.
+    ONE user-key exchange carries all three windows (lag, running sum,
+    lead — same partitioning, Catalyst reuses the sort).  Output: the
+    per-type interval ledger (counts, open rows, closed-duration sums
+    in exact micros)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", f"{_TS_US} AS us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.expr(
+            "CASE WHEN LAG(event_type) OVER"
+            " (PARTITION BY user_id ORDER BY us, event_id)"
+            " IS DISTINCT FROM event_type THEN 1 ELSE 0 END"
+        ),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = grouped.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("state"),
+        F.min("us").alias("valid_from"),
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    iv2 = iv.withColumn("valid_to", F.lead("valid_from").over(w_iv))
+    return iv2.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.expr("CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_current"),
+        F.expr("CAST(SUM(CASE WHEN valid_to IS NULL THEN 0"
+               " ELSE valid_to - valid_from END) AS BIGINT)")
+        .alias("closed_dur_us"),
+    )
+
+
+def events_mad(spark, sf_dir):
+    """Median absolute deviation of the hourly event-count series —
+    the robust-scale companion to events_theil_sen.  Both medians are
+    lower-median ROW_NUMBER picks over the TIME-GRID-bounded hourly
+    relation (deterministic total orders: (x, h) then (dev, h));
+    everything BIGINT."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()  # median pick + deviation branch
+    )
+    n = hourly.agg(F.count(F.lit(1)).alias("n_hours"))
+    w1 = Window.orderBy("x", "h")
+    med = (
+        hourly.withColumn("rn", F.row_number().over(w1).cast("bigint"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.expr("rn = CAST(FLOOR((n_hours + 1) / 2.0) AS BIGINT)"))
+        .selectExpr("x AS median_x", "n_hours")
+    )
+    dev = hourly.crossJoin(F.broadcast(med)).selectExpr(
+        "h", "ABS(x - median_x) AS d", "median_x", "n_hours"
+    )
+    w2 = Window.orderBy("d", "h")
+    return (
+        dev.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.expr("rn = CAST(FLOOR((n_hours + 1) / 2.0) AS BIGINT)"))
+        .selectExpr("n_hours", "median_x", "d AS mad")
+    )
+
+
 QUERIES_R5B = {
     "recursive_order_chain": recursive_order_chain,
     "unpivot_order_metrics": unpivot_order_metrics,
@@ -466,4 +543,6 @@ QUERIES_R5B = {
     "collation_token_dedup": collation_token_dedup,
     "param_sql_revenue": param_sql_revenue,
     "pca_power_iteration": pca_power_iteration,
+    "scd2_user_state": scd2_user_state,
+    "events_mad": events_mad,
 }
