@@ -414,9 +414,15 @@ def _pca_cov_partial(it):
 
 
 def pca_power_iteration(spark, sf_dir):
-    """Distributed PCA, INTEGER-EXACT power iteration: top principal
-    direction of the (uncentered) quantized-embedding second-moment
-    matrix.  Stage 1 is the scale stage — mapInPandas partial
+    """Distributed PCA, INTEGER-EXACT power iteration: 8 rounds toward
+    the top principal direction of the (uncentered) quantized-embedding
+    second-moment matrix.  The deliverable is the exact k-round iterate
+    (deterministic, oracle-pinned); on near-isotropic data (the harness
+    embeddings' eigengap ratio is ~0.93) full eigenvector isolation
+    needs more rounds — rounds are the knob, each round is one tiny
+    join.  The invariant gate (tests/test_r5b.py) checks bit-equality
+    against an independent dense numpy run of the same recurrence plus
+    Rayleigh-quotient progress (>0.9 of the top eigenvalue by round 8).  Stage 1 is the scale stage — mapInPandas partial
     covariance (int64 outer products, exact regardless of partitioning
     or fold order), one 4096-row final agg.  Stage 2 runs 8 power-
     iteration rounds RELATIONALLY over the tiny (j,k,m) matrix:
