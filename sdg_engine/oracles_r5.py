@@ -2818,6 +2818,34 @@ SELECT CAST(hops AS INT) AS hops, COUNT(*) AS n_nodes,
        CAST(SUM(node) AS BIGINT) AS sum_node
 FROM lab GROUP BY hops
 """
+    # closeness_roads: the BFS recursive walk generalized to a labeled
+    # (seed, node) pair walk over the SAME quantized graph.
+    closeness = f"""
+WITH RECURSIVE
+nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+        FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM ab
+        UNION ALL SELECT b AS src, a AS dst FROM ab)
+      WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+seeds AS (SELECT src AS seed FROM deg ORDER BY deg DESC, src ASC LIMIT 5),
+walk(seed, node, hops) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 16
+),
+lab AS (SELECT seed, node, MIN(hops) AS hops FROM walk GROUP BY seed, node)
+SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       CAST(SUM(hops) AS BIGINT) AS sum_hops,
+       CAST(FLOOR(1000000.0 * (COUNT(*) - 1) / SUM(hops)) AS BIGINT)
+         AS closeness_micros
+FROM lab GROUP BY seed
+"""
+
     # triangle_count_roads: identical degree-ordered orientation over
     # the same quantized road graph (shared _BFS_NODE fragment).
     tri = f"""
@@ -3041,6 +3069,7 @@ WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
             "image_zonal_stats": zonal,
             "mvt_pyramid_simplified": legs,
             "road_graph_bfs": bfs,
+            "closeness_roads": closeness,
             "triangle_count_roads": tri,
             "kcore_roads": _kcore_sql(roads_pq, node),
             "cells_line_density": _line_density_sql(roads_pq),

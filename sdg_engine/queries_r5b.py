@@ -539,6 +539,64 @@ def events_mad(spark, sf_dir):
     )
 
 
+def closeness_roads(spark, sf_dir):
+    """Closeness centrality of the top-5 road-graph hubs: MULTI-SOURCE
+    BFS — one frontier carrying a seed label, so all 5 sources expand
+    in the SAME per-round equi-join (5x the rows, not 5x the rounds);
+    per round: frontier ⋈ edges + distinct + composite-key anti-join
+    against visited, localCheckpointed (gotcha 15).  Closeness =
+    (reached - 1) / sum(hops) in FLOOR micros.  Oracle: DuckDB
+    recursive CTE over (seed, node) pairs with MIN(hops) dedup — the
+    road_graph_bfs twin generalized to a labeled walk."""
+    from .queries_ext import _fixture_images
+    from .queries_r5 import _BFS_NODE
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    edges = (
+        segs.selectExpr("a AS src", "b AS dst")
+        .unionAll(segs.selectExpr("b AS src", "a AS dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(5)
+        .selectExpr("src AS seed", "src AS node",
+                    "CAST(0 AS INT) AS hops")
+    )
+    visited = seeds.localCheckpoint()
+    frontier = visited
+    for hop in range(1, 17):  # same hop bound as road_graph_bfs
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"],
+                  "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.groupBy("seed").agg(
+        F.expr("CAST(COUNT(*) - 1 AS BIGINT) AS n_reached"),
+        F.expr("CAST(SUM(hops) AS BIGINT) AS sum_hops"),
+        F.expr("CAST(FLOOR(1000000.0 * (COUNT(*) - 1) / SUM(hops))"
+               " AS BIGINT) AS closeness_micros"),
+    )
+
+
 QUERIES_R5B = {
     "recursive_order_chain": recursive_order_chain,
     "unpivot_order_metrics": unpivot_order_metrics,
@@ -551,4 +609,5 @@ QUERIES_R5B = {
     "pca_power_iteration": pca_power_iteration,
     "scd2_user_state": scd2_user_state,
     "events_mad": events_mad,
+    "closeness_roads": closeness_roads,
 }
