@@ -672,6 +672,10 @@ from .oracles_r5b import ORACLES_R5B  # noqa: E402 — round-5 wave 5
 
 ORACLES.update(ORACLES_R5B)
 
+from .oracles_r5c import ORACLES_R5C  # noqa: E402 — round-5 wave 6
+
+ORACLES.update(ORACLES_R5C)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed
@@ -680,8 +684,10 @@ def all_oracles() -> dict[str, str]:
     import)."""
     from .oracles_ext import image_oracles
     from .oracles_r5 import image_oracles_r5
+    from .oracles_r5c import fixture_oracles_r5c
 
     out = dict(ORACLES)
     out.update(image_oracles())
     out.update(image_oracles_r5())
+    out.update(fixture_oracles_r5c())
     return out

@@ -1,0 +1,231 @@
+"""DuckDB oracle twins for queries_r5c (wave 6).
+
+Dialect adaptations per CLAUDE.md gotcha 7: size->len, split->
+string_split, DIV->//, SUM(int)->HUGEINT->CAST BIGINT, epoch_us(ts)
+for unix_micros(CAST(ts AS TIMESTAMP)), 1-indexed lists.  Float
+fragments (_RHO_MICROS, _RUNS_Z, the KW per-group chain, readability
+terms, the shoelace running fold) are the ENGINE'S OWN text imported
+from queries_r5c so both engines evaluate identical expressions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .queries_r5c import (
+    CENTROID_SQL,
+    _FKG_MILS,
+    _FRE_MILS,
+    _RHO_MICROS,
+    _RUNS_Z,
+)
+
+
+ORACLES_R5C: dict[str, str] = {}
+
+ORACLES_R5C["events_spearman"] = f"""
+WITH hourly0 AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS xv,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+),
+hourly AS (SELECT * FROM hourly0 WHERE xv IS NOT NULL AND xc IS NOT NULL),
+ranked AS (
+  SELECT 2 * RANK() OVER (ORDER BY xv)
+           + COUNT(*) OVER (PARTITION BY xv) - 1 AS r2v,
+         2 * RANK() OVER (ORDER BY xc)
+           + COUNT(*) OVER (PARTITION BY xc) - 1 AS r2c
+  FROM hourly
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM((r2v - r2c) * (r2v - r2c)) AS BIGINT) AS sum_d2_sq
+  FROM ranked
+)
+SELECT n_hours, sum_d2_sq, {_RHO_MICROS} AS rho_micros FROM agg
+"""
+
+ORACLES_R5C["events_runs_test"] = f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+d AS (SELECT h, x - LAG(x) OVER (ORDER BY h) AS d FROM hourly),
+s AS (
+  SELECT h, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+  FROM d WHERE d IS NOT NULL AND d <> 0
+),
+r AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY h) IS NULL THEN 1
+              WHEN s <> LAG(s) OVER (ORDER BY h) THEN 1 ELSE 0 END AS new_run
+  FROM s
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM r
+)
+SELECT n_pos, n_neg, n_runs, {_RUNS_Z} AS z_micros FROM agg
+"""
+
+ORACLES_R5C["events_kruskal"] = """
+WITH ev AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+cells AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+scores AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+r2 AS (
+  SELECT v, t,
+         CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2
+  FROM scores
+),
+grp AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(c * r2) AS BIGINT) AS r2_g
+  FROM cells JOIN r2 USING (v) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM r2
+),
+per_g AS (
+  SELECT g, n_g, n, tie_sum, r2_g - n_g * (n + 1) AS dev
+  FROM grp CROSS JOIN tot
+),
+t2 AS (
+  SELECT g, n_g, n, tie_sum,
+         CAST(FLOOR(3000000.0 * dev * dev
+              / (CAST(n_g AS DOUBLE) * n * (n + 1))) AS BIGINT) AS t_micros
+  FROM per_g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(t_micros) AS BIGINT) AS h_micros,
+       CAST(FLOOR(1000000.0 - 1000000.0 * MAX(tie_sum)
+            / (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n) - MAX(n)))
+            AS BIGINT) AS tie_corr_micros
+FROM t2
+"""
+
+ORACLES_R5C["doc_readability"] = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '([A-Za-z]+)', 1)) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '([aeiouy]+)', 1))
+              AS BIGINT) AS n_syl,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '([.!?]+)', 1))
+                       AS BIGINT)) AS n_sents
+  FROM documents
+),
+f AS (
+  SELECT lang, {_FRE_MILS} AS fre_mils, {_FKG_MILS} AS fkg_mils
+  FROM d WHERE n_words > 0
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(fre_mils) AS BIGINT) AS sum_fre_mils,
+       CAST(MIN(fre_mils) AS BIGINT) AS min_fre_mils,
+       CAST(MAX(fre_mils) AS BIGINT) AS max_fre_mils,
+       CAST(SUM(fkg_mils) AS BIGINT) AS sum_fkg_mils
+FROM f GROUP BY 1
+"""
+
+ORACLES_R5C["doc_repetition"] = """
+WITH bg AS (
+  SELECT doc_id, lang, parts[i] || ' ' || parts[i + 1] AS bg
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS parts
+        FROM documents) t,
+       UNNEST(range(1, len(parts))) AS r(i)
+),
+per_bg AS (
+  SELECT doc_id, lang, bg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_bg,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM per_bg GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, lang, n_bg,
+         (1000 * max_c) // n_bg AS top_share_mils,
+         (1000 * (n_bg - n_distinct)) // n_bg AS dup_mils
+  FROM per_doc
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN top_share_mils >= 100 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive,
+       CAST(SUM(top_share_mils) AS BIGINT) AS sum_top_mils,
+       CAST(SUM(dup_mils) AS BIGINT) AS sum_dup_mils,
+       CAST(SUM(n_bg) AS BIGINT) AS sum_bigrams
+FROM sc GROUP BY 1
+"""
+
+
+def _centroid_sql() -> str:
+    from .harness import edges_values_sql_indexed
+
+    return CENTROID_SQL.format(edges=edges_values_sql_indexed())
+
+
+ORACLES_R5C["country_centroids"] = _centroid_sql()
+
+
+def fixture_oracles_r5c() -> dict[str, str]:
+    """Lazily-built oracles that embed the absolute sf0.01 fixture path
+    (building them at import time would trigger fixture generation on
+    every import — the image_oracles precedent)."""
+    from .jobs.rai import fixture_dir
+
+    roads = os.path.join(fixture_dir(0.01), "roads.parquet").replace("'", "''")
+    return {"roads_hausdorff": f"""
+WITH first AS (
+  SELECT road_id,
+         COALESCE(CAST(FLOOR(coords[1].x * 10) AS BIGINT) * 100000
+                  + CAST(FLOOR(coords[1].y * 10) AS BIGINT), -1) AS cell
+  FROM read_parquet('{roads}')
+),
+verts AS (
+  SELECT road_id, i,
+         CAST(FLOOR(coords[i].x * 1000000) AS BIGINT) AS x,
+         CAST(FLOOR(coords[i].y * 1000000) AS BIGINT) AS y
+  FROM read_parquet('{roads}'),
+       UNNEST(range(1, len(coords) + 1)) AS r(i)
+),
+pairs AS (
+  SELECT a.road_id AS ra, b.road_id AS rb
+  FROM first a JOIN first b USING (cell)
+  WHERE a.road_id < b.road_id
+),
+ab AS (
+  SELECT p.ra, p.rb, va.i AS ai,
+         (va.x - vb.x) * (va.x - vb.x)
+           + (va.y - vb.y) * (va.y - vb.y) AS dsq
+  FROM pairs p
+  JOIN verts va ON va.road_id = p.ra
+  JOIN verts vb ON vb.road_id = p.rb
+),
+minb AS (
+  SELECT ra, rb, ai, CAST(MIN(dsq) AS BIGINT) AS min_dsq
+  FROM ab GROUP BY 1, 2, 3
+)
+SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n_a,
+       CAST(MAX(min_dsq) AS BIGINT) AS h_sq,
+       CAST(FLOOR(SQRT(CAST(MAX(min_dsq) AS DOUBLE))) AS BIGINT) AS h_micro
+FROM minb GROUP BY 1, 2
+"""}

@@ -848,6 +848,10 @@ from .queries_r5b import QUERIES_R5B  # noqa: E402 — round-5 wave 5
 
 QUERIES.update(QUERIES_R5B)
 
+from .queries_r5c import QUERIES_R5C  # noqa: E402 — round-5 wave 6
+
+QUERIES.update(QUERIES_R5C)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and

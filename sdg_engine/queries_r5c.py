@@ -1,0 +1,428 @@
+"""Round-5 wave 6: rank/nonparametric statistics (Spearman rho,
+Wald-Wolfowitz runs test, Kruskal-Wallis), text-curation signals
+(Flesch readability, Gopher-style repetition), and two geometry
+operators (polygon shoelace centroids, bounded directed Hausdorff).
+
+Parity rules as everywhere (CLAUDE.md gotchas 7/8): money and values
+fold as exact BIGINT cents/mils; midranks are kept at 2x scale so
+ties stay integer (2r = 2*RANK() + ties - 1); the only float ops on
+oracle-checked paths are + - * / sqrt floor over identical expression
+text; shoelace folds run as RUNNING WINDOWS in ring-edge order (the
+country_areas precedent — partial aggregation would reassociate the
+doubles).
+
+Registered into queries.QUERIES via QUERIES_R5C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
+_HOUR_US = 3_600_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (hourly view-vs-click spend series)
+# ---------------------------------------------------------------------------
+
+# 2x-scaled midrank: integer-exact under ties (2r = 2*minrank + t - 1).
+_R2 = "2 * RANK() OVER (ORDER BY {col}) + COUNT(*) OVER (PARTITION BY {col}) - 1"
+
+# rho = 1 - 6*sum(d^2) / (n(n^2-1)); with d at 2x scale sum(d2^2) = 4*sum(d^2)
+# so the micro-scaled statistic is one shared float division + FLOOR.
+_RHO_MICROS = (
+    "CAST(FLOOR(1000000.0 - (1500000.0 * sum_d2_sq)"
+    " / (n_hours * (n_hours * n_hours - 1))) AS BIGINT)"
+)
+
+
+def events_spearman(spark, sf_dir):
+    """SPEARMAN RANK CORRELATION between the hourly 'view' and 'click'
+    spend series — the monotone-association twin of events_regression's
+    Pearson OLS.  Midranks are exact BIGINTs at 2x scale (2r =
+    2*RANK() + ties - 1, the AUC midrank identity), d = r2x - r2y stays
+    integer, and rho lands in micros via ONE shared FLOOR division
+    (sum d2^2 = 4 sum d^2 folds into the 6/(n(n^2-1)) constant).
+
+    Plan shape: ONE map-side-combinable hash agg reduces events to the
+    observed-hour series (length ∝ time span, never rows); the two
+    ranking windows run over that tiny series.  Only hours where both
+    series are observed enter (spec'd identically in the oracle).
+    """
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .selectExpr(
+            f"CAST(FLOOR({_TS_US} / {_HOUR_US}) AS BIGINT) AS h",
+            "event_type",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(F.expr("CASE WHEN event_type = 'view' THEN cents END"))
+            .alias("xv"),
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN cents END"))
+            .alias("xc"),
+        )
+        .filter("xv IS NOT NULL AND xc IS NOT NULL")
+    )
+    ranked = hourly.selectExpr(
+        "h",
+        f"{_R2.format(col='xv')} AS r2v",
+        f"{_R2.format(col='xc')} AS r2c",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.expr("(r2v - r2c) * (r2v - r2c)")).alias("sum_d2_sq"),
+    ).selectExpr("n_hours", "sum_d2_sq", f"{_RHO_MICROS} AS rho_micros")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of hourly count deltas)
+# ---------------------------------------------------------------------------
+
+# z = (R - mu)/sigma with mu = 1 + 2ab/n, var = 2ab(2ab-n)/(n^2(n-1));
+# a=n_pos, b=n_neg, n=a+b.  Exact integers in, one shared float chain out.
+_RUNS_Z = (
+    "CAST(FLOOR(1000000.0 * (CAST(n_runs AS DOUBLE)"
+    " - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))"
+    " / SQRT(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - (n_pos + n_neg))"
+    " / (CAST(n_pos + n_neg AS DOUBLE) * (n_pos + n_neg)"
+    " * (n_pos + n_neg - 1)))) AS BIGINT)"
+)
+
+
+def events_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST on the sign sequence of hour-to-hour
+    count deltas — the nonparametric randomness check of a monitoring
+    pipeline (too few runs = trending, too many = oscillating).  Signs
+    come from a lag window over consecutive OBSERVED hours; zero deltas
+    are excluded (the classical treatment, spec'd identically in the
+    oracle).  R, n_pos, n_neg are exact integers; z lands in micros via
+    one shared + - * / sqrt floor chain.
+
+    Plan shape: one hash agg to the hourly series, two lag windows over
+    that tiny series, one global fold.  Nothing after the first agg
+    scales with rows."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("h")
+    signs = (
+        hourly.withColumn("d", F.col("x") - F.lag("x").over(w))
+        .filter("d IS NOT NULL AND d <> 0")
+        .selectExpr("h", "CASE WHEN d > 0 THEN 1 ELSE -1 END AS s")
+    )
+    runs = signs.withColumn(
+        "new_run",
+        F.expr(
+            "CASE WHEN LAG(s) OVER (ORDER BY h) IS NULL THEN 1 "
+            "WHEN s <> LAG(s) OVER (ORDER BY h) THEN 1 ELSE 0 END"
+        ),
+    )
+    return runs.agg(
+        F.sum(F.expr("CASE WHEN s = 1 THEN 1 ELSE 0 END")).alias("n_pos"),
+        F.sum(F.expr("CASE WHEN s = -1 THEN 1 ELSE 0 END")).alias("n_neg"),
+        F.sum("new_run").alias("n_runs"),
+    ).selectExpr("n_pos", "n_neg", "n_runs", f"{_RUNS_Z} AS z_micros")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across event types (global midranks, DECIMAL(38) squares)
+# ---------------------------------------------------------------------------
+
+def events_kruskal(spark, sf_dir):
+    """KRUSKAL-WALLIS H test of value distributions across event types
+    — the k-group extension of the AUC/Mann-Whitney machinery.  Global
+    midranks at 2x scale come from the SAME two-level technique as
+    events_auc: the windowed relation is the DISTINCT cents scores
+    (bounded by value resolution), never the rows; per-row 2r = 2*cum_lt
+    + t + 1 attaches back by an equi-join on the score.  H uses the
+    DEVIATION form H = 3/(N(N+1)) * sum_g dev_g^2/n_g with dev_g =
+    R2_g - n_g*(N+1) (exact BIGINT — the 2x-scaled gap between the
+    group's rank sum and its null expectation, which stays small where
+    the raw rank sum would square past int64); each group's term is
+    FLOORed to BIGINT micros through a shared + * / floor chain and the
+    cross-group fold is an exact integer SUM (gotcha 8 — never a
+    multi-row double sum).  Tie correction 1 - sum(t^3-t)/(N^3-N) is
+    reported separately in micros so the uncorrected H stays headline.
+
+    Plan shape: one hash agg to (score, type) cells, one window over
+    distinct scores, one broadcast fold.  Nothing after the first agg
+    is proportional to events."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v",
+    )
+    cells = ev.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    scores = cells.groupBy("v").agg(F.sum("c").alias("t"))
+    wcum = (
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = scores.withColumn(
+        "cum_lt", F.coalesce(F.sum("t").over(wcum), F.lit(0))
+    ).selectExpr("v", "t", "2 * cum_lt + t + 1 AS r2")
+    grp = (
+        cells.join(r2.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.expr("c * r2")).alias("r2_g"),
+        )
+    )
+    tot = r2.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.expr("t * t * t - t")).alias("tie_sum"),
+    )
+    # FLOOR-per-group micro term (shared chain text with the oracle):
+    # dev_g exact BIGINT, then ONE double chain + FLOOR per group.
+    per_g = grp.crossJoin(F.broadcast(tot)).selectExpr(
+        "g", "n_g", "n", "tie_sum",
+        "r2_g - n_g * (n + 1) AS dev",
+    ).selectExpr(
+        "g", "n_g", "n", "tie_sum",
+        "CAST(FLOOR(3000000.0 * dev * dev"
+        " / (CAST(n_g AS DOUBLE) * n * (n + 1))) AS BIGINT) AS t_micros",
+    )
+    return per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("n").alias("n"),
+        F.sum("t_micros").alias("h_micros"),
+        F.max("tie_sum").alias("tie_sum"),
+    ).selectExpr(
+        "n_groups",
+        "n",
+        "h_micros",
+        "CAST(FLOOR(1000000.0 - 1000000.0 * tie_sum"
+        " / (CAST(n AS DOUBLE) * n * n - n)) AS BIGINT) AS tie_corr_micros",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability (text-curation signal)
+# ---------------------------------------------------------------------------
+
+# Shared per-doc readability terms: words / vowel-group "syllables" /
+# punctuation-run "sentences" (the fixture corpus has no punctuation, so
+# S degenerates to 1 — the formula text is still the full spec and the
+# syllable/word terms carry all the per-doc variation).  Group index 1
+# explicitly: Spark defaults to 1, DuckDB to 0.
+_FRE_MILS = (
+    "206835 - CAST(FLOOR(1015.0 * n_words / n_sents) AS BIGINT)"
+    " - CAST(FLOOR(84600.0 * n_syl / n_words) AS BIGINT)"
+)
+_FKG_MILS = (
+    "CAST(FLOOR(390.0 * n_words / n_sents) AS BIGINT)"
+    " + CAST(FLOOR(11800.0 * n_syl / n_words) AS BIGINT) - 15590"
+)
+
+
+def doc_readability(spark, sf_dir):
+    """FLESCH READING-EASE + FLESCH-KINCAID GRADE as integer-mils
+    curation signals, rolled up per language.  Syllables are the
+    classic vowel-group approximation — regexp_extract_all over
+    '([aeiouy]+)' (ASCII class: Java regex and RE2 agree exactly);
+    sentences are punctuation runs with a GREATEST(1, ·) floor.  Both
+    scores are FLOOR-per-term integer mils (shared text, gotcha 8).
+
+    Plan shape: map-only per-doc projection (regexp count, no explode)
+    followed by ONE map-side-combinable hash agg on lang — the whole
+    corpus passes exactly once, no shuffle wider than the lang rollup.
+    """
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "lang",
+        "CAST(size(regexp_extract_all(text, '([A-Za-z]+)', 1)) AS BIGINT)"
+        " AS n_words",
+        "CAST(size(regexp_extract_all(lower(text), '([aeiouy]+)', 1))"
+        " AS BIGINT) AS n_syl",
+        "GREATEST(CAST(1 AS BIGINT), "
+        "CAST(size(regexp_extract_all(text, '([.!?]+)', 1)) AS BIGINT))"
+        " AS n_sents",
+    ).filter("n_words > 0")
+    scored = docs.selectExpr(
+        "lang", f"{_FRE_MILS} AS fre_mils", f"{_FKG_MILS} AS fkg_mils"
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fre_mils").alias("sum_fre_mils"),
+        F.min("fre_mils").alias("min_fre_mils"),
+        F.max("fre_mils").alias("max_fre_mils"),
+        F.sum("fkg_mils").alias("sum_fkg_mils"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (text-curation)
+# ---------------------------------------------------------------------------
+
+def doc_repetition(spark, sf_dir):
+    """GOPHER-STYLE REPETITION signals: per-doc top-bigram share and
+    duplicate-bigram fraction (integer mils), rolled up per language
+    with a repetitive-doc count at the 100-mils threshold — the
+    repetition filter of an LLM curation pipeline (Rae et al. 2021
+    n-gram fraction family).  Bigrams come from ONE posexplode + lead
+    window on (doc_id, pos) — no per-element re-split (gotcha 16b).
+
+    Plan shape: explode -> (doc_id, bigram) hash agg -> doc_id hash agg
+    -> lang rollup; every stage is map-side combinable and the widest
+    key is (doc_id, bigram) — no vocabulary-global window anywhere.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = docs.select(
+        "doc_id", "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        words.withColumn("w2", F.lead("w").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .selectExpr("doc_id", "lang", "concat(w, ' ', w2) AS bg")
+    )
+    per_bg = bg.groupBy("doc_id", "lang", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_bg.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_bg"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"),
+    ).selectExpr(
+        "doc_id", "lang", "n_bg",
+        "(1000 * max_c) DIV n_bg AS top_share_mils",
+        "(1000 * (n_bg - n_distinct)) DIV n_bg AS dup_mils",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN top_share_mils >= 100 THEN 1 ELSE 0 END"))
+        .alias("n_repetitive"),
+        F.sum("top_share_mils").alias("sum_top_mils"),
+        F.sum("dup_mils").alias("sum_dup_mils"),
+        F.sum("n_bg").alias("sum_bigrams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polygon shoelace centroids (identical template text in both engines)
+# ---------------------------------------------------------------------------
+
+CENTROID_SQL = """
+WITH e AS (SELECT * FROM {edges}),
+t AS (
+  SELECT country_code, i,
+         x0 * y1 - x1 * y0 AS cr,
+         (x0 + x1) * (x0 * y1 - x1 * y0) AS cxn,
+         (y0 + y1) * (x0 * y1 - x1 * y0) AS cyn
+  FROM e
+),
+run AS (
+  SELECT country_code, i,
+         SUM(cr) OVER (PARTITION BY country_code ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+         SUM(cxn) OVER (PARTITION BY country_code ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+         SUM(cyn) OVER (PARTITION BY country_code ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry,
+         ROW_NUMBER() OVER (PARTITION BY country_code ORDER BY i DESC) AS rn
+  FROM t
+)
+SELECT country_code,
+       CAST(FLOOR(1000000.0 * rx / (3.0 * ra)) AS BIGINT) AS cx_microdeg,
+       CAST(FLOOR(1000000.0 * ry / (3.0 * ra)) AS BIGINT) AS cy_microdeg
+FROM run WHERE rn = 1
+"""
+
+
+def country_centroids(spark, sf_dir):
+    """POLYGON CENTROIDS of the country rings via the shoelace-weighted
+    formula C = sum((v_i + v_{i+1}) * cross_i) / (3 * 2A) — the label
+    point / zonal anchor next to country_areas' area+perimeter.  Float
+    parity by construction (the country_areas precedent): BOTH engines
+    evaluate the identical VALUES literal and the identical RUNNING
+    WINDOW fold in ring-edge order (partial aggregation would
+    reassociate the doubles); * - + / and one FLOOR only."""
+    from .harness import edges_values_sql_indexed
+
+    return spark.sql(CENTROID_SQL.format(edges=edges_values_sql_indexed()))
+
+
+# ---------------------------------------------------------------------------
+# Directed Hausdorff distance for cell-blocked road pairs
+# ---------------------------------------------------------------------------
+
+# Shared quantize: exact micro-degree BIGINTs before ANY distance math,
+# so every squared distance is integer in both engines.
+_VX = "CAST(FLOOR({c}.x * 1000000) AS BIGINT)"
+_VY = "CAST(FLOOR({c}.y * 1000000) AS BIGINT)"
+
+
+def roads_hausdorff(spark, sf_dir):
+    """DIRECTED HAUSDORFF distance h(A -> B) = max_a min_b |a - b| for
+    road pairs whose FIRST vertices share a 0.1-degree cell — the
+    geometry-similarity operator of a conflation pipeline (is candidate
+    A the same road as B?).  Coordinates quantize to micro-degree
+    BIGINTs BEFORE any distance math, so the max-min runs entirely on
+    exact integer squared distances; one FLOOR(SQRT(·)) at the end.
+
+    Plan shape: the pair candidates come from a CELL-BLOCKED self-join
+    (never all-pairs — the road_intersections bucketing argument); the
+    vertex fanout per pair is |A| x |B| <= a few hundred rows, grouped
+    twice (min over B per a-vertex, then max over a-vertices).  The
+    blocking key is COALESCE-wrapped (gotcha 11)."""
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    first = roads.selectExpr(
+        "road_id",
+        "COALESCE(CAST(FLOOR(coords[0].x * 10) AS BIGINT) * 100000 "
+        "+ CAST(FLOOR(coords[0].y * 10) AS BIGINT), -1) AS cell",
+    )
+    verts = roads.selectExpr(
+        "road_id", "posexplode(coords) AS (i, c)"
+    ).selectExpr(
+        "road_id", "i",
+        f"{_VX.format(c='c')} AS x",
+        f"{_VY.format(c='c')} AS y",
+    )
+    pairs = (
+        first.selectExpr("road_id AS ra", "cell")
+        .join(first.selectExpr("road_id AS rb", "cell"), "cell")
+        .filter("ra < rb")
+        .select("ra", "rb")
+    )
+    av = pairs.join(
+        verts.selectExpr("road_id AS ra", "i AS ai", "x AS ax", "y AS ay"),
+        "ra",
+    )
+    ab = av.join(
+        verts.selectExpr("road_id AS rb", "x AS bx", "y AS by"), "rb"
+    ).selectExpr(
+        "ra", "rb", "ai",
+        "(ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS dsq",
+    )
+    minb = ab.groupBy("ra", "rb", "ai").agg(F.min("dsq").alias("min_dsq"))
+    return minb.groupBy("ra", "rb").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.max("min_dsq").alias("h_sq"),
+    ).selectExpr(
+        "ra", "rb", "n_a", "h_sq",
+        "CAST(FLOOR(SQRT(CAST(h_sq AS DOUBLE))) AS BIGINT) AS h_micro",
+    )
+
+
+QUERIES_R5C = {
+    "events_spearman": events_spearman,
+    "events_runs_test": events_runs_test,
+    "events_kruskal": events_kruskal,
+    "doc_readability": doc_readability,
+    "doc_repetition": doc_repetition,
+    "country_centroids": country_centroids,
+    "roads_hausdorff": roads_hausdorff,
+}

@@ -1,0 +1,210 @@
+"""INDEPENDENT invariant gates for the wave-6 operators (queries_r5c).
+
+The DuckDB oracles for these queries share expression fragments with
+the engine; these tests recompute each result through a SECOND path
+(pandas rank(), collections.Counter, numpy brute force) so a
+shared-fragment bug cannot hide.
+"""
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(df) -> pd.DataFrame:
+    return df.toPandas()
+
+
+def _hourly(spark, col_filter=None):
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    ev["h"] = (
+        ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ) // 3_600_000_000
+    ev["cents"] = np.floor(ev.value * 100 + 0.5).astype(np.int64)
+    return ev
+
+
+def test_spearman_matches_pandas_rank(spark):
+    from sdg_engine.queries_r5c import events_spearman
+
+    out = _pdf(events_spearman(spark, SF)).iloc[0]
+    ev = _hourly(spark)
+    ev = ev[ev.event_type.isin(["view", "click"])]
+    piv = ev.pivot_table(
+        index="h", columns="event_type", values="cents", aggfunc="sum"
+    ).dropna()
+    n = len(piv)
+    r2v = (2 * piv["view"].rank(method="average")).astype(np.int64)
+    r2c = (2 * piv["click"].rank(method="average")).astype(np.int64)
+    s = int(((r2v - r2c) ** 2).sum())
+    assert int(out.n_hours) == n
+    assert int(out.sum_d2_sq) == s
+    assert int(out.rho_micros) == math.floor(
+        1000000.0 - (1500000.0 * s) / (n * (n * n - 1))
+    )
+    # rank correlation of two noisy series must land strictly inside
+    # the open interval (-1, 1)
+    assert -1_000_000 < int(out.rho_micros) < 1_000_000
+
+
+def test_runs_test_matches_bruteforce(spark):
+    from sdg_engine.queries_r5c import events_runs_test
+
+    out = _pdf(events_runs_test(spark, SF)).iloc[0]
+    ev = _hourly(spark)
+    x = ev.groupby("h").size().sort_index()
+    d = x.diff().dropna()
+    signs = [1 if v > 0 else -1 for v in d if v != 0]
+    n_pos = sum(1 for s in signs if s == 1)
+    n_neg = len(signs) - n_pos
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert (int(out.n_pos), int(out.n_neg), int(out.n_runs)) == (
+        n_pos, n_neg, runs,
+    )
+    nn = n_pos + n_neg
+    mu = 1.0 + 2.0 * n_pos * n_neg / nn
+    var = (2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - nn)
+           / (float(nn) * nn * (nn - 1)))
+    assert int(out.z_micros) == math.floor(
+        1000000.0 * (runs - mu) / math.sqrt(var)
+    )
+
+
+def test_kruskal_matches_pandas_rank(spark):
+    from sdg_engine.queries_r5c import events_kruskal
+
+    out = _pdf(events_kruskal(spark, SF)).iloc[0]
+    ev = _hourly(spark)
+    r2 = (2 * ev.cents.rank(method="average")).astype(np.int64)
+    n = len(ev)
+    h_micros = 0
+    for g, idx in ev.groupby("event_type").groups.items():
+        n_g = len(idx)
+        dev = int(r2.loc[idx].sum()) - n_g * (n + 1)
+        h_micros += math.floor(
+            3000000.0 * dev * dev / (float(n_g) * n * (n + 1))
+        )
+    t = ev.cents.value_counts()
+    tie_sum = int((t ** 3 - t).sum())
+    assert int(out.n) == n
+    assert int(out.h_micros) == h_micros
+    assert int(out.tie_corr_micros) == math.floor(
+        1000000.0 - 1000000.0 * tie_sum / (float(n) * n * n - n)
+    )
+    assert int(out.h_micros) >= 0
+
+
+def test_readability_matches_python_re(spark):
+    from sdg_engine.queries_r5c import doc_readability
+
+    out = _pdf(doc_readability(spark, SF)).set_index("lang").sort_index()
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet"))
+    rows = []
+    for _, r in docs.iterrows():
+        w = len(re.findall(r"[A-Za-z]+", r.text))
+        if w == 0:
+            continue
+        syl = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        s = max(1, len(re.findall(r"[.!?]+", r.text)))
+        fre = (206835 - math.floor(1015.0 * w / s)
+               - math.floor(84600.0 * syl / w))
+        fkg = (math.floor(390.0 * w / s)
+               + math.floor(11800.0 * syl / w) - 15590)
+        rows.append((r.lang, fre, fkg))
+    want = pd.DataFrame(rows, columns=["lang", "fre", "fkg"]).groupby("lang")
+    agg = want.agg(
+        n_docs=("fre", "size"), sum_fre_mils=("fre", "sum"),
+        min_fre_mils=("fre", "min"), max_fre_mils=("fre", "max"),
+        sum_fkg_mils=("fkg", "sum"),
+    ).sort_index()
+    assert (out[agg.columns].astype(np.int64).values
+            == agg.astype(np.int64).values).all()
+
+
+def test_repetition_matches_counter(spark):
+    from sdg_engine.queries_r5c import doc_repetition
+
+    out = _pdf(doc_repetition(spark, SF)).set_index("lang").sort_index()
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet"))
+    rows = []
+    for _, r in docs.iterrows():
+        ws = r.text.split(" ")
+        bgs = Counter(zip(ws, ws[1:]))
+        n_bg = sum(bgs.values())
+        if n_bg == 0:
+            continue
+        top = (1000 * max(bgs.values())) // n_bg
+        dup = (1000 * (n_bg - len(bgs))) // n_bg
+        rows.append((r.lang, n_bg, top, dup))
+    w = pd.DataFrame(rows, columns=["lang", "n_bg", "top", "dup"])
+    agg = w.groupby("lang").agg(
+        n_docs=("n_bg", "size"),
+        n_repetitive=("top", lambda s: int((s >= 100).sum())),
+        sum_top_mils=("top", "sum"), sum_dup_mils=("dup", "sum"),
+        sum_bigrams=("n_bg", "sum"),
+    ).sort_index()
+    assert (out[agg.columns].astype(np.int64).values
+            == agg.astype(np.int64).values).all()
+
+
+def test_centroids_inside_ring_bbox(spark):
+    from sdg_engine.harness import ring_edge_rows
+    from sdg_engine.queries_r5c import country_centroids
+
+    out = _pdf(country_centroids(spark, SF))
+    edges = {}
+    for cc, x0, y0, x1, y1 in ring_edge_rows():
+        edges.setdefault(cc, []).append((x0, y0, x1, y1))
+    assert len(out) == len(edges)
+    for _, r in out.iterrows():
+        e = np.asarray(edges[r.country_code], dtype=np.float64)
+        x0, y0, x1, y1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        cx, cy = r.cx_microdeg / 1e6, r.cy_microdeg / 1e6
+        assert x0.min() <= cx <= x0.max()
+        assert y0.min() <= cy <= y0.max()
+        # independent numpy shoelace twin (vector fold; the engine
+        # folds through a running window — exactness differences can
+        # only be the final FLOOR, so allow 1 micro)
+        cr = x0 * y1 - x1 * y0
+        want_cx = ((x0 + x1) * cr).sum() / (3.0 * cr.sum())
+        want_cy = ((y0 + y1) * cr).sum() / (3.0 * cr.sum())
+        assert abs(math.floor(want_cx * 1e6) - r.cx_microdeg) <= 1
+        assert abs(math.floor(want_cy * 1e6) - r.cy_microdeg) <= 1
+
+
+def test_hausdorff_matches_numpy_bruteforce(spark):
+    from sdg_engine.jobs.rai import fixture_dir
+    from sdg_engine.queries_r5c import roads_hausdorff
+
+    out = _pdf(roads_hausdorff(spark, SF))
+    roads = pd.read_parquet(f"{fixture_dir(0.01)}/roads.parquet")
+    vq = {
+        r.road_id: np.floor(
+            np.asarray([(c["x"], c["y"]) for c in r.coords]) * 1e6
+        ).astype(np.int64)
+        for _, r in roads.iterrows()
+    }
+    cell = {
+        r.road_id: (math.floor(r.coords[0]["x"] * 10) * 100000
+                    + math.floor(r.coords[0]["y"] * 10))
+        for _, r in roads.iterrows()
+    }
+    want = {}
+    ids = sorted(vq)
+    by_cell = {}
+    for rid in ids:
+        by_cell.setdefault(cell[rid], []).append(rid)
+    for members in by_cell.values():
+        for i, ra in enumerate(members):
+            for rb in members[i + 1:]:
+                a, b = vq[ra], vq[rb]
+                d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+                want[(ra, rb)] = int(d.min(axis=1).max())
+    got = {(r.ra, r.rb): int(r.h_sq) for _, r in out.iterrows()}
+    assert got == want
+    assert (out.h_micro == np.floor(np.sqrt(out.h_sq.astype(float)))).all()
