@@ -15,7 +15,9 @@ from .queries_tpch import (
     CC,
     CENTS,
     PCT,
+    Q2_TEMPLATE,
     Q4_TEMPLATE,
+    Q11_TEMPLATE,
     Q7_TEMPLATE,
     Q8_TEMPLATE,
     Q9_TEMPLATE,
@@ -35,6 +37,8 @@ _BARE = {
 }
 
 ORACLES_TPCH = {
+    "q2_min_cost_supplier": Q2_TEMPLATE.format(**_BARE),
+    "q11_important_stock": Q11_TEMPLATE.format(**_BARE),
     "q4_late_shipments": Q4_TEMPLATE.format(**_BARE),
     "q7_volume_shipping": Q7_TEMPLATE.format(**_BARE),
     "q8_market_share": Q8_TEMPLATE.format(**_BARE),

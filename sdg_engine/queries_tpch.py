@@ -9,8 +9,12 @@ missing column are ADAPTED: the join/subquery/aggregation SHAPE — the
 thing that stresses the planner — is preserved exactly, and the filter
 is re-expressed over an available column.  Each docstring names the
 adaptation.  q2/q11 are partsupp-native (min-cost supplier /
-inventory value) and have no faithful shape without that table, so
-they are deliberately absent rather than faked.
+inventory value); their partsupp is DERIVED relationally from
+lineitem's observed (l_partkey, l_suppkey) pairs with supplycost and
+availqty as deterministic integer functions of the keys
+(PARTSUPP_TEMPLATE) — the identical CTE text runs in both engines, so
+nothing external is faked and the q2 correlated-min / q11
+group-vs-global-threshold planner shapes are exercised for real.
 
 Cross-engine parity (CLAUDE.md gotchas 7/8): every money fold is
 exact-integer — price snaps to cents via FLOOR(x*100+0.5), discount to
@@ -298,6 +302,88 @@ def q22_dormant_customers(spark, sf_dir):
     return spark.sql(Q22_TEMPLATE.format(**v))
 
 
+# Derived partsupp: the observed (partkey, suppkey) pairs from lineitem
+# with supplycost/availqty as deterministic integer functions of the
+# keys — the IDENTICAL text runs as a CTE in both engines, so the
+# relation is reproducible anywhere and nothing external is faked.
+PARTSUPP_TEMPLATE = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 7 + l_suppkey * 13) % 90000 + 10000 AS BIGINT)
+           AS ps_supplycost_cents,
+         CAST((l_partkey * 31 + l_suppkey * 17) % 9991 + 10 AS BIGINT)
+           AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {lineitem}) ps0
+"""
+
+Q2_TEMPLATE = f"""
+WITH partsupp AS ({PARTSUPP_TEMPLATE})
+SELECT {CENTS.format(col='s_acctbal')} AS s_acctbal_cents,
+       s_name, n_name, p_partkey, p_brand, ps_supplycost_cents
+FROM partsupp, {{part}}, {{supplier}}, {{nation}}, {{region}}
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps2.ps_supplycost_cents)
+    FROM partsupp ps2, {{supplier}} s2, {{nation}} n2, {{region}} r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+"""
+
+# Above-1.2x-mean threshold kept ALL-INTEGER by cross-multiplying
+# (group_value * n_groups * 5 > grand_total * 6) — selectivity is
+# scale-free, unlike TPC-H's 0.0001/SF literal.
+Q11_TEMPLATE = f"""
+WITH partsupp AS ({PARTSUPP_TEMPLATE}),
+nat AS (
+  SELECT ps_partkey,
+         CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cc
+  FROM partsupp, {{supplier}}, {{nation}}
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY ps_partkey
+),
+tot AS (
+  SELECT CAST(SUM(value_cc) AS BIGINT) AS total_cc,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM nat
+)
+SELECT ps_partkey, value_cc
+FROM nat, tot
+WHERE value_cc * n_parts * 5 > total_cc * 6
+"""
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for size-15 parts, the
+    EUROPE supplier(s) achieving the minimum supply cost, via the
+    classic correlated scalar subquery.  partsupp is DERIVED
+    (PARTSUPP_TEMPLATE — deterministic integer cost/qty over the
+    observed lineitem pairs; identical text in both engines).  The
+    surface is the decorrelation: Catalyst rewrites the correlated MIN
+    to a per-part aggregate + equi-join (no per-row subquery); part /
+    supplier / nation / region are broadcast dims, so the only wide
+    work is the distinct over lineitem's (partkey, suppkey) pairs."""
+    v = _views(spark, sf_dir, "q2",
+               ["lineitem", "part", "supplier", "nation", "region"])
+    return spark.sql(Q2_TEMPLATE.format(**v))
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): per-part inventory
+    value within a nation group, kept where the part's value exceeds
+    1.2x the mean part value — the group-vs-global-scalar-threshold
+    shape, held ALL-INTEGER by cross-multiplying instead of TPC-H's
+    float fraction (scale-free selectivity; gotcha 8: no float
+    compare on the oracle-checked path).  partsupp is DERIVED
+    (PARTSUPP_TEMPLATE).  The global total folds to ONE broadcast row;
+    nothing joins wider than the per-part aggregate."""
+    v = _views(spark, sf_dir, "q11", ["lineitem", "supplier", "nation"])
+    return spark.sql(Q11_TEMPLATE.format(**v))
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-API queries (oracle twins share the cents fragments)
 # ---------------------------------------------------------------------------
@@ -508,6 +594,8 @@ def q19_bracketed_revenue(spark, sf_dir):
 
 
 QUERIES_TPCH = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
     "q4_late_shipments": q4_late_shipments,
     "q6_revenue_band": q6_revenue_band,
     "q7_volume_shipping": q7_volume_shipping,

@@ -722,3 +722,25 @@ def test_recursive_cte_runs_natively(spark):
 
     plan = _plan(recursive_order_chain(spark, SF))
     assert "UnionLoop" in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """Q2's correlated scalar MIN over the derived partsupp must plan
+    as a per-part aggregate + equi-join — no per-row subquery, no
+    nested loop; region/nation/supplier stay broadcast dims."""
+    from sdg_engine.queries_tpch import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_global_threshold_is_single_broadcast_row(spark):
+    """Q11's grand-total threshold must fold to one row joined back by
+    broadcast — never a nested loop over the per-part aggregate."""
+    from sdg_engine.queries_tpch import q11_important_stock
+
+    plan = _plan(q11_important_stock(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
