@@ -169,6 +169,8 @@ def main() -> None:
     make_strahler_golden()
     make_hist_equalize_golden()
     make_morphology_golden()
+    make_tpi_tri_golden()
+    make_flow_length_golden()
     make_quadtree_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
@@ -1847,3 +1849,112 @@ def make_morphology_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"morphology_sf{sf:g}.parquet"),
     )
     print(f"morphology golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_tpi_tri_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_tpi_tri query (r05 wave 6).
+
+    Same SPEC as ops/payload.tpi_tri_kernel (8-neighborhood clamp
+    borders, TPI = 8c - sum, TRI = sum |c - n|, |TPI| > 8000 ridge/
+    valley), INDEPENDENT path: generator pixels (vs engine decode) and
+    np.ix_ clamp gathers (vs pad slices)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offs = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1))
+    ids, n_pxs, tris, maxs, ridges, valleys, chks = [], [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        s = np.zeros_like(lum)
+        tri = np.zeros_like(lum)
+        for dr, dc in offs:
+            ri = np.clip(np.arange(hh) + dr, 0, hh - 1)
+            ci = np.clip(np.arange(ww) + dc, 0, ww - 1)
+            nb = lum[np.ix_(ri, ci)]
+            s += nb
+            tri += np.abs(lum - nb)
+        tpi = 8 * lum - s
+        wgt = (np.arange(lum.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(int(lum.size))
+        tris.append(int(tri.sum()))
+        maxs.append(int(tri.max()))
+        ridges.append(int((tpi > 8000).sum()))
+        valleys.append(int((tpi < -8000).sum()))
+        chks.append(int((wgt * tri.ravel()).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "sum_tri": pa.array(tris, pa.int64()),
+            "max_tri": pa.array(maxs, pa.int64()),
+            "n_ridge": pa.array(ridges, pa.int64()),
+            "n_valley": pa.array(valleys, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"tpi_tri_sf{sf:g}.parquet"),
+    )
+    print(f"tpi_tri golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_flow_length_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_flow_length query (r05
+    wave 6).
+
+    Same SPEC as ops/payload.d8_flow_length (D8 targets, 10/14 weights
+    by EFFECTIVE displacement), INDEPENDENT path: stacked-argmax
+    targets (_golden_d8_targets) + memoized SCALAR chain walking (vs
+    the engine's vectorized pointer jumping)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, sinks, sums, maxs, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        tflat = _golden_d8_targets(px)
+        ww = px.shape[1]
+        n = tflat.size
+        tl = tflat.tolist()
+
+        def step_w(c: int, t: int) -> int:
+            dr = abs(t // ww - c // ww)
+            dc = abs(t % ww - c % ww)
+            return 14 if (dr and dc) else 10
+
+        memo: dict[int, int] = {}
+
+        def walk(c: int) -> int:
+            chain = []
+            while c not in memo and tl[c] >= 0:
+                chain.append(c)
+                c = tl[c]
+            base = memo.get(c, 0)
+            for u in reversed(chain):
+                base = memo[u] = base + step_w(u, tl[u])
+            return memo.get(chain[0] if chain else c, base)
+
+        lens = np.asarray([walk(c) for c in range(n)], dtype=np.int64)
+        wgt = (np.arange(n, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(n)
+        sinks.append(int((tflat < 0).sum()))
+        sums.append(int(lens.sum()))
+        maxs.append(int(lens.max()))
+        chks.append(int((wgt * lens).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_sinks": pa.array(sinks, pa.int32()),
+            "sum_len": pa.array(sums, pa.int64()),
+            "max_len": pa.array(maxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"flow_length_sf{sf:g}.parquet"),
+    )
+    print(f"flow_length golden: {len(ids)} rows (jpg skipped)")

@@ -1189,3 +1189,98 @@ def morphology_stats(images: DataFrame) -> DataFrame:
         "n_px int, sum_erode bigint, sum_dilate bigint, n_edge bigint, "
         "chk bigint",
     )
+
+
+# TPI/TRI SPEC (shared with the golden twin): 8-neighborhood under
+# clamp borders; TPI = 8*center - sum(neighbors), TRI = sum(|center -
+# neighbor|); ridge/valley threshold on |TPI| in milli-luma units.
+_TPI_T = 8_000
+
+
+def tpi_tri_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int, int]:
+    """Topographic Position Index + Terrain Ruggedness Index stats per
+    the SPEC above, via an edge-replicated pad whose 8 neighbor reads
+    are contiguous SLICES (views, never gathers — the morphology
+    layout).  The golden twin uses np.ix_ clamp gathers instead."""
+    h, w = lum_i.shape
+    p = np.pad(lum_i, 1, mode="edge")
+    nb = (
+        p[:h, :w], p[:h, 1:w + 1], p[:h, 2:],
+        p[1:h + 1, :w], p[1:h + 1, 2:],
+        p[2:, :w], p[2:, 1:w + 1], p[2:, 2:],
+    )
+    s = np.zeros_like(lum_i)
+    tri = np.zeros_like(lum_i)
+    for b in nb:
+        s += b
+        tri += np.abs(lum_i - b)
+    tpi = 8 * lum_i - s
+    wgt = (np.arange(lum_i.size, dtype=np.int64) % 97) + 1
+    return (
+        int(lum_i.size),
+        int(tri.sum()),
+        int(tri.max()),
+        int((tpi > _TPI_T).sum()),
+        int((tpi < -_TPI_T).sum()),
+        int((wgt * tri.ravel()).sum()),
+    )
+
+
+def tpi_tri_stats(images: DataFrame) -> DataFrame:
+    """Per-image TPI/TRI terrain-index stats (map-only)."""
+    return _int_terrain_op(
+        images, tpi_tri_kernel,
+        ["n_px", "sum_tri", "max_tri", "n_ridge", "n_valley", "chk"],
+        "n_px int, sum_tri bigint, max_tri bigint, n_ridge bigint, "
+        "n_valley bigint, chk bigint",
+    )
+
+
+def d8_flow_length(lum_i: np.ndarray) -> tuple[np.ndarray, int]:
+    """DOWNSTREAM FLOW LENGTH along the D8 target chain to each cell's
+    sink, with integer step weights 10 (cardinal) / 14 (diagonal —
+    10*sqrt(2) truncated, the classic grid metric).  The step weight is
+    decided by the EFFECTIVE displacement (clamped border offsets can
+    degrade a diagonal to a cardinal move).  Engine path: vectorized
+    POINTER JUMPING with additive lengths (L[i] += L[t[i]]; t = t[t]),
+    O(log path) rounds — the same doubling primitive as watershed.
+    The golden twin walks each chain scalar-memoized instead.
+    Returns (flat int64 lengths, n_sinks)."""
+    h, w = lum_i.shape
+    t = d8_targets(lum_i)
+    n = t.size
+    idx = np.arange(n, dtype=np.int64)
+    rr, cc = idx // w, idx % w
+    tr, tc = np.where(t >= 0, t // w, rr), np.where(t >= 0, t % w, cc)
+    diag = (tr != rr) & (tc != cc)
+    length = np.where(t >= 0, np.where(diag, 14, 10), 0).astype(np.int64)
+    ptr = np.where(t >= 0, t, idx)  # sinks self-loop with step 0
+    while True:
+        nxt = ptr[ptr]
+        if (nxt == ptr).all():
+            break
+        length = length + length[ptr]
+        ptr = nxt
+    return length, int((t < 0).sum())
+
+
+def flow_length_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    length, n_sinks = d8_flow_length(lum_i)
+    wgt = (np.arange(length.size, dtype=np.int64) % 97) + 1
+    return (
+        int(length.size),
+        n_sinks,
+        int(length.sum()),
+        int(length.max()),
+        int((wgt * length).sum()),
+    )
+
+
+def flow_length_stats(images: DataFrame) -> DataFrame:
+    """Per-image D8 downstream flow-length stats (map-only)."""
+    return _int_terrain_op(
+        images, flow_length_kernel,
+        ["n_px", "n_sinks", "sum_len", "max_len", "chk"],
+        "n_px int, n_sinks int, sum_len bigint, max_len bigint, "
+        "chk bigint",
+    )

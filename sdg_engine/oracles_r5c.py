@@ -192,8 +192,34 @@ def fixture_oracles_r5c() -> dict[str, str]:
     every import — the image_oracles precedent)."""
     from .jobs.rai import fixture_dir
 
-    roads = os.path.join(fixture_dir(0.01), "roads.parquet").replace("'", "''")
-    return {"roads_hausdorff": f"""
+    fdir = fixture_dir(0.01)
+    roads = os.path.join(fdir, "roads.parquet").replace("'", "''")
+    img = os.path.join(fdir, "images.parquet").replace("'", "''")
+    gdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "goldens",
+    ).replace("'", "''")
+    out = {
+        # image_tpi_tri / image_flow_length: committed INDEPENDENT
+        # goldens (generator pixels + np.ix_ gathers / memoized chain
+        # walks — see scripts/make_goldens.py), restricted to the same
+        # harness subset/fmt filter so the fixture join stays
+        # load-bearing.  All int64 — exact parity.
+        "image_tpi_tri": f"""
+SELECT g.image_id, g.n_px, g.sum_tri, g.max_tri, g.n_ridge,
+       g.n_valley, g.chk
+FROM read_parquet('{gdir}/tpi_tri_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "image_flow_length": f"""
+SELECT g.image_id, g.n_px, g.n_sinks, g.sum_len, g.max_len, g.chk
+FROM read_parquet('{gdir}/flow_length_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+    }
+    out["roads_hausdorff"] = f"""
 WITH first AS (
   SELECT road_id,
          COALESCE(CAST(FLOOR(coords[1].x * 10) AS BIGINT) * 100000
@@ -228,4 +254,5 @@ SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n_a,
        CAST(MAX(min_dsq) AS BIGINT) AS h_sq,
        CAST(FLOOR(SQRT(CAST(MAX(min_dsq) AS DOUBLE))) AS BIGINT) AS h_micro
 FROM minb GROUP BY 1, 2
-"""}
+"""
+    return out

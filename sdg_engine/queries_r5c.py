@@ -417,6 +417,48 @@ def roads_hausdorff(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Terrain kernels (golden-oracle-checked, map-only)
+# ---------------------------------------------------------------------------
+
+def image_tpi_tri(spark, sf_dir):
+    """TPI / TRI terrain indexes (Weiss topographic position; Riley
+    ruggedness) — the landform-classification signals next to
+    slope/aspect: TPI = 8*center - neighborhood sum (ridge/valley when
+    |TPI| clears the milli-luma threshold), TRI = sum of absolute
+    neighbor differences.  All-int64, map-only mapInPandas like the
+    other terrain queries; jpg excluded / first-500 bound.  Oracle:
+    committed INDEPENDENT golden (generator pixels + np.ix_ clamp
+    gathers vs the engine's pad slices)."""
+    from .ops.payload import tpi_tri_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return tpi_tri_stats(sel)
+
+
+def image_flow_length(spark, sf_dir):
+    """D8 DOWNSTREAM FLOW LENGTH — the hydrology distance-to-outlet op
+    completing the flow family (direction -> accumulation -> watershed
+    -> order -> LENGTH): per-cell path length along the steepest-
+    descent chain to its sink, integer 10/14 cardinal/diagonal weights
+    decided by the EFFECTIVE (clamp-degraded) displacement.  Engine:
+    vectorized pointer jumping with additive lengths (O(log path)
+    rounds).  Map-only; exact int64.  Oracle: committed INDEPENDENT
+    golden (stacked-argmax targets + memoized scalar chain walks)."""
+    from .ops.payload import flow_length_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return flow_length_stats(sel)
+
+
 QUERIES_R5C = {
     "events_spearman": events_spearman,
     "events_runs_test": events_runs_test,
@@ -425,4 +467,6 @@ QUERIES_R5C = {
     "doc_repetition": doc_repetition,
     "country_centroids": country_centroids,
     "roads_hausdorff": roads_hausdorff,
+    "image_tpi_tri": image_tpi_tri,
+    "image_flow_length": image_flow_length,
 }

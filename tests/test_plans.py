@@ -744,3 +744,12 @@ def test_q11_global_threshold_is_single_broadcast_row(spark):
     plan = _plan(q11_important_stock(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_terrain_r5c_is_map_only(spark):
+    """TPI/TRI and flow length: payload bytes never shuffle — zero
+    Exchange in both plans."""
+    from sdg_engine.queries_r5c import image_flow_length, image_tpi_tri
+
+    for fn in (image_tpi_tri, image_flow_length):
+        assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__

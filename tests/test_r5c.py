@@ -208,3 +208,52 @@ def test_hausdorff_matches_numpy_bruteforce(spark):
     got = {(r.ra, r.rb): int(r.h_sq) for _, r in out.iterrows()}
     assert got == want
     assert (out.h_micro == np.floor(np.sqrt(out.h_sq.astype(float)))).all()
+
+
+def test_tpi_tri_kernel_analytic():
+    """Analytic gates for the TPI/TRI kernel: a constant DEM has zero
+    ruggedness everywhere; a single spike of height s contributes
+    8*s to its own TRI, s to each of the 8 neighbors, and TPI = 8*s at
+    the spike (ridge) with the neighborhood identity sum(TPI) == 0 on
+    any TOROIDAL layout replaced here by the clamp-border exactness of
+    a centered spike (no border contact)."""
+    from sdg_engine.ops.payload import tpi_tri_kernel
+
+    flat = np.full((9, 9), 42_000, dtype=np.int64)
+    n_px, sum_tri, max_tri, n_ridge, n_valley, chk = tpi_tri_kernel(flat)
+    assert (sum_tri, max_tri, n_ridge, n_valley, chk) == (0, 0, 0, 0, 0)
+
+    spike = flat.copy()
+    spike[4, 4] += 9_000
+    n_px, sum_tri, max_tri, n_ridge, n_valley, chk = tpi_tri_kernel(spike)
+    assert max_tri == 8 * 9_000
+    assert sum_tri == 16 * 9_000  # 8s at the spike + s at 8 neighbors
+    # the spike is a ridge; its 8 neighbors each see the spike in
+    # their own neighborhood, so TPI = -s there (valleys)
+    assert n_ridge == 1 and n_valley == 8
+
+
+def test_flow_length_matches_scalar_walk():
+    """Pointer-jumped flow lengths must equal a scalar chain walk on a
+    random integer DEM (exact — both paths are integer arithmetic)."""
+    from sdg_engine.ops.payload import d8_flow_length, d8_targets
+
+    rng = np.random.RandomState(7)
+    lum = rng.randint(0, 255_000, size=(23, 17)).astype(np.int64)
+    lens, n_sinks = d8_flow_length(lum)
+    t = d8_targets(lum)
+    ww = lum.shape[1]
+
+    def walk(c):
+        total = 0
+        while t[c] >= 0:
+            nt = int(t[c])
+            dr = abs(nt // ww - c // ww)
+            dc = abs(nt % ww - c % ww)
+            total += 14 if (dr and dc) else 10
+            c = nt
+        return total
+
+    want = np.asarray([walk(c) for c in range(lum.size)], dtype=np.int64)
+    assert (lens == want).all()
+    assert n_sinks == int((t < 0).sum())
