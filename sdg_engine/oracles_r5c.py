@@ -186,6 +186,78 @@ def _centroid_sql() -> str:
 ORACLES_R5C["country_centroids"] = _centroid_sql()
 
 
+def _betweenness_sql(roads_pq: str) -> str:
+    """Integer-floor Brandes as a generated UNROLLED CTE chain: the
+    sigma layers s0..s12 and delta layers d12..d1 each reference only
+    the previous chain member once (the shortest_path_weighted lesson);
+    the multi-referenced bases (edges, BFS hop labels, each sigma
+    layer) are AS MATERIALIZED so DuckDB cannot re-inline them per
+    round.  Identical recurrence and FLOOR-division text as the
+    engine's layered DataFrame rounds."""
+    from .queries_r5 import _BFS_NODE
+    from .queries_r5c import _BC_HOPS, _BC_SEEDS
+
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    parts = [f"""
+WITH RECURSIVE
+nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+        FROM read_parquet('{roads_pq}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM ab
+        UNION ALL SELECT b AS src, a AS dst FROM ab)
+      WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+seeds AS (SELECT src AS seed FROM deg
+          ORDER BY deg DESC, src ASC LIMIT {_BC_SEEDS}),
+walk(seed, node, hops) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {_BC_HOPS}
+),
+lab AS MATERIALIZED (SELECT seed, node, MIN(hops) AS hops
+                     FROM walk GROUP BY 1, 2),
+s0 AS MATERIALIZED (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+                    FROM seeds)"""]
+    for d in range(1, _BC_HOPS + 1):
+        parts.append(f""",
+s{d} AS MATERIALIZED (
+  SELECT w.seed, e.dst AS node, CAST(SUM(w.sigma) AS BIGINT) AS sigma
+  FROM s{d - 1} w JOIN e ON e.src = w.node
+  JOIN lab l ON l.seed = w.seed AND l.node = e.dst AND l.hops = {d}
+  GROUP BY 1, 2)""")
+    parts.append(f""",
+d{_BC_HOPS} AS MATERIALIZED (
+  SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta
+  FROM s{_BC_HOPS})""")
+    for d in range(_BC_HOPS - 1, 0, -1):
+        parts.append(f""",
+d{d} AS MATERIALIZED (
+  SELECT v.seed, v.node, v.sigma,
+         CAST(COALESCE(SUM((v.sigma * (1000000 + w.delta)) // w.sigma), 0)
+              AS BIGINT) AS delta
+  FROM s{d} v
+  LEFT JOIN e ON e.src = v.node
+  LEFT JOIN d{d + 1} w ON w.seed = v.seed AND w.node = e.dst
+  GROUP BY 1, 2, 3)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT seed, node, delta FROM d{d}"
+        for d in range(1, _BC_HOPS + 1)
+    )
+    parts.append(f""",
+alld AS ({unions}),
+bc AS (SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micros,
+              CAST(COUNT(*) AS BIGINT) AS n_seeds
+       FROM alld GROUP BY 1),
+rk AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY bc_micros DESC, node)
+                   AS INT) AS rk, node, bc_micros, n_seeds
+       FROM bc)
+SELECT rk, node, bc_micros, n_seeds FROM rk WHERE rk <= 10""")
+    return "".join(parts)
+
+
 def fixture_oracles_r5c() -> dict[str, str]:
     """Lazily-built oracles that embed the absolute sf0.01 fixture path
     (building them at import time would trigger fixture generation on
@@ -219,6 +291,7 @@ JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """,
     }
+    out["betweenness_roads"] = _betweenness_sql(roads)
     out["roads_hausdorff"] = f"""
 WITH first AS (
   SELECT road_id,

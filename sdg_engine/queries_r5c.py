@@ -459,6 +459,129 @@ def image_flow_length(spark, sf_dir):
     return flow_length_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Brandes betweenness centrality (integer-floor dependency accumulation)
+# ---------------------------------------------------------------------------
+
+_BC_HOPS = 12
+_BC_SEEDS = 5
+
+
+def betweenness_roads(spark, sf_dir):
+    """BETWEENNESS CENTRALITY (Brandes) from the top-5 max-degree
+    seeds over the quantized road graph — the bridge-detection metric
+    completing the centrality family (PageRank / HITS / closeness).
+    Forward phase: layered BFS carrying sigma (shortest-path counts,
+    exact BIGINT sums over hop-(d-1) predecessors).  Backward phase:
+    dependency accumulation kept INTEGER by flooring each edge term —
+    delta_v += (sigma_v * (1e6 + delta_w)) DIV sigma_w — so every fold
+    is an exact BIGINT sum (gotcha 8; the float Brandes recurrence
+    would reassociate).  Hop cap 12 = the round bound (iteration count
+    fixed by spec, not data — the shortest_path_weighted argument).
+
+    Plan shape: per-round equi-joins on the frontier only,
+    localCheckpointed (gotcha 15); the backward pass joins adjacent
+    LAYERS (each a fraction of the graph), never all-pairs; final
+    ranking window runs over the node-bounded centrality table.
+    Oracle: the identical recurrence as a generated linear CTE chain
+    (single back-reference per round, MATERIALIZED multi-referenced
+    bases — the label_propagation/shortest_path pattern)."""
+    from .queries_ext import _fixture_images
+    from .queries_r5 import _BFS_NODE
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    edges = (
+        segs.selectExpr("a AS src", "b AS dst")
+        .unionAll(segs.selectExpr("b AS src", "a AS dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(_BC_SEEDS)
+        .selectExpr("src AS seed")
+    )
+    layer = seeds.selectExpr(
+        "seed", "seed AS node", "CAST(1 AS BIGINT) AS sigma"
+    ).localCheckpoint()
+    visited = layer.select("seed", "node").localCheckpoint()
+    layers = [layer]
+    for _d in range(1, _BC_HOPS + 1):
+        nxt = (
+            layer.join(edges, layer.node == edges.src)
+            .groupBy("seed", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("dst", "node")
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("seed", "node")
+        ).localCheckpoint()
+        layer = nxt
+        layers.append(nxt)
+    # backward dependency accumulation, deepest layer first (delta 0)
+    delta = layers[-1].withColumn("delta", F.lit(0).cast("long"))
+    acc = [] if len(layers) == 1 else [delta]
+    for d in range(len(layers) - 2, 0, -1):
+        contrib = (
+            layers[d].alias("v")
+            .join(edges, F.col("v.node") == edges.src)
+            .join(
+                delta.selectExpr(
+                    "seed AS wseed", "node AS wnode", "sigma AS wsigma",
+                    "delta AS wdelta",
+                ),
+                (F.col("v.seed") == F.col("wseed"))
+                & (F.col("dst") == F.col("wnode")),
+            )
+            .selectExpr(
+                "v.seed AS seed", "v.node AS node",
+                "(v.sigma * (1000000 + wdelta)) DIV wsigma AS term",
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("term").alias("dsum"))
+        )
+        delta = (
+            layers[d]
+            .join(contrib, ["seed", "node"], "left")
+            .selectExpr(
+                "seed", "node", "sigma",
+                "COALESCE(dsum, CAST(0 AS BIGINT)) AS delta",
+            )
+            .localCheckpoint()
+        )
+        acc.append(delta)
+    if not acc:
+        return spark.createDataFrame(
+            [], "rk int, node bigint, bc_micros bigint, n_seeds bigint"
+        )
+    alld = acc[0]
+    for df in acc[1:]:
+        alld = alld.unionByName(df)
+    bc = alld.groupBy("node").agg(
+        F.sum("delta").alias("bc_micros"),
+        F.count(F.lit(1)).alias("n_seeds"),
+    )
+    wr = Window.orderBy(F.col("bc_micros").desc(), "node")
+    return (
+        bc.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter("rk <= 10")
+        .select("rk", "node", "bc_micros", "n_seeds")
+    )
+
+
 QUERIES_R5C = {
     "events_spearman": events_spearman,
     "events_runs_test": events_runs_test,
@@ -469,4 +592,5 @@ QUERIES_R5C = {
     "roads_hausdorff": roads_hausdorff,
     "image_tpi_tri": image_tpi_tri,
     "image_flow_length": image_flow_length,
+    "betweenness_roads": betweenness_roads,
 }

@@ -257,3 +257,67 @@ def test_flow_length_matches_scalar_walk():
     want = np.asarray([walk(c) for c in range(lum.size)], dtype=np.int64)
     assert (lens == want).all()
     assert n_sinks == int((t < 0).sum())
+
+
+def test_betweenness_matches_python_brandes(spark):
+    """Top-10 betweenness must match an INDEPENDENT pure-Python Brandes
+    (BFS queue + dict layers vs the engine's relational rounds) running
+    the same integer-floor dependency recurrence over the same
+    quantized road graph."""
+    from collections import defaultdict, deque
+
+    from sdg_engine.jobs.rai import fixture_dir
+    from sdg_engine.queries_r5c import _BC_HOPS, _BC_SEEDS, betweenness_roads
+
+    out = _pdf(betweenness_roads(spark, SF))
+    roads = pd.read_parquet(f"{fixture_dir(0.01)}/roads.parquet")
+
+    def q(v):
+        return math.floor(v * 10 + 0.5)
+
+    adj = defaultdict(set)
+    for _, r in roads.iterrows():
+        nds = [(q(c["x"]) + 100) * 1000 + (q(c["y"]) + 100)
+               for c in r.coords]
+        for a, b in zip(nds, nds[1:]):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+    deg = sorted(adj, key=lambda n: (-len(adj[n]), n))
+    seeds = deg[:_BC_SEEDS]
+    bc = defaultdict(int)
+    n_seeds = defaultdict(int)
+    for s in seeds:
+        hops = {s: 0}
+        sigma = {s: 1}
+        layers = defaultdict(list)
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if hops[u] >= _BC_HOPS:
+                continue
+            for v in sorted(adj[u]):
+                if v not in hops:
+                    hops[v] = hops[u] + 1
+                    sigma[v] = 0
+                    layers[hops[v]].append(v)
+                    dq.append(v)
+                if hops[v] == hops[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = {}
+        for d in sorted(layers, reverse=True):
+            for v in layers[d]:
+                delta[v] = sum(
+                    (sigma[v] * (1000000 + delta[w])) // sigma[w]
+                    for w in adj[v]
+                    if hops.get(w) == d + 1 and w in delta
+                )
+        for d, nodes in layers.items():
+            if d >= 1:
+                for v in nodes:
+                    bc[v] += delta[v]
+                    n_seeds[v] += 1
+    want = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(int(r.node), int(r.bc_micros), int(r.n_seeds))
+           for _, r in out.sort_values("rk").iterrows()]
+    assert got == [(n, b, n_seeds[n]) for n, b in want]
