@@ -186,6 +186,71 @@ def _centroid_sql() -> str:
 ORACLES_R5C["country_centroids"] = _centroid_sql()
 
 
+def _dtw_sql() -> str:
+    """DTW as shortest path on the banded lattice DAG: Bellman-Ford
+    unrolled 2*(28-1) rounds, each round ONE join against a moves
+    relation that includes zero-weight SELF-LOOPS (so every round
+    references only the previous round once — the
+    shortest_path_weighted technique).  The engine runs a genuinely
+    different algorithm (row-by-column DP kernel); both are exact
+    BIGINT min-plus, so equality is bit-level."""
+    from .queries_r5c import _DTW_BAND, _DTW_DAYS
+
+    rounds = 2 * (_DTW_DAYS - 1)
+    parts = [f"""
+WITH ev AS (
+  SELECT event_type AS t,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+st AS (SELECT MIN(day) AS d0 FROM ev),
+dd AS MATERIALIZED (
+  SELECT LEAST({_DTW_DAYS}, CAST(MAX(day - d0) AS INT) + 1) AS nd
+  FROM ev, st),
+daily AS (
+  SELECT t, day - d0 AS d, CAST(SUM(cents) AS BIGINT) AS v
+  FROM ev, st WHERE day - d0 < {_DTW_DAYS} GROUP BY 1, 2),
+types AS (SELECT DISTINCT t FROM daily),
+grid AS MATERIALIZED (
+  SELECT ty.t, g.d, COALESCE(da.v, CAST(0 AS BIGINT)) AS v
+  FROM types ty CROSS JOIN dd
+       CROSS JOIN UNNEST(range(0, dd.nd)) AS g(d)
+  LEFT JOIN daily da ON da.t = ty.t AND da.d = g.d),
+base AS (SELECT d, v FROM grid WHERE t = 'view'),
+cost AS MATERIALIZED (
+  SELECT a.t, a.d AS i, b.d AS j, ABS(a.v - b.v) AS c
+  FROM grid a JOIN base b ON ABS(a.d - b.d) <= {_DTW_BAND}
+  WHERE a.t <> 'view'),
+moves AS MATERIALIZED (
+  SELECT t, i, j, i AS i2, j AS j2, CAST(0 AS BIGINT) AS mc FROM cost
+  UNION ALL
+  SELECT p.t, p.i, p.j, c.i, c.j, c.c
+  FROM cost p JOIN cost c ON c.t = p.t
+   AND ((c.i = p.i + 1 AND c.j = p.j)
+        OR (c.i = p.i AND c.j = p.j + 1)
+        OR (c.i = p.i + 1 AND c.j = p.j + 1))),
+b0 AS (SELECT t, i, j, c AS cost FROM cost WHERE i = 0 AND j = 0)"""]
+    for k in range(1, rounds + 1):
+        # every round MATERIALIZED: a 54-deep inlined chain blows up
+        # DuckDB's planner (measured: >2 min at sf0.001 inlined,
+        # sub-second materialized)
+        parts.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT m.t, m.i2 AS i, m.j2 AS j,
+         CAST(MIN(b.cost + m.mc) AS BIGINT) AS cost
+  FROM b{k - 1} b JOIN moves m
+    ON m.t = b.t AND m.i = b.i AND m.j = b.j
+  GROUP BY 1, 2, 3)""")
+    parts.append(f"""
+SELECT t AS event_type, CAST(dd.nd AS INT) AS n_days, cost AS dtw_cost
+FROM b{rounds}, dd WHERE i = dd.nd - 1 AND j = dd.nd - 1""")
+    return "".join(parts)
+
+
+ORACLES_R5C["events_dtw"] = _dtw_sql()
+
+
 def _betweenness_sql(roads_pq: str) -> str:
     """Integer-floor Brandes as a generated UNROLLED CTE chain: the
     sigma layers s0..s12 and delta layers d12..d1 each reference only

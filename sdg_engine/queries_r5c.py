@@ -460,6 +460,99 @@ def image_flow_length(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bounded DTW (dynamic time warping) between daily event-type series
+# ---------------------------------------------------------------------------
+
+_DTW_DAYS = 28
+_DTW_BAND = 3
+_DAY_US = 86_400_000_000
+
+
+def events_dtw(spark, sf_dir):
+    """DYNAMIC TIME WARPING distance between each event type's daily
+    cents series and the 'view' baseline — the shape-similarity metric
+    of a time-series pipeline (is the purchase curve a lagged copy of
+    the view curve?).  Classic band-limited DTW: Sakoe-Chiba band 3,
+    first _DTW_DAYS days from the corpus min (both bounds are the
+    SPEC, mirrored in the oracle), costs |a_i - b_j| in exact cents so
+    the min-plus DP is pure BIGINT — parity is exact.
+
+    Plan shape: ONE map-side-combinable hash agg reduces events to the
+    (type, day) grid; series assemble as bounded arrays (length <= 28
+    by construction); the DP runs as an Arrow-batched kernel over the
+    4-row pair table — per-pair work is O(days * band), independent of
+    corpus size.  Oracle: a GENUINELY DIFFERENT algorithm — the DTW
+    lattice as a shortest-path DAG, Bellman-Ford unrolled 54 rounds
+    with zero-weight self-loop moves (single back-reference per round,
+    the shortest_path_weighted technique)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS t",
+        f"CAST(FLOOR({_TS_US} / {_DAY_US}) AS BIGINT) AS day",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    st = ev.agg(F.min("day").alias("d0"))
+    dd = (
+        ev.crossJoin(F.broadcast(st))
+        .agg(F.expr(
+            f"LEAST({_DTW_DAYS}, CAST(MAX(day - d0) AS INT) + 1) AS nd"
+        ))
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(st))
+        .selectExpr("t", "day - d0 AS d", "cents")
+        .filter(f"d < {_DTW_DAYS}")
+        .groupBy("t", "d")
+        .agg(F.sum("cents").alias("v"))
+    )
+    grid = (
+        daily.select("t").distinct()
+        .crossJoin(F.broadcast(dd))
+        .selectExpr("t", "explode(sequence(0, nd - 1)) AS d")
+        .join(daily, ["t", "d"], "left")
+        .selectExpr("t", "d", "COALESCE(v, CAST(0 AS BIGINT)) AS v")
+    )
+    arrs = grid.groupBy("t").agg(F.expr(
+        "transform(sort_array(collect_list(struct(d, v))), s -> s.v) AS vs"
+    ))
+    base = arrs.filter("t = 'view'").selectExpr("vs AS bs")
+    pairs = arrs.filter("t <> 'view'").crossJoin(F.broadcast(base))
+
+    def _dp(batches):
+        inf = 1 << 62
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = [int(x) for x in r.vs]
+                b = [int(x) for x in r.bs]
+                n = len(a)
+                dpt = [[inf] * n for _ in range(n)]
+                for i in range(n):
+                    lo = max(0, i - _DTW_BAND)
+                    hi = min(n, i + _DTW_BAND + 1)
+                    for j in range(lo, hi):
+                        c = abs(a[i] - b[j])
+                        if i == 0 and j == 0:
+                            best = 0
+                        else:
+                            best = min(
+                                dpt[i - 1][j] if i else inf,
+                                dpt[i][j - 1] if j else inf,
+                                dpt[i - 1][j - 1] if i and j else inf,
+                            )
+                        dpt[i][j] = c + best
+                rows.append((r.t, n, dpt[n - 1][n - 1]))
+            yield pd.DataFrame(
+                rows, columns=["event_type", "n_days", "dtw_cost"]
+            )
+
+    return pairs.mapInPandas(
+        _dp, "event_type string, n_days int, dtw_cost bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Brandes betweenness centrality (integer-floor dependency accumulation)
 # ---------------------------------------------------------------------------
 
@@ -593,4 +686,5 @@ QUERIES_R5C = {
     "image_tpi_tri": image_tpi_tri,
     "image_flow_length": image_flow_length,
     "betweenness_roads": betweenness_roads,
+    "events_dtw": events_dtw,
 }

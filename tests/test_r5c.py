@@ -321,3 +321,49 @@ def test_betweenness_matches_python_brandes(spark):
     got = [(int(r.node), int(r.bc_micros), int(r.n_seeds))
            for _, r in out.sort_values("rk").iterrows()]
     assert got == [(n, b, n_seeds[n]) for n, b in want]
+
+
+def test_dtw_matches_numpy_band_dp(spark):
+    """events_dtw must match an INDEPENDENT numpy DP (vectorized
+    rolling rows over a dense cost matrix with the band masked to inf,
+    vs the engine's per-cell python loops) on series recomputed with
+    pandas — exact BIGINT equality."""
+    from sdg_engine.queries_r5c import _DTW_BAND, _DTW_DAYS, events_dtw
+
+    out = _pdf(events_dtw(spark, SF)).set_index("event_type").sort_index()
+    ev = _hourly(spark)
+    ev["day"] = (
+        ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ) // 86_400_000_000
+    d0 = int(ev.day.min())
+    nd = min(_DTW_DAYS, int(ev.day.max()) - d0 + 1)
+    ev["d"] = ev.day - d0
+    ev = ev[ev.d < _DTW_DAYS]
+    series = {}
+    for t, grp in ev.groupby("event_type"):
+        s = np.zeros(nd, dtype=np.int64)
+        agg = grp.groupby("d").cents.sum()
+        s[agg.index.to_numpy()] = agg.to_numpy()
+        series[t] = s
+    b = series["view"]
+    inf = 1 << 62
+    for t, a in series.items():
+        if t == "view":
+            continue
+        cost = np.abs(a[:, None] - b[None, :])
+        ii, jj = np.indices((nd, nd))
+        cost = np.where(np.abs(ii - jj) <= _DTW_BAND, cost, inf)
+        dp = np.full((nd, nd), inf, dtype=np.int64)
+        dp[0, 0] = cost[0, 0]
+        for i in range(nd):
+            for j in range(nd):
+                if i == 0 and j == 0 or cost[i, j] >= inf:
+                    continue
+                best = min(
+                    dp[i - 1, j] if i else inf,
+                    dp[i, j - 1] if j else inf,
+                    dp[i - 1, j - 1] if i and j else inf,
+                )
+                dp[i, j] = cost[i, j] + best
+        assert int(out.loc[t].dtw_cost) == int(dp[nd - 1, nd - 1]), t
+        assert int(out.loc[t].n_days) == nd
