@@ -177,6 +177,40 @@ FROM sc GROUP BY 1
 """
 
 
+ORACLES_R5C["streaming_user_streaks"] = """
+WITH e AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, rn,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY rn) AS grp
+  FROM e
+),
+rl AS (
+  SELECT user_id, event_type, grp,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(rn) AS start_rn
+  FROM runs GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT user_id, event_type AS best_type, len AS best_len,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_rn ASC) AS rk
+  FROM rl
+),
+ne AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT b.user_id, n.n_events, b.best_len, b.best_type
+FROM best b JOIN ne n USING (user_id) WHERE rk = 1
+"""
+
+
 def _centroid_sql() -> str:
     from .harness import edges_values_sql_indexed
 

@@ -675,6 +675,73 @@ def betweenness_roads(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming: longest per-user event-type streak
+# ---------------------------------------------------------------------------
+
+def streaming_user_streaks(spark, sf_dir):
+    """LONGEST PER-USER EVENT-TYPE STREAK through a REAL streaming run
+    — the second custom stateful operator next to sessionize, and one
+    no built-in streaming aggregate expresses (the fold is
+    order-sensitive).  Input is written as 4 time-ordered chunk files
+    and drained with maxFilesPerTrigger=1, so micro-batch order equals
+    event-time order and the applyInPandasWithState run-length fold
+    composes across batch boundaries through its state row.  Each
+    batch emits the running state; the final row per user (max
+    n_events — strictly increasing per appearance) is the answer.
+    State-store fixed cost follows gotcha 16d: the drain runs at 8
+    shuffle partitions (1 store x partitions x 4 batches), restored
+    after.  Oracle: the classic batch gaps-and-islands run analysis
+    (rn - run ROW_NUMBER grouping), earliest-max tie-break."""
+    import os
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "streak_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    ev = _t(spark, sf_dir, "events")
+    ranked = ev.selectExpr(
+        "*",
+        "ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn",
+        "COUNT(*) OVER () AS total",
+    )
+    import glob as _glob
+    import shutil
+
+    for k in range(4):
+        tmp = os.path.join(base, f"tmp{k}")
+        (
+            ranked.filter(
+                f"CAST(FLOOR((rn - 1) * 4 / total) AS INT) = {k}"
+            )
+            .drop("rn", "total")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        # sequential moves: increasing mtimes + lexical names keep the
+        # file-source batch order equal to the ts-chunk order
+        shutil.move(part, os.path.join(in_dir, f"chunk{k}.parquet"))
+        shutil.rmtree(tmp)
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        STR.stream_user_streaks(spark, in_dir, out, ck)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    sink = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", "n_events", "best_len", "best_type")
+    )
+
+
 QUERIES_R5C = {
     "events_spearman": events_spearman,
     "events_runs_test": events_runs_test,
@@ -687,4 +754,5 @@ QUERIES_R5C = {
     "image_flow_length": image_flow_length,
     "betweenness_roads": betweenness_roads,
     "events_dtw": events_dtw,
+    "streaming_user_streaks": streaming_user_streaks,
 }

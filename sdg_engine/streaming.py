@@ -556,3 +556,73 @@ def stream_sessions_native(
         .start()
         .awaitTermination()
     )
+
+
+_STREAK_STATE_SCHEMA = (
+    "last_type string, cur_len bigint, best_len bigint, "
+    "best_type string, n_events bigint"
+)
+_STREAK_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, best_len bigint, best_type string"
+)
+
+
+def _streak_fn(key, pdfs, state: GroupState):
+    """applyInPandasWithState body: per-user LONGEST EVENT-TYPE STREAK
+    — an order-sensitive run-length fold no built-in streaming
+    aggregate expresses (the streaming twin of the batch
+    gaps-and-islands run analysis).  State carries the open run across
+    micro-batch boundaries; ties on best length resolve to the EARLIEST
+    run (strict > update), matching the batch oracle's min-start-rank
+    tie-break.  Emits the running state each batch; the final row per
+    user (max n_events — strictly increasing) is the answer."""
+    frames = [p for p in pdfs if len(p)]
+    if state.exists:
+        last_type, cur, best, best_type, n = state.get
+    else:
+        last_type, cur, best, best_type, n = None, 0, 0, None, 0
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        for t in rows["event_type"]:
+            n += 1
+            if t == last_type:
+                cur += 1
+            else:
+                last_type, cur = t, 1
+            if cur > best:
+                best, best_type = cur, t
+    state.update((last_type, cur, best, best_type, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n],
+         "best_len": [best], "best_type": [best_type]}
+    )
+
+
+def stream_user_streaks(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str
+) -> None:
+    """Custom stateful operator #2 (next to sessionize): longest
+    per-user event-type streak over time-ordered micro-batches
+    (maxFilesPerTrigger=1 over ts-chunked input files — batch order =
+    event-time order, the property the run-length fold needs)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    streaks = src.groupBy("user_id").applyInPandasWithState(
+        _streak_fn,
+        _STREAK_OUT_SCHEMA,
+        _STREAK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    (
+        streaks.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -367,3 +367,27 @@ def test_dtw_matches_numpy_band_dp(spark):
                 dp[i, j] = cost[i, j] + best
         assert int(out.loc[t].dtw_cost) == int(dp[nd - 1, nd - 1]), t
         assert int(out.loc[t].n_days) == nd
+
+
+def test_streaming_streaks_match_pandas_runs(spark):
+    """The stateful streak fold across 4 time-ordered micro-batches
+    must equal a single-pass pandas run-length recompute (earliest-max
+    tie-break)."""
+    from sdg_engine.queries_r5c import streaming_user_streaks
+
+    out = _pdf(streaming_user_streaks(spark, SF)).set_index("user_id")
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet")).sort_values(
+        ["ts", "event_id"]
+    )
+    for uid, grp in ev.groupby("user_id"):
+        last, cur, best, best_t = None, 0, 0, None
+        for t in grp.event_type:
+            cur = cur + 1 if t == last else 1
+            last = t
+            if cur > best:
+                best, best_t = cur, t
+        r = out.loc[uid]
+        assert (int(r.n_events), int(r.best_len), r.best_type) == (
+            len(grp), best, best_t,
+        ), uid
+    assert len(out) == ev.user_id.nunique()
