@@ -240,6 +240,9 @@ def main() -> None:
 
     queries_tpch = run_queries(spark, sf_dir, list(QUERIES_TPCH))
     queries_r5b = run_queries(spark, sf_dir, list(QUERIES_R5B))
+    from sdg_engine.queries_r5c import QUERIES_R5C
+
+    queries_r5c = run_queries(spark, sf_dir, list(QUERIES_R5C))
     flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
     spark.stop()
 
@@ -278,6 +281,7 @@ def main() -> None:
         "queries_r5": queries_r5,
         "queries_tpch": queries_tpch,
         "queries_r5b": queries_r5b,
+        "queries_r5c": queries_r5c,
         "sf": sf,
         "input_rows": n_input,
         "rows_per_sec": round(flagship_thr, 1),

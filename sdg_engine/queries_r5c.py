@@ -703,21 +703,19 @@ def streaming_user_streaks(spark, sf_dir):
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     ev = _t(spark, sf_dir, "events")
+    # ONE ntile window (contiguous time-order quartiles), persisted so
+    # the 4 chunk writes don't re-sort the corpus each
     ranked = ev.selectExpr(
-        "*",
-        "ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn",
-        "COUNT(*) OVER () AS total",
-    )
+        "*", "NTILE(4) OVER (ORDER BY ts, event_id) AS chunk"
+    ).persist()
     import glob as _glob
     import shutil
 
     for k in range(4):
         tmp = os.path.join(base, f"tmp{k}")
         (
-            ranked.filter(
-                f"CAST(FLOOR((rn - 1) * 4 / total) AS INT) = {k}"
-            )
-            .drop("rn", "total")
+            ranked.filter(f"chunk = {k + 1}")
+            .drop("chunk")
             .coalesce(1)
             .write.parquet(tmp)
         )
@@ -726,6 +724,7 @@ def streaming_user_streaks(spark, sf_dir):
         # file-source batch order equal to the ts-chunk order
         shutil.move(part, os.path.join(in_dir, f"chunk{k}.parquet"))
         shutil.rmtree(tmp)
+    ranked.unpersist()
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
