@@ -171,6 +171,7 @@ def main() -> None:
     make_morphology_golden()
     make_tpi_tri_golden()
     make_flow_length_golden()
+    make_box_downscale_golden()
     make_quadtree_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
@@ -1958,3 +1959,44 @@ def make_flow_length_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"flow_length_sf{sf:g}.parquet"),
     )
     print(f"flow_length golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_box_downscale_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_box_downscale query (r05
+    wave 6).
+
+    Same SPEC as ops/payload.box_downscale_kernel ((a+b+c+d) DIV 4
+    over 2x2 blocks, odd trailing row/col dropped), INDEPENDENT path:
+    generator pixels + RESHAPE into (h2, 2, w2, 2) blocks (vs the
+    engine's strided slices)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_outs, sums, maxs, mins, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        h2, w2 = hh // 2, ww // 2
+        blocks = lum[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+        ds = blocks.sum(axis=(1, 3)) // 4
+        wgt = (np.arange(ds.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_outs.append(int(ds.size))
+        sums.append(int(ds.sum()))
+        maxs.append(int(ds.max()))
+        mins.append(int(ds.min()))
+        chks.append(int((wgt * ds.ravel()).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_out": pa.array(n_outs, pa.int32()),
+            "sum_ds": pa.array(sums, pa.int64()),
+            "max_ds": pa.array(maxs, pa.int64()),
+            "min_ds": pa.array(mins, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"box_downscale_sf{sf:g}.parquet"),
+    )
+    print(f"box_downscale golden: {len(ids)} rows (jpg skipped)")

@@ -1191,6 +1191,39 @@ def morphology_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def box_downscale_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """2x BOX-FILTER DOWNSCALE (one pyramid level): each output pixel
+    is the integer mean of its 2x2 block — (a+b+c+d) DIV 4, exact at
+    any partitioning (odd trailing row/col is dropped, the floor-size
+    spec).  Engine path: strided SLICES (views) summed; the golden twin
+    reshapes into blocks instead.  Returns (n_out, sum_ds, max_ds,
+    min_ds, chk)."""
+    h, w = lum_i.shape
+    h2, w2 = h // 2, w // 2
+    c = lum_i[: h2 * 2, : w2 * 2]
+    ds = (
+        c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]
+    ) // 4
+    wgt = (np.arange(ds.size, dtype=np.int64) % 97) + 1
+    return (
+        int(ds.size),
+        int(ds.sum()),
+        int(ds.max()),
+        int(ds.min()),
+        int((wgt * ds.ravel()).sum()),
+    )
+
+
+def box_downscale_stats(images: DataFrame) -> DataFrame:
+    """Per-image 2x box-downscale stats (map-only)."""
+    return _int_terrain_op(
+        images, box_downscale_kernel,
+        ["n_out", "sum_ds", "max_ds", "min_ds", "chk"],
+        "n_out int, sum_ds bigint, max_ds bigint, min_ds bigint, "
+        "chk bigint",
+    )
+
+
 # TPI/TRI SPEC (shared with the golden twin): 8-neighborhood under
 # clamp borders; TPI = 8*center - sum(neighbors), TRI = sum(|center -
 # neighbor|); ridge/valley threshold on |TPI| in milli-luma units.

@@ -14,8 +14,11 @@ import os
 
 from .queries_r5c import (
     CENTROID_SQL,
+    _FC_K,
+    _FC_MICROS,
     _FKG_MILS,
     _FRE_MILS,
+    _RANK_EXPRS,
     _RHO_MICROS,
     _RUNS_Z,
 )
@@ -211,6 +214,61 @@ FROM best b JOIN ne n USING (user_id) WHERE rk = 1
 """
 
 
+_FC_LAGS = ", ".join(
+    f"LAG(x, {j}) OVER (ORDER BY h) AS x{j}" for j in range(1, _FC_K + 1)
+)
+_FC_SX = " + ".join(f"x{j}" for j in range(1, _FC_K + 1))
+_FC_SIX = " + ".join(
+    f"{_FC_K + 1 - j} * x{j}" for j in range(1, _FC_K + 1)
+)
+
+ORACLES_R5C["events_forecast_ols"] = f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+lags AS (SELECT h, x, {_FC_LAGS} FROM hourly),
+sums AS (
+  SELECT h, x, x1, ({_FC_SX}) AS sx, ({_FC_SIX}) AS six
+  FROM lags WHERE x{_FC_K} IS NOT NULL
+),
+fc AS (
+  SELECT h, x, {_FC_MICROS} AS fc_micros, x1 * 1000000 AS naive_micros
+  FROM sums
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(ABS(x * 1000000 - fc_micros)) AS BIGINT)
+           AS mae_ols_micros,
+         CAST(SUM(ABS(x * 1000000 - naive_micros)) AS BIGINT)
+           AS mae_naive_micros
+  FROM fc
+)
+SELECT n_obs, mae_ols_micros, mae_naive_micros,
+       CAST(FLOOR(1000.0 * CAST(mae_ols_micros AS DOUBLE)
+            / mae_naive_micros) AS BIGINT) AS mase_mils
+FROM agg
+"""
+
+ORACLES_R5C["orders_rank_functions"] = f"""
+WITH base AS (
+  SELECT o_orderstatus AS st, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT st, cents, {", ".join(_RANK_EXPRS)}
+  FROM base
+)
+SELECT st, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(pr_micros) AS BIGINT) AS sum_pr_micros,
+       CAST(SUM(cd_micros) AS BIGINT) AS sum_cd_micros
+FROM ranked GROUP BY 1, 2
+"""
+
+
 def _centroid_sql() -> str:
     from .harness import edges_values_sql_indexed
 
@@ -386,6 +444,12 @@ WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
         "image_flow_length": f"""
 SELECT g.image_id, g.n_px, g.n_sinks, g.sum_len, g.max_len, g.chk
 FROM read_parquet('{gdir}/flow_length_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "image_box_downscale": f"""
+SELECT g.image_id, g.n_out, g.sum_ds, g.max_ds, g.min_ds, g.chk
+FROM read_parquet('{gdir}/box_downscale_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """,

@@ -36,9 +36,13 @@ _R2 = "2 * RANK() OVER (ORDER BY {col}) + COUNT(*) OVER (PARTITION BY {col}) - 1
 
 # rho = 1 - 6*sum(d^2) / (n(n^2-1)); with d at 2x scale sum(d2^2) = 4*sum(d^2)
 # so the micro-scaled statistic is one shared float division + FLOOR.
+# Explicit CAST AS DOUBLE on an operand of every term: Spark parses
+# decimal-point literals as DECIMAL (not double), and a decimal chain
+# rounds at a different scale than DuckDB's doubles — FLOOR flips at
+# the boundary (measured on events_forecast_ols: 160 rows off by 1).
 _RHO_MICROS = (
-    "CAST(FLOOR(1000000.0 - (1500000.0 * sum_d2_sq)"
-    " / (n_hours * (n_hours * n_hours - 1))) AS BIGINT)"
+    "CAST(FLOOR(1000000.0 - (1500000.0 * CAST(sum_d2_sq AS DOUBLE))"
+    " / (CAST(n_hours AS DOUBLE) * (n_hours * n_hours - 1))) AS BIGINT)"
 )
 
 
@@ -91,8 +95,9 @@ def events_spearman(spark, sf_dir):
 # a=n_pos, b=n_neg, n=a+b.  Exact integers in, one shared float chain out.
 _RUNS_Z = (
     "CAST(FLOOR(1000000.0 * (CAST(n_runs AS DOUBLE)"
-    " - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))"
-    " / SQRT(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - (n_pos + n_neg))"
+    " - (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * n_neg / (n_pos + n_neg)))"
+    " / SQRT(2.0 * CAST(n_pos AS DOUBLE) * n_neg"
+    " * (2.0 * CAST(n_pos AS DOUBLE) * n_neg - (n_pos + n_neg))"
     " / (CAST(n_pos + n_neg AS DOUBLE) * (n_pos + n_neg)"
     " * (n_pos + n_neg - 1)))) AS BIGINT)"
 )
@@ -675,6 +680,124 @@ def betweenness_roads(spark, sf_dir):
     )
 
 
+def image_box_downscale(spark, sf_dir):
+    """2x BOX-FILTER DOWNSCALE — the image-pyramid level every
+    multiresolution serving/training pipeline materializes (the raster
+    twin of the cell-rollup spatial_pyramid): each output pixel is the
+    integer mean of a 2x2 milli-luma block ((a+b+c+d) DIV 4 — exact at
+    any partitioning).  Map-only; jpg excluded / first-500 bound.
+    Oracle: committed INDEPENDENT golden (generator pixels + reshape
+    blocks vs the engine's strided slices)."""
+    from .ops.payload import box_downscale_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return box_downscale_stats(sel)
+
+
+# Rolling-OLS one-step forecast: shared integer window sums (k = 12
+# trailing hours), closed-form line fit, FLOOR-per-row micro forecast.
+_FC_K = 12
+_FC_SI = _FC_K * (_FC_K + 1) // 2
+_FC_SII = _FC_K * (_FC_K + 1) * (2 * _FC_K + 1) // 6
+_FC_DET = _FC_K * _FC_SII - _FC_SI * _FC_SI
+# forecast at i = k+1: f = sx/k + b*(k+1 - si/k) with b = (k*six -
+# si*sx)/det — ONE double chain + FLOOR, text shared with the oracle
+_FC_MICROS = (
+    f"CAST(FLOOR(1000000.0 * (CAST(sx AS DOUBLE) / {_FC_K}.0"
+    f" + CAST({_FC_K} * six - {_FC_SI} * sx AS DOUBLE)"
+    f" * ({_FC_K + 1} - {_FC_SI} / {_FC_K}.0)"
+    f" / {_FC_DET}.0)) AS BIGINT)"
+)
+
+# shared analytic-function block (identical window text in both
+# engines; o_orderkey tiebreak makes NTILE bucket boundaries a TOTAL
+# order — cents ties would otherwise split buckets engine-dependently)
+_RANK_EXPRS = (
+    "CAST(FLOOR(1000000.0 * PERCENT_RANK() OVER "
+    "(PARTITION BY st ORDER BY cents, o_orderkey)) AS BIGINT) AS pr_micros",
+    "CAST(FLOOR(1000000.0 * CUME_DIST() OVER "
+    "(PARTITION BY st ORDER BY cents, o_orderkey)) AS BIGINT) AS cd_micros",
+    "CAST(NTILE(4) OVER (PARTITION BY st ORDER BY cents, o_orderkey)"
+    " AS INT) AS quartile",
+)
+
+
+def events_forecast_ols(spark, sf_dir):
+    """ROLLING-REGRESSION FORECAST BACKTEST: at every hour, fit an OLS
+    line to the previous 12 observed hours (rolling BIGINT sums — n,
+    sum i, sum i^2, sum x, sum i*x over the window), forecast one step
+    ahead in closed form, and score the backtest against both the
+    naive last-value forecast (MAE ratio in mils).  With the regular
+    i = 1..k index the normal equations have integer determinant, so
+    the per-row forecast is ONE double chain + FLOOR (shared text);
+    the MAEs fold as exact BIGINT micro sums.
+
+    Plan shape: one hash agg to the hourly series; two lag-window
+    passes over that tiny series (windowed relation = observed hours,
+    never rows); one global fold."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    k = _FC_K
+    w = Window.orderBy("h").rowsBetween(-k, -1)
+    wl = Window.orderBy("h")
+    # regular index i = 1..k over the trailing window: sums of i and
+    # i^2 are constants; sum_x and sum_ix come from the lag columns
+    lags = hourly.select(
+        "h", "x",
+        *[F.lag("x", j).over(wl).alias(f"x{j}") for j in range(1, k + 1)],
+    ).filter(f"x{k} IS NOT NULL")
+    # x{j} is the value j hours back -> index i = k + 1 - j
+    sum_x = " + ".join(f"x{j}" for j in range(1, k + 1))
+    sum_ix = " + ".join(f"{k + 1 - j} * x{j}" for j in range(1, k + 1))
+    fc = lags.selectExpr(
+        "h", "x", "x1",
+        f"({sum_x}) AS sx",
+        f"({sum_ix}) AS six",
+    ).selectExpr(
+        "h", "x",
+        f"{_FC_MICROS} AS fc_micros",
+        "x1 * 1000000 AS naive_micros",
+    )
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.expr("ABS(x * 1000000 - fc_micros)")).alias("mae_ols_micros"),
+        F.sum(F.expr("ABS(x * 1000000 - naive_micros)"))
+        .alias("mae_naive_micros"),
+    ).selectExpr(
+        "n_obs", "mae_ols_micros", "mae_naive_micros",
+        "CAST(FLOOR(1000.0 * CAST(mae_ols_micros AS DOUBLE)"
+        " / mae_naive_micros) AS BIGINT) AS mase_mils",
+    )
+
+
+def orders_rank_functions(spark, sf_dir):
+    """ANALYTIC-FUNCTION BREADTH: percent_rank / cume_dist / ntile
+    over order prices within status — the remaining ranking-family
+    surface next to window_top3/skyline.  Both engines evaluate the
+    identical window text; the float percent_rank/cume_dist snap to
+    micros per row (FLOOR, gotcha 8) before the integer rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    ranked = orders.selectExpr(
+        "o_orderstatus AS st",
+        "o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    ).selectExpr("st", "cents", *_RANK_EXPRS)
+    return ranked.groupBy("st", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("pr_micros").alias("sum_pr_micros"),
+        F.sum("cd_micros").alias("sum_cd_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming: longest per-user event-type streak
 # ---------------------------------------------------------------------------
@@ -754,4 +877,7 @@ QUERIES_R5C = {
     "betweenness_roads": betweenness_roads,
     "events_dtw": events_dtw,
     "streaming_user_streaks": streaming_user_streaks,
+    "image_box_downscale": image_box_downscale,
+    "events_forecast_ols": events_forecast_ols,
+    "orders_rank_functions": orders_rank_functions,
 }

@@ -391,3 +391,65 @@ def test_streaming_streaks_match_pandas_runs(spark):
             len(grp), best, best_t,
         ), uid
     assert len(out) == ev.user_id.nunique()
+
+
+def test_box_downscale_kernel_analytic():
+    """Constant image -> every output pixel equals the input; a 4x4
+    ramp -> known block means; odd trailing row/col dropped."""
+    from sdg_engine.ops.payload import box_downscale_kernel
+
+    flat = np.full((5, 7), 42_000, dtype=np.int64)  # odd dims
+    n_out, s, mx, mn, chk = box_downscale_kernel(flat)
+    assert n_out == 2 * 3 and mx == mn == 42_000 and s == 6 * 42_000
+
+    ramp = np.arange(16, dtype=np.int64).reshape(4, 4)
+    n_out, s, mx, mn, chk = box_downscale_kernel(ramp)
+    # blocks: {0,1,4,5}->2, {2,3,6,7}->4, {8,9,12,13}->10, {10,11,14,15}->12
+    assert (n_out, s, mx, mn) == (4, 28, 12, 2)
+
+
+def test_forecast_ols_matches_pandas(spark):
+    """Rolling-OLS backtest must match a pandas recompute (rolling
+    windows + the same closed-form double chain)."""
+    from sdg_engine.queries_r5c import (
+        _FC_DET, _FC_K, _FC_SI, events_forecast_ols,
+    )
+
+    out = _pdf(events_forecast_ols(spark, SF)).iloc[0]
+    ev = _hourly(spark)
+    x = ev.groupby("h").size().sort_index().astype(np.int64)
+    k = _FC_K
+    n_obs = 0
+    mae_ols = mae_naive = 0
+    vals = x.to_numpy()
+    for pos in range(k, len(vals)):
+        win = vals[pos - k: pos]
+        sx = int(win.sum())
+        six = int((np.arange(1, k + 1, dtype=np.int64) * win).sum())
+        fc = math.floor(1000000.0 * (
+            float(sx) / k
+            + float(k * six - _FC_SI * sx)
+            * ((k + 1) - _FC_SI / float(k)) / float(_FC_DET)
+        ))
+        n_obs += 1
+        mae_ols += abs(int(vals[pos]) * 1000000 - fc)
+        mae_naive += abs(int(vals[pos]) - int(vals[pos - 1])) * 1000000
+    assert int(out.n_obs) == n_obs
+    assert int(out.mae_ols_micros) == mae_ols
+    assert int(out.mae_naive_micros) == mae_naive
+
+
+def test_rank_functions_invariants(spark):
+    """NTILE buckets are balanced within 1; counts conserve; cume_dist
+    sums match the closed form sum_{r=1..n} r/n in micros."""
+    from sdg_engine.queries_r5c import orders_rank_functions
+
+    out = _pdf(orders_rank_functions(spark, SF))
+    orders = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    per_st = orders.groupby("o_orderstatus").size()
+    for st, grp in out.groupby("st"):
+        assert int(grp.n.sum()) == int(per_st[st])
+        assert grp.n.max() - grp.n.min() <= 1
+        n = int(per_st[st])
+        want_cd = sum(math.floor(1000000.0 * r / n) for r in range(1, n + 1))
+        assert int(grp.sum_cd_micros.sum()) == want_cd
