@@ -172,6 +172,7 @@ def main() -> None:
     make_tpi_tri_golden()
     make_flow_length_golden()
     make_box_downscale_golden()
+    make_median3_golden()
     make_quadtree_golden()
     make_pyramid_simplified_golden()
     make_hull_golden()
@@ -2000,3 +2001,48 @@ def make_box_downscale_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"box_downscale_sf{sf:g}.parquet"),
     )
     print(f"box_downscale golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_median3_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_median3 query (r05 wave 7).
+
+    Same SPEC as ops/payload.median3_kernel (median of the 3x3 clamp
+    neighborhood = 5th smallest of 9), INDEPENDENT path: generator
+    pixels + np.sort over np.ix_ clamp gathers (vs the engine's
+    pad-slice np.partition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, sums, changed, maxd, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        gath = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                ri = np.clip(np.arange(hh) + dr, 0, hh - 1)
+                ci = np.clip(np.arange(ww) + dc, 0, ww - 1)
+                gath.append(lum[np.ix_(ri, ci)])
+        med = np.sort(np.stack(gath), axis=0)[4]
+        diff = np.abs(med - lum)
+        wgt = (np.arange(lum.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        n_pxs.append(int(lum.size))
+        sums.append(int(med.sum()))
+        changed.append(int((med != lum).sum()))
+        maxd.append(int(diff.max()))
+        chks.append(int((wgt * med.ravel()).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "sum_med": pa.array(sums, pa.int64()),
+            "n_changed": pa.array(changed, pa.int64()),
+            "max_absdiff": pa.array(maxd, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"median3_sf{sf:g}.parquet"),
+    )
+    print(f"median3 golden: {len(ids)} rows (jpg skipped)")

@@ -1191,6 +1191,40 @@ def morphology_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def median3_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """3x3 MEDIAN FILTER under clamp borders — the order-statistic
+    denoiser completing focal statistics (min/max live in morphology):
+    median of 9 = the 5th smallest, exact integer.  Engine path:
+    pad-slice stack + np.partition; the golden twin sorts np.ix_
+    clamp gathers instead.  Returns (n_px, sum_med, n_changed,
+    max_absdiff, chk)."""
+    h, w = lum_i.shape
+    p = np.pad(lum_i, 1, mode="edge")
+    stack = np.stack(
+        [p[r:r + h, c:c + w] for r in range(3) for c in range(3)]
+    )
+    med = np.partition(stack, 4, axis=0)[4]
+    diff = np.abs(med - lum_i)
+    wgt = (np.arange(lum_i.size, dtype=np.int64) % 97) + 1
+    return (
+        int(lum_i.size),
+        int(med.sum()),
+        int((med != lum_i).sum()),
+        int(diff.max()),
+        int((wgt * med.ravel()).sum()),
+    )
+
+
+def median3_stats(images: DataFrame) -> DataFrame:
+    """Per-image 3x3 median-filter stats (map-only)."""
+    return _int_terrain_op(
+        images, median3_kernel,
+        ["n_px", "sum_med", "n_changed", "max_absdiff", "chk"],
+        "n_px int, sum_med bigint, n_changed bigint, max_absdiff bigint, "
+        "chk bigint",
+    )
+
+
 def box_downscale_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
     """2x BOX-FILTER DOWNSCALE (one pyramid level): each output pixel
     is the integer mean of its 2x2 block — (a+b+c+d) DIV 4, exact at

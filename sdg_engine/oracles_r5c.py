@@ -269,6 +269,138 @@ FROM ranked GROUP BY 1, 2
 """
 
 
+def _ripley_sql() -> str:
+    from .harness import PX, PY
+    from .queries_r5c import _RK_BOUND, _RK_CELL, _RK_K, _RK_L, _RK_RADII
+
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r_micro, p{r} AS n_pairs, n, "
+        f"{_RK_K.format(p=f'p{r}')} AS k_micros, "
+        f"{_RK_L.format(p=f'p{r}')} AS l_micros FROM joined"
+        for r in _RK_RADII
+    )
+    csums = ", ".join(
+        f"CAST(SUM(CASE WHEN dsq <= {r * r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS p{r}"
+        for r in _RK_RADII
+    )
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey AS pid,
+         CAST(FLOOR({PX} * 1000000) AS BIGINT) AS x,
+         CAST(FLOOR({PY} * 1000000) AS BIGINT) AS y,
+         COALESCE({_RK_CELL.format(c=PX)} * 1000
+                  + {_RK_CELL.format(c=PY)}, -1) AS cell
+  FROM orders WHERE o_orderkey <= {_RK_BOUND}
+),
+nb AS (
+  SELECT pid AS pid2, x AS x2, y AS y2,
+         cell + (u.k % 3 - 1) * 1000 + CAST(FLOOR(u.k / 3) AS BIGINT) - 1
+           AS cell
+  FROM pts, UNNEST(range(0, 9)) AS u(k)
+),
+pairs AS (
+  SELECT (p.x - nb.x2) * (p.x - nb.x2)
+         + (p.y - nb.y2) * (p.y - nb.y2) AS dsq
+  FROM pts p JOIN nb USING (cell) WHERE p.pid < nb.pid2
+),
+agg AS (SELECT {csums} FROM pairs),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+joined AS (SELECT * FROM agg, nn)
+{legs}
+"""
+
+
+ORACLES_R5C["cells_ripley_k"] = _ripley_sql()
+
+
+def _bootstrap_sql() -> str:
+    from .queries_r5c import _BS_B, _bs_h48
+
+    h48 = _bs_h48("concat('bs', b, ':', s)")
+    return f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM hourly
+),
+slots AS (SELECT i AS s FROM idx),
+draws AS (
+  SELECT u.b AS b, s, ({h48}) % 1000000 AS h48
+  FROM slots, UNNEST(range(0, {_BS_B})) AS u(b)
+),
+joined AS (
+  SELECT d.b, i.x FROM draws d JOIN idx i ON i.i = d.h48 % i.n
+),
+reps AS (
+  SELECT b, (1000000 * CAST(SUM(x) AS BIGINT)) // COUNT(*) AS mean_micros
+  FROM joined GROUP BY 1
+),
+ranked AS (
+  SELECT mean_micros,
+         ROW_NUMBER() OVER (ORDER BY mean_micros, b) AS rk
+  FROM reps
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+       CAST(MAX(CASE WHEN rk = 2 THEN mean_micros END) AS BIGINT)
+         AS lo_micros,
+       CAST(MAX(CASE WHEN rk = {_BS_B - 1} THEN mean_micros END) AS BIGINT)
+         AS hi_micros,
+       CAST(SUM(mean_micros) AS BIGINT) AS sum_mean_micros
+FROM ranked
+"""
+
+
+ORACLES_R5C["events_bootstrap_ci"] = _bootstrap_sql()
+
+ORACLES_R5C["embeddings_davies_bouldin"] = """
+WITH comp AS (
+  SELECT vec_id, label, u.j - 1 AS j,
+         CAST(FLOOR(CAST(embedding[u.j] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(j)
+),
+cent AS (
+  SELECT label, j, CAST(CAST(SUM(qx) AS BIGINT) // COUNT(*) AS BIGINT) AS c
+  FROM comp GROUP BY 1, 2
+),
+dists AS (
+  SELECT comp.label,
+         CAST(FLOOR(SQRT(CAST(CAST(SUM((qx - c) * (qx - c)) AS BIGINT)
+              AS DOUBLE))) AS BIGINT) AS dist
+  FROM comp JOIN cent USING (label, j)
+  GROUP BY comp.vec_id, comp.label
+),
+scatter AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(CAST(SUM(dist) AS BIGINT) // COUNT(*) AS BIGINT) AS s_mils
+  FROM dists GROUP BY 1
+),
+csep AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(FLOOR(SQRT(CAST(CAST(SUM((a.c - b.c) * (a.c - b.c))
+              AS BIGINT) AS DOUBLE))) AS BIGINT) AS m_mils
+  FROM cent a JOIN cent b ON a.j = b.j AND a.label <> b.label
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT la, CAST(MAX((1000 * (sa.s_mils + sb.s_mils)) // m_mils)
+              AS BIGINT) AS d_mils
+  FROM csep
+  JOIN scatter sa ON sa.label = csep.la
+  JOIN scatter sb ON sb.label = csep.lb
+  GROUP BY 1
+)
+SELECT s.label, s.n_members, s.s_mils, r.d_mils
+FROM scatter s JOIN r ON r.la = s.label
+"""
+
+
 def _centroid_sql() -> str:
     from .harness import edges_values_sql_indexed
 
@@ -341,6 +473,53 @@ FROM b{rounds}, dd WHERE i = dd.nd - 1 AND j = dd.nd - 1""")
 
 
 ORACLES_R5C["events_dtw"] = _dtw_sql()
+
+
+def _resample_sql(roads_pq: str) -> str:
+    """roads_resample_points twin: identical running-window fold and
+    interpolation text over the same roads parquet (DuckDB windows +
+    generate_series in place of posexplode/explode)."""
+    return f"""
+WITH verts AS (
+  SELECT road_id, kind, u.i - 1 AS i, coords[u.i].x AS x, coords[u.i].y AS y
+  FROM read_parquet('{roads_pq}'),
+       UNNEST(generate_series(1, len(coords))) AS u(i)
+),
+seg AS (
+  SELECT road_id, kind, i, x, y,
+         LEAD(x) OVER (PARTITION BY road_id ORDER BY i) AS x2,
+         LEAD(y) OVER (PARTITION BY road_id ORDER BY i) AS y2
+  FROM verts
+  QUALIFY x2 IS NOT NULL
+),
+sl AS (
+  SELECT *, SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS slen
+  FROM seg
+),
+cums AS (
+  SELECT *,
+         SUM(slen) OVER (PARTITION BY road_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(slen) OVER (PARTITION BY road_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - slen AS start,
+         SUM(slen) OVER (PARTITION BY road_id) AS total
+  FROM sl
+),
+picks AS (
+  SELECT kind, CAST(g.k AS INT) AS k,
+         CAST(FLOOR((x + ((total * g.k / 8.0 - start) / slen)
+              * (x2 - x)) * 1000000 + 0.5) AS BIGINT) AS ux,
+         CAST(FLOOR((y + ((total * g.k / 8.0 - start) / slen)
+              * (y2 - y)) * 1000000 + 0.5) AS BIGINT) AS uy
+  FROM cums, UNNEST(generate_series(1, 7)) AS g(k)
+  WHERE total > 0 AND start <= total * g.k / 8.0
+    AND total * g.k / 8.0 < cum
+)
+SELECT kind, k, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(ux) AS BIGINT) AS sum_ux,
+       CAST(SUM(uy) AS BIGINT) AS sum_uy
+FROM picks GROUP BY 1, 2
+"""
 
 
 def _betweenness_sql(roads_pq: str) -> str:
@@ -453,6 +632,13 @@ FROM read_parquet('{gdir}/box_downscale_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """,
+        "image_median3": f"""
+SELECT g.image_id, g.n_px, g.sum_med, g.n_changed, g.max_absdiff, g.chk
+FROM read_parquet('{gdir}/median3_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "roads_resample_points": _resample_sql(roads),
     }
     out["betweenness_roads"] = _betweenness_sql(roads)
     out["roads_hausdorff"] = f"""

@@ -798,6 +798,311 @@ def orders_rank_functions(spark, sf_dir):
     )
 
 
+def image_median3(spark, sf_dir):
+    """3x3 MEDIAN FILTER stats — the order-statistic denoiser
+    completing the focal family (morphology has min/max, TPI/TRI the
+    linear stats): median of 9 = 5th smallest, exact integer at any
+    partitioning.  Map-only; jpg excluded / first-500 bound.  Oracle:
+    committed INDEPENDENT golden (generator pixels + sorted np.ix_
+    clamp gathers vs the engine's pad-slice np.partition)."""
+    from .ops.payload import median3_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return median3_stats(sel)
+
+
+def roads_resample_points(spark, sf_dir):
+    """POLYLINE RESAMPLING at fixed arc-length fractions t = k/8,
+    k = 1..7 (dynamic segmentation — the generalization of
+    route_interpolate's midpoint): the same sequential running-sum
+    fold (gotcha 8), one half-open segment pick PER TARGET via an
+    explode over k, micro-unit snap at the end.  Only + - * / sqrt on
+    the float path; `total * k / 8.0` keeps the chain double-first
+    (gotcha 17: total is a DOUBLE sqrt sum before any literal joins).
+
+    Plan shape: one hash exchange on road_id (the windows), a 7x
+    explode on the segment rows, one filtered projection; per-(kind,k)
+    rollup keeps the compare tiny."""
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    verts = roads.selectExpr(
+        "road_id", "kind", "posexplode(coords) AS (i, c)"
+    ).selectExpr("road_id", "kind", "i", "c.x AS x", "c.y AS y")
+    wo = Window.partitionBy("road_id").orderBy("i")
+    seg = (
+        verts.withColumn("x2", F.lead("x").over(wo))
+        .withColumn("y2", F.lead("y").over(wo))
+        .filter(F.col("x2").isNotNull())
+        .withColumn(
+            "slen",
+            F.expr("SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))"),
+        )
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("road_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    picks = (
+        seg.withColumn("cum", F.sum("slen").over(wcum))
+        .withColumn("start", F.expr("cum - slen"))
+        .withColumn("total", F.max("cum").over(wall))
+        .selectExpr("*", "explode(sequence(1, 7)) AS k")
+        .filter(F.expr(
+            "total > 0 AND start <= total * k / 8.0"
+            " AND total * k / 8.0 < cum"
+        ))
+        .selectExpr(
+            "kind", "CAST(k AS INT) AS k",
+            "CAST(FLOOR((x + ((total * k / 8.0 - start) / slen)"
+            " * (x2 - x)) * 1000000 + 0.5) AS BIGINT) AS ux",
+            "CAST(FLOOR((y + ((total * k / 8.0 - start) / slen)"
+            " * (y2 - y)) * 1000000 + 0.5) AS BIGINT) AS uy",
+        )
+    )
+    return picks.groupBy("kind", "k").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("ux").alias("sum_ux"),
+        F.sum("uy").alias("sum_uy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K point-pattern statistic (cell-blocked pair counting)
+# ---------------------------------------------------------------------------
+
+_RK_CELL = "CAST(FLOOR({c} * 20) AS BIGINT)"  # 0.05-degree cells
+_RK_RADII = (20_000, 50_000)  # micro-degrees; r_max == cell size
+_RK_BOUND = 60_000  # point_id bound: constant cost at any SF
+# K(r) = A * 2 * pairs / (n (n-1)) over the [0,10)^2 world (A = 100);
+# L(r) = sqrt(K/pi).  One double chain per output cell (gotcha 17).
+_RK_K = (
+    "CAST(FLOOR(1000000.0 * 100.0 * 2.0 * CAST({p} AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * (n - 1))) AS BIGINT)"
+)
+_RK_L = (
+    "CAST(FLOOR(1000000.0 * SQRT(100.0 * 2.0 * CAST({p} AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * (n - 1)) / 3.141592653589793)) AS BIGINT)"
+)
+
+
+def cells_ripley_k(spark, sf_dir):
+    """RIPLEY'S K / L point-pattern statistic — the
+    clustering-vs-dispersion test of spatial statistics (completes the
+    family next to Moran's I and Getis-Ord): exact pair counts within
+    r in {0.02, 0.05} degrees, estimated as K(r) = A*2*pairs/(n(n-1)).
+    Pairs come from a CELL-BLOCKED self-join at the 0.05-degree grid
+    (r_max == cell size, so the 3x3 neighborhood provably covers every
+    qualifying pair — never all-pairs); coordinates quantize to
+    micro-degree BIGINTs BEFORE the distance math.  The point set is
+    bounded to the first 60k point ids (constant cost at any SF,
+    spec'd identically in the oracle).
+
+    Plan shape: one 9-offset explode on the (tiny, cell-bounded)
+    quantized point table, one equi-join on the blocked cell, one
+    map-side-combinable conditional-count agg; the blocking key is
+    COALESCE-wrapped (gotcha 11)."""
+    from .harness import points_df
+
+    pts = (
+        points_df(spark, sf_dir)
+        .filter(f"point_id <= {_RK_BOUND}")
+        .selectExpr(
+            "point_id AS pid",
+            "CAST(FLOOR(lon * 1000000) AS BIGINT) AS x",
+            "CAST(FLOOR(lat * 1000000) AS BIGINT) AS y",
+            f"COALESCE({_RK_CELL.format(c='lon')} * 1000"
+            f" + {_RK_CELL.format(c='lat')}, -1) AS cell",
+        )
+        .localCheckpoint()  # referenced by both join sides
+    )
+    nb = pts.selectExpr(
+        "pid AS pid2", "x AS x2", "y AS y2", "cell",
+        "explode(sequence(0, 8)) AS k",
+    ).selectExpr(
+        "pid2", "x2", "y2",
+        "cell + (k % 3 - 1) * 1000 + CAST(FLOOR(k / 3) AS BIGINT) - 1"
+        " AS cell",
+    )
+    r2 = {r: r * r for r in _RK_RADII}
+    pairs = pts.join(nb, "cell").filter("pid < pid2").selectExpr(
+        "(x - x2) * (x - x2) + (y - y2) * (y - y2) AS dsq"
+    )
+    agg = pairs.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN dsq <= {rr} THEN 1 ELSE 0 END"))
+            .alias(f"p{r}")
+            for r, rr in r2.items()
+        ]
+    )
+    n = pts.agg(F.count(F.lit(1)).alias("n"))
+    joined = agg.crossJoin(F.broadcast(n))
+    out = None
+    for r in _RK_RADII:
+        leg = joined.selectExpr(
+            f"CAST({r} AS BIGINT) AS r_micro",
+            f"p{r} AS n_pairs",
+            "n",
+            f"{_RK_K.format(p=f'p{r}')} AS k_micros",
+            f"{_RK_L.format(p=f'p{r}')} AS l_micros",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval (md5-seeded resampling)
+# ---------------------------------------------------------------------------
+
+_BS_B = 32
+# 48-bit integer from md5 of (replicate, slot) — the sample_weighted
+# hex->int fragment over a synthesized key string.
+_BS_CHUNK = (
+    "(CAST((instr('0123456789abcdef', substring(md5({key}), {a}, 1)) - 1)"
+    " * 256 "
+    "+ (instr('0123456789abcdef', substring(md5({key}), {b}, 1)) - 1) * 16 "
+    "+ (instr('0123456789abcdef', substring(md5({key}), {c}, 1)) - 1)"
+    " AS BIGINT))"
+)
+
+
+def _bs_h48(key: str) -> str:
+    return " + ".join(
+        f"({_BS_CHUNK.format(key=key, a=3 * i + 1, b=3 * i + 2, c=3 * i + 3)}"
+        f" * {4096 ** (3 - i)})"
+        for i in range(4)
+    )
+
+
+def events_bootstrap_ci(spark, sf_dir):
+    """DETERMINISTIC BOOTSTRAP CI for the mean hourly event count:
+    B=32 resamples of the hourly series with replacement, indices
+    drawn by a 48-bit md5 hash of (replicate, slot) — content-derived,
+    so the draw is identical across partitionings, runs, AND engines
+    (the sample_weighted determinism argument; no RNG anywhere).  The
+    interval is the 2nd-smallest / 2nd-largest replicate mean
+    (~93.75% coverage at B=32, spec'd as rank picks).
+
+    Plan shape: one hash agg to the hourly series; the B x n resample
+    explode is bounded by B * observed hours (never rows); replicate
+    means are exact integer DIV micros; the rank picks run over the
+    32-row replicate table."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"CAST(FLOOR({_TS_US} / {_HOUR_US}) AS BIGINT) AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    idx = hourly.selectExpr(
+        "x",
+        "CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS i",
+        "CAST(COUNT(*) OVER () AS BIGINT) AS n",
+    )
+    key = "concat('bs', b, ':', s)"
+    draws = (
+        idx.selectExpr("i AS slot_i", "x", "n")
+        .join(
+            idx.selectExpr("i AS s", "n AS n2")
+            .selectExpr("s", f"explode(sequence(0, {_BS_B - 1})) AS b")
+            .selectExpr("b", "s", f"({_bs_h48(key)}) % 1000000 AS h48"),
+            F.expr("slot_i = h48 % n"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("x").alias("sum_x"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+        .selectExpr(
+            "b", "(1000000 * sum_x) DIV n_slots AS mean_micros"
+        )
+    )
+    ranked = draws.selectExpr(
+        "mean_micros",
+        "ROW_NUMBER() OVER (ORDER BY mean_micros, b) AS rk",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.max(F.expr("CASE WHEN rk = 2 THEN mean_micros END"))
+        .alias("lo_micros"),
+        F.max(F.expr(f"CASE WHEN rk = {_BS_B - 1} THEN mean_micros END"))
+        .alias("hi_micros"),
+        F.sum("mean_micros").alias("sum_mean_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin clustering-quality index (centroid-based, O(n*k))
+# ---------------------------------------------------------------------------
+
+def embeddings_davies_bouldin(spark, sf_dir):
+    """DAVIES-BOULDIN INDEX of the embeddings' labeled clustering —
+    the clustering-quality eval next to kmeans and the ANN recall
+    evals, chosen over silhouette because it is CENTROID-based
+    (O(n*k) — no pairwise matrix at any scale).  Components quantize
+    to mils BIGINTs; centroids are integer DIV means; scatters S_i and
+    centroid separations M_ij are FLOOR(SQRT(exact int64 sums)) mils;
+    R_ij = FLOOR(1000 (S_i + S_j) / M_ij) and D_i = max_j R_ij stay
+    all-integer.
+
+    Plan shape: one posexplode (n x 64 rows) -> (label, component)
+    hash agg -> broadcast centroid join back -> per-vector distance
+    agg -> label rollup; the k x k centroid table is driver-tiny."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # per-component quantize through DOUBLE (the PCA-oracle form —
+    # float*int arithmetic would round differently across engines)
+    comp = emb.selectExpr(
+        "vec_id", "label", "posexplode(embedding) AS (j, e)"
+    ).selectExpr(
+        "vec_id", "label", "j",
+        "CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qx",
+    )
+    cent = comp.groupBy("label", "j").agg(
+        F.sum("qx").alias("s"), F.count(F.lit(1)).alias("m")
+    ).selectExpr("label", "j", "s DIV m AS c")
+    dists = (
+        comp.join(cent, ["label", "j"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.expr("(qx - c) * (qx - c)")).alias("dsq"))
+        .selectExpr(
+            "label",
+            "CAST(FLOOR(SQRT(CAST(dsq AS DOUBLE))) AS BIGINT) AS dist",
+        )
+    )
+    scatter = dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("SUM(dist) DIV COUNT(*)").alias("s_mils"),
+    )
+    csep = (
+        cent.selectExpr("label AS la", "j", "c AS ca")
+        .join(cent.selectExpr("label AS lb", "j", "c AS cb"), "j")
+        .filter("la <> lb")
+        .groupBy("la", "lb")
+        .agg(F.sum(F.expr("(ca - cb) * (ca - cb)")).alias("msq"))
+        .selectExpr(
+            "la", "lb",
+            "CAST(FLOOR(SQRT(CAST(msq AS DOUBLE))) AS BIGINT) AS m_mils",
+        )
+    )
+    r = (
+        csep.join(scatter.selectExpr("label AS la", "s_mils AS sa"), "la")
+        .join(scatter.selectExpr("label AS lb", "s_mils AS sb"), "lb")
+        .selectExpr(
+            "la", "(1000 * (sa + sb)) DIV m_mils AS r_mils"
+        )
+        .groupBy("la")
+        .agg(F.max("r_mils").alias("d_mils"))
+    )
+    return (
+        scatter.selectExpr("label AS la", "n_members", "s_mils")
+        .join(r, "la")
+        .selectExpr("la AS label", "n_members", "s_mils", "d_mils")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming: longest per-user event-type streak
 # ---------------------------------------------------------------------------
@@ -880,4 +1185,9 @@ QUERIES_R5C = {
     "image_box_downscale": image_box_downscale,
     "events_forecast_ols": events_forecast_ols,
     "orders_rank_functions": orders_rank_functions,
+    "image_median3": image_median3,
+    "roads_resample_points": roads_resample_points,
+    "cells_ripley_k": cells_ripley_k,
+    "events_bootstrap_ci": events_bootstrap_ci,
+    "embeddings_davies_bouldin": embeddings_davies_bouldin,
 }

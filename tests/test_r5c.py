@@ -453,3 +453,155 @@ def test_rank_functions_invariants(spark):
         n = int(per_st[st])
         want_cd = sum(math.floor(1000000.0 * r / n) for r in range(1, n + 1))
         assert int(grp.sum_cd_micros.sum()) == want_cd
+
+
+def test_ripley_k_matches_numpy_bruteforce(spark):
+    """Cell-blocked pair counts must equal an O(n^2) numpy brute force
+    over the same quantized bounded point set (r_max == cell size, so
+    blocking provably loses nothing)."""
+    from sdg_engine.queries_r5c import _RK_BOUND, _RK_RADII, cells_ripley_k
+
+    out = _pdf(cells_ripley_k(spark, SF)).set_index("r_micro")
+    orders = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    ok = orders.o_orderkey.to_numpy().astype(np.int64)
+    ok = ok[ok <= _RK_BOUND]
+    lon = (ok * 2654435761 % 1000000) / 100000.0
+    lat = (ok * 2246822519 % 1000000) / 100000.0
+    x = np.floor(lon * 1000000).astype(np.int64)
+    y = np.floor(lat * 1000000).astype(np.int64)
+    n = len(ok)
+    want = {r: 0 for r in _RK_RADII}
+    for i in range(0, n, 512):
+        xa, ya = x[i:i + 512], y[i:i + 512]
+        dsq = (xa[:, None] - x[None, :]) ** 2 + (ya[:, None] - y[None, :]) ** 2
+        # count unordered pairs once: j > global index of row i+k
+        for r in _RK_RADII:
+            hit = dsq <= r * r
+            for k in range(len(xa)):
+                want[r] += int(hit[k, i + k + 1:].sum())
+    for r in _RK_RADII:
+        assert int(out.loc[r].n_pairs) == want[r], r
+        assert int(out.loc[r].n) == n
+    assert int(out.loc[_RK_RADII[0]].n_pairs) <= int(
+        out.loc[_RK_RADII[1]].n_pairs
+    )
+
+
+def test_bootstrap_ci_matches_hashlib(spark):
+    """Replicate means must equal a python recompute drawing the same
+    md5-derived indices (determinism across engines AND languages)."""
+    import hashlib
+
+    from sdg_engine.queries_r5c import _BS_B, events_bootstrap_ci
+
+    out = _pdf(events_bootstrap_ci(spark, SF)).iloc[0]
+    ev = _hourly(spark)
+    x = ev.groupby("h").size().sort_index().to_numpy().astype(np.int64)
+    n = len(x)
+    means = []
+    for b in range(_BS_B):
+        tot = 0
+        for s in range(n):
+            h = hashlib.md5(f"bs{b}:{s}".encode()).hexdigest()[:12]
+            tot += int(x[(int(h, 16) % 1000000) % n])
+        means.append((1000000 * tot) // n)
+    means.sort()
+    assert int(out.n_reps) == _BS_B
+    assert int(out.lo_micros) == means[1]
+    assert int(out.hi_micros) == means[-2]
+    assert int(out.sum_mean_micros) == sum(means)
+    assert means[1] <= means[-2]
+
+
+def test_davies_bouldin_matches_numpy(spark):
+    """Per-label scatter and worst-ratio columns must match a dense
+    numpy recompute of the same integer chains."""
+    from sdg_engine.queries_r5c import embeddings_davies_bouldin
+
+    out = _pdf(embeddings_davies_bouldin(spark, SF)).set_index("label")
+    emb = _pdf(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    arr = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(arr * 1000.0 + 0.5).astype(np.int64)
+    labels = emb["label"].to_numpy()
+    uniq = sorted(set(labels.tolist()))
+    cent = {}
+    s_mils = {}
+    for lb in uniq:
+        m = q[labels == lb]
+        # Spark DIV and DuckDB // both truncate toward zero on
+        # negatives (verified) — numpy floor_divide floors, so build
+        # the truncating form explicitly
+        s = m.sum(axis=0)
+        cent[lb] = np.sign(s) * (np.abs(s) // len(m))
+        d = np.floor(np.sqrt(((m - cent[lb]) ** 2).sum(axis=1).astype(
+            np.float64))).astype(np.int64)
+        s_mils[lb] = int(d.sum()) // len(m)
+        assert int(out.loc[lb].n_members) == len(m)
+        assert int(out.loc[lb].s_mils) == s_mils[lb]
+    for lb in uniq:
+        best = 0
+        for other in uniq:
+            if other == lb:
+                continue
+            msq = int(((cent[lb] - cent[other]) ** 2).sum())
+            m_mils = math.floor(math.sqrt(float(msq)))
+            best = max(best, (1000 * (s_mils[lb] + s_mils[other])) // m_mils)
+        assert int(out.loc[lb].d_mils) == best, lb
+
+
+def test_median3_kernel_analytic():
+    """A constant image is a fixpoint; a single spike is ERASED by the
+    median (all its neighborhoods have >= 5 background values)."""
+    from sdg_engine.ops.payload import median3_kernel
+
+    flat = np.full((9, 9), 42_000, dtype=np.int64)
+    n_px, s, changed, maxd, chk = median3_kernel(flat)
+    assert (s, changed, maxd) == (81 * 42_000, 0, 0)
+
+    spike = flat.copy()
+    spike[4, 4] += 9_000
+    n_px, s, changed, maxd, chk = median3_kernel(spike)
+    assert (s, changed, maxd) == (81 * 42_000, 1, 9_000)
+
+
+def test_resample_points_matches_numpy(spark):
+    """Per-(kind,k) resample sums must match a numpy arc-length walk
+    over the same roads (sequential cumsum, same half-open pick)."""
+    from collections import defaultdict
+
+    from sdg_engine.jobs.rai import fixture_dir
+    from sdg_engine.queries_r5c import roads_resample_points
+
+    out = _pdf(roads_resample_points(spark, SF)).set_index(["kind", "k"])
+    roads = pd.read_parquet(f"{fixture_dir(0.01)}/roads.parquet")
+    acc = defaultdict(lambda: [0, 0, 0])
+    for _, r in roads.iterrows():
+        pts = np.asarray([(c["x"], c["y"]) for c in r.coords])
+        seg = np.diff(pts, axis=0)
+        slen = np.sqrt((seg ** 2).sum(axis=1))
+        cum = np.zeros(len(slen))
+        run = 0.0
+        for i, sl in enumerate(slen):  # sequential fold (matches window)
+            run += sl
+            cum[i] = run
+        total = run
+        if total <= 0:
+            continue
+        start = cum - slen
+        for k in range(1, 8):
+            tgt = total * k / 8.0
+            sel = np.where((start <= tgt) & (tgt < cum))[0]
+            assert len(sel) == 1
+            i = int(sel[0])
+            t = (tgt - start[i]) / slen[i]
+            ux = math.floor((pts[i, 0] + t * seg[i, 0]) * 1000000 + 0.5)
+            uy = math.floor((pts[i, 1] + t * seg[i, 1]) * 1000000 + 0.5)
+            a = acc[(r.kind, k)]
+            a[0] += 1
+            a[1] += ux
+            a[2] += uy
+    for (kind, k), (np_, sux, suy) in acc.items():
+        row = out.loc[(kind, k)]
+        assert (int(row.n_points), int(row.sum_ux), int(row.sum_uy)) == (
+            np_, sux, suy,
+        ), (kind, k)
