@@ -401,6 +401,133 @@ FROM scatter s JOIN r ON r.la = s.label
 """
 
 
+ORACLES_R5C["orders_abc_analysis"] = """
+WITH rev AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+),
+cl AS (
+  SELECT p_brand, rev,
+         COALESCE(CAST(SUM(rev) OVER (ORDER BY rev DESC, p_brand
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cum_before,
+         CAST(SUM(rev) OVER () AS BIGINT) AS total
+  FROM rev
+),
+classed AS (
+  SELECT rev,
+         CASE WHEN cum_before * 100 < total * 80 THEN 'A'
+              WHEN cum_before * 100 < total * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cl
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_brands,
+       CAST(SUM(rev) AS BIGINT) AS sum_cents
+FROM classed GROUP BY 1
+"""
+
+
+def _markov_sql() -> str:
+    from .queries_r5c import _MK_ROUNDS
+
+    parts = ["""
+WITH ev AS (
+  SELECT user_id, event_type AS t, epoch_us(ts) AS us, event_id
+  FROM events
+),
+lagged AS (
+  SELECT t, LEAD(t) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS nxt
+  FROM ev
+),
+tr AS (
+  SELECT t, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lagged WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+rs AS (SELECT t, CAST(SUM(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+tm AS MATERIALIZED (
+  SELECT tr.t, tr.nxt, tr.c, rs.r FROM tr JOIN rs USING (t)),
+p0 AS (SELECT t AS s, CAST(1000000 // 5 AS BIGINT) AS pi FROM rs)"""]
+    for k in range(1, _MK_ROUNDS + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT nxt AS s, CAST(SUM((pi * c) // r) AS BIGINT) AS pi
+  FROM tm JOIN p{k - 1} ON tm.t = p{k - 1}.s GROUP BY 1)""")
+    parts.append(f"""
+SELECT s AS event_type, pi AS pi_micros FROM p{_MK_ROUNDS}""")
+    return "".join(parts)
+
+
+ORACLES_R5C["events_markov_stationary"] = _markov_sql()
+
+
+def _frechet_sql(roads_pq: str) -> str:
+    """roads_frechet twin — a GENUINELY DIFFERENT algorithm: minimax
+    shortest path on the pair lattice (Bellman relaxation with
+    GREATEST as the path cost, MIN as the fold), unrolled 80
+    MATERIALIZED rounds (max 41 + 41 vertices) with zero-cost
+    self-loop moves (the events_dtw technique, max-min semiring)."""
+    rounds = 80
+    parts = [f"""
+WITH first AS (
+  SELECT road_id,
+         COALESCE(CAST(FLOOR(coords[1].x * 10) AS BIGINT) * 100000
+                  + CAST(FLOOR(coords[1].y * 10) AS BIGINT), -1) AS cell
+  FROM read_parquet('{roads_pq}')
+),
+verts AS (
+  SELECT road_id, u.i AS i,
+         CAST(FLOOR(coords[u.i].x * 1000000) AS BIGINT) AS x,
+         CAST(FLOOR(coords[u.i].y * 1000000) AS BIGINT) AS y,
+         len(coords) AS nv
+  FROM read_parquet('{roads_pq}'),
+       UNNEST(generate_series(1, len(coords))) AS u(i)
+),
+pairs AS (
+  SELECT a.road_id AS ra, b.road_id AS rb
+  FROM first a JOIN first b USING (cell)
+  WHERE a.road_id < b.road_id
+),
+cost AS MATERIALIZED (
+  SELECT p.ra, p.rb, va.i AS i, vb.i AS j,
+         (va.x - vb.x) * (va.x - vb.x)
+           + (va.y - vb.y) * (va.y - vb.y) AS dsq,
+         va.nv AS na, vb.nv AS nb
+  FROM pairs p
+  JOIN verts va ON va.road_id = p.ra
+  JOIN verts vb ON vb.road_id = p.rb
+),
+moves AS MATERIALIZED (
+  SELECT ra, rb, i, j, i AS i2, j AS j2, CAST(0 AS BIGINT) AS mc
+  FROM cost
+  UNION ALL
+  SELECT p.ra, p.rb, p.i, p.j, c.i, c.j, c.dsq
+  FROM cost p JOIN cost c ON c.ra = p.ra AND c.rb = p.rb
+   AND ((c.i = p.i + 1 AND c.j = p.j)
+        OR (c.i = p.i AND c.j = p.j + 1)
+        OR (c.i = p.i + 1 AND c.j = p.j + 1))),
+b0 AS (SELECT ra, rb, i, j, dsq AS cost FROM cost WHERE i = 1 AND j = 1)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT m.ra, m.rb, m.i2 AS i, m.j2 AS j,
+         CAST(MIN(GREATEST(b.cost, m.mc)) AS BIGINT) AS cost
+  FROM b{k - 1} b JOIN moves m
+    ON m.ra = b.ra AND m.rb = b.rb AND m.i = b.i AND m.j = b.j
+  GROUP BY 1, 2, 3, 4)""")
+    parts.append(f"""
+SELECT b.ra, b.rb, CAST(c.na AS INT) AS n_a, CAST(c.nb AS INT) AS n_b,
+       b.cost AS f_sq,
+       CAST(FLOOR(SQRT(CAST(b.cost AS DOUBLE))) AS BIGINT) AS f_micro
+FROM b{rounds} b
+JOIN (SELECT DISTINCT ra, rb, na, nb FROM cost) c
+  ON c.ra = b.ra AND c.rb = b.rb
+WHERE b.i = c.na AND b.j = c.nb""")
+    return "".join(parts)
+
+
 def _centroid_sql() -> str:
     from .harness import edges_values_sql_indexed
 
@@ -641,6 +768,7 @@ WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
         "roads_resample_points": _resample_sql(roads),
     }
     out["betweenness_roads"] = _betweenness_sql(roads)
+    out["roads_frechet"] = _frechet_sql(roads)
     out["roads_hausdorff"] = f"""
 WITH first AS (
   SELECT road_id,

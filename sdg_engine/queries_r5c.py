@@ -871,6 +871,172 @@ def roads_resample_points(spark, sf_dir):
     )
 
 
+def orders_abc_analysis(spark, sf_dir):
+    """ABC / PARETO CLASSIFICATION of brands by revenue — the
+    inventory-management classic (A = first 80% of cumulative revenue,
+    B = next 15%, C = tail), kept ALL-INTEGER by cross-multiplying the
+    cumulative share against the grand total (cum_before * 100 <
+    total * 80 — no float share ever materializes).  Ranking and the
+    running sum are windows over the BRAND-sized relation (bounded by
+    the catalog, never by lineitem).
+
+    Plan shape: fact-table hash agg on brand (map-side combinable),
+    broadcast total, one brand-sized window, 3-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("p_brand")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").desc(), "p_brand")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    classed = rev.select(
+        "p_brand", "rev",
+        F.coalesce(F.sum("rev").over(wc), F.lit(0)).alias("cum_before"),
+        F.sum("rev").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        ).alias("total"),
+    ).selectExpr(
+        "p_brand", "rev",
+        "CASE WHEN cum_before * 100 < total * 80 THEN 'A' "
+        "WHEN cum_before * 100 < total * 95 THEN 'B' ELSE 'C' END AS abc",
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum("rev").alias("sum_cents"),
+    )
+
+
+# Markov stationary distribution: integer power method over the
+# event-type transition matrix, micros state, FLOOR per term (the
+# pagerank recipe on the 5-type chain).
+_MK_ROUNDS = 8
+
+
+def events_markov_stationary(spark, sf_dir):
+    """STATIONARY DISTRIBUTION of the per-user event-type Markov chain
+    — the long-run state mix implied by event_transitions' counts:
+    integer power method, pi'(j) = sum_i FLOOR(pi(i) * c_ij / r_i)
+    over micros states (FLOOR per term is the spec, mirrored exactly),
+    8 fixed rounds from the uniform start.  The chain itself is the
+    (prev, next) lag-window histogram; everything after the first agg
+    runs on the TYPE x TYPE table (25 rows at any scale).
+
+    Plan shape: one lag window on user_id, one hash agg, then 8
+    25-row joins (localCheckpointed — gotcha 15); oracle is the
+    identical recurrence as an unrolled linear CTE chain."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type AS t", f"{_TS_US} AS us", "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.withColumn("nxt", F.lead("t").over(wo))
+        .filter("nxt IS NOT NULL")
+        .groupBy("t", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    rowsum = trans.groupBy("t").agg(F.sum("c").alias("r"))
+    tm = trans.join(rowsum, "t").localCheckpoint()
+    pi = rowsum.selectExpr(
+        "t AS s", "CAST(1000000 DIV 5 AS BIGINT) AS pi"
+    ).localCheckpoint()
+    for _ in range(_MK_ROUNDS):
+        pi = (
+            tm.join(pi, tm.t == pi.s)
+            .selectExpr("nxt AS s2", "(pi * c) DIV r AS term")
+            .groupBy("s2")
+            .agg(F.sum("term").alias("pi"))
+            .selectExpr("s2 AS s", "pi")
+            .localCheckpoint()
+        )
+    return pi.selectExpr("s AS event_type", "pi AS pi_micros")
+
+
+# ---------------------------------------------------------------------------
+# Discrete Fréchet distance (order-aware conflation similarity)
+# ---------------------------------------------------------------------------
+
+def roads_frechet(spark, sf_dir):
+    """DISCRETE FRECHET DISTANCE for the same cell-blocked road pairs
+    as roads_hausdorff — the ORDER-AWARE conflation similarity (the
+    dog-leash metric): F(i,j) = max(d_ij, min(F(i-1,j), F(i,j-1),
+    F(i-1,j-1))) over micro-quantized integer SQUARED distances (the
+    minimax value is order-preserved under squaring; one FLOOR(SQRT)
+    at the end).  Engine: Arrow-batched DP kernel per pair (vertex
+    counts are bounded, so per-pair work is O(|A| * |B|)).  Oracle: a
+    GENUINELY DIFFERENT algorithm — minimax shortest path on the pair
+    lattice, Bellman-relaxed with MATERIALIZED unrolled rounds and
+    self-loop moves (the events_dtw technique with a max-min
+    semiring)."""
+    import pandas as pd
+
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    first = roads.selectExpr(
+        "road_id",
+        "COALESCE(CAST(FLOOR(coords[0].x * 10) AS BIGINT) * 100000 "
+        "+ CAST(FLOOR(coords[0].y * 10) AS BIGINT), -1) AS cell",
+    )
+    qc = (
+        "transform(coords, c -> struct("
+        "CAST(FLOOR(c.x * 1000000) AS BIGINT) AS x, "
+        "CAST(FLOOR(c.y * 1000000) AS BIGINT) AS y))"
+    )
+    qroads = roads.selectExpr("road_id", f"{qc} AS q")
+    pairs = (
+        first.selectExpr("road_id AS ra", "cell")
+        .join(first.selectExpr("road_id AS rb", "cell"), "cell")
+        .filter("ra < rb")
+        .join(qroads.selectExpr("road_id AS ra", "q AS qa"), "ra")
+        .join(qroads.selectExpr("road_id AS rb", "q AS qb"), "rb")
+        .select("ra", "rb", "qa", "qb")
+    )
+
+    def _dp(batches):
+        inf = 1 << 62
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = [(int(p["x"]), int(p["y"])) for p in r.qa]
+                b = [(int(p["x"]), int(p["y"])) for p in r.qb]
+                na, nb = len(a), len(b)
+                dpt = [[inf] * nb for _ in range(na)]
+                for i in range(na):
+                    for j in range(nb):
+                        d = ((a[i][0] - b[j][0]) ** 2
+                             + (a[i][1] - b[j][1]) ** 2)
+                        if i == 0 and j == 0:
+                            prev = 0
+                        else:
+                            prev = min(
+                                dpt[i - 1][j] if i else inf,
+                                dpt[i][j - 1] if j else inf,
+                                dpt[i - 1][j - 1] if i and j else inf,
+                            )
+                        dpt[i][j] = max(d, prev)  # every cell reachable
+                rows.append((r.ra, r.rb, na, nb, dpt[na - 1][nb - 1]))
+            yield pd.DataFrame(
+                rows, columns=["ra", "rb", "n_a", "n_b", "f_sq"]
+            )
+
+    out = pairs.mapInPandas(
+        _dp, "ra bigint, rb bigint, n_a int, n_b int, f_sq bigint"
+    )
+    return out.selectExpr(
+        "ra", "rb", "n_a", "n_b", "f_sq",
+        "CAST(FLOOR(SQRT(CAST(f_sq AS DOUBLE))) AS BIGINT) AS f_micro",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ripley's K point-pattern statistic (cell-blocked pair counting)
 # ---------------------------------------------------------------------------
@@ -1190,4 +1356,7 @@ QUERIES_R5C = {
     "cells_ripley_k": cells_ripley_k,
     "events_bootstrap_ci": events_bootstrap_ci,
     "embeddings_davies_bouldin": embeddings_davies_bouldin,
+    "orders_abc_analysis": orders_abc_analysis,
+    "events_markov_stationary": events_markov_stationary,
+    "roads_frechet": roads_frechet,
 }

@@ -605,3 +605,104 @@ def test_resample_points_matches_numpy(spark):
         assert (int(row.n_points), int(row.sum_ux), int(row.sum_uy)) == (
             np_, sux, suy,
         ), (kind, k)
+
+
+def test_abc_analysis_matches_pandas(spark):
+    from sdg_engine.queries_r5c import orders_abc_analysis
+
+    out = _pdf(orders_abc_analysis(spark, SF)).set_index("abc").sort_index()
+    li = _pdf(spark.read.parquet(f"{SF}/lineitem.parquet"))
+    part = _pdf(spark.read.parquet(f"{SF}/part.parquet"))
+    li = li.merge(part[["p_partkey", "p_brand"]],
+                  left_on="l_partkey", right_on="p_partkey")
+    li["cents"] = np.floor(li.l_extendedprice * 100 + 0.5).astype(np.int64)
+    rev = li.groupby("p_brand").cents.sum().reset_index()
+    rev = rev.sort_values(["cents", "p_brand"],
+                          ascending=[False, True]).reset_index(drop=True)
+    total = int(rev.cents.sum())
+    cum_before = rev.cents.cumsum().shift(1, fill_value=0).astype(np.int64)
+    cls = np.where(cum_before * 100 < total * 80, "A",
+                   np.where(cum_before * 100 < total * 95, "B", "C"))
+    want = pd.DataFrame({"abc": cls, "rev": rev.cents}).groupby("abc").agg(
+        n_brands=("rev", "size"), sum_cents=("rev", "sum"))
+    assert (out[["n_brands", "sum_cents"]].astype(np.int64).values
+            == want.sort_index().astype(np.int64).values).all()
+    assert int(out.n_brands.sum()) == rev.p_brand.nunique()
+
+
+def test_markov_stationary_matches_python(spark):
+    """Integer power method must match a dict-based python recompute;
+    mass is conserved up to the per-term FLOOR loss."""
+    from collections import defaultdict
+
+    from sdg_engine.queries_r5c import _MK_ROUNDS, events_markov_stationary
+
+    out = _pdf(events_markov_stationary(spark, SF)).set_index("event_type")
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet")).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    c = defaultdict(int)
+    r = defaultdict(int)
+    for _, grp in ev.groupby("user_id"):
+        ts = grp.event_type.tolist()
+        for a, b in zip(ts, ts[1:]):
+            c[(a, b)] += 1
+            r[a] += 1
+    pi = {t: 1000000 // 5 for t in r}
+    for _ in range(_MK_ROUNDS):
+        nxt = defaultdict(int)
+        for (a, b), cnt in c.items():
+            nxt[b] += (pi.get(a, 0) * cnt) // r[a]
+        pi = dict(nxt)
+    assert {k: int(v.pi_micros) for k, v in out.iterrows()} == pi
+    loss = 1000000 - sum(pi.values())
+    assert 0 <= loss <= _MK_ROUNDS * len(c)
+
+
+def test_frechet_matches_python_recursion(spark):
+    """Engine minimax DP must match an independent MEMOIZED RECURSIVE
+    formulation; Frechet dominates both directed Hausdorff values for
+    every pair."""
+    import sys
+
+    from sdg_engine.jobs.rai import fixture_dir
+    from sdg_engine.queries_r5c import roads_frechet, roads_hausdorff
+
+    out = _pdf(roads_frechet(spark, SF))
+    haus = _pdf(roads_hausdorff(spark, SF)).set_index(["ra", "rb"])
+    roads = pd.read_parquet(f"{fixture_dir(0.01)}/roads.parquet")
+    vq = {
+        r.road_id: np.floor(
+            np.asarray([(c["x"], c["y"]) for c in r.coords]) * 1e6
+        ).astype(np.int64)
+        for _, r in roads.iterrows()
+    }
+    sys.setrecursionlimit(100000)
+    for _, row in out.iterrows():
+        a, b = vq[row.ra], vq[row.rb]
+        d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+        memo = {}
+
+        def f(i, j):
+            if (i, j) in memo:
+                return memo[(i, j)]
+            if i == 0 and j == 0:
+                v = int(d[0, 0])
+            else:
+                prev = min(
+                    f(i - 1, j) if i else 1 << 62,
+                    f(i, j - 1) if j else 1 << 62,
+                    f(i - 1, j - 1) if i and j else 1 << 62,
+                )
+                v = max(int(d[i, j]), prev)
+            memo[(i, j)] = v
+            return v
+
+        # iterative fill in diagonal order avoids deep recursion
+        for i in range(len(a)):
+            for j in range(len(b)):
+                f(i, j)
+        want = f(len(a) - 1, len(b) - 1)
+        assert int(row.f_sq) == want, (row.ra, row.rb)
+        h = haus.loc[(row.ra, row.rb)]
+        assert int(row.f_sq) >= int(h.h_sq)
