@@ -243,6 +243,9 @@ def main() -> None:
     from sdg_engine.queries_r5c import QUERIES_R5C
 
     queries_r5c = run_queries(spark, sf_dir, list(QUERIES_R5C))
+    from sdg_engine.queries_r5d import QUERIES_R5D
+
+    queries_r5d = run_queries(spark, sf_dir, list(QUERIES_R5D))
     flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
     spark.stop()
 
@@ -282,6 +285,7 @@ def main() -> None:
         "queries_tpch": queries_tpch,
         "queries_r5b": queries_r5b,
         "queries_r5c": queries_r5c,
+        "queries_r5d": queries_r5d,
         "sf": sf,
         "input_rows": n_input,
         "rows_per_sec": round(flagship_thr, 1),

@@ -676,6 +676,10 @@ from .oracles_r5c import ORACLES_R5C  # noqa: E402 — round-5 wave 6
 
 ORACLES.update(ORACLES_R5C)
 
+from .oracles_r5d import ORACLES_R5D  # noqa: E402 — round-5 wave 9
+
+ORACLES.update(ORACLES_R5D)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed
@@ -685,9 +689,11 @@ def all_oracles() -> dict[str, str]:
     from .oracles_ext import image_oracles
     from .oracles_r5 import image_oracles_r5
     from .oracles_r5c import fixture_oracles_r5c
+    from .oracles_r5d import fixture_oracles_r5d
 
     out = dict(ORACLES)
     out.update(image_oracles())
     out.update(image_oracles_r5())
     out.update(fixture_oracles_r5c())
+    out.update(fixture_oracles_r5d())
     return out

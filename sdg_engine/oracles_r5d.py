@@ -1,0 +1,146 @@
+"""DuckDB oracle twins for queries_r5d (wave 9).
+
+Dialect adaptations per CLAUDE.md gotcha 7: epoch_us(ts) for
+unix_micros(CAST(ts AS TIMESTAMP)), DIV -> // (both truncate toward
+zero, negatives included — verified), SUM(int) -> HUGEINT -> CAST
+BIGINT, explode -> UNNEST, 1-indexed lists, listagg WITHIN GROUP ->
+string_agg(expr, sep ORDER BY ...).  The octant CASE and segment
+length are the ENGINE'S OWN text imported from queries_r5d so both
+engines evaluate identical expressions; the concurrency oracle derives
+boundaries via UNION ALL (vs the engine's single explode) and the
+octant oracle by direct list indexing (vs the engine's lead window),
+so the plumbing is independently checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .queries_r5d import _DAY_US, _HOLD_US, _MIN_US, _SEG_LEN, OCTANT_SQL
+
+ORACLES_R5D: dict[str, str] = {}
+
+ORACLES_R5D["events_concurrency"] = f"""
+WITH iv AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + {_HOLD_US} AS e,
+         (epoch_us(ts) // {_DAY_US} + 1) * {_DAY_US} AS dayend
+  FROM events
+),
+bnd0 AS (
+  SELECT s // {_DAY_US} AS day, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT s // {_DAY_US} AS day, LEAST(e, dayend) AS t, -1 AS delta FROM iv
+  UNION ALL
+  SELECT s // {_DAY_US} + 1 AS day, dayend AS t, 1 AS delta
+  FROM iv WHERE e > dayend
+  UNION ALL
+  SELECT s // {_DAY_US} + 1 AS day, e AS t, -1 AS delta
+  FROM iv WHERE e > dayend
+),
+bnd AS (SELECT day, t, delta, t // {_MIN_US} AS bk FROM bnd0),
+bsum AS (
+  SELECT day, bk, CAST(SUM(delta) AS BIGINT) AS sb FROM bnd GROUP BY 1, 2
+),
+boff AS (
+  SELECT day, bk,
+         CAST(SUM(sb) OVER (PARTITION BY day ORDER BY bk) - sb
+              AS BIGINT) AS off
+  FROM bsum
+),
+run AS (
+  SELECT day, t, delta,
+         off + SUM(delta) OVER (PARTITION BY day, bk ORDER BY t, delta)
+           AS run
+  FROM bnd JOIN boff USING (day, bk)
+),
+w AS (
+  SELECT day, t, delta, run, MAX(run) OVER (PARTITION BY day) AS mx
+  FROM run
+)
+SELECT day, CAST(MAX(mx) AS BIGINT) AS peak,
+       CAST(MIN(CASE WHEN run = mx THEN t END) AS BIGINT) AS first_peak_us,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opens
+FROM w GROUP BY 1
+"""
+
+ORACLES_R5D["orders_listagg"] = """
+WITH pairs AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+agg AS (
+  SELECT o_orderstatus,
+         string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities_csv,
+         CAST(COUNT(*) AS BIGINT) AS n_priorities
+  FROM pairs GROUP BY 1
+),
+counts AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, n_priorities, priorities_csv, n_orders
+FROM agg JOIN counts USING (o_orderstatus)
+"""
+
+ORACLES_R5D["embeddings_silhouette"] = """
+WITH comp AS (
+  SELECT vec_id, label, u.j - 1 AS j,
+         CAST(FLOOR(CAST(embedding[u.j] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(j)
+),
+cent AS (
+  SELECT label AS clabel, j,
+         CAST(CAST(SUM(qx) AS BIGINT) // COUNT(*) AS BIGINT) AS c
+  FROM comp GROUP BY 1, 2
+),
+dists AS (
+  SELECT vec_id, label, clabel,
+         CAST(FLOOR(SQRT(CAST(CAST(SUM((qx - c) * (qx - c)) AS BIGINT)
+              AS DOUBLE))) AS BIGINT) AS dist
+  FROM comp JOIN cent USING (j)
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN dist END) AS a,
+         MIN(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM dists GROUP BY 1, 2
+),
+s AS (
+  SELECT label, (1000 * (b - a)) // GREATEST(a, b) AS s_mils
+  FROM ab WHERE GREATEST(a, b) > 0
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_mils) AS BIGINT) AS sum_s_mils,
+       CAST(CAST(SUM(s_mils) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS mean_s_mils
+FROM s GROUP BY 1
+"""
+
+
+def fixture_oracles_r5d() -> dict[str, str]:
+    """Lazily-built oracles that embed the absolute sf0.01 fixture path
+    (the fixture_oracles_r5c precedent)."""
+    from .jobs.rai import fixture_dir
+
+    fdir = fixture_dir(0.01)
+    roads = os.path.join(fdir, "roads.parquet").replace("'", "''")
+    return {
+        "roads_bearing_octants": f"""
+WITH seg0 AS (
+  SELECT kind,
+         CAST(FLOOR(coords[i].x * 1000000) AS BIGINT) AS x,
+         CAST(FLOOR(coords[i].y * 1000000) AS BIGINT) AS y,
+         CAST(FLOOR(coords[i + 1].x * 1000000) AS BIGINT) AS x2,
+         CAST(FLOOR(coords[i + 1].y * 1000000) AS BIGINT) AS y2
+  FROM read_parquet('{roads}'), UNNEST(range(1, len(coords))) AS r(i)
+),
+seg AS (
+  SELECT kind, x2 - x AS dx, y2 - y AS dy
+  FROM seg0 WHERE NOT (x2 = x AND y2 = y)
+),
+o AS (SELECT kind, {OCTANT_SQL} AS octant, {_SEG_LEN} AS seg_len FROM seg)
+SELECT kind, octant, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(seg_len) AS BIGINT) AS len_micros
+FROM o GROUP BY 1, 2
+""",
+    }

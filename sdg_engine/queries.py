@@ -852,6 +852,10 @@ from .queries_r5c import QUERIES_R5C  # noqa: E402 — round-5 wave 6
 
 QUERIES.update(QUERIES_R5C)
 
+from .queries_r5d import QUERIES_R5D  # noqa: E402 — round-5 wave 9
+
+QUERIES.update(QUERIES_R5D)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and

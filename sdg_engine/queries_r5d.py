@@ -1,0 +1,274 @@
+"""Round-5 wave 9: interval analytics (peak concurrency via a
+two-level boundary sweep), ordered-set aggregate SQL surface
+(Spark 4 LISTAGG WITHIN GROUP), road bearing octant histograms
+(the aspect-octant integer technique applied to vector azimuths),
+and simplified (centroid-based) silhouette — the per-point
+clustering eval next to embeddings_davies_bouldin's per-cluster one.
+
+Parity rules as everywhere (CLAUDE.md gotchas 7/8/17): exact BIGINT
+micro/mils quantities, DIV <-> // (both truncate toward zero, incl.
+negatives — verified), the only float ops on oracle-checked paths are
+/ sqrt floor over identical expression text with an explicit DOUBLE
+cast in every shared chain.
+
+Registered into queries.QUERIES via QUERIES_R5D.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
+_HOLD_US = 1_800_000_000  # 30-minute hold per event
+_DAY_US = 86_400_000_000
+_MIN_US = 60_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (interval sweep) per day
+# ---------------------------------------------------------------------------
+
+def events_concurrency(spark, sf_dir):
+    """PEAK CONCURRENCY per day — the classic interval-overlap sweep
+    (every event holds a resource for 30 min; how many are held at
+    once?).  Each interval is clipped at the midnight it may cross
+    (30 min < 24 h ⇒ at most two day-segments), so day partitions are
+    self-contained: crossing intervals re-open with a +1 boundary at
+    exactly day*DAY and the previous day closes them at the same
+    instant.
+
+    Scale shape: the running sum NEVER runs over a raw day partition —
+    boundaries bucket by minute, a minute-bounded (≤1440-row) window
+    computes per-bucket prefix offsets, and the within-bucket running
+    sum is minute-local (the events_auc / sequence-packing two-level
+    prefix).  Ties are deterministic: ORDER BY (t, delta) under the
+    default RANGE frame gives every peer the tie-group-end value, and
+    -1 sorts before +1 so half-open intervals never overlap at a
+    shared endpoint.
+    """
+    iv = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"{_TS_US} AS s")
+        .selectExpr("s", f"s + {_HOLD_US} AS e",
+                    f"(s DIV {_DAY_US} + 1) * {_DAY_US} AS dayend")
+    )
+    st = "named_struct('day', {day}, 't', {t}, 'delta', {d})"
+    bnd = (
+        iv.selectExpr(
+            "explode(array("
+            + st.format(day=f"s DIV {_DAY_US}", t="s", d="1") + ", "
+            + st.format(day=f"s DIV {_DAY_US}", t="LEAST(e, dayend)",
+                        d="-1") + ", "
+            + "CASE WHEN e > dayend THEN "
+            + st.format(day=f"s DIV {_DAY_US} + 1", t="dayend", d="1")
+            + " END, "
+            + "CASE WHEN e > dayend THEN "
+            + st.format(day=f"s DIV {_DAY_US} + 1", t="e", d="-1")
+            + " END)) AS b"
+        )
+        .filter("b IS NOT NULL")
+        .selectExpr("b.day AS day", "b.t AS t", "b.delta AS delta",
+                    f"b.t DIV {_MIN_US} AS bk")
+    )
+    bsum = bnd.groupBy("day", "bk").agg(F.sum("delta").alias("sb"))
+    boff = bsum.selectExpr(
+        "day", "bk",
+        "SUM(sb) OVER (PARTITION BY day ORDER BY bk) - sb AS off",
+    )
+    run = (
+        bnd.join(boff, ["day", "bk"])
+        .selectExpr(
+            "day", "t", "delta",
+            "off + SUM(delta) OVER (PARTITION BY day, bk"
+            " ORDER BY t, delta) AS run",
+        )
+    )
+    w = run.selectExpr(
+        "day", "t", "delta", "run",
+        "MAX(run) OVER (PARTITION BY day) AS mx",
+    )
+    return (
+        w.groupBy("day")
+        .agg(
+            F.max("mx").alias("peak"),
+            F.min(F.expr("CASE WHEN run = mx THEN t END"))
+            .alias("first_peak_us"),
+            F.sum(F.expr("CASE WHEN delta = 1 THEN 1 ELSE 0 END"))
+            .alias("n_opens"),
+        )
+        .selectExpr("day", "CAST(peak AS BIGINT) AS peak",
+                    "first_peak_us",
+                    "CAST(n_opens AS BIGINT) AS n_opens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG WITHIN GROUP (ordered-set aggregate SQL surface, Spark 4)
+# ---------------------------------------------------------------------------
+
+def orders_listagg(spark, sf_dir):
+    """Spark 4 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the
+    ordered-set string aggregate (DuckDB twin: string_agg with an
+    ORDER BY clause).  Deterministic by construction: the aggregate
+    runs over the DISTINCT (status, priority) pairs under a total
+    order, so both engines fold the same sequence.  The pair relation
+    is vocabulary-sized (|status| x |priority|); the per-status order
+    counts ride along from a map-side-combined hash agg."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select("o_orderstatus", "o_orderpriority").distinct()
+    agg = pairs.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(o_orderpriority, ',')"
+            " WITHIN GROUP (ORDER BY o_orderpriority)"
+        ).alias("priorities_csv"),
+        F.count(F.lit(1)).alias("n_priorities"),
+    )
+    counts = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return agg.join(counts, "o_orderstatus").select(
+        "o_orderstatus", "n_priorities", "priorities_csv", "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Road bearing octant histogram
+# ---------------------------------------------------------------------------
+
+# Integer octant of a segment direction (dx, dy) in micro-degrees:
+# first-match CASE over signs and |dx| vs |dy| cross-comparisons — the
+# image_slope_aspect octant technique on vector data.  0=E-ish (dx
+# dominant, dy>=0) counter-clockwise through 7; exhaustive for any
+# (dx, dy) != (0, 0).
+OCTANT_SQL = (
+    "CASE WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 0 "
+    "WHEN dx > 0 AND dy > 0 THEN 1 "
+    "WHEN dx <= 0 AND dy > 0 AND dy >= -dx THEN 2 "
+    "WHEN dx < 0 AND dy > 0 THEN 3 "
+    "WHEN dy <= 0 AND dx < 0 AND -dx >= -dy THEN 4 "
+    "WHEN dx < 0 AND dy < 0 THEN 5 "
+    "WHEN dx >= 0 AND dy < 0 AND -dy >= dx THEN 6 "
+    "ELSE 7 END"
+)
+
+_SEG_LEN = "CAST(FLOOR(SQRT(CAST(dx * dx + dy * dy AS DOUBLE))) AS BIGINT)"
+
+
+def roads_bearing_octants(spark, sf_dir):
+    """BEARING OCTANT HISTOGRAM per road kind — the orientation
+    profile a road-network QA pipeline publishes (grid-planned cities
+    vs organic nets).  Coordinates quantize to micro-degree BIGINTs
+    first, the octant is a pure-integer first-match CASE (shared text
+    with the oracle), and per-segment length is the one
+    FLOOR(SQRT(int64)) float op.
+
+    Plan shape: posexplode + ONE road_id-partitioned lead window
+    (vertex fanout linear in polyline length), then a map-side-combined
+    hash agg onto the (kind, octant) grid — |kinds| x 8 groups at any
+    scale.  The oracle derives segments by direct list indexing (no
+    window at all), so the window plumbing is independently checked."""
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    verts = roads.selectExpr(
+        "road_id", "kind", "posexplode(coords) AS (i, c)"
+    ).selectExpr(
+        "road_id", "kind", "i",
+        "CAST(FLOOR(c.x * 1000000) AS BIGINT) AS x",
+        "CAST(FLOOR(c.y * 1000000) AS BIGINT) AS y",
+    )
+    w = Window.partitionBy("road_id").orderBy("i")
+    seg = (
+        verts.select(
+            "kind", "x", "y",
+            F.lead("x").over(w).alias("x2"),
+            F.lead("y").over(w).alias("y2"),
+        )
+        .filter("x2 IS NOT NULL AND NOT (x2 = x AND y2 = y)")
+        .selectExpr("kind", "x2 - x AS dx", "y2 - y AS dy")
+    )
+    return (
+        seg.selectExpr(
+            "kind", f"{OCTANT_SQL} AS octant", f"{_SEG_LEN} AS seg_len"
+        )
+        .groupBy("kind", "octant")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_len").alias("len_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (centroid-based, O(n*k))
+# ---------------------------------------------------------------------------
+
+def embeddings_silhouette(spark, sf_dir):
+    """SIMPLIFIED SILHOUETTE of the embeddings' labeled clustering —
+    the per-point companion to embeddings_davies_bouldin: a(i) = the
+    point's distance to its OWN centroid, b(i) = min distance to any
+    OTHER centroid, s(i) = (b - a) / max(a, b).  Centroid-based, so
+    O(n*k) with k = |labels| — no pairwise matrix at any scale.
+
+    Exactness: components quantize to mils BIGINTs, centroids are
+    integer DIV means, distances are FLOOR(SQRT(exact int64 sums))
+    mils, and s lands in mils via one integer DIV (DuckDB // and
+    Spark DIV both truncate toward zero, negatives included).
+
+    Plan shape: posexplode (n x 64) -> broadcast the k x 64 centroid
+    table -> x k fanout join on component index -> two stacked hash
+    aggs (per vector-centroid, then per vector) -> label rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.selectExpr(
+        "vec_id", "label", "posexplode(embedding) AS (j, e)"
+    ).selectExpr(
+        "vec_id", "label", "j",
+        "CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qx",
+    )
+    cent = (
+        comp.groupBy("label", "j")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("m"))
+        .selectExpr("label AS clabel", "j", "s DIV m AS c")
+    )
+    dists = (
+        comp.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.expr("(qx - c) * (qx - c)")).alias("dsq"))
+        .selectExpr(
+            "vec_id", "label", "clabel",
+            "CAST(FLOOR(SQRT(CAST(dsq AS DOUBLE))) AS BIGINT) AS dist",
+        )
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.expr("CASE WHEN clabel = label THEN dist END")).alias("a"),
+        F.min(F.expr("CASE WHEN clabel <> label THEN dist END")).alias("b"),
+    )
+    s = ab.filter("GREATEST(a, b) > 0").selectExpr(
+        "label", "(1000 * (b - a)) DIV GREATEST(a, b) AS s_mils"
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("s_mils").alias("sum_s_mils"),
+            F.expr("SUM(s_mils) DIV COUNT(*)").alias("mean_s_mils"),
+        )
+        .selectExpr(
+            "label", "CAST(n_members AS BIGINT) AS n_members",
+            "CAST(sum_s_mils AS BIGINT) AS sum_s_mils",
+            "CAST(mean_s_mils AS BIGINT) AS mean_s_mils",
+        )
+    )
+
+
+QUERIES_R5D = {
+    "events_concurrency": events_concurrency,
+    "orders_listagg": orders_listagg,
+    "roads_bearing_octants": roads_bearing_octants,
+    "embeddings_silhouette": embeddings_silhouette,
+}

@@ -1,0 +1,162 @@
+"""INDEPENDENT invariant gates for the wave-9 operators (queries_r5d).
+
+The DuckDB oracles for these queries share expression fragments with
+the engine; these tests recompute each result through a SECOND path
+(an event-sorted sweep simulation, pandas join(sorted(...)), a
+trigonometric atan2 octant classifier vs the engine's pure-integer
+sign CASE, numpy centroid silhouette) so a shared-fragment bug cannot
+hide.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+HOLD = 1_800_000_000
+DAY = 86_400_000_000
+
+
+def _pdf(df) -> pd.DataFrame:
+    return df.toPandas()
+
+
+def test_concurrency_matches_sweep_simulation(spark):
+    from sdg_engine.queries_r5d import events_concurrency
+
+    out = _pdf(events_concurrency(spark, SF)).set_index("day")
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    s = (ev.ts.astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
+    bounds: dict[int, list[tuple[int, int]]] = {}
+    for t0 in s:
+        e = t0 + HOLD
+        dayend = (t0 // DAY + 1) * DAY
+        segs = [(t0 // DAY, t0, min(e, dayend))]
+        if e > dayend:
+            segs.append((t0 // DAY + 1, dayend, e))
+        for day, a, b in segs:
+            bounds.setdefault(int(day), []).extend([(a, 1), (b, -1)])
+    assert set(out.index) == set(bounds)
+    for day, bl in bounds.items():
+        bl.sort()  # (t, delta): -1 before +1 at equal t (half-open)
+        cur = peak = 0
+        first_peak = None
+        i = 0
+        while i < len(bl):
+            t = bl[i][0]
+            while i < len(bl) and bl[i][0] == t and bl[i][1] == -1:
+                cur -= 1
+                i += 1
+            # value after the -1 group is a distinct sweep state too
+            if cur > peak:
+                peak, first_peak = cur, t
+            while i < len(bl) and bl[i][0] == t:
+                cur += 1
+                i += 1
+            if cur > peak:
+                peak, first_peak = cur, t
+        row = out.loc[day]
+        assert int(row.peak) == peak
+        assert int(row.first_peak_us) == first_peak
+        assert int(row.n_opens) == sum(1 for _, d in bl if d == 1)
+        assert cur == 0  # every opened interval closed within its day
+
+
+def test_listagg_matches_pandas_join(spark):
+    from sdg_engine.queries_r5d import orders_listagg
+
+    out = _pdf(orders_listagg(spark, SF)).set_index("o_orderstatus")
+    o = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    for status, grp in o.groupby("o_orderstatus"):
+        vals = sorted(set(grp.o_orderpriority))
+        row = out.loc[status]
+        assert row.priorities_csv == ",".join(vals)
+        assert int(row.n_priorities) == len(vals)
+        assert int(row.n_orders) == len(grp)
+
+
+def _octant_trig(dx: int, dy: int) -> int:
+    """Trig second path for the engine's integer sign CASE: exact
+    boundaries (axes and diagonals — detectable exactly in integers)
+    belong to the EVEN octant touching them; everything else is a
+    plain floor(theta / 45deg)."""
+    ang = (math.degrees(math.atan2(dy, dx)) + 360.0) % 360.0
+    if dx == 0 or dy == 0 or abs(dx) == abs(dy):
+        ki = int(round(ang / 45.0)) % 8
+        return ki if ki % 2 == 0 else ki - 1
+    return int(ang // 45.0)
+
+
+def test_bearing_octants_match_trig(spark):
+    from sdg_engine.queries_r5d import roads_bearing_octants
+
+    out = _pdf(roads_bearing_octants(spark, SF))
+    from sdg_engine.queries_ext import _fixture_images
+
+    _imgs, roads = _fixture_images(spark, SF, pin_sf=0.01)
+    rp = _pdf(roads.selectExpr("kind", "coords"))
+    n = {}
+    ln = {}
+    for kind, coords in zip(rp.kind, rp.coords):
+        xs = np.floor(
+            np.array([c["x"] for c in coords]) * 1e6
+        ).astype(np.int64)
+        ys = np.floor(
+            np.array([c["y"] for c in coords]) * 1e6
+        ).astype(np.int64)
+        for i in range(len(xs) - 1):
+            dx, dy = int(xs[i + 1] - xs[i]), int(ys[i + 1] - ys[i])
+            if dx == 0 and dy == 0:
+                continue
+            k = (kind, _octant_trig(dx, dy))
+            n[k] = n.get(k, 0) + 1
+            ln[k] = ln.get(k, 0) + math.floor(math.sqrt(dx * dx + dy * dy))
+    got = {(r.kind, int(r.octant)): (int(r.n_segments), int(r.len_micros))
+           for r in out.itertuples()}
+    assert got == {k: (n[k], ln[k]) for k in n}
+
+
+def test_silhouette_matches_numpy(spark):
+    from sdg_engine.queries_r5d import embeddings_silhouette
+
+    out = _pdf(embeddings_silhouette(spark, SF)).set_index("label")
+    emb = _pdf(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    q = np.stack([
+        np.floor(np.asarray(v, dtype=np.float64) * 1000.0 + 0.5)
+        for v in emb.embedding
+    ]).astype(np.int64)
+    labels = emb.label.to_numpy()
+    ks = np.unique(labels)
+
+    def trunc_div(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    cents = {
+        k: trunc_div(q[labels == k].sum(axis=0), (labels == k).sum())
+        for k in ks
+    }
+    d = np.stack([
+        np.floor(np.sqrt(((q - cents[k]) ** 2).sum(axis=1)))
+        for k in ks
+    ]).astype(np.int64)  # shape (k, n)
+    own = np.array([np.where(ks == l)[0][0] for l in labels])
+    a = d[own, np.arange(len(labels))]
+    masked = d.astype(np.float64)
+    masked[own, np.arange(len(labels))] = np.inf
+    b = masked.min(axis=0).astype(np.int64)
+    keep = np.maximum(a, b) > 0
+    s = trunc_div(1000 * (b - a), np.maximum(a, b))
+    for k in ks:
+        sel = keep & (labels == k)
+        row = out.loc[k]
+        assert int(row.n_members) == int(sel.sum())
+        assert int(row.sum_s_mils) == int(s[sel].sum())
+        assert int(row.mean_s_mils) == int(
+            np.sign(s[sel].sum()) * (abs(int(s[sel].sum())) // sel.sum())
+        )
+    # s(i) is bounded in (-1, 1) by construction; the synthetic labels
+    # overlap heavily in 64-dim so the means sit near zero — the
+    # invariant is the bound, not the sign
+    assert out.mean_s_mils.between(-1000, 1000).all()
