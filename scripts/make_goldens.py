@@ -2046,3 +2046,128 @@ def make_median3_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"median3_sf{sf:g}.parquet"),
     )
     print(f"median3 golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_otsu_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_otsu query (r05 wave 10).
+
+    Same SPEC as ops/payload.otsu_kernel (256-bin histogram over
+    lum DIV 1000, maximize exact between-class variance, smallest-t
+    tie, foreground = bins > t), INDEPENDENT path: Counter histogram +
+    incremental running sums + fractions.Fraction comparison (vs the
+    engine's np.bincount cumsums + cross-multiplied int compare)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, thrs, n_fgs, sum_fgs, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        flat = lum.ravel().tolist()
+        bins = [v // 1000 for v in flat]
+        hist = Counter(bins)
+        n_tot = len(bins)
+        s_tot = sum(b * c for b, c in hist.items())
+        w0 = s0 = 0
+        best_t = -1
+        best = Fraction(0)
+        for t in range(256):
+            c = hist.get(t, 0)
+            w0 += c
+            s0 += t * c
+            if w0 == 0 or w0 == n_tot:
+                continue
+            f = Fraction((s0 * n_tot - s_tot * w0) ** 2, w0 * (n_tot - w0))
+            if best_t < 0 or f > best:
+                best_t, best = t, f
+        n_fg = sum_fg = chk = 0
+        for k, (v, b) in enumerate(zip(flat, bins)):
+            if b > best_t:
+                n_fg += 1
+                sum_fg += v
+                chk += (k % 97) + 1
+        ids.append(image_id)
+        thrs.append(best_t)
+        n_fgs.append(n_fg)
+        sum_fgs.append(sum_fg)
+        chks.append(chk)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "thr": pa.array(thrs, pa.int32()),
+            "n_fg": pa.array(n_fgs, pa.int64()),
+            "sum_fg": pa.array(sum_fgs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"otsu_sf{sf:g}.parquet"),
+    )
+    print(f"otsu golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_mst_golden(sf: float = 0.01) -> None:
+    """Golden for the ORACLE-checked mst_roads query (r05 wave 10).
+
+    INDEPENDENT algorithm family: scalar KRUSKAL with path-halving
+    union-find over the same quantized road-graph edges (vs the
+    engine's distributed Boruvka rounds).  Edge weight keys (w, u, v)
+    are strictly distinct, so the minimum spanning FOREST is unique
+    and the two algorithms must produce identical totals."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    roads = FX.roads_records(sf)
+    edges = set()
+    nodes = set()
+    for r in roads:
+        nds = [
+            (int(math.floor(p["x"] * 10 + 0.5)) + 100) * 1000
+            + (int(math.floor(p["y"] * 10 + 0.5)) + 100)
+            for p in r["coords"]
+        ]
+        for a, b in zip(nds, nds[1:]):
+            if a == b:
+                continue
+            u, v = (a, b) if a < b else (b, a)
+            edges.add((u, v))
+            nodes.add(u)
+            nodes.add(v)
+
+    def wgt(u: int, v: int) -> int:
+        dx = u // 1000 - v // 1000
+        dy = u % 1000 - v % 1000
+        return int(math.floor(math.sqrt(float(dx * dx + dy * dy)) * 1000))
+
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = chk = cnt = 0
+    for w_, u, v in sorted((wgt(u, v), u, v) for (u, v) in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            cnt += 1
+            total += w_
+            chk += u * 1000003 + v
+    n_comp = len({find(n) for n in nodes})
+    pq.write_table(
+        pa.table({
+            "n_components": pa.array([n_comp], pa.int64()),
+            "n_mst_edges": pa.array([cnt], pa.int64()),
+            "total_w": pa.array([total], pa.int64()),
+            "chk": pa.array([chk], pa.int64()),
+        }),
+        os.path.join(OUT, f"mst_sf{sf:g}.parquet"),
+    )
+    print(f"mst golden: {len(nodes)} nodes, {cnt} edges, "
+          f"{n_comp} components")

@@ -1258,6 +1258,51 @@ def box_downscale_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def otsu_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """OTSU THRESHOLD (exact): 256-bin histogram over lum DIV 1000,
+    threshold t maximizing the between-class variance — compared as the
+    EXACT rational (s0*N - S*w0)^2 / (w0*(N-w0)) via cross-multiplied
+    arbitrary-precision Python ints (the squared numerator overflows
+    int64 at real image sizes); strictly-greater keeps the SMALLEST t,
+    so the argmax is deterministic.  Foreground = bins > t.  Engine
+    path: np.bincount + vectorized cumsums feeding the scalar compare
+    loop; the golden twin accumulates running sums incrementally and
+    compares with fractions.Fraction instead.  Returns (thr, n_fg,
+    sum_fg, chk)."""
+    b = (lum_i // 1000).ravel()
+    hist = np.bincount(b, minlength=256).astype(np.int64)
+    csum = np.cumsum(hist)
+    vsum = np.cumsum(hist * np.arange(256, dtype=np.int64))
+    n_tot = int(b.size)
+    s_tot = int(vsum[-1])
+    best_t, best_num, best_den = -1, 0, 1
+    for t in range(256):
+        w0 = int(csum[t])
+        if w0 == 0 or w0 == n_tot:
+            continue
+        num = int(vsum[t]) * n_tot - s_tot * w0
+        den = w0 * (n_tot - w0)
+        if best_t < 0 or num * num * best_den > best_num * best_num * den:
+            best_t, best_num, best_den = t, num, den
+    mask = b > best_t
+    wgt = (np.arange(b.size, dtype=np.int64) % 97) + 1
+    return (
+        int(best_t),
+        int(mask.sum()),
+        int(lum_i.ravel()[mask].sum()),
+        int((wgt * mask.astype(np.int64)).sum()),
+    )
+
+
+def otsu_stats(images: DataFrame) -> DataFrame:
+    """Per-image Otsu binarization stats (map-only)."""
+    return _int_terrain_op(
+        images, otsu_kernel,
+        ["thr", "n_fg", "sum_fg", "chk"],
+        "thr int, n_fg bigint, sum_fg bigint, chk bigint",
+    )
+
+
 # TPI/TRI SPEC (shared with the golden twin): 8-neighborhood under
 # clamp borders; TPI = 8*center - sum(neighbors), TRI = sum(|center -
 # neighbor|); ridge/valley threshold on |TPI| in milli-luma units.

@@ -581,6 +581,71 @@ def knn_topk_roads(
     )
 
 
+def snap_nearest_road(
+    points_geo: DataFrame,
+    segs: DataFrame,
+    cutoff_m: float = 2000.0,
+    level: int | None = None,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """MAP-MATCHING snap (J4c): nearest road segment per point WITH the
+    linear-referencing payload — the clamped projection parameter t and
+    the snapped on-segment coordinates — i.e. the operator a GPS-trace
+    conflation pipeline runs after kNN.
+
+    Same candidate construction and 3×3-block completeness proof as
+    knn_nearest_road; the difference is the argmin struct carries the
+    projection intermediates (t, endpoint, direction) so the snap is
+    computed once, AFTER the reduction, from the winning segment only.
+    t and the snapped coords quantize to micros with one FLOOR each
+    (the double chain is shared text with the DuckDB oracle; every
+    term already has a DOUBLE operand per CLAUDE.md gotcha 17).
+    """
+    if level is None:
+        level = level_for_cutoff(cutoff_m)
+    probe = with_point_cell(points_geo, level, "lon", "lat", "cell_id")
+    build = segments_with_cells(segs, level, k_expand=0)
+    build = with_kring(
+        build, level, 1, "cell_id", "ring_cell_id",
+        idx_cols=("cell_id_ix", "cell_id_iy"),
+    )
+    build = (
+        build.select(
+            F.col("ring_cell_id").alias("cell_id"),
+            "road_id", "seg_id", "ax", "ay", "bx", "by",
+        )
+        .dropDuplicates(["cell_id", "road_id", "seg_id"])
+    )
+    joined = probe.select(id_col, "lon", "lat", "cell_id").join(
+        build, "cell_id", "inner"
+    )
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "by", "dist_m")
+    joined = apply_steps(joined, steps)
+    joined = joined.filter(F.col("dist_m") <= F.lit(float(cutoff_m)))
+    # argmin via min(struct): (dist, road, seg) is the deterministic
+    # tie-break; the trailing fields are functionally dependent on
+    # (road_id, seg_id) so they never influence the comparison
+    best = joined.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                "dist_m", "road_id", "seg_id", "dist_m_t",
+                "ax", "ay", "dist_m_dx", "dist_m_dy",
+            )
+        ).alias("_b")
+    )
+    return best.selectExpr(
+        id_col,
+        "_b.road_id AS road_id",
+        "_b.seg_id AS seg_id",
+        "_b.dist_m AS dist_m",
+        "CAST(FLOOR(_b.dist_m_t * 1000000.0) AS BIGINT) AS t_micros",
+        "CAST(FLOOR((_b.ax + _b.dist_m_t * _b.dist_m_dx) * 1000000.0)"
+        " AS BIGINT) AS snap_x_micro",
+        "CAST(FLOOR((_b.ay + _b.dist_m_t * _b.dist_m_dy) * 1000000.0)"
+        " AS BIGINT) AS snap_y_micro",
+    )
+
+
 def near_road_semi(
     points_geo: DataFrame,
     segs: DataFrame,

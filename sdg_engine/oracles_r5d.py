@@ -117,6 +117,48 @@ FROM s GROUP BY 1
 """
 
 
+def _snap_sql() -> str:
+    """Brute-force map-matching twin: cross join + the SAME sqlgen
+    distance steps (keeping the projection intermediates), rank-1 by
+    (dist, road_id) — single-segment harness roads make that the full
+    (dist, road, seg) tie-break — then the identical t/snap double
+    chain (every term already has a DOUBLE operand; gotcha 17)."""
+    from .harness import AX, AY, BX, BY, KNN_CUTOFF_M, PX, PY
+    from .sqlgen import chain_select, point_seg_dist_steps
+
+    pts = f"SELECT o_orderkey AS point_id, {PX} AS lon, {PY} AS lat FROM orders"
+    segs = (
+        f"SELECT s_suppkey AS road_id, CAST(0 AS INT) AS seg_id, "
+        f"{AX} AS ax, {AY} AS ay, {BX} AS bx, {BY} AS byy FROM supplier"
+    )
+    steps = point_seg_dist_steps("lon", "lat", "ax", "ay", "bx", "byy",
+                                 "dist_m")
+    d = chain_select(
+        "SELECT * FROM cand", steps,
+        ["point_id", "road_id", "seg_id", "ax", "ay",
+         "dist_m_dx", "dist_m_dy", "dist_m_t", "dist_m"],
+    )
+    return f"""
+WITH pts AS ({pts}),
+segs AS ({segs}),
+cand AS (SELECT * FROM pts CROSS JOIN segs),
+d AS ({d}),
+hit AS (SELECT * FROM d WHERE dist_m <= CAST({int(KNN_CUTOFF_M)} AS DOUBLE)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY point_id
+            ORDER BY dist_m ASC, road_id ASC) AS rn
+  FROM hit
+)
+SELECT point_id, road_id, seg_id, ROUND(dist_m, 6) AS dist_m,
+       CAST(FLOOR(dist_m_t * 1000000.0) AS BIGINT) AS t_micros,
+       CAST(FLOOR((ax + dist_m_t * dist_m_dx) * 1000000.0) AS BIGINT)
+         AS snap_x_micro,
+       CAST(FLOOR((ay + dist_m_t * dist_m_dy) * 1000000.0) AS BIGINT)
+         AS snap_y_micro
+FROM ranked WHERE rn = 1
+"""
+
+
 def fixture_oracles_r5d() -> dict[str, str]:
     """Lazily-built oracles that embed the absolute sf0.01 fixture path
     (the fixture_oracles_r5c precedent)."""
@@ -124,7 +166,40 @@ def fixture_oracles_r5d() -> dict[str, str]:
 
     fdir = fixture_dir(0.01)
     roads = os.path.join(fdir, "roads.parquet").replace("'", "''")
+    gdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "goldens",
+    ).replace("'", "''")
     return {
+        "points_snap_roads": _snap_sql(),
+        # mst golden carries the Kruskal result; the node count is LIVE
+        # over the roads parquet with the engine's quantization text
+        "mst_roads": f"""
+WITH verts AS (
+  SELECT road_id, i,
+         (CAST(FLOOR(coords[i].x * 10 + 0.5) AS BIGINT) + 100) * 1000
+           + (CAST(FLOOR(coords[i].y * 10 + 0.5) AS BIGINT) + 100) AS nd
+  FROM read_parquet('{roads}'),
+       UNNEST(range(1, len(coords) + 1)) AS r(i)
+),
+eg AS (
+  SELECT LEAST(a.nd, b.nd) AS u, GREATEST(a.nd, b.nd) AS v
+  FROM verts a JOIN verts b ON a.road_id = b.road_id AND b.i = a.i + 1
+  WHERE a.nd <> b.nd
+),
+eu AS (SELECT DISTINCT u, v FROM eg),
+nodes AS (SELECT u AS nd FROM eu UNION SELECT v FROM eu)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       g.n_components, g.n_mst_edges, g.total_w, g.chk
+FROM read_parquet('{gdir}/mst_sf0.01.parquet') g
+""",
+        "image_otsu": f"""
+SELECT g.image_id, g.thr, g.n_fg, g.sum_fg, g.chk
+FROM read_parquet('{gdir}/otsu_sf0.01.parquet') g
+JOIN read_parquet('{os.path.join(fdir, "images.parquet").replace("'", "''")}') f
+  USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
         "roads_bearing_octants": f"""
 WITH seg0 AS (
   SELECT kind,

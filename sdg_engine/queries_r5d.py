@@ -266,9 +266,160 @@ def embeddings_silhouette(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (distributed Boruvka)
+# ---------------------------------------------------------------------------
+
+def mst_roads(spark, sf_dir):
+    """MINIMUM SPANNING FOREST of the quantized road graph via
+    DISTRIBUTED BORUVKA — the clustering/backbone primitive the graph
+    family was missing (single-linkage clustering IS an MST cut).
+    Edge weight keys (w, u, v) are strictly distinct, so the forest is
+    unique and min(struct) per component is a total-order pick: each
+    round every component selects its minimum outgoing edge (never a
+    cycle under distinct keys), selected edges merge components via
+    the pointer-jumped min-label primitive, and the component count at
+    least halves per round — ≤ log2(max component size) rounds, each a
+    pair of broadcast-scale joins + a tiny component-graph jump, all
+    localCheckpointed (gotcha 15).
+
+    Oracle: committed INDEPENDENT golden — scalar KRUSKAL with
+    union-find over the same edges (scripts/make_goldens.py) — plus a
+    LIVE relational node count over the roads parquet (load-bearing).
+    """
+    from .queries_r5 import _components_jump, _spw_edges
+
+    edges_sym = _spw_edges(spark, sf_dir)
+    eu = (
+        edges_sym.filter("src < dst")
+        .selectExpr("src AS u", "dst AS v", "w")
+        .localCheckpoint()
+    )
+    nodes = eu.selectExpr("u AS k").union(eu.selectExpr("v")).distinct()
+    labels = nodes.selectExpr("k AS node", "k AS label").localCheckpoint()
+    spark_ = eu.sparkSession
+    old_parts = spark_.conf.get("spark.sql.shuffle.partitions")
+    spark_.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        mst = None
+        for _ in range(12):
+            act = (
+                eu.join(labels.selectExpr("node AS u", "label AS lu"), "u")
+                .join(labels.selectExpr("node AS v", "label AS lv"), "v")
+                .filter("lu <> lv")
+                .localCheckpoint()
+            )
+            if act.isEmpty():
+                break
+            cand = act.selectExpr(
+                "lu AS comp", "w", "u", "v", "lv AS other"
+            ).unionByName(
+                act.selectExpr("lv AS comp", "w", "u", "v", "lu AS other")
+            )
+            sel = (
+                cand.groupBy("comp")
+                .agg(F.min(F.struct("w", "u", "v", "other")).alias("m"))
+                .selectExpr(
+                    "comp", "m.w AS w", "m.u AS u", "m.v AS v",
+                    "m.other AS other",
+                )
+                .localCheckpoint()
+            )
+            chosen = sel.select("u", "v", "w").distinct().localCheckpoint()
+            mst = chosen if mst is None else (
+                mst.unionByName(chosen).localCheckpoint()
+            )
+            comp_labels = _components_jump(
+                sel.selectExpr("comp AS src", "other AS dst"),
+                sel.selectExpr("comp AS k").distinct(),
+            )
+            labels = (
+                labels.join(
+                    comp_labels.selectExpr("v AS label", "label AS nl"),
+                    "label", "left",
+                )
+                .selectExpr("node", "COALESCE(nl, label) AS label")
+                .localCheckpoint()
+            )
+        else:
+            raise RuntimeError("Boruvka did not converge in 12 rounds")
+    finally:
+        spark_.conf.set("spark.sql.shuffle.partitions", old_parts)
+    nstats = labels.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("label").alias("n_components"),
+    )
+    stats = mst.agg(
+        F.count(F.lit(1)).alias("n_mst_edges"),
+        F.sum("w").alias("total_w"),
+        F.sum(F.expr("u * 1000003 + v")).alias("chk"),
+    )
+    return nstats.crossJoin(stats).selectExpr(
+        "CAST(n_nodes AS BIGINT) AS n_nodes",
+        "CAST(n_components AS BIGINT) AS n_components",
+        "CAST(n_mst_edges AS BIGINT) AS n_mst_edges",
+        "CAST(total_w AS BIGINT) AS total_w",
+        "CAST(chk AS BIGINT) AS chk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-matching snap (kNN + linear referencing)
+# ---------------------------------------------------------------------------
+
+def points_snap_roads(spark, sf_dir):
+    """MAP-MATCHING: snap every point to its nearest road segment and
+    publish the linear-referencing payload (clamped projection
+    parameter t + the snapped on-segment coordinates) — the operator a
+    GPS-trace conflation pipeline runs right after kNN.  Same
+    cell-pruned candidate join and (dist, road, seg) min(struct)
+    argmin as spatial_knn_nearest; the snap is computed once from the
+    winning segment's carried intermediates.  Oracle: brute-force
+    cross join + rank window over the SAME sqlgen distance steps, with
+    the identical t/snap double chain."""
+    from .harness import KNN_CUTOFF_M, points_df, segments_df
+    from .ops import spatial as SP
+
+    near = SP.snap_nearest_road(
+        points_df(spark, sf_dir), segments_df(spark, sf_dir),
+        KNN_CUTOFF_M, id_col="point_id",
+    )
+    return near.select(
+        "point_id", "road_id", "seg_id",
+        F.round("dist_m", 6).alias("dist_m"),
+        "t_micros", "snap_x_micro", "snap_y_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Otsu binarization (exact integer argmax)
+# ---------------------------------------------------------------------------
+
+def image_otsu(spark, sf_dir):
+    """OTSU THRESHOLD per image — the classic histogram-based
+    binarization (the segmentation step before region labeling).
+    Exact: the between-class-variance argmax is compared as
+    cross-multiplied arbitrary-precision integers (the squared
+    numerator overflows int64), smallest-t tie-break.  Map-only; jpg
+    excluded / first-500 bound.  Oracle: committed INDEPENDENT golden
+    (Counter histogram + incremental running sums + Fraction compare
+    vs the engine's bincount cumsums)."""
+    from .ops.payload import otsu_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return otsu_stats(sel)
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
     "roads_bearing_octants": roads_bearing_octants,
     "embeddings_silhouette": embeddings_silhouette,
+    "mst_roads": mst_roads,
+    "points_snap_roads": points_snap_roads,
+    "image_otsu": image_otsu,
 }

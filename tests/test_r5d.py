@@ -160,3 +160,102 @@ def test_silhouette_matches_numpy(spark):
     # overlap heavily in 64-dim so the means sit near zero — the
     # invariant is the bound, not the sign
     assert out.mean_s_mils.between(-1000, 1000).all()
+
+
+def test_mst_matches_prim(spark):
+    """Third algorithm family: heapq PRIM per component (vs the
+    engine's distributed Boruvka and the golden's scalar Kruskal)."""
+    import heapq
+
+    from sdg_engine.queries_r5d import mst_roads
+    from sdg_engine.queries_r5 import _spw_edges
+
+    out = _pdf(mst_roads(spark, SF)).iloc[0]
+    ed = _pdf(_spw_edges(spark, SF).filter("src < dst"))
+    adj = {}
+    for r in ed.itertuples():
+        adj.setdefault(r.src, []).append((int(r.w), r.dst))
+        adj.setdefault(r.dst, []).append((int(r.w), r.src))
+    seen = set()
+    total = cnt = comps = 0
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comps += 1
+        seen.add(start)
+        h = list(adj[start])
+        heapq.heapify(h)
+        while h:
+            w, v = heapq.heappop(h)
+            if v in seen:
+                continue
+            seen.add(v)
+            total += w
+            cnt += 1
+            for e in adj[v]:
+                heapq.heappush(h, e)
+    assert int(out.n_nodes) == len(seen)
+    assert int(out.n_components) == comps
+    assert int(out.n_mst_edges) == cnt == len(seen) - comps
+    assert int(out.total_w) == total
+
+
+def test_snap_agrees_with_knn_and_lies_on_segment(spark):
+    from sdg_engine.queries import spatial_knn_nearest
+    from sdg_engine.queries_r5d import points_snap_roads
+
+    snap = _pdf(points_snap_roads(spark, SF)).set_index("point_id")
+    knn = _pdf(spatial_knn_nearest(spark, SF)).set_index("point_id")
+    assert set(snap.index) == set(knn.index)
+    j = snap.join(knn, rsuffix="_k")
+    assert (j.road_id == j.road_id_k).all()
+    assert (j.dist_m == j.dist_m_k).all()
+    assert j.t_micros.between(0, 1_000_000).all()
+    # the snapped point re-measures (plate-carree) to the reported
+    # distance within micro-quantization error (~0.2 m/micro here)
+    from sdg_engine import METERS_PER_DEG
+    from sdg_engine.harness import PX, PY
+
+    pts = _pdf(
+        spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+            "o_orderkey AS point_id", f"{PX} AS lon", f"{PY} AS lat"
+        )
+    ).set_index("point_id")
+    jj = j.join(pts)
+    dx = jj.lon - jj.snap_x_micro / 1e6
+    dy = jj.lat - jj.snap_y_micro / 1e6
+    d = np.sqrt(dx * dx + dy * dy) * METERS_PER_DEG
+    assert (np.abs(d - jj.dist_m) < 0.5).all()
+
+
+def test_otsu_kernel_analytic():
+    from fractions import Fraction
+
+    from sdg_engine.ops.payload import otsu_kernel
+
+    # bimodal: 60 dark pixels at luma 10k, 40 bright at 200k ->
+    # threshold must fall strictly between the modes
+    lum = np.array([10_000] * 60 + [200_000] * 40,
+                   dtype=np.int64).reshape(10, 10)
+    thr, n_fg, sum_fg, chk = otsu_kernel(lum)
+    assert 10 <= thr < 200
+    assert n_fg == 40
+    assert sum_fg == 40 * 200_000
+    # brute-force Fraction argmax over a seeded random image
+    rng = np.random.default_rng(7)
+    lum = rng.integers(0, 256, size=(16, 16)).astype(np.int64) * 1000
+    thr, n_fg, sum_fg, chk = otsu_kernel(lum)
+    b = (lum // 1000).ravel()
+    n = b.size
+    s = int(b.sum())
+    best_t, best = -1, Fraction(0)
+    for t in range(256):
+        w0 = int((b <= t).sum())
+        if w0 == 0 or w0 == n:
+            continue
+        s0 = int(b[b <= t].sum())
+        f = Fraction((s0 * n - s * w0) ** 2, w0 * (n - w0))
+        if best_t < 0 or f > best:
+            best_t, best = t, f
+    assert thr == best_t
+    assert n_fg == int((b > best_t).sum())
