@@ -2171,3 +2171,126 @@ def make_mst_golden(sf: float = 0.01) -> None:
     )
     print(f"mst golden: {len(nodes)} nodes, {cnt} edges, "
           f"{n_comp} components")
+
+
+def make_pitch_golden() -> None:
+    """Golden for multimodal_audio_pitch (r05 wave 11): waveform
+    regenerated from the fixture SPEC, INDEPENDENT PCM16 twin quantize
+    (clip/round — never codecs.encode_wav), channel-sum mono ints, and
+    a SCALAR python-int autocorrelation loop (vs the engine's int64
+    np.dot) — smallest-lag strict-max tie rule shared by SPEC."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(1234)
+    ids, lags, f0s, rps, nls = [], [], [], [], []
+    for i in range(64):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+        x = [sum(int(v) for v in row) for row in pcm]
+        lo, hi = max(1, sr // 2000), sr // 100
+        best_lag, best_r, n_lags = -1, 0, 0
+        for k in range(lo, min(hi, len(x) - 1) + 1):
+            n_lags += 1
+            rk = 0
+            for a, b in zip(x[:-k], x[k:]):
+                rk += a * b
+            if best_lag < 0 or rk > best_r:
+                best_lag, best_r = k, rk
+        ids.append(f"aud{i:08d}")
+        lags.append(best_lag)
+        f0s.append(float(sr) / float(best_lag))
+        rps.append(best_r)
+        nls.append(n_lags)
+    pq.write_table(
+        pa.table({
+            "media_id": ids,
+            "lag": pa.array(lags, pa.int32()),
+            "f0_hz": pa.array(f0s, pa.float64()),
+            "r_peak": pa.array(rps, pa.int64()),
+            "n_lags": pa.array(nls, pa.int32()),
+        }),
+        os.path.join(OUT, "audio_pitch.parquet"),
+    )
+    print(f"audio_pitch golden: {len(ids)} rows")
+
+
+def make_motion_golden(block: int = 8, search: int = 4) -> None:
+    """Golden for multimodal_video_motion (r05 wave 11): frames
+    regenerated from the fixture SPEC (one shared rng stream across
+    clips, like the generator), then SCALAR per-block python-int block
+    matching (vs the engine's vectorized numpy) under the shared SPEC:
+    row-major shift order, strictly-smaller SAD replaces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4321)
+    ids, nps, nbs, nms, ssads, smvs, chks = [], [], [], [], [], [], []
+    for i in range(32):
+        w, h = 48, 32
+        n_frames = 24 + (i % 4) * 12
+        t = np.arange(n_frames)[:, None, None]
+        yy = np.arange(h)[None, :, None]
+        xx = np.arange(w)[None, None, :]
+        frames = ((xx * 3 + yy * 2 + t * 7 + i * 11) % 256).astype(np.uint8)
+        frames = np.clip(
+            frames.astype(np.int16)
+            + rng.integers(-8, 9, size=frames.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        pos = [(by, bx)
+               for by in range(search, h - block - search + 1, block)
+               for bx in range(search, w - block - search + 1, block)]
+        n_pairs = n_frames - 1
+        n_blocks = n_moving = sum_sad = sum_abs_mv = chk = 0
+        flat = 0
+        for tt in range(1, n_frames):
+            prev = frames[tt - 1].astype(np.int64)
+            cur = frames[tt].astype(np.int64)
+            for by, bx in pos:
+                best = None
+                for dy in range(-search, search + 1):
+                    for dx in range(-search, search + 1):
+                        sad = 0
+                        for rr in range(block):
+                            for cc in range(block):
+                                sad += abs(int(cur[by + rr, bx + cc])
+                                           - int(prev[by + dy + rr,
+                                                      bx + dx + cc]))
+                        if best is None or sad < best[0]:
+                            best = (sad, dy, dx)
+                n_blocks += 1
+                sad, dy, dx = best
+                if dy != 0 or dx != 0:
+                    n_moving += 1
+                sum_sad += sad
+                sum_abs_mv += abs(dy) + abs(dx)
+                wgt = (flat % 97) + 1
+                chk += wgt * ((dy + search) * (2 * search + 1) + dx + search)
+                flat += 1
+        ids.append(f"vid{i:08d}")
+        nps.append(n_pairs)
+        nbs.append(n_blocks)
+        nms.append(n_moving)
+        ssads.append(sum_sad)
+        smvs.append(sum_abs_mv)
+        chks.append(chk)
+    pq.write_table(
+        pa.table({
+            "media_id": ids,
+            "n_pairs": pa.array(nps, pa.int32()),
+            "n_blocks": pa.array(nbs, pa.int64()),
+            "n_moving": pa.array(nms, pa.int64()),
+            "sum_sad": pa.array(ssads, pa.int64()),
+            "sum_abs_mv": pa.array(smvs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, "video_motion.parquet"),
+    )
+    print(f"video_motion golden: {len(ids)} rows")

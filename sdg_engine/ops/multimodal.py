@@ -361,3 +361,157 @@ def audio_stft_frames(audio: DataFrame, frame: int = 256, hop: int = 128,
         _stft,
         "media_id string, frame_idx int, energy double, centroid_hz double",
     )
+
+
+def audio_pitch_autocorr(audio: DataFrame,
+                         deterministic_fake: bool = True) -> DataFrame:
+    """PITCH (f0) estimate via INTEGER AUTOCORRELATION (r05 wave 11):
+    decode the real PCM16 samples, sum channels as exact ints, and take
+    r(k) = sum x_i * x_{i+k} over int64 for lags sr//2000 .. sr//100
+    (the 100-2000 Hz search band); f0 = sr / argmax_lag.  Strict-max
+    with smallest-lag tie keeps the argmax deterministic, and every
+    product is exact — the result is partitioning- and fold-order-
+    independent.  The golden twin regenerates the waveform from the
+    fixture SPEC, re-quantizes with the independent PCM16 rule, and
+    accumulates r(k) with arbitrary-precision Python ints."""
+    fake = bool(deterministic_fake)
+
+    def _pitch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import decode_wav
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.codec in ("wav", "pcm16"):
+                    pcm, sr = decode_wav(bytes(r.bytes))
+                elif fake:
+                    n_samples = int(r.sample_rate * r.duration_ms / 1000)
+                    seed = int.from_bytes(
+                        bytes(r.bytes)[:8].ljust(8, b"\0"), "big") % (2**32)
+                    rng = np.random.default_rng(seed)
+                    pcm = np.clip(
+                        np.round(rng.standard_normal(
+                            (n_samples, int(r.n_channels))) * 8192.0),
+                        -32768, 32767,
+                    ).astype(np.int16)
+                    sr = int(r.sample_rate)
+                else:
+                    raise NotImplementedError(
+                        f"real {r.codec} decode requires an audio codec "
+                        "library; pass deterministic_fake=True"
+                    )
+                x = pcm.astype(np.int64).sum(axis=1)
+                lo, hi = max(1, sr // 2000), sr // 100
+                best_lag, best_r, n_lags = -1, 0, 0
+                for k in range(lo, min(hi, len(x) - 1) + 1):
+                    n_lags += 1
+                    rk = int(np.dot(x[:-k], x[k:]))
+                    if best_lag < 0 or rk > best_r:
+                        best_lag, best_r = k, rk
+                out.append((
+                    r.media_id, best_lag, float(sr) / float(best_lag),
+                    best_r, n_lags,
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "lag", "f0_hz", "r_peak",
+                              "n_lags"]
+            )
+
+    return audio.mapInPandas(
+        _pitch,
+        "media_id string, lag int, f0_hz double, r_peak bigint, "
+        "n_lags int",
+    )
+
+
+def video_motion_blocks(video: DataFrame, block: int = 8, search: int = 4,
+                        deterministic_fake: bool = True) -> DataFrame:
+    """BLOCK-MATCHING MOTION ESTIMATION (r05 wave 11): for every
+    consecutive frame pair, every interior ``block``x``block`` block of
+    the current frame finds the shift (dy, dx) in [-search, search]^2
+    minimizing the integer SAD against the previous frame — the motion
+    primitive video curation ranks clips by (static vs dynamic).
+
+    SPEC (shared with the golden twin): blocks tile the grid starting
+    at (search, search) with stride ``block`` so every candidate shift
+    stays in-bounds; shifts iterate row-major (-s,-s)..(s,s) and only a
+    STRICTLY smaller SAD replaces the incumbent — the argmin tie-break
+    is lexicographic (sad, dy, dx) and fully deterministic.  Per clip:
+    pair/block counts, moving-block count, SAD and |mv| sums, and a
+    position-weighted checksum of the (dy, dx) codes.  Engine path:
+    vectorized numpy over the block stack per shift; the golden twin
+    runs scalar per-block loops instead."""
+    fake = bool(deterministic_fake)
+    blk, srch = int(block), int(search)
+
+    def _motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.codec == "rawvid":
+                    stack = decode_rawvid(bytes(r.bytes))
+                elif fake:
+                    seed = int.from_bytes(bytes(r.bytes)[:8], "big") % (2**32)
+                    rng = np.random.default_rng(seed)
+                    stack = rng.integers(
+                        0, 256, size=(int(r.n_frames), int(r.h), int(r.w))
+                    ).astype(np.uint8)
+                else:
+                    raise NotImplementedError(
+                        f"real {r.codec} decode requires ffmpeg; pass "
+                        "deterministic_fake=True"
+                    )
+                n, h, w = stack.shape
+                pos = [(by, bx)
+                       for by in range(srch, h - blk - srch + 1, blk)
+                       for bx in range(srch, w - blk - srch + 1, blk)]
+                s64 = stack.astype(np.int64)
+                n_pairs = n - 1
+                n_blocks = n_moving = sum_sad = sum_abs_mv = chk = 0
+                flat = 0
+                for t in range(1, n):
+                    cur = np.stack([s64[t, by:by + blk, bx:bx + blk]
+                                    for by, bx in pos])
+                    win = np.stack([
+                        s64[t - 1, by - srch:by + blk + srch,
+                            bx - srch:bx + blk + srch]
+                        for by, bx in pos
+                    ])
+                    best_sad = None
+                    for dy in range(-srch, srch + 1):
+                        for dx in range(-srch, srch + 1):
+                            sad = np.abs(
+                                cur - win[:, srch + dy:srch + dy + blk,
+                                          srch + dx:srch + dx + blk]
+                            ).sum(axis=(1, 2))
+                            if best_sad is None:
+                                best_sad = sad.copy()
+                                best_dy = np.full(len(pos), dy, np.int64)
+                                best_dx = np.full(len(pos), dx, np.int64)
+                            else:
+                                better = sad < best_sad
+                                best_sad[better] = sad[better]
+                                best_dy[better] = dy
+                                best_dx[better] = dx
+                    n_blocks += len(pos)
+                    n_moving += int(((best_dy != 0) | (best_dx != 0)).sum())
+                    sum_sad += int(best_sad.sum())
+                    sum_abs_mv += int((np.abs(best_dy)
+                                       + np.abs(best_dx)).sum())
+                    wgt = (np.arange(flat, flat + len(pos),
+                                     dtype=np.int64) % 97) + 1
+                    code = (best_dy + srch) * (2 * srch + 1) + best_dx + srch
+                    chk += int((wgt * code).sum())
+                    flat += len(pos)
+                out.append((r.media_id, n_pairs, n_blocks, n_moving,
+                            sum_sad, sum_abs_mv, chk))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_pairs", "n_blocks",
+                              "n_moving", "sum_sad", "sum_abs_mv", "chk"]
+            )
+
+    return video.mapInPandas(
+        _motion,
+        "media_id string, n_pairs int, n_blocks bigint, n_moving bigint, "
+        "sum_sad bigint, sum_abs_mv bigint, chk bigint",
+    )

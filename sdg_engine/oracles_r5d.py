@@ -80,6 +80,37 @@ SELECT o_orderstatus, n_priorities, priorities_csv, n_orders
 FROM agg JOIN counts USING (o_orderstatus)
 """
 
+ORACLES_R5D["streaming_chained_aggs"] = """
+WITH mx AS (SELECT MAX(epoch(ts)) AS m FROM events),
+q AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         epoch_us(ts) // 900000000 AS qtr, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n15
+  FROM events GROUP BY 1, 2, 3
+),
+h AS (
+  SELECT hour_epoch, event_type, CAST(SUM(n15) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_quarters,
+         CAST(MAX(n15) AS BIGINT) AS max_quarter
+  FROM q GROUP BY 1, 2
+)
+SELECT h.hour_epoch, h.event_type, h.n, h.n_quarters, h.max_quarter
+FROM h, mx WHERE h.hour_epoch + 3600 <= mx.m - 7200
+"""
+
+# file counts pinned at sf0.01: commit1 = 2 tasks x 5 langs = 10 files
+# (2 match lang=en), commit2 = 2 tasks x 10 odd-half sources = 20 files,
+# all kept fail-open under the lang key they never recorded
+ORACLES_R5D["snapshot_partition_evolution"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_new_spec,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(22 AS INT) AS files_scanned, CAST(30 AS INT) AS files_total
+FROM documents WHERE lang = 'en'
+"""
+
 ORACLES_R5D["embeddings_silhouette"] = """
 WITH comp AS (
   SELECT vec_id, label, u.j - 1 AS j,
@@ -192,6 +223,14 @@ nodes AS (SELECT u AS nd FROM eu UNION SELECT v FROM eu)
 SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
        g.n_components, g.n_mst_edges, g.total_w, g.chk
 FROM read_parquet('{gdir}/mst_sf0.01.parquet') g
+""",
+        "multimodal_audio_pitch": f"""
+SELECT media_id, lag, f0_hz, r_peak, n_lags
+FROM read_parquet('{gdir}/audio_pitch.parquet')
+""",
+        "multimodal_video_motion": f"""
+SELECT media_id, n_pairs, n_blocks, n_moving, sum_sad, sum_abs_mv, chk
+FROM read_parquet('{gdir}/video_motion.parquet')
 """,
         "image_otsu": f"""
 SELECT g.image_id, g.thr, g.n_fg, g.sum_fg, g.chk

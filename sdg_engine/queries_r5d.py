@@ -414,6 +414,119 @@ def image_otsu(spark, sf_dir):
     return otsu_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Chained stateful streaming aggregations (Spark 4 multi-stateful)
+# ---------------------------------------------------------------------------
+
+def streaming_chained_aggs(spark, sf_dir):
+    """§2.10 breadth: TWO stateful windowed aggregations CHAINED in one
+    streaming query (Spark 4 multiple-stateful-operator support) —
+    15-minute counts per event type re-aggregated into hourly rollups
+    by windowing over the first aggregation's window struct.  Append
+    mode emits each hourly window exactly once when the cascaded
+    watermark passes its end; the DuckDB oracle recomputes both levels
+    relationally and applies the same closure rule (hour_end <=
+    max(ts) - watermark).  The drain runs at 8 shuffle partitions
+    (gotcha 16d: state-store fixed cost = stores x partitions x
+    batches — two cascaded stores here)."""
+    import os
+    import shutil
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "chained_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/events.parquet",
+                os.path.join(in_dir, "events.parquet"))
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        STR.stream_chained_windows(spark, in_dir, out, ck)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(out).select(
+        F.unix_timestamp("hour_start").alias("hour_epoch"),
+        "event_type", "n", "n_quarters", "max_quarter",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg partition-spec evolution
+# ---------------------------------------------------------------------------
+
+def snapshot_partition_evolution(spark, sf_dir):
+    """PARTITION-SPEC EVOLUTION (the Iceberg semantic after identity
+    pruning): commit 1 partitions by lang, commit 2 APPENDS under a
+    DIFFERENT spec (partitionBy source) — per-file partition values
+    ride each commit's own manifest, so a lang='en' read prunes commit
+    1 to its matching files while commit 2's files (no lang value
+    recorded) are kept FAIL-OPEN and filtered by the residual
+    predicate.  Exactly Iceberg's behavior: old files keep their old
+    spec; pruning consults the spec each file was written under.
+    Scanned/total file counts are pinned; the doc_id split keeps both
+    commits load-bearing in the aggregate."""
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot_partitioned, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = f"{_stream_base(spark, 'partevo_')}/tbl"
+    write_snapshot(
+        docs.filter("doc_id % 2 = 0").repartition(2, "doc_id"), path,
+        mode="append", partition_by=["lang"],
+    )
+    write_snapshot(
+        docs.filter("doc_id % 2 = 1").repartition(2, "doc_id"), path,
+        mode="append", partition_by=["source"],
+    )
+    pruned, n_scan, n_tot = read_snapshot_partitioned(
+        spark, path, {"lang": "en"}
+    )
+    return (
+        pruned.filter("lang = 'en'")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.expr("CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END"))
+            .alias("n_from_new_spec"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("files_scanned", F.lit(n_scan).cast("int"))
+        .withColumn("files_total", F.lit(n_tot).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: pitch + block motion
+# ---------------------------------------------------------------------------
+
+def multimodal_audio_pitch(spark, sf_dir):
+    """f0 PITCH estimate over REAL WAV bytes via exact integer
+    autocorrelation — the audio-curation signal next to RMS/ZCR and
+    the spectral centroid; oracle-checked against the committed
+    INDEPENDENT golden (SPEC-regenerated waveform + scalar python-int
+    autocorrelation)."""
+    from .ops.multimodal import audio_pitch_autocorr, synth_audio_table
+
+    return audio_pitch_autocorr(synth_audio_table(spark, 64))
+
+
+def multimodal_video_motion(spark, sf_dir):
+    """BLOCK-MATCHING MOTION VECTORS over real rawvid bytes — the
+    static-vs-dynamic video-curation signal (integer SAD argmin,
+    deterministic lexicographic tie).  Oracle: committed INDEPENDENT
+    golden (SPEC-regenerated frames + scalar per-block matching)."""
+    from .ops.multimodal import synth_video_table, video_motion_blocks
+
+    return video_motion_blocks(synth_video_table(spark, 32))
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -422,4 +535,8 @@ QUERIES_R5D = {
     "mst_roads": mst_roads,
     "points_snap_roads": points_snap_roads,
     "image_otsu": image_otsu,
+    "streaming_chained_aggs": streaming_chained_aggs,
+    "snapshot_partition_evolution": snapshot_partition_evolution,
+    "multimodal_audio_pitch": multimodal_audio_pitch,
+    "multimodal_video_motion": multimodal_video_motion,
 }

@@ -259,3 +259,82 @@ def test_otsu_kernel_analytic():
             best_t, best = t, f
     assert thr == best_t
     assert n_fg == int((b > best_t).sum())
+
+
+def test_chained_aggs_match_pandas_twolevel(spark):
+    from sdg_engine.queries_r5d import streaming_chained_aggs
+
+    out = _pdf(streaming_chained_aggs(spark, SF))
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(hour=(us // 3_600_000_000) * 3600,
+                   qtr=us // 900_000_000)
+    q = ev.groupby(["hour", "qtr", "event_type"]).size().rename("n15")
+    h = q.groupby(["hour", "event_type"]).agg(["sum", "count", "max"])
+    wm = int(us.max() // 1_000_000) - 7200
+    h = h[h.index.get_level_values("hour") + 3600 <= wm]
+    got = out.set_index(["hour_epoch", "event_type"]).sort_index()
+    assert len(got) == len(h)
+    assert (got.n.to_numpy() == h["sum"].sort_index().to_numpy()).all()
+    assert (got.n_quarters.to_numpy()
+            == h["count"].sort_index().to_numpy()).all()
+    assert (got.max_quarter.to_numpy()
+            == h["max"].sort_index().to_numpy()).all()
+
+
+def test_partition_evolution_prunes_old_spec_only(spark):
+    from sdg_engine.queries_r5d import snapshot_partition_evolution
+
+    out = _pdf(snapshot_partition_evolution(spark, SF)).iloc[0]
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet"))
+    en = docs[docs.lang == "en"]
+    assert int(out.n_docs) == len(en)
+    assert int(out.sum_chars) == int(en.n_chars.sum())
+    # rows from BOTH specs survive the evolved read
+    assert 0 < int(out.n_from_new_spec) < int(out.n_docs)
+    # commit 1 pruned to its lang=en files; commit 2 fully fail-open
+    assert int(out.files_scanned) < int(out.files_total)
+    assert int(out.files_total) - int(out.files_scanned) == 8  # 10-2
+
+
+def test_pitch_kernel_finds_pure_sine_period(spark):
+    from sdg_engine.codecs import encode_wav
+    from sdg_engine.ops.multimodal import audio_pitch_autocorr
+
+    sr, freq = 16000, 200.0
+    t = np.arange(sr // 10) / sr  # 100 ms
+    wave = 0.5 * np.sin(2 * np.pi * freq * t)[:, None]
+    df = spark.createDataFrame(
+        [("pure0", encode_wav(wave, sr), "wav", sr, 1, 100)],
+        "media_id string, bytes binary, codec string, sample_rate int, "
+        "n_channels int, duration_ms int",
+    )
+    row = _pdf(audio_pitch_autocorr(df)).iloc[0]
+    assert int(row.lag) == sr // int(freq)  # 80-sample period
+    assert abs(float(row.f0_hz) - freq) < 1e-9
+    assert int(row.n_lags) == 160 - 8 + 1
+
+
+def test_motion_kernel_recovers_known_shift(spark):
+    from sdg_engine.ops.multimodal import (
+        encode_rawvid, video_motion_blocks,
+    )
+
+    rng = np.random.default_rng(99)
+    h, w = 32, 48
+    prev = rng.integers(0, 256, size=(h + 4, w + 4)).astype(np.uint8)
+    # frame 2 = frame 1 shifted by (dy=2, dx=1): cur[y,x] = prev[y+2,x+1]
+    f1 = prev[:h, :w]
+    f2 = prev[2:2 + h, 1:1 + w]
+    df = spark.createDataFrame(
+        [("shift0", encode_rawvid(np.stack([f1, f2])), "rawvid", w, h,
+          24.0, 2)],
+        "media_id string, bytes binary, codec string, w int, h int, "
+        "fps double, n_frames int",
+    )
+    row = _pdf(video_motion_blocks(df)).iloc[0]
+    assert int(row.n_pairs) == 1
+    assert int(row.n_blocks) == 15  # 3 x 5 interior grid
+    assert int(row.n_moving) == 15
+    assert int(row.sum_sad) == 0  # exact shift -> zero residual
+    assert int(row.sum_abs_mv) == 15 * 3  # |2| + |1| per block
