@@ -2294,3 +2294,80 @@ def make_motion_golden(block: int = 8, search: int = 4) -> None:
         os.path.join(OUT, "video_motion.parquet"),
     )
     print(f"video_motion golden: {len(ids)} rows")
+
+
+def make_edt_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for the ORACLE-checked image_edt query (r05 wave 12).
+
+    Same SPEC as ops/payload.edt_kernel (squared EDT to luma >=
+    128000, -1 sentinel when no seed), INDEPENDENT algorithm: the
+    Felzenszwalb-Huttenlocher lower-envelope 1D transform applied
+    rows-then-columns with EXACT Fraction hull intersections (vs the
+    engine's nearest-seed scans + vectorized offset broadcast)."""
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def dt1d(f: list) -> list:
+        n = len(f)
+        v = [0] * n
+        z = [None] * (n + 1)
+        k = 0
+        z[0] = None  # -inf
+        z[1] = None  # +inf (trailing)
+        for q in range(1, n):
+            while True:
+                p = v[k]
+                s = Fraction(f[q] + q * q - f[p] - p * p, 2 * (q - p))
+                if k > 0 and z[k] is not None and s <= z[k]:
+                    k -= 1
+                    continue
+                break
+            k += 1
+            v[k] = q
+            z[k] = s
+            z[k + 1] = None
+        d = [0] * n
+        k = 0
+        for x in range(n):
+            while z[k + 1] is not None and z[k + 1] < x:
+                k += 1
+            d[x] = (x - v[k]) ** 2 + f[v[k]]
+        return d
+
+    ids, n_pxs, n_fgs, sums, maxs, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        mask = lum >= 128_000
+        ids.append(image_id)
+        n_pxs.append(int(lum.size))
+        n_fgs.append(int(mask.sum()))
+        if not mask.any():
+            sums.append(-1)
+            maxs.append(-1)
+            chks.append(-1)
+            continue
+        inf = 4 * (hh + ww) * (hh + ww) * 100  # beyond any true d2
+        f0 = np.where(mask, 0, inf).astype(object)
+        cols = [dt1d([int(f0[y, x]) for y in range(hh)]) for x in range(ww)]
+        dt = [dt1d([cols[x][y] for x in range(ww)]) for y in range(hh)]
+        flat = [dt[y][x] for y in range(hh) for x in range(ww)]
+        sums.append(sum(flat))
+        maxs.append(max(flat))
+        chks.append(sum(((k % 97) + 1) * v for k, v in enumerate(flat)))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "n_fg": pa.array(n_fgs, pa.int64()),
+            "sum_d2": pa.array(sums, pa.int64()),
+            "max_d2": pa.array(maxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"edt_sf{sf:g}.parquet"),
+    )
+    print(f"edt golden: {len(ids)} rows (jpg skipped)")

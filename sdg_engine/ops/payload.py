@@ -1396,3 +1396,58 @@ def flow_length_stats(images: DataFrame) -> DataFrame:
         "n_px int, n_sinks int, sum_len bigint, max_len bigint, "
         "chk bigint",
     )
+
+
+def edt_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """EXACT squared EUCLIDEAN DISTANCE TRANSFORM to the nearest BRIGHT
+    pixel (luma >= 128000) — the exact companion to cost-distance's
+    chamfer 3-4 approximation.  Uses the separable decomposition
+    (2D EDT = 1D row pass over the 1D column pass, a theorem): pass 1
+    is the binary nearest-seed column scan (two sweeps), pass 2
+    minimizes d1 + (x-x')^2 via a VECTORIZED exact broadcast over
+    column offsets — O(n*w) with tile-bounded w, the right
+    constant-factor choice on SIMD for fixed tile sizes.  The golden
+    twin runs the asymptotically-linear Felzenszwalb-Huttenlocher
+    lower-envelope instead, with exact Fraction hull intersections —
+    two genuinely different algorithms meeting at the same exact
+    integer transform.  All-integer outputs; images with no bright
+    pixel emit the -1 sentinel.  Returns (n_px, n_fg, sum_d2, max_d2,
+    chk)."""
+    h, w = lum_i.shape
+    mask = lum_i >= 128_000
+    n_px = int(lum_i.size)
+    if not mask.any():
+        return (n_px, 0, -1, -1, -1)
+    big = 10 * (h + w)  # pseudo-INF seed distance; big^2 dominates any
+    # true d2 <= h^2 + w^2 while staying far from int64 overflow
+    last = np.full(w, -big, dtype=np.int64)
+    d1 = np.empty((h, w), dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    for y in range(h):
+        last = np.where(mask[y], ys[y], last)
+        d1[y] = ys[y] - last
+    nxt = np.full(w, 2 * big, dtype=np.int64)
+    for y in range(h - 1, -1, -1):
+        nxt = np.where(mask[y], ys[y], nxt)
+        d1[y] = np.minimum(d1[y], nxt - ys[y])
+    d1 *= d1
+    xs = np.arange(w, dtype=np.int64)
+    off2 = (xs[:, None] - xs[None, :]) ** 2  # (x, x') -> (x-x')^2
+    dt = (d1[:, None, :] + off2[None, :, :]).min(axis=2)
+    wgt = (np.arange(dt.size, dtype=np.int64) % 97) + 1
+    return (
+        n_px,
+        int(mask.sum()),
+        int(dt.sum()),
+        int(dt.max()),
+        int((wgt * dt.ravel()).sum()),
+    )
+
+
+def edt_stats(images: DataFrame) -> DataFrame:
+    """Per-image exact-EDT stats (map-only)."""
+    return _int_terrain_op(
+        images, edt_kernel,
+        ["n_px", "n_fg", "sum_d2", "max_d2", "chk"],
+        "n_px int, n_fg bigint, sum_d2 bigint, max_d2 bigint, chk bigint",
+    )

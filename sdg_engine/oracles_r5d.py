@@ -16,7 +16,14 @@ from __future__ import annotations
 
 import os
 
-from .queries_r5d import _DAY_US, _HOLD_US, _MIN_US, _SEG_LEN, OCTANT_SQL
+from .queries_r5d import (
+    _DAY_US,
+    _HOLD_US,
+    _MIN_US,
+    _SEG_LEN,
+    LATERAL_TOPK_TEMPLATE,
+    OCTANT_SQL,
+)
 
 ORACLES_R5D: dict[str, str] = {}
 
@@ -109,6 +116,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
        CAST(22 AS INT) AS files_scanned, CAST(30 AS INT) AS files_total
 FROM documents WHERE lang = 'en'
+"""
+
+# identical LATERAL template text (q17 precedent) with the bare table
+# names DuckDB pre-registers
+ORACLES_R5D["lateral_topk_orders"] = LATERAL_TOPK_TEMPLATE.format(
+    customer="customer", orders="orders"
+)
+
+ORACLES_R5D["xml_roundtrip_events"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+       CAST(SUM(event_id) AS BIGINT) AS chk_ids
+FROM events GROUP BY 1
 """
 
 ORACLES_R5D["embeddings_silhouette"] = """
@@ -231,6 +253,13 @@ FROM read_parquet('{gdir}/audio_pitch.parquet')
         "multimodal_video_motion": f"""
 SELECT media_id, n_pairs, n_blocks, n_moving, sum_sad, sum_abs_mv, chk
 FROM read_parquet('{gdir}/video_motion.parquet')
+""",
+        "image_edt": f"""
+SELECT g.image_id, g.n_px, g.n_fg, g.sum_d2, g.max_d2, g.chk
+FROM read_parquet('{gdir}/edt_sf0.01.parquet') g
+JOIN read_parquet('{os.path.join(fdir, "images.parquet").replace("'", "''")}') f2
+  USING (image_id)
+WHERE f2.image_id < 'img000000000500' AND f2.fmt <> 'jpg'
 """,
         "image_otsu": f"""
 SELECT g.image_id, g.thr, g.n_fg, g.sum_fg, g.chk

@@ -527,6 +527,96 @@ def multimodal_video_motion(spark, sf_dir):
     return video_motion_blocks(synth_video_table(spark, 32))
 
 
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL surface) — shared template
+# ---------------------------------------------------------------------------
+
+# Identical text runs in both engines (the q17 precedent): Spark
+# decorrelates the correlated ORDER BY ... LIMIT into WindowGroupLimit
+# (map-side partial top-k) + ONE exchange + a broadcast join — never a
+# per-row subquery (plan-pinned).
+LATERAL_TOPK_TEMPLATE = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.cents
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM {orders} o WHERE o.o_custkey = c.c_custkey
+  ORDER BY cents DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def lateral_topk_orders(spark, sf_dir):
+    """Spark 4 LATERAL correlated subquery — per BUILDING customer,
+    their top-2 orders by exact cents (deterministic o_orderkey tie).
+    The SQL-surface demo next to q17's correlated scalar subquery:
+    Catalyst decorrelates the LATERAL ORDER BY/LIMIT into
+    WindowGroupLimit partial top-k + one hash exchange + a broadcast
+    join (plan-pinned — no BroadcastNestedLoopJoin, no per-row
+    subquery).  DuckDB runs the identical template text."""
+    from .queries_tpch import _views
+
+    v = _views(spark, sf_dir, "lat", ["customer", "orders"])
+    return spark.sql(LATERAL_TOPK_TEMPLATE.format(**v))
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink round trip (S8 breadth)
+# ---------------------------------------------------------------------------
+
+def xml_roundtrip_events(spark, sf_dir):
+    """S8 breadth, XML flavor: events snap to exact cents/micros,
+    write through Spark 4's NATIVE XML sink (rowTag=event), read back
+    with an explicit schema, aggregate per type — encoder, parser, and
+    schema projection are all load-bearing on the round trip (the
+    orc_roundtrip_events / jsonl/csv precedent).  The oracle aggregates
+    straight off the source parquet."""
+    import os
+
+    from .queries_ext import _stream_base
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        f"{_TS_US} AS ts_us",
+    )
+    path = os.path.join(_stream_base(spark, "xml_"), "data")
+    ev.write.format("xml").option("rowTag", "event").save(path)
+    back = spark.read.format("xml").option("rowTag", "event").schema(
+        "event_id bigint, user_id bigint, event_type string, "
+        "cents bigint, ts_us bigint"
+    ).load(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.sum("event_id").alias("chk_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Euclidean distance transform
+# ---------------------------------------------------------------------------
+
+def image_edt(spark, sf_dir):
+    """EXACT squared EUCLIDEAN DISTANCE TRANSFORM to the nearest bright
+    pixel — the exact companion to image_cost_distance's chamfer 3-4
+    approximation (proximity rasters, buffer masks).  Map-only; jpg
+    excluded / first-500 bound.  Oracle: committed golden from the
+    INDEPENDENT Felzenszwalb-Huttenlocher lower-envelope algorithm
+    with exact Fraction hull intersections (vs the engine's
+    nearest-seed scans + vectorized offset broadcast)."""
+    from .ops.payload import edt_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return edt_stats(sel)
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -539,4 +629,7 @@ QUERIES_R5D = {
     "snapshot_partition_evolution": snapshot_partition_evolution,
     "multimodal_audio_pitch": multimodal_audio_pitch,
     "multimodal_video_motion": multimodal_video_motion,
+    "lateral_topk_orders": lateral_topk_orders,
+    "xml_roundtrip_events": xml_roundtrip_events,
+    "image_edt": image_edt,
 }

@@ -753,3 +753,29 @@ def test_terrain_r5c_is_map_only(spark):
 
     for fn in (image_tpi_tri, image_flow_length):
         assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY/LIMIT subquery must be decorrelated into
+    WindowGroupLimit partial top-k + a broadcast equi-join — never a
+    per-row subquery or a nested loop."""
+    from sdg_engine.queries_r5d import lateral_topk_orders
+
+    plan = _plan(lateral_topk_orders(spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # map-side partial top-k
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snap_and_edt_stay_map_shaped(spark):
+    """points_snap_roads reduces candidates with a map-side partial
+    min(struct) agg (no window over raw candidate pairs); image_edt is
+    map-only — payload bytes never shuffle."""
+    from sdg_engine.queries_r5d import image_edt, points_snap_roads
+
+    plan = _plan(points_snap_roads(spark, SF))
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "Window" not in plan
+    eplan = _plan(image_edt(spark, SF))
+    assert "Exchange" not in eplan

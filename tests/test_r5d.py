@@ -338,3 +338,61 @@ def test_motion_kernel_recovers_known_shift(spark):
     assert int(row.n_moving) == 15
     assert int(row.sum_sad) == 0  # exact shift -> zero residual
     assert int(row.sum_abs_mv) == 15 * 3  # |2| + |1| per block
+
+
+def test_edt_kernel_matches_bruteforce_all_pairs(spark):
+    """Second path at kernel level: brute-force min over ALL bright
+    pixels (the O(n * n_fg) definition) on small seeded rasters."""
+    from sdg_engine.ops.payload import edt_kernel
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        lum = rng.integers(0, 256, size=(12, 17)).astype(np.int64) * 1000
+        n_px, n_fg, sum_d2, max_d2, chk = edt_kernel(lum)
+        ys, xs = np.nonzero(lum >= 128_000)
+        assert n_fg == len(ys)
+        yy, xx = np.mgrid[0:12, 0:17]
+        d2 = ((yy[..., None] - ys) ** 2
+              + (xx[..., None] - xs) ** 2).min(axis=2)
+        assert sum_d2 == int(d2.sum())
+        assert max_d2 == int(d2.max())
+        wgt = (np.arange(d2.size, dtype=np.int64) % 97) + 1
+        assert chk == int((wgt * d2.ravel()).sum())
+    # no-seed sentinel
+    assert edt_kernel(np.zeros((4, 4), np.int64)) == (16, 0, -1, -1, -1)
+
+
+def test_lateral_topk_matches_pandas(spark):
+    from sdg_engine.queries_r5d import lateral_topk_orders
+
+    out = _pdf(lateral_topk_orders(spark, SF))
+    o = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    c = _pdf(spark.read.parquet(f"{SF}/customer.parquet"))
+    bld = set(c[c.c_mktsegment == "BUILDING"].c_custkey)
+    o = o[o.o_custkey.isin(bld)].assign(
+        cents=np.floor(o.o_totalprice * 100 + 0.5).astype(np.int64)
+    )
+    top = (o.sort_values(["o_custkey", "cents", "o_orderkey"],
+                         ascending=[True, False, True])
+           .groupby("o_custkey").head(2))
+    want = set(zip(top.o_custkey, top.o_orderkey, top.cents))
+    got = set(zip(out.c_custkey, out.o_orderkey, out.cents))
+    assert got == want
+
+
+def test_xml_roundtrip_preserves_values(spark):
+    from sdg_engine.queries_r5d import xml_roundtrip_events
+
+    out = _pdf(xml_roundtrip_events(spark, SF)).set_index("event_type")
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    ev = ev.assign(
+        cents=np.floor(ev.value * 100 + 0.5).astype(np.int64),
+        us=ev.ts.astype("datetime64[ns]").astype("int64") // 1000,
+    )
+    for et, grp in ev.groupby("event_type"):
+        row = out.loc[et]
+        assert int(row.n) == len(grp)
+        assert int(row.sum_cents) == int(grp.cents.sum())
+        assert int(row.min_ts_us) == int(grp.us.min())
+        assert int(row.max_ts_us) == int(grp.us.max())
+        assert int(row.chk_ids) == int(grp.event_id.sum())
