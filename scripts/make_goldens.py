@@ -2371,3 +2371,48 @@ def make_edt_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"edt_sf{sf:g}.parquet"),
     )
     print(f"edt golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_fft_sharpness_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_fft_sharpness (r05 wave 13): generator pixels
+    (independent of the codecs) through the SAME in-process rfft2 —
+    the decode path is what the oracle exercises (decode_stats
+    precedent); mask/ratio/argmax expressions mirror the kernel SPEC
+    op-for-op so the float64 bits match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, n_pxs, ratios, pus, pvs = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        spec = np.fft.rfft2(lum.astype(np.float64))
+        p = (spec * np.conj(spec)).real
+        fu = np.minimum(np.arange(hh), hh - np.arange(hh))[:, None]
+        fv = np.arange(p.shape[1])[None, :]
+        r2 = fu * fu + fv * fv
+        thr = (min(hh, ww) // 4) ** 2
+        total = float(p.sum() - p[0, 0])
+        hf = float(p[r2 > thr].sum())
+        ratio = int(np.floor(hf / total * 1_000_000.0)) if total > 0 else -1
+        pm = p.copy()
+        pm[0, 0] = -1.0
+        k = int(np.argmax(pm))
+        ids.append(image_id)
+        n_pxs.append(int(lum.size))
+        ratios.append(ratio)
+        pus.append(k // p.shape[1])
+        pvs.append(k % p.shape[1])
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(n_pxs, pa.int32()),
+            "hf_ratio_micros": pa.array(ratios, pa.int64()),
+            "peak_u": pa.array(pus, pa.int32()),
+            "peak_v": pa.array(pvs, pa.int32()),
+        }),
+        os.path.join(OUT, f"fft_sharpness_sf{sf:g}.parquet"),
+    )
+    print(f"fft_sharpness golden: {len(ids)} rows (jpg skipped)")

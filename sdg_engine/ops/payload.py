@@ -1451,3 +1451,35 @@ def edt_stats(images: DataFrame) -> DataFrame:
         ["n_px", "n_fg", "sum_d2", "max_d2", "chk"],
         "n_px int, n_fg bigint, sum_d2 bigint, max_d2 bigint, chk bigint",
     )
+
+
+def fft_sharpness_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """FFT SHARPNESS: 2-D real FFT of the exact milli-luma raster;
+    high-frequency = wavenumber radius^2 beyond (min(h,w)//4)^2 with
+    folded row frequencies fu = min(u, h-u) — a pure-integer mask.
+    Energy ratio quantizes to micros through one shared double chain;
+    the dominant non-DC frequency is the FIRST argmax (deterministic).
+    Returns (n_px, hf_ratio_micros, peak_u, peak_v)."""
+    h, w = lum_i.shape
+    spec = np.fft.rfft2(lum_i.astype(np.float64))
+    p = (spec * np.conj(spec)).real
+    fu = np.minimum(np.arange(h), h - np.arange(h))[:, None]
+    fv = np.arange(p.shape[1])[None, :]
+    r2 = fu * fu + fv * fv
+    thr = (min(h, w) // 4) ** 2
+    total = float(p.sum() - p[0, 0])  # DC excluded from both sides
+    hf = float(p[r2 > thr].sum())
+    ratio = int(np.floor(hf / total * 1_000_000.0)) if total > 0 else -1
+    pm = p.copy()
+    pm[0, 0] = -1.0
+    k = int(np.argmax(pm))  # first max, row-major
+    return (int(lum_i.size), ratio, k // p.shape[1], k % p.shape[1])
+
+
+def fft_sharpness_stats(images: DataFrame) -> DataFrame:
+    """Per-image FFT sharpness stats (map-only)."""
+    return _int_terrain_op(
+        images, fft_sharpness_kernel,
+        ["n_px", "hf_ratio_micros", "peak_u", "peak_v"],
+        "n_px int, hf_ratio_micros bigint, peak_u int, peak_v int",
+    )

@@ -133,6 +133,74 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM events GROUP BY 1
 """
 
+ORACLES_R5D["orders_decision_stump"] = """
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS b,
+         o_orderstatus AS s
+  FROM orders
+),
+per AS (SELECT b, s, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+wide AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN s = 'O' THEN c ELSE 0 END) AS BIGINT) AS co,
+         CAST(SUM(CASE WHEN s = 'P' THEN c ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN s = 'F' THEN c ELSE 0 END) AS BIGINT) AS cf
+  FROM per GROUP BY 1
+),
+cum AS (
+  SELECT b,
+         CAST(SUM(co) OVER (ORDER BY b) AS BIGINT) AS lo,
+         CAST(SUM(cp) OVER (ORDER BY b) AS BIGINT) AS lp,
+         CAST(SUM(cf) OVER (ORDER BY b) AS BIGINT) AS lf,
+         CAST(SUM(co) OVER () AS BIGINT) AS tot_o,
+         CAST(SUM(cp) OVER () AS BIGINT) AS tot_p,
+         CAST(SUM(cf) OVER () AS BIGINT) AS tot_f
+  FROM wide
+),
+scored0 AS (
+  SELECT b AS thr,
+         lo + lp + lf AS n_left,
+         (tot_o - lo) + (tot_p - lp) + (tot_f - lf) AS n_right,
+         (lo * lo + lp * lp + lf * lf) * ((tot_o - lo) + (tot_p - lp)
+           + (tot_f - lf)) + ((tot_o - lo) * (tot_o - lo)
+           + (tot_p - lp) * (tot_p - lp) + (tot_f - lf) * (tot_f - lf))
+           * (lo + lp + lf) AS s_num
+  FROM cum
+),
+scored AS (
+  SELECT thr, n_left, n_right, s_num, n_left * n_right AS s_den,
+         CAST(FLOOR(CAST(s_num AS DOUBLE) / CAST(n_left * n_right
+           AS DOUBLE) * 1000000.0) AS BIGINT) AS score_micros
+  FROM scored0 WHERE n_right > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY CAST(s_num AS DOUBLE)
+           / CAST(s_den AS DOUBLE) DESC, thr ASC) AS rk
+  FROM scored
+)
+SELECT thr, n_left, n_right, s_num, s_den, score_micros
+FROM ranked WHERE rk = 1
+"""
+
+ORACLES_R5D["events_rolling_wau"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+wau AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT user_id, day + k AS w
+        FROM ud, UNNEST(range(0, 7)) AS r(k))
+  GROUP BY 1
+),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+SELECT day, dau, wau,
+       CAST(FLOOR(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+         * 1000000.0) AS BIGINT) AS stickiness_micros
+FROM dau JOIN wau ON day = w, span
+WHERE day BETWEEN d0 AND d1
+"""
+
 ORACLES_R5D["embeddings_silhouette"] = """
 WITH comp AS (
   SELECT vec_id, label, u.j - 1 AS j,
@@ -253,6 +321,13 @@ FROM read_parquet('{gdir}/audio_pitch.parquet')
         "multimodal_video_motion": f"""
 SELECT media_id, n_pairs, n_blocks, n_moving, sum_sad, sum_abs_mv, chk
 FROM read_parquet('{gdir}/video_motion.parquet')
+""",
+        "image_fft_sharpness": f"""
+SELECT g.image_id, g.n_px, g.hf_ratio_micros, g.peak_u, g.peak_v
+FROM read_parquet('{gdir}/fft_sharpness_sf0.01.parquet') g
+JOIN read_parquet('{os.path.join(fdir, "images.parquet").replace("'", "''")}') f3
+  USING (image_id)
+WHERE f3.image_id < 'img000000000500' AND f3.fmt <> 'jpg'
 """,
         "image_edt": f"""
 SELECT g.image_id, g.n_px, g.n_fg, g.sum_d2, g.max_d2, g.chk

@@ -617,6 +617,133 @@ def image_edt(spark, sf_dir):
     return edt_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Decision stump (best Gini split, exact integers + one shared division)
+# ---------------------------------------------------------------------------
+
+def orders_decision_stump(spark, sf_dir):
+    """DECISION STUMP: the best single Gini split of order price
+    predicting order status — the depth-1 tree-learning primitive, run
+    relationally.  Minimizing weighted Gini impurity is equivalent to
+    maximizing S(t) = sumL(c^2)*nR + sumR(c^2)*nL over nL*nR; both
+    numerator and denominator are EXACT BIGINTs from cumulative class
+    counts, and only the final ratio divides as a shared-text double
+    (gotcha 8 ops).  Smallest-threshold tie via the rank window.
+
+    Scale shape: one hash agg reduces orders to (bucket, status)
+    counts; every window runs over the DISTINCT-BUCKET relation (the
+    events_auc bounded-window argument — thresholds, never rows)."""
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DIV 10000 AS b",
+        "o_orderstatus AS s",
+    )
+    per = o.groupBy("b", "s").agg(F.count(F.lit(1)).alias("c"))
+    wide = per.groupBy("b").agg(
+        F.sum(F.expr("CASE WHEN s = 'O' THEN c ELSE 0 END")).alias("co"),
+        F.sum(F.expr("CASE WHEN s = 'P' THEN c ELSE 0 END")).alias("cp"),
+        F.sum(F.expr("CASE WHEN s = 'F' THEN c ELSE 0 END")).alias("cf"),
+    )
+    cum = wide.selectExpr(
+        "b",
+        "SUM(co) OVER (ORDER BY b) AS lo",
+        "SUM(cp) OVER (ORDER BY b) AS lp",
+        "SUM(cf) OVER (ORDER BY b) AS lf",
+        "SUM(co) OVER () AS tot_o",
+        "SUM(cp) OVER () AS tot_p",
+        "SUM(cf) OVER () AS tot_f",
+    )
+    scored = cum.selectExpr(
+        "b AS thr",
+        "lo + lp + lf AS n_left",
+        "(tot_o - lo) + (tot_p - lp) + (tot_f - lf) AS n_right",
+        "(lo * lo + lp * lp + lf * lf) * ((tot_o - lo) + (tot_p - lp)"
+        " + (tot_f - lf)) + ((tot_o - lo) * (tot_o - lo)"
+        " + (tot_p - lp) * (tot_p - lp) + (tot_f - lf) * (tot_f - lf))"
+        " * (lo + lp + lf) AS s_num",
+    ).filter("n_right > 0").selectExpr(
+        "thr", "n_left", "n_right", "s_num",
+        "n_left * n_right AS s_den",
+        "CAST(FLOOR(CAST(s_num AS DOUBLE) / CAST(n_left * n_right"
+        " AS DOUBLE) * 1000000.0) AS BIGINT) AS score_micros",
+    )
+    w = Window.orderBy(
+        (F.col("s_num").cast("double") / F.col("s_den").cast("double"))
+        .desc(),
+        F.col("thr").asc(),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("thr", "n_left", "n_right", "s_num", "s_den",
+                "score_micros")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (exact sliding distinct)
+# ---------------------------------------------------------------------------
+
+def events_rolling_wau(spark, sf_dir):
+    """ROLLING 7-DAY ACTIVE USERS (exact sliding COUNT DISTINCT — the
+    WAU metric): each distinct (user, day) pair explodes to the <=7
+    trailing windows it belongs to, then one hash agg counts distinct
+    users per window-end day.  Exact at any scale: the fanout is a
+    fixed 7x over the ALREADY-DEDUPED (user, day) relation, and
+    distinctness shuffles on (window, user) — never a per-day state
+    scan.  DAU rides along for the ratio."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"user_id", f"{_TS_US} DIV {_DAY_US} AS day")
+        .distinct()
+    )
+    span = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    wau = (
+        ud.selectExpr(
+            "user_id", "explode(sequence(day, day + 6)) AS w"
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.w)
+        .crossJoin(F.broadcast(span))
+        .filter("day BETWEEN d0 AND d1")
+        .selectExpr(
+            "day", "dau", "wau",
+            "CAST(FLOOR(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)"
+            " * 1000000.0) AS BIGINT) AS stickiness_micros",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FFT sharpness (frequency-domain curation signal)
+# ---------------------------------------------------------------------------
+
+def image_fft_sharpness(spark, sf_dir):
+    """FFT SHARPNESS: fraction of spectral energy above a quarter-
+    Nyquist radius — the frequency-domain blur/sharpness curation
+    signal next to Sobel's spatial one.  The 2-D rfft runs on the
+    exact integer milli-luma raster; the mask is a pure-integer
+    wavenumber-radius compare; energies are float64 with the argmax
+    over non-DC magnitude deterministic (first max).  Oracle: golden
+    twin regenerates the pixels from the generator SPEC and runs the
+    same in-process rfft2 (the decode_stats precedent — the DECODE
+    path is what the comparison exercises)."""
+    from .ops.payload import fft_sharpness_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return fft_sharpness_stats(sel)
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -632,4 +759,7 @@ QUERIES_R5D = {
     "lateral_topk_orders": lateral_topk_orders,
     "xml_roundtrip_events": xml_roundtrip_events,
     "image_edt": image_edt,
+    "orders_decision_stump": orders_decision_stump,
+    "events_rolling_wau": events_rolling_wau,
+    "image_fft_sharpness": image_fft_sharpness,
 }

@@ -396,3 +396,69 @@ def test_xml_roundtrip_preserves_values(spark):
         assert int(row.min_ts_us) == int(grp.us.min())
         assert int(row.max_ts_us) == int(grp.us.max())
         assert int(row.chk_ids) == int(grp.event_id.sum())
+
+
+def test_decision_stump_matches_fraction_brute(spark):
+    from fractions import Fraction
+
+    from sdg_engine.queries_r5d import orders_decision_stump
+
+    out = _pdf(orders_decision_stump(spark, SF)).iloc[0]
+    o = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    b = (np.floor(o.o_totalprice * 100 + 0.5).astype(np.int64) // 10000)
+    df = pd.DataFrame({"b": b, "s": o.o_orderstatus})
+    best = None
+    for t in sorted(df.b.unique()):
+        left = df[df.b <= t]
+        right = df[df.b > t]
+        if len(right) == 0:
+            continue
+        num = (sum(int(c) ** 2 for c in left.s.value_counts())
+               * len(right)
+               + sum(int(c) ** 2 for c in right.s.value_counts())
+               * len(left))
+        f = Fraction(num, len(left) * len(right))
+        if best is None or f > best[0]:
+            best = (f, t, len(left), len(right), num)
+    assert int(out.thr) == best[1]
+    assert int(out.n_left) == best[2]
+    assert int(out.n_right) == best[3]
+    assert int(out.s_num) == best[4]
+
+
+def test_rolling_wau_matches_set_union(spark):
+    from sdg_engine.queries_r5d import events_rolling_wau
+
+    out = _pdf(events_rolling_wau(spark, SF)).set_index("day")
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(day=us // 86_400_000_000)
+    by_day = ev.groupby("day").user_id.agg(set)
+    days = sorted(by_day.index)
+    assert set(out.index) == set(days)
+    for d in days:
+        wau = set()
+        for k in range(7):
+            if d - k in by_day.index:
+                wau |= by_day[d - k]
+        assert int(out.loc[d].dau) == len(by_day[d])
+        assert int(out.loc[d].wau) == len(wau)
+
+
+def test_fft_sharpness_kernel_analytic():
+    from sdg_engine.ops.payload import fft_sharpness_kernel
+
+    # smooth vertical gradient: all energy at tiny wavenumbers
+    yy = np.arange(32)[:, None] * np.ones((1, 32))
+    lum = (yy * 1000).astype(np.int64)
+    n_px, ratio, pu, pv = fft_sharpness_kernel(lum)
+    assert ratio < 120_000  # smooth ramp leaks little into HF
+    # dominant frequency: 1 cycle down rows — u=1 and its conjugate
+    # u=h-1 have equal exact magnitude; float FFT picks one
+    # deterministically
+    assert pv == 0 and pu in (1, 31)
+    # checkerboard at Nyquist: all energy beyond quarter-Nyquist
+    cb = ((np.indices((32, 32)).sum(axis=0) % 2) * 255_000).astype(np.int64)
+    n_px, ratio, pu, pv = fft_sharpness_kernel(cb)
+    assert ratio == 1_000_000
+    assert (pu, pv) == (16, 16)  # the Nyquist corner
