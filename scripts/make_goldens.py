@@ -2416,3 +2416,77 @@ def make_fft_sharpness_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"fft_sharpness_sf{sf:g}.parquet"),
     )
     print(f"fft_sharpness golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_clip_golden() -> None:
+    """Golden for country_clip_area (r05 wave 14): pure-SCALAR
+    Sutherland-Hodgman over the generator's country rings vs the
+    engine's vectorized kernel — identical per-element float op order
+    (the hillshade rule), different mechanics.  Sequential shoelace
+    fold per the SPEC."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.queries import AOI_RING
+
+    clip = [(float(x), float(y)) for x, y in AOI_RING[:-1]]
+
+    def sh(subject):
+        out = [tuple(p) for p in subject]
+        n = len(clip)
+        for i in range(n):
+            ax, ay = clip[i]
+            bx, by = clip[(i + 1) % n]
+            inp = out
+            out = []
+            if not inp:
+                break
+            for j in range(len(inp)):
+                sx, sy = inp[j - 1]
+                ex, ey = inp[j]
+                s_in = (bx - ax) * (sy - ay) - (by - ay) * (sx - ax) >= 0.0
+                e_in = (bx - ax) * (ey - ay) - (by - ay) * (ex - ax) >= 0.0
+                if e_in != s_in:
+                    denom = (ex - sx) * (by - ay) - (ey - sy) * (bx - ax)
+                    tnum = (ax - sx) * (by - ay) - (ay - sy) * (bx - ax)
+                    t = tnum / denom
+                    out.append((sx + t * (ex - sx), sy + t * (ey - sy)))
+                if e_in:
+                    out.append((ex, ey))
+        return out
+
+    def area_seq(ring):
+        s = 0.0
+        n = len(ring)
+        for i in range(n):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % n]
+            s = s + (x0 * y1 - x1 * y0)
+        return 0.5 * s
+
+    ccs, nis, nos, ias, cas, fms = [], [], [], [], [], []
+    for rec in FX.countries_records():
+        ring = [(float(p["x"]), float(p["y"])) for p in rec["ring"]]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        inter = sh(ring)
+        a_c = abs(area_seq(ring))
+        a_i = abs(area_seq(inter)) if len(inter) >= 3 else 0.0
+        ccs.append(rec["country_code"])
+        nis.append(len(ring))
+        nos.append(len(inter))
+        ias.append(int(np.floor(a_i * 1e9)))
+        cas.append(int(np.floor(a_c * 1e9)))
+        fms.append(int(np.floor(a_i / a_c * 1_000_000.0)))
+    pq.write_table(
+        pa.table({
+            "country_code": ccs,
+            "n_in": pa.array(nis, pa.int32()),
+            "n_out": pa.array(nos, pa.int32()),
+            "inter_area_nano": pa.array(ias, pa.int64()),
+            "country_area_nano": pa.array(cas, pa.int64()),
+            "frac_micros": pa.array(fms, pa.int64()),
+        }),
+        os.path.join(OUT, "clip_area.parquet"),
+    )
+    print(f"clip_area golden: {len(ccs)} rows; fracs {fms}")

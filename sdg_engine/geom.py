@@ -371,3 +371,71 @@ def shoelace_area_mils(hull: np.ndarray) -> int:
         x1, y1 = float(hull[(i + 1) % n][0]), float(hull[(i + 1) % n][1])
         s = s + (x0 * y1 - x1 * y0)
     return int(np.floor(0.5 * s * 1000000.0 + 0.5))
+
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """SUTHERLAND-HODGMAN polygon clipping against a CONVEX clip ring
+    (r05 wave 14) — the polygon∩polygon vector-overlay primitive next
+    to Liang-Barsky's segment clip.  SPEC (shared with the golden
+    twin's scalar implementation — float expression ORDER is the
+    spec, the hillshade precedent):
+
+    - ``clip`` must wind counter-clockwise; inside(p, a, b) is the
+      HALF-OPEN test cross = (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x)
+      >= 0.0;
+    - the intersection of edge (s, e) with clip edge (a, b) is
+      t = ((a.x-s.x)*(b.y-a.y) - (a.y-s.y)*(a.x-b.x variant below)) —
+      concretely: denom = (e.x-s.x)*(b.y-a.y) - (e.y-s.y)*(b.x-a.x),
+      tnum = (a.x-s.x)*(b.y-a.y) - (a.y-s.y)*(b.x-a.x), t = tnum/denom,
+      point = (s.x + t*(e.x-s.x), s.y + t*(e.y-s.y));
+    - open rings (no repeated last vertex) in, open ring out.
+
+    Engine path: per clip edge, the inside tests / intersection
+    parameters / intersection points are VECTORIZED over the subject
+    edges (identical per-element op order, so the doubles match the
+    scalar twin bit-for-bit — the hillshade rule); only the output
+    assembly walks sequentially.  The golden twin in
+    scripts/make_goldens.py is the pure-scalar loop.
+
+    Returns the clipped ring (possibly empty)."""
+    pts = np.asarray(subject, dtype=np.float64).reshape(-1, 2)
+    cl = np.asarray(clip, dtype=np.float64)
+    n = len(cl)
+    for i in range(n):
+        if len(pts) == 0:
+            break
+        ax, ay = float(cl[i][0]), float(cl[i][1])
+        bx, by = float(cl[(i + 1) % n][0]), float(cl[(i + 1) % n][1])
+        s = np.roll(pts, 1, axis=0)
+        e = pts
+        s_in = (bx - ax) * (s[:, 1] - ay) - (by - ay) * (s[:, 0] - ax) >= 0.0
+        e_in = (bx - ax) * (e[:, 1] - ay) - (by - ay) * (e[:, 0] - ax) >= 0.0
+        denom = (e[:, 0] - s[:, 0]) * (by - ay) - (e[:, 1] - s[:, 1]) * (bx - ax)
+        tnum = (ax - s[:, 0]) * (by - ay) - (ay - s[:, 1]) * (bx - ax)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = tnum / denom
+            ix = s[:, 0] + t * (e[:, 0] - s[:, 0])
+            iy = s[:, 1] + t * (e[:, 1] - s[:, 1])
+        crossed = e_in != s_in
+        out: list = []
+        for j in range(len(e)):
+            if crossed[j]:
+                out.append((ix[j], iy[j]))
+            if e_in[j]:
+                out.append((e[j, 0], e[j, 1]))
+        pts = np.array(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def ring_area_seq(ring: np.ndarray) -> float:
+    """Shoelace area with the SEQUENTIAL fold order as SPEC (gotcha 8:
+    partial sums reassociate doubles) — both the clip kernel and the
+    golden twin fold in ring order."""
+    s = 0.0
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    n = len(r)
+    for i in range(n):
+        x0, y0 = float(r[i][0]), float(r[i][1])
+        x1, y1 = float(r[(i + 1) % n][0]), float(r[(i + 1) % n][1])
+        s = s + (x0 * y1 - x1 * y0)
+    return 0.5 * s

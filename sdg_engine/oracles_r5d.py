@@ -280,6 +280,64 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _topology_sql(roads: str) -> str:
+    """Topology-QA twin: list-indexed endpoints/segments (vs the
+    engine's explode + lead window) through the SAME block keys and
+    sqlgen distance steps."""
+    from .queries_r5d import _EPS_M, _T_HI, _T_LO
+    from .sqlgen import chain_select, point_seg_dist_steps
+
+    steps = point_seg_dist_steps("px", "py", "ax", "ay", "bx", "byy",
+                                 "dist_m")
+    d = chain_select(
+        "SELECT * FROM cand", steps,
+        ["road_id", "kind", "ei", "dist_m_t", "dist_m"],
+    )
+    return f"""
+WITH ends0 AS (
+  SELECT road_id, kind, 0 AS ei, coords[1].x AS px, coords[1].y AS py
+  FROM read_parquet('{roads}')
+  UNION ALL
+  SELECT road_id, kind, 1 AS ei, coords[len(coords)].x,
+         coords[len(coords)].y
+  FROM read_parquet('{roads}')
+),
+ekeys AS (
+  SELECT road_id, kind, ei, px, py,
+         COALESCE((CAST(FLOOR(px * 10) AS BIGINT) + ox.o) * 100000
+           + CAST(FLOOR(py * 10) AS BIGINT) + oy.o, -1) AS ck
+  FROM ends0, UNNEST([-1, 0, 1]) AS ox(o), UNNEST([-1, 0, 1]) AS oy(o)
+),
+segs AS (
+  SELECT road_id AS rs, coords[i].x AS ax, coords[i].y AS ay,
+         coords[i + 1].x AS bx, coords[i + 1].y AS byy,
+         COALESCE(CAST(FLOOR(coords[i].x * 10) AS BIGINT) * 100000
+           + CAST(FLOOR(coords[i].y * 10) AS BIGINT), -1) AS ck
+  FROM read_parquet('{roads}'), UNNEST(range(1, len(coords))) AS r(i)
+),
+cand AS (SELECT * FROM ekeys JOIN segs USING (ck) WHERE rs <> road_id),
+d AS ({d}),
+fl AS (
+  SELECT road_id, kind, ei,
+         MAX(CASE WHEN dist_m <= CAST({_EPS_M} AS DOUBLE)
+             AND dist_m_t > CAST({_T_LO} AS DOUBLE)
+             AND dist_m_t < CAST({_T_HI} AS DOUBLE)
+             THEN 1 ELSE 0 END) AS hit
+  FROM d GROUP BY 1, 2, 3
+),
+ne AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_endpoints
+       FROM ends0 GROUP BY 1),
+hits AS (
+  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_undershoots,
+         CAST(SUM(road_id * 2 + ei) AS BIGINT) AS chk
+  FROM fl WHERE hit = 1 GROUP BY 1
+)
+SELECT ne.kind, n_endpoints, COALESCE(n_undershoots, 0) AS n_undershoots,
+       COALESCE(chk, 0) AS chk
+FROM ne LEFT JOIN hits ON ne.kind = hits.kind
+"""
+
+
 def fixture_oracles_r5d() -> dict[str, str]:
     """Lazily-built oracles that embed the absolute sf0.01 fixture path
     (the fixture_oracles_r5c precedent)."""
@@ -321,6 +379,12 @@ FROM read_parquet('{gdir}/audio_pitch.parquet')
         "multimodal_video_motion": f"""
 SELECT media_id, n_pairs, n_blocks, n_moving, sum_sad, sum_abs_mv, chk
 FROM read_parquet('{gdir}/video_motion.parquet')
+""",
+        "roads_topology_errors": _topology_sql(roads),
+        "country_clip_area": f"""
+SELECT country_code, n_in, n_out, inter_area_nano, country_area_nano,
+       frac_micros
+FROM read_parquet('{gdir}/clip_area.parquet')
 """,
         "image_fft_sharpness": f"""
 SELECT g.image_id, g.n_px, g.hf_ratio_micros, g.peak_u, g.peak_v

@@ -744,6 +744,154 @@ def image_fft_sharpness(spark, sf_dir):
     return fft_sharpness_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Polygon∩polygon overlay (Sutherland-Hodgman vs a convex AOI)
+# ---------------------------------------------------------------------------
+
+def country_clip_area(spark, sf_dir):
+    """POLYGON INTERSECTION AREA (vector overlay): every country ring
+    clipped against the convex AOI pentagon via Sutherland-Hodgman —
+    the polygon∩polygon primitive completing the overlay family
+    (segment clip, crossings, dissolve, hull, buffer already exist).
+    The clip kernel vectorizes inside tests / intersection points per
+    clip edge; the shoelace fold is SEQUENTIAL in ring order (gotcha 8)
+    and both areas quantize to nano-deg^2 with one FLOOR.  Oracle:
+    committed golden from the pure-SCALAR Sutherland-Hodgman twin in
+    make_goldens.py — identical per-element float op order (the
+    hillshade rule), different mechanics."""
+    import os
+
+    import pandas as pd
+
+    from .geom import clip_polygon_convex, ring_area_seq
+    from .jobs.rai import fixture_dir
+    from .queries import AOI_RING
+
+    cdir = os.path.join(fixture_dir(0.01), "countries.parquet")
+    countries = spark.read.parquet(cdir)
+    aoi = [tuple(p) for p in AOI_RING[:-1]]
+
+    def _clip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                ring = np.array([(p["x"], p["y"]) for p in r.ring])
+                if (ring[0] == ring[-1]).all():
+                    ring = ring[:-1]
+                inter = clip_polygon_convex(ring, np.array(aoi))
+                a_c = abs(ring_area_seq(ring))
+                a_i = abs(ring_area_seq(inter)) if len(inter) >= 3 else 0.0
+                out.append((
+                    r.country_code, int(len(ring)), int(len(inter)),
+                    int(np.floor(a_i * 1e9)), int(np.floor(a_c * 1e9)),
+                    int(np.floor(a_i / a_c * 1_000_000.0)),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "country_code", "n_in", "n_out", "inter_area_nano",
+                "country_area_nano", "frac_micros",
+            ])
+
+    return countries.mapInPandas(
+        _clip,
+        "country_code string, n_in int, n_out int, inter_area_nano "
+        "bigint, country_area_nano bigint, frac_micros bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Road-network topology QA (dangling near-miss endpoints)
+# ---------------------------------------------------------------------------
+
+_EPS_M = 100.0  # undershoot gap threshold (meters)
+_T_LO, _T_HI = 0.05, 0.95  # strictly-interior projection band
+
+
+def roads_topology_errors(spark, sf_dir):
+    """TOPOLOGY QA: per kind, road ENDPOINTS that land near the
+    INTERIOR of another road (within 100 m, projection parameter
+    strictly inside (0.05, 0.95)) — the undershoot / T-junction
+    detector a road-network conflation pipeline runs before routing.
+    Candidates come from a 3x3 cell-block equi-join (segments bucketed
+    by FIRST vertex — the roads_hausdorff blocking SPEC, mirrored in
+    the oracle); the distance/projection chain is the SAME sqlgen
+    steps the kNN family runs.  COALESCE-wrapped keys (gotcha 11).
+
+    Plan shape: endpoint side explodes 9 block keys (tiny), segment
+    side buckets once; one equi-join, one per-endpoint MAX(flag) agg,
+    one kind rollup."""
+    from .queries_ext import _fixture_images
+    from .sqlgen import apply_steps, point_seg_dist_steps
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    ends = roads.selectExpr(
+        "road_id", "kind",
+        "explode(array("
+        "named_struct('ei', 0, 'px', coords[0].x, 'py', coords[0].y), "
+        "named_struct('ei', 1, 'px', element_at(coords, -1).x, "
+        "'py', element_at(coords, -1).y))) AS e"
+    ).selectExpr("road_id", "kind", "e.ei AS ei", "e.px AS px",
+                 "e.py AS py")
+    ekeys = ends.selectExpr(
+        "road_id", "kind", "ei", "px", "py",
+        "explode(array(-1, 0, 1)) AS ox",
+    ).selectExpr(
+        "road_id", "kind", "ei", "px", "py", "ox",
+        "explode(array(-1, 0, 1)) AS oy",
+    ).selectExpr(
+        "road_id", "kind", "ei", "px", "py",
+        "COALESCE((CAST(FLOOR(px * 10) AS BIGINT) + ox) * 100000 "
+        "+ CAST(FLOOR(py * 10) AS BIGINT) + oy, -1) AS ck",
+    )
+    verts = roads.selectExpr("road_id AS rs", "posexplode(coords) AS (i, c)") \
+        .selectExpr("rs", "i", "c.x AS vx", "c.y AS vy")
+    w = Window.partitionBy("rs").orderBy("i")
+    segs = (
+        verts.select(
+            "rs", F.col("vx").alias("ax"), F.col("vy").alias("ay"),
+            F.lead("vx").over(w).alias("bx"),
+            F.lead("vy").over(w).alias("by"),
+        )
+        .filter("bx IS NOT NULL")
+        .selectExpr(
+            "rs", "ax", "ay", "bx", "by",
+            "COALESCE(CAST(FLOOR(ax * 10) AS BIGINT) * 100000 "
+            "+ CAST(FLOOR(ay * 10) AS BIGINT), -1) AS ck",
+        )
+    )
+    cand = ekeys.join(segs, "ck").filter("rs <> road_id")
+    steps = point_seg_dist_steps("px", "py", "ax", "ay", "bx", "by",
+                                 "dist_m")
+    cand = apply_steps(cand, steps)
+    flagged = (
+        cand.selectExpr(
+            "road_id", "kind", "ei",
+            f"CASE WHEN dist_m <= CAST({_EPS_M} AS DOUBLE) "
+            f"AND dist_m_t > CAST({_T_LO} AS DOUBLE) "
+            f"AND dist_m_t < CAST({_T_HI} AS DOUBLE) "
+            "THEN 1 ELSE 0 END AS flag",
+        )
+        .groupBy("road_id", "kind", "ei")
+        .agg(F.max("flag").alias("hit"))
+    )
+    n_ends = ends.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_endpoints")
+    )
+    hits = flagged.filter("hit = 1").groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_undershoots"),
+        F.sum(F.expr("road_id * 2 + ei")).alias("chk"),
+    )
+    return (
+        n_ends.join(hits, "kind", "left")
+        .selectExpr(
+            "kind", "n_endpoints",
+            "COALESCE(n_undershoots, 0) AS n_undershoots",
+            "COALESCE(chk, 0) AS chk",
+        )
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -762,4 +910,6 @@ QUERIES_R5D = {
     "orders_decision_stump": orders_decision_stump,
     "events_rolling_wau": events_rolling_wau,
     "image_fft_sharpness": image_fft_sharpness,
+    "country_clip_area": country_clip_area,
+    "roads_topology_errors": roads_topology_errors,
 }

@@ -462,3 +462,130 @@ def test_fft_sharpness_kernel_analytic():
     n_px, ratio, pu, pv = fft_sharpness_kernel(cb)
     assert ratio == 1_000_000
     assert (pu, pv) == (16, 16)  # the Nyquist corner
+
+
+def test_clip_area_matches_exact_rational(spark):
+    """Exact-Fraction Sutherland-Hodgman twin: the double-arithmetic
+    kernel's areas must sit within one nano-unit of the exact rational
+    intersection area, and inside [0, min(areas)]."""
+    from fractions import Fraction
+
+    from sdg_engine.queries import AOI_RING
+    from sdg_engine.queries_r5d import country_clip_area
+
+    out = _pdf(country_clip_area(spark, SF)).set_index("country_code")
+    from sdg_engine.fixtures import get_country_rings
+
+    clip = [(Fraction(x), Fraction(y)) for x, y in AOI_RING[:-1]]
+
+    def sh_exact(subject):
+        cur = [(Fraction(x), Fraction(y)) for x, y in subject]
+        n = len(clip)
+        for i in range(n):
+            ax, ay = clip[i]
+            bx, by = clip[(i + 1) % n]
+            inp, cur = cur, []
+            if not inp:
+                break
+            for j in range(len(inp)):
+                sx, sy = inp[j - 1]
+                ex, ey = inp[j]
+                s_in = (bx - ax) * (sy - ay) - (by - ay) * (sx - ax) >= 0
+                e_in = (bx - ax) * (ey - ay) - (by - ay) * (ex - ax) >= 0
+                if e_in != s_in:
+                    den = (ex - sx) * (by - ay) - (ey - sy) * (bx - ax)
+                    tn = (ax - sx) * (by - ay) - (ay - sy) * (bx - ax)
+                    t = tn / den
+                    cur.append((sx + t * (ex - sx), sy + t * (ey - sy)))
+                if e_in:
+                    cur.append((ex, ey))
+        return cur
+
+    def area_exact(ring):
+        s = Fraction(0)
+        for i in range(len(ring)):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % len(ring)]
+            s += x0 * y1 - x1 * y0
+        return abs(s) / 2
+
+    for cc, ring in get_country_rings().items():
+        ring = [tuple(map(float, p)) for p in ring]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        inter = sh_exact(ring)
+        a_i = float(area_exact(inter)) if len(inter) >= 3 else 0.0
+        a_c = float(area_exact(ring))
+        row = out.loc[cc]
+        assert abs(int(row.inter_area_nano) - a_i * 1e9) <= 1.0
+        assert 0 <= int(row.inter_area_nano) <= int(row.country_area_nano)
+        assert abs(int(row.country_area_nano) - a_c * 1e9) <= 1.0
+
+
+def test_clip_kernel_identity_and_containment():
+    import numpy as np
+
+    from sdg_engine.geom import clip_polygon_convex, ring_area_seq
+    from sdg_engine.queries import AOI_RING
+
+    aoi = np.array(AOI_RING[:-1], dtype=np.float64)
+    self_clip = clip_polygon_convex(aoi, aoi)
+    assert abs(abs(ring_area_seq(self_clip)) - abs(ring_area_seq(aoi))) < 1e-9
+    # a tiny square inside the AOI survives unchanged
+    cx, cy = 6.3, 3.7
+    sq = np.array([(cx - .1, cy - .1), (cx + .1, cy - .1),
+                   (cx + .1, cy + .1), (cx - .1, cy + .1)])
+    out = clip_polygon_convex(sq, aoi)
+    assert abs(abs(ring_area_seq(out)) - 0.04) < 1e-12
+
+
+def test_topology_errors_match_bruteforce(spark):
+    from sdg_engine.geom import point_segment_dist_sq
+    from sdg_engine.queries_ext import _fixture_images
+    from sdg_engine.queries_r5d import roads_topology_errors
+    from sdg_engine import METERS_PER_DEG
+
+    out = _pdf(roads_topology_errors(spark, SF)).set_index("kind")
+    rp = _pdf(_fixture_images(spark, SF, pin_sf=0.01)[1])
+    segs = []  # (rs, ax, ay, bx, by, cellkey)
+    for r in rp.itertuples():
+        cs = [(c["x"], c["y"]) for c in r.coords]
+        for a, b in zip(cs, cs[1:]):
+            ck = (math.floor(a[0] * 10) * 100000 + math.floor(a[1] * 10))
+            segs.append((r.road_id, a[0], a[1], b[0], b[1], ck))
+    by_cell = {}
+    for s in segs:
+        by_cell.setdefault(s[5], []).append(s)
+    hits = {}
+    n_ends = {}
+    for r in rp.itertuples():
+        cs = [(c["x"], c["y"]) for c in r.coords]
+        for ei, (px, py) in enumerate([cs[0], cs[-1]]):
+            n_ends[r.kind] = n_ends.get(r.kind, 0) + 1
+            cx, cy = math.floor(px * 10), math.floor(py * 10)
+            found = False
+            for ox in (-1, 0, 1):
+                for oy in (-1, 0, 1):
+                    for s in by_cell.get((cx + ox) * 100000 + cy + oy, []):
+                        if s[0] == r.road_id:
+                            continue
+                        ax, ay, bx, by = s[1:5]
+                        dx, dy = bx - ax, by - ay
+                        l2 = dx * dx + dy * dy
+                        t = ((px - ax) * dx + (py - ay) * dy) / l2 if l2 else 0
+                        tt = min(1.0, max(0.0, t))
+                        d = math.hypot(px - (ax + tt * dx),
+                                       py - (ay + tt * dy)) * METERS_PER_DEG
+                        if d <= 100.0 and 0.05 < tt < 0.95:
+                            found = True
+            if found:
+                k = r.kind
+                hits.setdefault(k, [0, 0])
+                hits[k][0] += 1
+                hits[k][1] += r.road_id * 2 + ei
+    for kind in n_ends:
+        row = out.loc[kind]
+        assert int(row.n_endpoints) == n_ends[kind]
+        got = hits.get(kind, [0, 0])
+        assert int(row.n_undershoots) == got[0]
+        assert int(row.chk) == got[1]
