@@ -338,6 +338,58 @@ FROM ne LEFT JOIN hits ON ne.kind = hits.kind
 """
 
 
+def _tfrecord_sql() -> str:
+    """Per-language twin straight off the source parquet (the engine's
+    numbers come back through the TFRecord round trip)."""
+    from .queries_r5 import _b12_cells
+
+    fp = " + ".join(
+        f"({c} * {4096 ** (3 - j)})"
+        for j, c in enumerate(_b12_cells("h", 4))
+    )
+    return f"""
+WITH f AS (
+  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS len,
+         md5(text) AS h
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       CAST(SUM({fp}) AS BIGINT) AS sum_fp
+FROM f GROUP BY 1
+"""
+
+
+def _webdataset_sql(img: str) -> str:
+    from .queries_r5 import _b12_cells
+
+    fpb = " + ".join(
+        f"({c} * {4096 ** (3 - j)})"
+        for j, c in enumerate(_b12_cells("hb", 4))
+    )
+    fpc = " + ".join(
+        f"({c} * {4096 ** (3 - j)})"
+        for j, c in enumerate(_b12_cells("hc", 4))
+    )
+    return f"""
+WITH f AS (
+  SELECT fmt, CAST(octet_length(bytes) AS BIGINT) AS len,
+         md5(hex(bytes)) AS hb, md5(caption) AS hc
+  FROM read_parquet('{img}')
+  WHERE image_id < 'img000000000200'
+)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       CAST(SUM({fpb}) AS BIGINT) AS sum_fp_bytes,
+       CAST(SUM({fpc}) AS BIGINT) AS sum_fp_caption
+FROM f GROUP BY 1
+"""
+
+
+ORACLES_R5D["tfrecord_roundtrip_docs"] = _tfrecord_sql()
+
+
 def fixture_oracles_r5d() -> dict[str, str]:
     """Lazily-built oracles that embed the absolute sf0.01 fixture path
     (the fixture_oracles_r5c precedent)."""
@@ -381,6 +433,9 @@ SELECT media_id, n_pairs, n_blocks, n_moving, sum_sad, sum_abs_mv, chk
 FROM read_parquet('{gdir}/video_motion.parquet')
 """,
         "roads_topology_errors": _topology_sql(roads),
+        "webdataset_roundtrip_images": _webdataset_sql(
+            os.path.join(fdir, "images.parquet").replace("'", "''")
+        ),
         "country_clip_area": f"""
 SELECT country_code, n_in, n_out, inter_area_nano, country_area_nano,
        frac_micros

@@ -892,6 +892,209 @@ def roads_topology_errors(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data export sinks: TFRecord + WebDataset
+# ---------------------------------------------------------------------------
+
+def tfrecord_roundtrip_docs(spark, sf_dir):
+    """TFRECORD EXPORT + re-ingest (the text→training handoff): every
+    partition writes one shard of tf.train.Example records through the
+    FROM-SCRATCH wire codec (hand-rolled varint protobuf + masked
+    CRC32C framing — sdg_engine/tfrecord.py, public-spec only), the
+    shards come back via binaryFile, and the parser VERIFIES both CRCs
+    per record before decoding.  The per-language rollup fingerprints
+    the round-tripped text with the shared 48-bit md5 fragment, so the
+    varint writer, the framing, the CRCs, and the proto parser are all
+    load-bearing against the DuckDB aggregate over the source parquet.
+    At 100 TB this is the standard sharded-export shape: one file per
+    task, content never shuffles."""
+    import os
+
+    from .queries_ext import _stream_base
+    from .queries_r5 import _b12_cells
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = f"{_stream_base(spark, 'tfrec_')}/shards"
+    os.makedirs(out, exist_ok=True)
+
+    def _write(rows):
+        from pyspark import TaskContext
+
+        from sdg_engine.tfrecord import encode_example, write_tfrecords
+
+        recs = [
+            encode_example({
+                "doc_id": int(r.doc_id),
+                "lang": r.lang.encode("utf-8"),
+                "text": r.text.encode("utf-8"),
+            })
+            for r in rows
+        ]
+        if recs:
+            pid = TaskContext.get().partitionId()
+            write_tfrecords(
+                os.path.join(out, f"shard-{pid:05d}.tfrecord"), recs
+            )
+
+    docs.foreachPartition(_write)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*")
+        .load(out)
+    )
+
+    def _parse(batches):
+        import pandas as pd
+
+        from sdg_engine.tfrecord import decode_example, read_tfrecords
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in read_tfrecords(bytes(blob)):
+                    ex = decode_example(rec)
+                    rows.append((
+                        ex["doc_id"][0],
+                        ex["lang"].decode("utf-8"),
+                        ex["text"].decode("utf-8"),
+                    ))
+            yield pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+
+    parsed = bf.select("content").mapInPandas(
+        _parse, "doc_id bigint, lang string, text string"
+    )
+    cells = _b12_cells("h", 4)
+    fp = " + ".join(f"({c} * {4096 ** (3 - j)})" for j, c in enumerate(cells))
+    return (
+        parsed.select(
+            "lang", "doc_id",
+            F.length("text").cast("long").alias("len"),
+            F.md5("text").alias("h"),
+        )
+        .selectExpr("lang", "doc_id", "len", f"CAST({fp} AS BIGINT) AS fp")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("len").alias("sum_len"),
+            F.sum("fp").alias("sum_fp"),
+        )
+    )
+
+
+def webdataset_roundtrip_images(spark, sf_dir):
+    """WEBDATASET EXPORT + re-ingest (the multimodal→training
+    handoff): per-partition POSIX tar shards where each sample is a
+    basename-grouped pair ({id}.{fmt} image bytes + {id}.txt caption —
+    the WebDataset convention), written with deterministic headers
+    (zeroed mtime/uid), read back via binaryFile, untarred on
+    executors, and fingerprinted per format with the shared 48-bit md5
+    fragments over BOTH modalities (blob hex + caption text).  DuckDB
+    fingerprints the same pairs straight from the source parquet — any
+    corruption in tar framing, sample grouping, or payload bytes flips
+    a sum."""
+    import os
+
+    from .queries_ext import _fixture_images, _stream_base
+    from .queries_r5 import _b12_cells
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter("image_id < 'img000000000200'").select(
+        "image_id", "fmt", "bytes", "caption"
+    )
+    out = f"{_stream_base(spark, 'wds_')}/shards"
+    os.makedirs(out, exist_ok=True)
+
+    def _write(rows):
+        import io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        rows = list(rows)
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        with tarfile.open(
+            os.path.join(out, f"shard-{pid:05d}.tar"), "w"
+        ) as tar:
+            for r in rows:
+                for name, payload in (
+                    (f"{r.image_id}.{r.fmt}", bytes(r.bytes)),
+                    (f"{r.image_id}.txt", r.caption.encode("utf-8")),
+                ):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tar.addfile(ti, io.BytesIO(payload))
+
+    sel.foreachPartition(_write)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*")
+        .load(out)
+    )
+
+    def _untar(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                samples: dict = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        stem, ext = m.name.rsplit(".", 1)
+                        samples.setdefault(stem, {})[ext] = (
+                            tar.extractfile(m).read()
+                        )
+                for stem, parts in samples.items():
+                    cap = parts.pop("txt").decode("utf-8")
+                    (fmt, content), = parts.items()
+                    rows.append((stem, fmt, content, cap))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "content", "caption"]
+            )
+
+    parsed = bf.select("content").mapInPandas(
+        _untar, "image_id string, fmt string, content binary, "
+                "caption string"
+    )
+    cells_b = _b12_cells("hb", 4)
+    fp_b = " + ".join(
+        f"({c} * {4096 ** (3 - j)})" for j, c in enumerate(cells_b)
+    )
+    cells_c = _b12_cells("hc", 4)
+    fp_c = " + ".join(
+        f"({c} * {4096 ** (3 - j)})" for j, c in enumerate(cells_c)
+    )
+    return (
+        parsed.select(
+            "fmt",
+            F.length("content").cast("long").alias("len"),
+            F.md5(F.hex("content")).alias("hb"),
+            F.md5("caption").alias("hc"),
+        )
+        .selectExpr(
+            "fmt", "len",
+            f"CAST({fp_b} AS BIGINT) AS fpb",
+            f"CAST({fp_c} AS BIGINT) AS fpc",
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("len").alias("sum_len"),
+            F.sum("fpb").alias("sum_fp_bytes"),
+            F.sum("fpc").alias("sum_fp_caption"),
+        )
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -912,4 +1115,6 @@ QUERIES_R5D = {
     "image_fft_sharpness": image_fft_sharpness,
     "country_clip_area": country_clip_area,
     "roads_topology_errors": roads_topology_errors,
+    "tfrecord_roundtrip_docs": tfrecord_roundtrip_docs,
+    "webdataset_roundtrip_images": webdataset_roundtrip_images,
 }
