@@ -2490,3 +2490,64 @@ def make_clip_golden() -> None:
         os.path.join(OUT, "clip_area.parquet"),
     )
     print(f"clip_area golden: {len(ccs)} rows; fracs {fms}")
+
+
+def make_bpe_golden(sf_dir: str = "/root/testdata/sf0.01",
+                    rounds: int = 8) -> None:
+    """Golden for bpe_train_merges (r05 wave 16): INDEPENDENT scalar
+    BPE trainer (dict-of-Counter mechanics vs the engine's DataFrame
+    rounds) over the same documents parquet.  SPEC shared: split on
+    single space, drop empties, count adjacent pairs WITH overlaps,
+    argmax by (count, then lexicographic (left, right)), greedy
+    LEFTMOST merge application."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq_read
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = pq_read.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: [list(w), c] for w, c in words.items()}
+    ranks, lefts, rights, cnts = [], [], [], []
+    for rank in range(1, rounds + 1):
+        pc = Counter()
+        for toks, c in vocab.values():
+            for x, y in zip(toks, toks[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        ranks.append(rank)
+        lefts.append(a)
+        rights.append(b)
+        cnts.append(cnt)
+        for entry in vocab.values():
+            t = entry[0]
+            res = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            entry[0] = res
+    pq.write_table(
+        pa.table({
+            "rank": pa.array(ranks, pa.int32()),
+            "lhs": lefts,
+            "rhs": rights,
+            "cnt": pa.array(cnts, pa.int64()),
+        }),
+        os.path.join(OUT, "bpe_merges_sf0.01.parquet"),
+    )
+    print(f"bpe golden: {list(zip(lefts, rights, cnts))}")

@@ -403,6 +403,10 @@ def fixture_oracles_r5d() -> dict[str, str]:
     ).replace("'", "''")
     return {
         "points_snap_roads": _snap_sql(),
+        "bpe_train_merges": f"""
+SELECT rank, lhs, rhs, cnt
+FROM read_parquet('{gdir}/bpe_merges_sf0.01.parquet')
+""",
         # mst golden carries the Kruskal result; the node count is LIVE
         # over the roads parquet with the engine's quantization text
         "mst_roads": f"""

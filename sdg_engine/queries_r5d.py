@@ -1095,6 +1095,84 @@ def webdataset_roundtrip_images(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE training (multi-round tokenizer induction)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def bpe_train_merges(spark, sf_dir):
+    """FULL BPE TRAINING LOOP (8 merge rounds) — the multi-round
+    extension of bpe_merge_candidates' single iteration, i.e. actual
+    tokenizer induction.  The classic two-table decomposition: the
+    corpus reduces ONCE to the (distinct word, count) table
+    (dedup-before-quadratic — vocabulary-sized forever after), each
+    round counts adjacent token pairs JVM-side (explode(sequence) + a
+    codegen'd projection, gotcha 16b — overlaps counted, the standard
+    spec), picks argmax((count, lexicographic pair)), and applies the
+    merge with a greedy-LEFTMOST vectorized pass over the vocab table
+    only.  At 100 TB the word-count reduction is the only corpus-scale
+    pass; every round after it shuffles a vocab-sized relation.
+    Output: the 8 merges (rank, left, right, pair count at selection).
+    Oracle: committed golden from an INDEPENDENT scalar Counter-based
+    BPE trainer over the same parquet (scripts/make_goldens.py)."""
+    import pandas as pd
+
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter("length(w) > 0")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr("split(w, '') AS toks", "n")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.filter("size(toks) >= 2")
+            .selectExpr(
+                "toks", "n", "explode(sequence(0, size(toks) - 2)) AS i"
+            )
+            .selectExpr("toks[i] AS a", "toks[i + 1] AS b", "n")
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
+        merges.append((rank, a, b, cnt))
+
+        def _apply(batches, _a=a, _b=b):
+            for pdf in batches:
+                out = []
+                for toks in pdf["toks"]:
+                    t = list(toks)
+                    res = []
+                    i = 0
+                    while i < len(t):
+                        if (i + 1 < len(t) and t[i] == _a
+                                and t[i + 1] == _b):
+                            res.append(_a + _b)
+                            i += 2
+                        else:
+                            res.append(t[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"toks": out, "n": pdf["n"]})
+
+        vocab = vocab.mapInPandas(
+            _apply, "toks array<string>, n bigint"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, cnt bigint"
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -1117,4 +1195,5 @@ QUERIES_R5D = {
     "roads_topology_errors": roads_topology_errors,
     "tfrecord_roundtrip_docs": tfrecord_roundtrip_docs,
     "webdataset_roundtrip_images": webdataset_roundtrip_images,
+    "bpe_train_merges": bpe_train_merges,
 }

@@ -654,3 +654,46 @@ def test_webdataset_shards_parse_and_group(spark):
         assert int(out.loc[fmt].sum_len) == int(
             grp.bytes.map(len).sum()
         )
+
+
+def test_bpe_training_matches_counter_twin(spark):
+    """Scalar Counter-based BPE twin over the sf0.001 corpus (the
+    committed golden pins sf0.01; this pins the engine loop at another
+    scale, so the multi-round merge application is load-bearing)."""
+    from collections import Counter
+
+    from sdg_engine.queries_r5d import bpe_train_merges
+
+    out = _pdf(bpe_train_merges(spark, SF))
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet"))
+    words = Counter()
+    for t in docs.text:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: [list(w), c] for w, c in words.items()}
+    expect = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for toks, c in vocab.values():
+            for x, y in zip(toks, toks[1:]):
+                pc[(x, y)] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, cnt))
+        for entry in vocab.values():
+            t, res, i = entry[0], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            entry[0] = res
+    got = [(int(r.rank), r.lhs, r.rhs, int(r.cnt))
+           for r in out.itertuples()]
+    assert sorted(got) == expect
+    # multi-round dependency: at least one later merge must consume a
+    # token PRODUCED by an earlier merge
+    produced = {a + b for _, a, b, _ in expect}
+    assert any(a in produced or b in produced for _, a, b, _ in expect[1:])
