@@ -390,6 +390,41 @@ FROM f GROUP BY 1
 ORACLES_R5D["tfrecord_roundtrip_docs"] = _tfrecord_sql()
 
 
+def _aoi_length_sql(roads: str) -> str:
+    """Polyline∩AOI twin: list-indexed segments through the IDENTICAL
+    half-plane t-interval fragments (live — no golden)."""
+    from .queries_r5d import _aoi_halfplane_exprs
+
+    lo, hi, feas = _aoi_halfplane_exprs(by="byy")
+    return f"""
+WITH seg AS (
+  SELECT kind, coords[i].x AS ax, coords[i].y AS ay,
+         coords[i + 1].x AS bx, coords[i + 1].y AS byy
+  FROM read_parquet('{roads}'), UNNEST(range(1, len(coords))) AS r(i)
+),
+c0 AS (
+  SELECT kind,
+         SQRT((bx - ax) * (bx - ax) + (byy - ay) * (byy - ay)) AS seg_len,
+         {lo} AS lo, {hi} AS hi, ({feas}) AS feas
+  FROM seg
+),
+c1 AS (
+  SELECT kind,
+         CAST(FLOOR(seg_len * 1000000.0) AS BIGINT) AS len_micros,
+         CASE WHEN feas AND hi > lo THEN
+           CAST(FLOOR((hi - lo) * seg_len * 1000000.0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS in_micros
+  FROM c0
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN in_micros > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_touched,
+       CAST(SUM(len_micros) AS BIGINT) AS sum_len_micros,
+       CAST(SUM(in_micros) AS BIGINT) AS sum_in_micros
+FROM c1 GROUP BY 1
+"""
+
+
 def fixture_oracles_r5d() -> dict[str, str]:
     """Lazily-built oracles that embed the absolute sf0.01 fixture path
     (the fixture_oracles_r5c precedent)."""
@@ -437,6 +472,7 @@ SELECT media_id, n_pairs, n_blocks, n_moving, sum_sad, sum_abs_mv, chk
 FROM read_parquet('{gdir}/video_motion.parquet')
 """,
         "roads_topology_errors": _topology_sql(roads),
+        "roads_in_aoi_length": _aoi_length_sql(roads),
         "webdataset_roundtrip_images": _webdataset_sql(
             os.path.join(fdir, "images.parquet").replace("'", "''")
         ),

@@ -1173,6 +1173,89 @@ def bpe_train_merges(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Polyline∩polygon length (half-plane t-interval clip, LIVE oracle)
+# ---------------------------------------------------------------------------
+
+def _aoi_halfplane_exprs(by: str = "by") -> tuple[str, str, str]:
+    """Shared fragments for clipping segment (ax,ay)-(bx,by) against
+    the convex CCW AOI pentagon: per edge k, g_k(t) is linear in t, so
+    the inside interval is [lo, hi] = [0,1] tightened by each edge's
+    root t* = -g0/(g1-g0) (entering when g rises, leaving when it
+    falls); a parallel edge with g0 < 0 kills the segment.  Returns
+    (lo_expr, hi_expr, feasible_expr) — identical text in DuckDB."""
+    from .queries import AOI_RING
+
+    ring = AOI_RING[:-1]
+    los, his, feas = ["CAST(0.0 AS DOUBLE)"], ["CAST(1.0 AS DOUBLE)"], []
+    for k in range(len(ring)):
+        x0, y0 = ring[k]
+        x1, y1 = ring[(k + 1) % len(ring)]
+        ex, ey = repr(x1 - x0), repr(y1 - y0)
+        g0 = f"(({ex}) * (ay - ({y0!r})) - ({ey}) * (ax - ({x0!r})))"
+        g1 = f"(({ex}) * ({by} - ({y0!r})) - ({ey}) * (bx - ({x0!r})))"
+        t = f"(-({g0}) / (({g1}) - ({g0})))"
+        los.append(f"CASE WHEN ({g1}) > ({g0}) THEN {t} "
+                   "ELSE CAST(0.0 AS DOUBLE) END")
+        his.append(f"CASE WHEN ({g1}) < ({g0}) THEN {t} "
+                   "ELSE CAST(1.0 AS DOUBLE) END")
+        feas.append(f"NOT (({g1}) = ({g0}) AND ({g0}) < CAST(0.0 AS"
+                    " DOUBLE))")
+    return (
+        "GREATEST(" + ", ".join(los) + ")",
+        "LEAST(" + ", ".join(his) + ")",
+        " AND ".join(feas),
+    )
+
+
+def roads_in_aoi_length(spark, sf_dir):
+    """POLYLINE∩POLYGON LENGTH: per road kind, the exact length of
+    road inside the convex AOI pentagon — the overlay statistic
+    ("how much highway crosses the study area") complementing
+    country_clip_area's polygon∩polygon.  Each segment's inside
+    t-interval comes from intersecting the five half-plane constraints
+    ANALYTICALLY (linear g_k(t), GREATEST of entering roots / LEAST of
+    leaving roots — no iteration, no golden: the oracle runs the
+    IDENTICAL fragments live).  Per-segment inside length quantizes to
+    micro-degrees BEFORE the fold (FLOOR-before-fold, the
+    cells_line_density rule), so sums are exact BIGINTs at any
+    partitioning."""
+    from .queries_ext import _fixture_images
+
+    lo, hi, feas = _aoi_halfplane_exprs()
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    verts = roads.selectExpr(
+        "road_id", "kind", "posexplode(coords) AS (i, c)"
+    ).selectExpr("road_id", "kind", "i", "c.x AS vx", "c.y AS vy")
+    w = Window.partitionBy("road_id").orderBy("i")
+    seg = (
+        verts.select(
+            "kind", F.col("vx").alias("ax"), F.col("vy").alias("ay"),
+            F.lead("vx").over(w).alias("bx"),
+            F.lead("vy").over(w).alias("by"),
+        )
+        .filter("bx IS NOT NULL")
+    )
+    clipped = seg.selectExpr(
+        "kind",
+        "SQRT((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) AS seg_len",
+        f"{lo} AS lo", f"{hi} AS hi", f"({feas}) AS feas",
+    ).selectExpr(
+        "kind",
+        "CAST(FLOOR(seg_len * 1000000.0) AS BIGINT) AS len_micros",
+        "CASE WHEN feas AND hi > lo THEN "
+        "CAST(FLOOR((hi - lo) * seg_len * 1000000.0) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS in_micros",
+    )
+    return clipped.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.expr("CASE WHEN in_micros > 0 THEN 1 ELSE 0 END"))
+        .alias("n_touched"),
+        F.sum("len_micros").alias("sum_len_micros"),
+        F.sum("in_micros").alias("sum_in_micros"),
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -1196,4 +1279,5 @@ QUERIES_R5D = {
     "tfrecord_roundtrip_docs": tfrecord_roundtrip_docs,
     "webdataset_roundtrip_images": webdataset_roundtrip_images,
     "bpe_train_merges": bpe_train_merges,
+    "roads_in_aoi_length": roads_in_aoi_length,
 }

@@ -697,3 +697,43 @@ def test_bpe_training_matches_counter_twin(spark):
     # token PRODUCED by an earlier merge
     produced = {a + b for _, a, b, _ in expect}
     assert any(a in produced or b in produced for _, a, b, _ in expect[1:])
+
+
+def test_aoi_length_matches_sampling(spark):
+    """Second path: dense param sampling per segment (2000 points)
+    approximates the inside fraction — must agree with the analytic
+    t-interval within sampling error, and exactly on containment
+    invariants (inside <= total, untouched kinds sum zero)."""
+    from sdg_engine.queries import AOI_RING
+    from sdg_engine.queries_ext import _fixture_images
+    from sdg_engine.queries_r5d import roads_in_aoi_length
+
+    out = _pdf(roads_in_aoi_length(spark, SF))
+    assert (out.sum_in_micros <= out.sum_len_micros).all()
+    ring = np.array(AOI_RING[:-1])
+    rp = _pdf(_fixture_images(spark, SF, pin_sf=0.01)[1])
+    t = (np.arange(2000) + 0.5) / 2000
+
+    def inside(px, py):
+        ok = np.ones(len(px), dtype=bool)
+        for k in range(len(ring)):
+            x0, y0 = ring[k]
+            x1, y1 = ring[(k + 1) % len(ring)]
+            ok &= ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) >= 0
+        return ok
+
+    total_in = {}
+    for r in rp.itertuples():
+        cs = [(c["x"], c["y"]) for c in r.coords]
+        acc = 0.0
+        for (ax, ay), (bx, by) in zip(cs, cs[1:]):
+            px = ax + t * (bx - ax)
+            py = ay + t * (by - ay)
+            frac = inside(px, py).mean()
+            acc += frac * math.hypot(bx - ax, by - ay)
+        total_in[r.kind] = total_in.get(r.kind, 0.0) + acc
+    for r in out.itertuples():
+        approx = total_in.get(r.kind, 0.0) * 1e6
+        # sampling error bound: 1/2000 of each touched segment
+        tol = max(2000.0, 0.002 * r.sum_len_micros)
+        assert abs(int(r.sum_in_micros) - approx) < tol, r.kind
