@@ -473,6 +473,27 @@ FROM read_parquet('{gdir}/video_motion.parquet')
 """,
         "roads_topology_errors": _topology_sql(roads),
         "roads_in_aoi_length": _aoi_length_sql(roads),
+        # the certified near-dup twin at the stricter hamming<=6 tier,
+        # joined back to captions — runs verbatim on the same parquet
+        "multimodal_caption_consistency": f"""
+WITH img AS (SELECT image_id, phash, caption
+             FROM read_parquet('{os.path.join(fdir, "images.parquet").replace("'", "''")}')
+             WHERE image_id < 'img000000000400'),
+bands AS (SELECT image_id, phash, u.band,
+                 (phash >> (8 * u.band)) & 255 AS sig
+          FROM img, UNNEST(generate_series(0, 7)) AS u(band)),
+cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig
+          AND a.image_id < b.image_id)
+SELECT c.id_a, c.id_b, c.hamming,
+       (ca.caption = cb.caption) AS same_caption
+FROM cand c
+JOIN img ca ON ca.image_id = c.id_a
+JOIN img cb ON cb.image_id = c.id_b
+WHERE c.hamming <= 6
+""",
         "webdataset_roundtrip_images": _webdataset_sql(
             os.path.join(fdir, "images.parquet").replace("'", "''")
         ),

@@ -1256,6 +1256,39 @@ def roads_in_aoi_length(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-modal consistency QA (near-dup images vs caption agreement)
+# ---------------------------------------------------------------------------
+
+def multimodal_caption_consistency(spark, sf_dir):
+    """CROSS-MODAL CONSISTENCY QA: image pairs that are perceptual
+    near-dups (phash LSH bands + exact hamming <= 6 — the certified
+    image_near_dup_pairs machinery at a stricter tier) but whose
+    CAPTIONS disagree — the mislabeled-pair detector an image+caption
+    curation pipeline runs before training.  Pure relational over the
+    binding (phash, caption) columns, so the oracle reruns it verbatim;
+    emits the pairs with their hamming and the agreement flag."""
+    from .ops import payload as PL
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    subset = images.filter(F.col("image_id") < "img000000000400")
+    pairs = PL.phash_near_dup_pairs(subset, max_hamming=6)
+    caps = subset.select("image_id", "caption")
+    return (
+        pairs.join(
+            caps.selectExpr("image_id AS id_a", "caption AS cap_a"), "id_a"
+        )
+        .join(
+            caps.selectExpr("image_id AS id_b", "caption AS cap_b"), "id_b"
+        )
+        .selectExpr(
+            "id_a", "id_b", "hamming",
+            "CAST(cap_a = cap_b AS BOOLEAN) AS same_caption",
+        )
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -1280,4 +1313,5 @@ QUERIES_R5D = {
     "webdataset_roundtrip_images": webdataset_roundtrip_images,
     "bpe_train_merges": bpe_train_merges,
     "roads_in_aoi_length": roads_in_aoi_length,
+    "multimodal_caption_consistency": multimodal_caption_consistency,
 }
