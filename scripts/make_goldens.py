@@ -2551,3 +2551,56 @@ def make_bpe_golden(sf_dir: str = "/root/testdata/sf0.01",
         os.path.join(OUT, "bpe_merges_sf0.01.parquet"),
     )
     print(f"bpe golden: {list(zip(lefts, rights, cnts))}")
+
+
+def make_ssim_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_ssim_recon (r05 wave 18): generator pixels,
+    INDEPENDENT mechanics — reshape-block downscale (vs strided
+    slices), np.kron upsample (vs np.repeat), python-int moment sums
+    (vs numpy) — same SPEC'd double expression order at the end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    C1, C2 = 6_502_500.0, 58_522_500.0
+    ids, ns, sys_, ssims, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        h2, w2 = hh // 2, ww // 2
+        c = lum[: h2 * 2, : w2 * 2]
+        ds = c.reshape(h2, 2, w2, 2).sum(axis=(1, 3)) // 4
+        recon = np.kron(ds, np.ones((2, 2), dtype=np.int64))
+        flat_x = [int(v) for v in c.ravel()]
+        flat_y = [int(v) for v in recon.ravel()]
+        n = len(flat_x)
+        sx = sum(flat_x)
+        sy = sum(flat_y)
+        sxx = sum(v * v for v in flat_x)
+        syy = sum(v * v for v in flat_y)
+        sxy = sum(a * b for a, b in zip(flat_x, flat_y))
+        mx = sx / n
+        my = sy / n
+        vx = sxx / n - mx * mx
+        vy = syy / n - my * my
+        cov = sxy / n - mx * my
+        ssim = ((2.0 * mx * my + C1) * (2.0 * cov + C2)) / (
+            (mx * mx + my * my + C1) * (vx + vy + C2)
+        )
+        ids.append(image_id)
+        ns.append(n)
+        sys_.append(sy)
+        ssims.append(int(np.floor(ssim * 1_000_000.0)))
+        chks.append(sum(((k % 97) + 1) * v for k, v in enumerate(flat_y)))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(ns, pa.int32()),
+            "sum_recon": pa.array(sys_, pa.int64()),
+            "ssim_micros": pa.array(ssims, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"ssim_sf{sf:g}.parquet"),
+    )
+    print(f"ssim golden: {len(ids)} rows (jpg skipped)")

@@ -1483,3 +1483,54 @@ def fft_sharpness_stats(images: DataFrame) -> DataFrame:
         ["n_px", "hf_ratio_micros", "peak_u", "peak_v"],
         "n_px int, hf_ratio_micros bigint, peak_u int, peak_v int",
     )
+
+
+# SSIM constants at milli-luma scale: C1 = (0.01 * 255000)^2,
+# C2 = (0.03 * 255000)^2 — the standard stabilizers.
+_SSIM_C1 = 6_502_500.0
+_SSIM_C2 = 58_522_500.0
+
+
+def ssim_recon_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """GLOBAL SSIM between the image and its 2x box-downscale +
+    nearest-upsample RECONSTRUCTION — the perceptual quality metric
+    beyond PSNR (X3 family): a pyramid level's information loss as a
+    curation signal.  All moment sums (Sx, Sy, Sxx, Syy, Sxy) are
+    EXACT int64 over milli-luma; the closed-form SSIM evaluates once
+    per image in doubles with SPEC'd expression order and quantizes to
+    micros with one FLOOR.  Returns (n, sum_y, ssim_micros, chk)."""
+    h, w = lum_i.shape
+    h2, w2 = h // 2, w // 2
+    c = lum_i[: h2 * 2, : w2 * 2]
+    ds = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+          + c[1::2, 1::2]) // 4
+    recon = np.repeat(np.repeat(ds, 2, axis=0), 2, axis=1)
+    x = c.astype(np.int64)
+    y = recon.astype(np.int64)
+    n = int(x.size)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    mx = sx / n
+    my = sy / n
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    cov = sxy / n - mx * my
+    ssim = ((2.0 * mx * my + _SSIM_C1) * (2.0 * cov + _SSIM_C2)) / (
+        (mx * mx + my * my + _SSIM_C1) * (vx + vy + _SSIM_C2)
+    )
+    wgt = (np.arange(y.size, dtype=np.int64) % 97) + 1
+    return (
+        n, sy, int(np.floor(ssim * 1_000_000.0)),
+        int((wgt * y.ravel()).sum()),
+    )
+
+
+def ssim_recon_stats(images: DataFrame) -> DataFrame:
+    """Per-image reconstruction-SSIM stats (map-only)."""
+    return _int_terrain_op(
+        images, ssim_recon_kernel,
+        ["n_px", "sum_recon", "ssim_micros", "chk"],
+        "n_px int, sum_recon bigint, ssim_micros bigint, chk bigint",
+    )

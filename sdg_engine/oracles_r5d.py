@@ -201,6 +201,33 @@ FROM dau JOIN wau ON day = w, span
 WHERE day BETWEEN d0 AND d1
 """
 
+ORACLES_R5D["supplier_winsorized_mean"] = """
+WITH s AS (
+  SELECT CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM supplier
+),
+per AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+cum AS (
+  SELECT cents,
+         CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cume,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM per
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cume >= (n - 1) // 10 + 1 THEN cents END) AS lo,
+         MIN(CASE WHEN cume >= (9 * (n - 1)) // 10 + 1 THEN cents END)
+           AS hi
+  FROM cum
+),
+w AS (SELECT LEAST(GREATEST(cents, lo), hi) AS w, lo, hi
+      FROM s, cuts)
+SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(FLOOR(CAST(SUM(w) AS DOUBLE) / COUNT(*) * 1000.0) AS BIGINT)
+         AS wmean_millicents
+FROM w GROUP BY 1, 2
+"""
+
 ORACLES_R5D["embeddings_silhouette"] = """
 WITH comp AS (
   SELECT vec_id, label, u.j - 1 AS j,
@@ -508,6 +535,13 @@ FROM read_parquet('{gdir}/fft_sharpness_sf0.01.parquet') g
 JOIN read_parquet('{os.path.join(fdir, "images.parquet").replace("'", "''")}') f3
   USING (image_id)
 WHERE f3.image_id < 'img000000000500' AND f3.fmt <> 'jpg'
+""",
+        "image_ssim_recon": f"""
+SELECT g.image_id, g.n_px, g.sum_recon, g.ssim_micros, g.chk
+FROM read_parquet('{gdir}/ssim_sf0.01.parquet') g
+JOIN read_parquet('{os.path.join(fdir, "images.parquet").replace("'", "''")}') f4
+  USING (image_id)
+WHERE f4.image_id < 'img000000000500' AND f4.fmt <> 'jpg'
 """,
         "image_edt": f"""
 SELECT g.image_id, g.n_px, g.n_fg, g.sum_d2, g.max_d2, g.chk

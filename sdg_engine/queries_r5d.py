@@ -1289,6 +1289,74 @@ def multimodal_caption_consistency(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SSIM reconstruction quality + winsorized mean
+# ---------------------------------------------------------------------------
+
+def image_ssim_recon(spark, sf_dir):
+    """GLOBAL SSIM of the 2x box-downscale + nearest-upsample
+    reconstruction — the perceptual quality metric beyond PSNR (X3):
+    how much signal a pyramid level loses, per image.  Moment sums are
+    exact int64; one SPEC'd double chain evaluates the closed form and
+    FLOORs to micros.  Map-only; jpg excluded / first-500 bound.
+    Oracle: committed golden with independent mechanics (reshape
+    blocks + np.kron + python-int sums vs strided slices + np.repeat +
+    numpy sums)."""
+    from .ops.payload import ssim_recon_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return ssim_recon_stats(sel)
+
+
+def supplier_winsorized_mean(spark, sf_dir):
+    """WINSORIZED MEAN of supplier balances (clip at the exact p10/p90
+    order statistics, then average) — the robust-metrics companion to
+    MAD and the exact-quantiles family.  The clip thresholds are exact
+    rank picks over the DISTINCT-cents relation (two-level bounded
+    windows — never a row-level sort); the clipped sum stays a pure
+    BIGINT and the mean divides once as a shared double."""
+    s = _t(spark, sf_dir, "supplier").selectExpr(
+        "CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS cents"
+    )
+    # exact order statistics via the cumulative distribution over the
+    # DISTINCT-cents relation (the exact-quantiles technique): windows
+    # run over distinct values, never rows; rank indices are pure
+    # integers ((n-1) DIV 10, 9(n-1) DIV 10 — zero-based nearest-rank)
+    per = s.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = per.selectExpr(
+        "cents",
+        "SUM(cnt) OVER (ORDER BY cents) AS cume",
+        "SUM(cnt) OVER () AS n",
+    )
+    cuts = cum.groupBy().agg(
+        F.min(F.expr(
+            "CASE WHEN cume >= (n - 1) DIV 10 + 1 THEN cents END"
+        )).alias("lo"),
+        F.min(F.expr(
+            "CASE WHEN cume >= (9 * (n - 1)) DIV 10 + 1 THEN cents END"
+        )).alias("hi"),
+    )
+    return (
+        s.crossJoin(F.broadcast(cuts))
+        .selectExpr(
+            "LEAST(GREATEST(cents, lo), hi) AS w", "lo", "hi"
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sum_w"),
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(w) AS DOUBLE) / COUNT(*)"
+                " * 1000.0) AS BIGINT)"
+            ).alias("wmean_millicents"),
+        )
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -1314,4 +1382,6 @@ QUERIES_R5D = {
     "bpe_train_merges": bpe_train_merges,
     "roads_in_aoi_length": roads_in_aoi_length,
     "multimodal_caption_consistency": multimodal_caption_consistency,
+    "image_ssim_recon": image_ssim_recon,
+    "supplier_winsorized_mean": supplier_winsorized_mean,
 }

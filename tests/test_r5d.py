@@ -737,3 +737,40 @@ def test_aoi_length_matches_sampling(spark):
         # sampling error bound: 1/2000 of each touched segment
         tol = max(2000.0, 0.002 * r.sum_len_micros)
         assert abs(int(r.sum_in_micros) - approx) < tol, r.kind
+
+
+def test_ssim_kernel_bounds_and_identity():
+    from sdg_engine.ops.payload import ssim_recon_kernel
+
+    # constant image: reconstruction is exact -> SSIM == 1.0
+    lum = np.full((16, 16), 100_000, dtype=np.int64)
+    n, sy, ssim, chk = ssim_recon_kernel(lum)
+    assert ssim == 1_000_000
+    # checkerboard at pixel scale: downscale destroys everything ->
+    # low SSIM; always within (0, 1] for nonneg luma
+    cb = ((np.indices((16, 16)).sum(axis=0) % 2) * 255_000).astype(np.int64)
+    n, sy, ssim, chk = ssim_recon_kernel(cb)
+    assert 0 < ssim < 400_000
+    # smooth gradient survives a pyramid level well
+    gr = (np.arange(16)[:, None] * np.ones((1, 16)) * 10_000).astype(np.int64)
+    n, sy, ssim, chk = ssim_recon_kernel(gr)
+    assert ssim > 900_000
+
+
+def test_winsorized_mean_matches_numpy(spark):
+    from sdg_engine.queries_r5d import supplier_winsorized_mean
+
+    out = _pdf(supplier_winsorized_mean(spark, SF)).iloc[0]
+    s = _pdf(spark.read.parquet(f"{SF}/supplier.parquet"))
+    cents = np.floor(s.s_acctbal * 100 + 0.5).astype(np.int64).to_numpy()
+    srt = np.sort(cents)
+    n = len(srt)
+    lo = int(srt[(n - 1) // 10])
+    hi = int(srt[(9 * (n - 1)) // 10])
+    assert int(out.lo) == lo and int(out.hi) == hi
+    w = np.clip(cents, lo, hi)
+    assert int(out.n) == n
+    assert int(out.sum_w) == int(w.sum())
+    assert int(out.wmean_millicents) == math.floor(
+        float(w.sum()) / n * 1000.0
+    )
