@@ -228,6 +228,56 @@ SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
 FROM w GROUP BY 1, 2
 """
 
+ORACLES_R5D["snapshot_constraint_check"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(n_chars) AS min_chars,
+       CAST(2 AS INT) AS n_commits, CAST(1 AS INT) AS n_rejected
+FROM documents
+"""
+
+ORACLES_R5D["events_hourly_peaks"] = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {3_600_000_000} AS h,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1
+),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+dense AS (
+  SELECT g.h, COALESCE(hourly.v, 0) AS v
+  FROM (SELECT UNNEST(range(h0, h1 + 1)) AS h FROM span) g
+  LEFT JOIN hourly ON hourly.h = g.h
+),
+per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM dense GROUP BY 1),
+cum AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cume,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM per
+),
+p90 AS (
+  SELECT MIN(CASE WHEN cume >= (9 * (n - 1)) // 10 + 1 THEN v END) AS p90
+  FROM cum
+),
+nb AS (
+  SELECT h, v,
+         LAG(v, 1) OVER (ORDER BY h) AS lag1,
+         LAG(v, 2) OVER (ORDER BY h) AS lag2,
+         LAG(v, 3) OVER (ORDER BY h) AS lag3,
+         LEAD(v, 1) OVER (ORDER BY h) AS lead1,
+         LEAD(v, 2) OVER (ORDER BY h) AS lead2,
+         LEAD(v, 3) OVER (ORDER BY h) AS lead3
+  FROM dense
+)
+SELECT h, v, GREATEST(lag1, lag2, lag3, lead1, lead2, lead3) AS nbr_max,
+       p90
+FROM nb, p90
+WHERE lag3 IS NOT NULL AND lead3 IS NOT NULL
+  AND v > GREATEST(lag1, lag2, lag3)
+  AND v > GREATEST(lead1, lead2, lead3)
+  AND v >= p90
+"""
+
 ORACLES_R5D["embeddings_silhouette"] = """
 WITH comp AS (
   SELECT vec_id, label, u.j - 1 AS j,

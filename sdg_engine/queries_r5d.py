@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 _TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
 _HOLD_US = 1_800_000_000  # 30-minute hold per event
+_HOUR_US_R5D = 3_600_000_000
 _DAY_US = 86_400_000_000
 _MIN_US = 60_000_000
 
@@ -1357,6 +1358,110 @@ def supplier_winsorized_mean(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# CHECK constraints (lakehouse expectations) + peak detection
+# ---------------------------------------------------------------------------
+
+def snapshot_constraint_check(spark, sf_dir):
+    """LAKEHOUSE CHECK CONSTRAINTS (the Delta/Iceberg expectations
+    pattern): the table declares `n_chars > 0 AND lang IS NOT NULL` at
+    creation; a later append containing violating rows is REJECTED
+    atomically (ValueError, zero data written, history unchanged), and
+    appends that omit the constraint INHERIT it from the manifest and
+    re-validate.  The query pins the protocol: commit count, rejected
+    batch count, and the head read exclude the bad rows by
+    construction."""
+    from .queries_ext import _stream_base
+    from .storage import read_snapshot, snapshot_history, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = f"{_stream_base(spark, 'constraint_')}/tbl"
+    check = "n_chars > 0 AND lang IS NOT NULL"
+    write_snapshot(docs.filter("doc_id % 2 = 0"), path, check=check)
+    rejected = 0
+    bad = docs.filter("doc_id % 2 = 1").unionByName(
+        spark.createDataFrame(
+            [(10**12, None, 5), (10**12 + 1, "en", 0)],
+            "doc_id bigint, lang string, n_chars bigint",
+        )
+    )
+    try:  # inherits the table constraint — must refuse the whole batch
+        write_snapshot(bad, path)
+        raise AssertionError("constraint violation not caught")
+    except ValueError:
+        rejected += 1
+    write_snapshot(docs.filter("doc_id % 2 = 1"), path)  # clean retry
+    head = read_snapshot(spark, path)
+    return (
+        head.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .withColumn(
+            "n_commits", F.lit(len(snapshot_history(path))).cast("int")
+        )
+        .withColumn("n_rejected", F.lit(rejected).cast("int"))
+    )
+
+
+def events_hourly_peaks(spark, sf_dir):
+    """PEAK DETECTION on the hourly spend series: strict local maxima
+    over a +-3-hour neighborhood that also clear the exact p90 of the
+    hourly values (prominence floor) — the alerting primitive on a
+    metric series.  Neighborhood tests are lag/lead windows over the
+    time-grid-bounded hourly relation; interior hours only (both
+    3-neighborhoods fully observed on the dense grid) so the edge
+    semantics are spec'd identically in the oracle; p90 is the exact
+    nearest-rank pick over the DISTINCT-value cumulative distribution
+    (the winsorize technique)."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            f"{_TS_US} DIV {_HOUR_US_R5D} AS h",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("h")
+        .agg(F.sum("cents").alias("v"))
+    )
+    # dense grid: missing hours count as 0 (gap-fill spec'd both sides)
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (
+        span.selectExpr("explode(sequence(h0, h1)) AS h")
+        .join(hourly, "h", "left")
+        .selectExpr("h", "COALESCE(v, 0) AS v")
+    )
+    per = dense.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = per.selectExpr(
+        "v", "SUM(cnt) OVER (ORDER BY v) AS cume", "SUM(cnt) OVER () AS n"
+    )
+    p90 = cum.groupBy().agg(
+        F.min(F.expr(
+            "CASE WHEN cume >= (9 * (n - 1)) DIV 10 + 1 THEN v END"
+        )).alias("p90")
+    )
+    nb = dense.selectExpr(
+        "h", "v",
+        *[f"LAG(v, {k}) OVER (ORDER BY h) AS lag{k}" for k in (1, 2, 3)],
+        *[f"LEAD(v, {k}) OVER (ORDER BY h) AS lead{k}" for k in (1, 2, 3)],
+    )
+    return (
+        nb.crossJoin(F.broadcast(p90))
+        .filter(
+            "lag3 IS NOT NULL AND lead3 IS NOT NULL"
+            " AND v > GREATEST(lag1, lag2, lag3)"
+            " AND v > GREATEST(lead1, lead2, lead3)"
+            " AND v >= p90"
+        )
+        .selectExpr(
+            "h", "v", "GREATEST(lag1, lag2, lag3, lead1, lead2, lead3)"
+            " AS nbr_max", "p90",
+        )
+    )
+
+
 QUERIES_R5D = {
     "events_concurrency": events_concurrency,
     "orders_listagg": orders_listagg,
@@ -1384,4 +1489,6 @@ QUERIES_R5D = {
     "multimodal_caption_consistency": multimodal_caption_consistency,
     "image_ssim_recon": image_ssim_recon,
     "supplier_winsorized_mean": supplier_winsorized_mean,
+    "snapshot_constraint_check": snapshot_constraint_check,
+    "events_hourly_peaks": events_hourly_peaks,
 }

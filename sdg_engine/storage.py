@@ -454,11 +454,28 @@ def read_snapshot_point(spark: SparkSession, path: str, col: str,
     return df, n_keep, total
 
 
+def table_check(path: str) -> str | None:
+    """The CHECK constraint recorded by the newest snapshot (if any)."""
+    hist = snapshot_history(path)
+    if not hist:
+        return None
+    return _read_manifest(path, hist[-1]).get("check")
+
+
 def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                    stats_cols: list[str] | None = None,
                    partition_by: list[str] | None = None,
-                   bloom_cols: list[str] | None = None) -> int:
+                   bloom_cols: list[str] | None = None,
+                   check: str | None = None) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``check`` declares a CHECK constraint (a boolean SQL expression —
+    the Delta/Iceberg expectations pattern): the write VALIDATES every
+    incoming row BEFORE any data lands and raises ``ValueError`` with
+    a violation count if any row fails, so a constrained table can
+    never commit bad data.  The constraint rides the manifest
+    (self-describing snapshots); later appends that omit ``check``
+    INHERIT the table's recorded constraint and re-validate.
 
     Data files land in an immutable per-snapshot directory
     (``data/snap-<uuid>``); the snapshot is COMMITTED by hard-linking a
@@ -473,6 +490,15 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
     import uuid
 
     assert mode in ("append", "overwrite")
+    if check is None and mode == "append":
+        check = table_check(path)  # inherit the table's constraint
+    if check is not None:
+        n_bad = df.filter(f"NOT ({check})").count()
+        if n_bad:
+            raise ValueError(
+                f"CHECK constraint ({check}) violated by {n_bad} rows "
+                f"— commit rejected, no data written"
+            )
     data_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
     if partition_by:
         df.write.mode("error").partitionBy(*partition_by).parquet(data_dir)
@@ -522,6 +548,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                            "files": files_json,
                            "deletes": deletes,
                            "pos_deletes": pos_deletes,
+                           "check": check,
                            "schema": schema_json}, f)
             try:
                 os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))

@@ -774,3 +774,65 @@ def test_winsorized_mean_matches_numpy(spark):
     assert int(out.wmean_millicents) == math.floor(
         float(w.sum()) / n * 1000.0
     )
+
+
+def test_constraint_rejects_atomically(spark):
+    """Direct protocol pin: a violating append writes NOTHING — the
+    history and head content are unchanged after the rejection, and a
+    new table refuses a bad FIRST commit entirely."""
+    import os
+    import tempfile
+
+    from sdg_engine.queries_ext import _stream_base
+    from sdg_engine.storage import (
+        read_snapshot, snapshot_history, table_check, write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="chk_")
+    path = os.path.join(base, "tbl")
+    good = spark.createDataFrame(
+        [(1, "en", 5), (2, "de", 7)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    write_snapshot(good, path, check="n_chars > 0")
+    assert table_check(path) == "n_chars > 0"
+    bad = spark.createDataFrame(
+        [(3, "fr", 0)], "doc_id bigint, lang string, n_chars bigint"
+    )
+    try:
+        write_snapshot(bad, path)  # inherits the constraint
+        raise AssertionError("violation not caught")
+    except ValueError as e:
+        assert "1 rows" in str(e)
+    assert snapshot_history(path) == [1]
+    assert read_snapshot(spark, path).count() == 2
+    # a fresh table with a bad first commit leaves no snapshots at all
+    p2 = os.path.join(base, "tbl2")
+    try:
+        write_snapshot(bad, p2, check="n_chars > 0")
+        raise AssertionError("violation not caught")
+    except ValueError:
+        pass
+    assert snapshot_history(p2) == []
+
+
+def test_hourly_peaks_are_peaks(spark):
+    from sdg_engine.queries_r5d import events_hourly_peaks
+
+    out = _pdf(events_hourly_peaks(spark, SF))
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(h=us // 3_600_000_000,
+                   cents=np.floor(ev.value * 100 + 0.5).astype(np.int64))
+    hourly = ev.groupby("h").cents.sum()
+    h0, h1 = int(hourly.index.min()), int(hourly.index.max())
+    dense = hourly.reindex(range(h0, h1 + 1), fill_value=0)
+    v = dense.to_numpy()
+    p90 = int(np.sort(v)[(9 * (len(v) - 1)) // 10])
+    peaks = []
+    for i in range(3, len(v) - 3):
+        if (v[i] > max(v[i - 3:i]) and v[i] > max(v[i + 1:i + 4])
+                and v[i] >= p90):
+            peaks.append((h0 + i, int(v[i])))
+    assert sorted(zip(out.h, out.v)) == peaks
+    assert (out.p90 == p90).all()
