@@ -836,3 +836,64 @@ def test_hourly_peaks_are_peaks(spark):
             peaks.append((h0 + i, int(v[i])))
     assert sorted(zip(out.h, out.v)) == peaks
     assert (out.p90 == p90).all()
+
+
+def test_train_export_job_end_to_end(spark):
+    """The composed export job: selection counts recomputed through an
+    INDEPENDENT pandas path (set-based dedup + rule recheck), shards
+    parsed directly with the codec, manifest gates verified."""
+    import json
+    import os
+    import tempfile
+
+    from sdg_engine.jobs.train_export import run
+    from sdg_engine.tfrecord import decode_example, read_tfrecords
+
+    out = tempfile.mkdtemp(prefix="texp_t_")
+    m = run(spark, SF, out)
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet"))
+    assert m["n_input"] == len(docs)
+    # independent selection twin
+    import re
+    from collections import Counter
+
+    def nkey(t):
+        return re.sub(" +", " ",
+                      re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    keeper = {}
+    for r in docs.itertuples():
+        k = nkey(r.text)
+        if k not in keeper or r.doc_id < keeper[k]:
+            keeper[k] = r.doc_id
+    keep_ids = set()
+    stop = {"the", "a", "of", "in", "and"}
+    for r in docs.itertuples():
+        if keeper[nkey(r.text)] != r.doc_id:
+            continue
+        toks = r.text.split(" ")
+        n = len(toks)
+        if not (20 <= n <= 10000):
+            continue
+        m3 = max(1, n - 2)
+        sh = Counter(
+            " ".join(toks[min(i + k, n - 1)] for k in range(3))
+            for i in range(m3)
+        )
+        if max(sh.values()) / m3 >= 0.2:
+            continue
+        if sum(1 for t in toks if t in stop) / n < 0.02:
+            continue
+        keep_ids.add(r.doc_id)
+    assert m["n_selected"] == len(keep_ids)
+    assert m["verify"]["sum_ids"] == sum(keep_ids)
+    # shards parse with the raw codec and carry exactly the kept ids
+    got_ids = []
+    sdir = os.path.join(out, "shards")
+    for f in os.listdir(sdir):
+        if f.startswith("shard-"):
+            for rec in read_tfrecords(open(os.path.join(sdir, f), "rb").read()):
+                got_ids.append(decode_example(rec)["doc_id"][0])
+    assert sorted(got_ids) == sorted(keep_ids)
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest == m
