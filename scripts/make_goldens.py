@@ -2604,3 +2604,58 @@ def make_ssim_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"ssim_sf{sf:g}.parquet"),
     )
     print(f"ssim golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_fast_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_fast_corners (r05 wave 21): the SAME packed
+    16-bit neighbor codes routed through a 65536-entry max-circular-run
+    LOOKUP TABLE built with scalar loops (vs the engine's doubled-axis
+    slice-ANDs) — two different arc detectors, same SPEC."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import FAST_CIRCLE, FAST_T
+
+    lut = np.zeros(65536, dtype=np.int64)
+    for code in range(65536):
+        bits = [(code >> k) & 1 for k in range(16)]
+        best = run = 0
+        for b in bits + bits:  # doubled for circular runs
+            run = run + 1 if b else 0
+            best = max(best, run)
+        lut[code] = min(best, 16)
+    ids, nis, ncs, nbs, nds, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        c = lum[3:hh - 3, 3:ww - 3]
+        bcode = np.zeros(c.shape, dtype=np.int64)
+        dcode = np.zeros(c.shape, dtype=np.int64)
+        for k, (dr, dc) in enumerate(FAST_CIRCLE):
+            sh = lum[3 + dr:hh - 3 + dr, 3 + dc:ww - 3 + dc]
+            bcode |= ((sh > c + FAST_T).astype(np.int64) << k)
+            dcode |= ((sh < c - FAST_T).astype(np.int64) << k)
+        b_hit = lut[bcode] >= 12
+        d_hit = lut[dcode] >= 12
+        corner = b_hit | d_hit
+        wgt = (np.arange(corner.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        nis.append(int(corner.size))
+        ncs.append(int(corner.sum()))
+        nbs.append(int(b_hit.sum()))
+        nds.append(int(d_hit.sum()))
+        chks.append(int((wgt * corner.ravel().astype(np.int64)).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_interior": pa.array(nis, pa.int32()),
+            "n_corners": pa.array(ncs, pa.int64()),
+            "n_bright": pa.array(nbs, pa.int64()),
+            "n_dark": pa.array(nds, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"fast_sf{sf:g}.parquet"),
+    )
+    print(f"fast golden: {len(ids)} rows; corners total {sum(ncs)}")

@@ -1534,3 +1534,64 @@ def ssim_recon_stats(images: DataFrame) -> DataFrame:
         ["n_px", "sum_recon", "ssim_micros", "chk"],
         "n_px int, sum_recon bigint, ssim_micros bigint, chk bigint",
     )
+
+
+# FAST-12: the standard Bresenham radius-3 circle, clockwise from
+# 12 o'clock — (dr, dc) offsets; threshold in milli-luma.
+FAST_CIRCLE = [
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2),
+    (-3, -1),
+]
+FAST_T = 3_000
+
+
+def fast_corner_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """FAST-12 segment test on milli-luma: corner iff >= 12 CONTIGUOUS
+    circle neighbors (circular) are all > center + t (bright) or all
+    < center - t (dark).  Engine mechanics: 16 shifted views -> bool
+    stacks -> doubled-axis slice-ANDs over every 12-length arc; the
+    golden twin routes the same packed 16-bit codes through a
+    scalar-built 65536-entry max-circular-run lookup instead.
+    Returns (n_interior, n_corners, n_bright, n_dark, chk)."""
+    h, w = lum_i.shape
+    if h < 7 or w < 7:
+        return (0, 0, 0, 0, 0)
+    c = lum_i[3:h - 3, 3:w - 3]
+    bright = np.stack([
+        lum_i[3 + dr:h - 3 + dr, 3 + dc:w - 3 + dc] > c + FAST_T
+        for dr, dc in FAST_CIRCLE
+    ])
+    dark = np.stack([
+        lum_i[3 + dr:h - 3 + dr, 3 + dc:w - 3 + dc] < c - FAST_T
+        for dr, dc in FAST_CIRCLE
+    ])
+
+    def arc12(m):
+        mm = np.concatenate([m, m], axis=0)
+        hit = np.zeros(m.shape[1:], dtype=bool)
+        for s in range(16):
+            hit |= mm[s:s + 12].all(axis=0)
+        return hit
+
+    b_hit = arc12(bright)
+    d_hit = arc12(dark)
+    corner = b_hit | d_hit
+    wgt = (np.arange(corner.size, dtype=np.int64) % 97) + 1
+    return (
+        int(corner.size),
+        int(corner.sum()),
+        int(b_hit.sum()),
+        int(d_hit.sum()),
+        int((wgt * corner.ravel().astype(np.int64)).sum()),
+    )
+
+
+def fast_corner_stats(images: DataFrame) -> DataFrame:
+    """Per-image FAST-12 corner stats (map-only)."""
+    return _int_terrain_op(
+        images, fast_corner_kernel,
+        ["n_interior", "n_corners", "n_bright", "n_dark", "chk"],
+        "n_interior int, n_corners bigint, n_bright bigint, "
+        "n_dark bigint, chk bigint",
+    )

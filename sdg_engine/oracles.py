@@ -680,6 +680,10 @@ from .oracles_r5d import ORACLES_R5D  # noqa: E402 — round-5 wave 9
 
 ORACLES.update(ORACLES_R5D)
 
+from .oracles_r5e import ORACLES_R5E  # noqa: E402 — round-5 wave 21
+
+ORACLES.update(ORACLES_R5E)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed
@@ -690,10 +694,12 @@ def all_oracles() -> dict[str, str]:
     from .oracles_r5 import image_oracles_r5
     from .oracles_r5c import fixture_oracles_r5c
     from .oracles_r5d import fixture_oracles_r5d
+    from .oracles_r5e import fixture_oracles_r5e
 
     out = dict(ORACLES)
     out.update(image_oracles())
     out.update(image_oracles_r5())
     out.update(fixture_oracles_r5c())
     out.update(fixture_oracles_r5d())
+    out.update(fixture_oracles_r5e())
     return out

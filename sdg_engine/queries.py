@@ -856,6 +856,10 @@ from .queries_r5d import QUERIES_R5D  # noqa: E402 — round-5 wave 9
 
 QUERIES.update(QUERIES_R5D)
 
+from .queries_r5e import QUERIES_R5E  # noqa: E402 — round-5 wave 21
+
+QUERIES.update(QUERIES_R5E)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and
