@@ -2659,3 +2659,139 @@ def make_fast_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"fast_sf{sf:g}.parquet"),
     )
     print(f"fast golden: {len(ids)} rows; corners total {sum(ncs)}")
+
+
+def make_affine_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_affine_bilinear (r05 wave 22): same fixed-point
+    SPEC, INDEPENDENT mechanics — four np.take gathers over flattened
+    clamped indices (vs the engine's 2-D fancy indexing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import AFFINE_COS_FP, AFFINE_SIN_FP
+
+    ids, nss, sums, maxs, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+        flat = lum.ravel()
+        r = np.arange(hh, dtype=np.int64)[:, None]
+        c = np.arange(ww, dtype=np.int64)[None, :]
+        dr2 = 2 * r - (hh - 1)
+        dc2 = 2 * c - (ww - 1)
+        sc2 = AFFINE_COS_FP * dc2 + AFFINE_SIN_FP * dr2 + (ww - 1) * 65536
+        sr2 = (-AFFINE_SIN_FP * dc2 + AFFINE_COS_FP * dr2
+               + (hh - 1) * 65536)
+        c0 = sc2 // 131072
+        r0 = sr2 // 131072
+        fc = (sc2 - c0 * 131072) * 256 // 131072
+        fr = (sr2 - r0 * 131072) * 256 // 131072
+        ok = (r0 >= 0) & (r0 + 1 < hh) & (c0 >= 0) & (c0 + 1 < ww)
+        r0c = np.clip(r0, 0, hh - 2)
+        c0c = np.clip(c0, 0, ww - 2)
+        base = (r0c * ww + c0c).ravel()
+        p00 = np.take(flat, base)
+        p01 = np.take(flat, base + 1)
+        p10 = np.take(flat, base + ww)
+        p11 = np.take(flat, base + ww + 1)
+        frf = fr.ravel()
+        fcf = fc.ravel()
+        out = (
+            (256 - frf) * ((256 - fcf) * p00 + fcf * p01)
+            + frf * ((256 - fcf) * p10 + fcf * p11)
+        ) // 65536
+        out = np.where(ok.ravel(), out, 0)
+        wgt = (np.arange(out.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        nss.append(int(ok.sum()))
+        sums.append(int(out.sum()))
+        maxs.append(int(out.max()))
+        chks.append(int((wgt * out).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_sampled": pa.array(nss, pa.int64()),
+            "sum_out": pa.array(sums, pa.int64()),
+            "max_out": pa.array(maxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"affine_sf{sf:g}.parquet"),
+    )
+    print(f"affine golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_hough_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_hough_lines (r05 wave 23): same fixed-point
+    SPEC, INDEPENDENT mechanics — clamp-indexed Sobel edge map on the
+    generator pixels (vs the engine's decode + np.pad) and np.add.at
+    scatter into a (12, W) matrix (vs the engine's 12 bincount
+    passes); chk folded with arbitrary-precision python ints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import (
+        HOUGH_COS_FP, HOUGH_OFF, HOUGH_RHO_Q, HOUGH_SIN_FP, HOUGH_W,
+        SOBEL_EDGE_T,
+    )
+
+    def edge_view(z, dr, dc):
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)]
+
+    ids, nes, bvs, bts, brs, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        tl, t, tr = (edge_view(lum, -1, -1), edge_view(lum, -1, 0),
+                     edge_view(lum, -1, 1))
+        le, r = edge_view(lum, 0, -1), edge_view(lum, 0, 1)
+        bl, b, br = (edge_view(lum, 1, -1), edge_view(lum, 1, 0),
+                     edge_view(lum, 1, 1))
+        gx = (tr + 2 * r + br) - (tl + 2 * le + bl)
+        gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+        mag = np.abs(gx) + np.abs(gy)
+        er, ec = np.nonzero(mag > SOBEL_EDGE_T)
+        er = er.astype(np.int64)
+        ec = ec.astype(np.int64)
+        accm = np.zeros((12, HOUGH_W), dtype=np.int64)
+        for th in range(12):
+            rb = (ec * HOUGH_COS_FP[th] + er * HOUGH_SIN_FP[th]) \
+                // HOUGH_RHO_Q
+            np.add.at(accm, (th, rb + HOUGH_OFF), 1)
+        flat = accm.ravel()
+        if er.size == 0:
+            best_v, best_t, best_r, chk = 0, -1, 0, 0
+        else:
+            nz = np.nonzero(flat)[0]
+            best_k = min(
+                (int(k) for k in nz),
+                key=lambda k: (-int(flat[k]), k),
+            )
+            best_v = int(flat[best_k])
+            best_t, best_r = best_k // HOUGH_W, best_k % HOUGH_W - HOUGH_OFF
+            chk = sum(
+                int(flat[k]) ** 2 * (int(k) + 1) for k in nz
+            )
+        ids.append(image_id)
+        nes.append(int(er.size))
+        bvs.append(best_v)
+        bts.append(best_t)
+        brs.append(best_r)
+        chks.append(int(chk))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_edges": pa.array(nes, pa.int64()),
+            "best_votes": pa.array(bvs, pa.int64()),
+            "best_theta": pa.array(bts, pa.int64()),
+            "best_rho": pa.array(brs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"hough_sf{sf:g}.parquet"),
+    )
+    print(f"hough golden: {len(ids)} rows (jpg skipped)")

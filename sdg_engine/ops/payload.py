@@ -1595,3 +1595,124 @@ def fast_corner_stats(images: DataFrame) -> DataFrame:
         "n_interior int, n_corners bigint, n_bright bigint, "
         "n_dark bigint, chk bigint",
     )
+
+
+# Fixed-point inverse-rotation matrix for the bilinear affine op:
+# 30 degrees, 16.16 literals — the SPEC both twins share.
+AFFINE_COS_FP = 56756  # round(cos(30deg) * 65536)
+AFFINE_SIN_FP = 32768  # round(sin(30deg) * 65536)
+
+
+def affine_bilinear_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """30-degree rotation about the image center with FIXED-POINT
+    BILINEAR resampling: source coordinates on a DOUBLED grid stay
+    integral (dr2 = 2r - (h-1)), the inverse map is the 16.16 integer
+    matrix above, and the bilinear weights quantize to 1/256 BEFORE
+    the blend — every output pixel is one exact integer expression, so
+    the result is hash-stable at any partitioning.  Out-of-bounds
+    samples are skipped (counted).  Engine mechanics: flat
+    fancy-indexing over index arrays; the golden twin gathers through
+    four np.take calls on clamped indices instead.  Returns
+    (n_sampled, sum_out, max_out, chk)."""
+    h, w = lum_i.shape
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    dr2 = 2 * r - (h - 1)
+    dc2 = 2 * c - (w - 1)
+    # inverse rotation: source = R(-theta) . out
+    su2 = AFFINE_COS_FP * dc2 + AFFINE_SIN_FP * dr2  # doubled col, fp16
+    sv2 = -AFFINE_SIN_FP * dc2 + AFFINE_COS_FP * dr2  # doubled row, fp16
+    sc2 = su2 + (w - 1) * 65536
+    sr2 = sv2 + (h - 1) * 65536
+    # integer floor / fractional part on the doubled fp grid
+    c0 = sc2 // 131072
+    r0 = sr2 // 131072
+    fc = (sc2 - c0 * 131072) * 256 // 131072  # 0..255
+    fr = (sr2 - r0 * 131072) * 256 // 131072
+    ok = (r0 >= 0) & (r0 + 1 < h) & (c0 >= 0) & (c0 + 1 < w)
+    r0c = np.clip(r0, 0, h - 2)
+    c0c = np.clip(c0, 0, w - 2)
+    p00 = lum_i[r0c, c0c]
+    p01 = lum_i[r0c, c0c + 1]
+    p10 = lum_i[r0c + 1, c0c]
+    p11 = lum_i[r0c + 1, c0c + 1]
+    out = (
+        (256 - fr) * ((256 - fc) * p00 + fc * p01)
+        + fr * ((256 - fc) * p10 + fc * p11)
+    ) // 65536
+    out = np.where(ok, out, 0)
+    wgt = (np.arange(out.size, dtype=np.int64) % 97) + 1
+    return (
+        int(ok.sum()),
+        int(out.sum()),
+        int(out.max()),
+        int((wgt * out.ravel()).sum()),
+    )
+
+
+def affine_bilinear_stats(images: DataFrame) -> DataFrame:
+    """Per-image fixed-point bilinear rotation stats (map-only)."""
+    return _int_terrain_op(
+        images, affine_bilinear_kernel,
+        ["n_sampled", "sum_out", "max_out", "chk"],
+        "n_sampled bigint, sum_out bigint, max_out bigint, chk bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hough line transform (r05 wave 23) — dominant-line detection over the
+# Sobel edge map, ALL INTEGER.  SPEC shared by both twins:
+#   edges  = sobel L1 magnitude > SOBEL_EDGE_T (the certified edge map)
+#   theta  = 12 bins at 15-degree spacing; cos/sin as 10-bit fixed-point
+#            LITERALS (the tables below)
+#   rho    = (c*cos_fp + r*sin_fp) // 4096  (floor; 4-pixel rho bins)
+#   key    = theta*1536 + rho + 512; votes accumulate per key
+#   best   = max votes, ties broken to the SMALLEST (theta, rho) —
+#            exactly np.argmax over the flat accumulator
+#   chk    = sum over cells of votes^2 * (key + 1)  (order-free)
+# ---------------------------------------------------------------------------
+
+HOUGH_COS_FP = (1024, 989, 887, 724, 512, 265, 0,
+                -265, -512, -724, -887, -989)
+HOUGH_SIN_FP = (0, 265, 512, 724, 887, 989, 1024,
+                989, 887, 724, 512, 265)
+HOUGH_RHO_Q = 4096   # fp10 rho quantized into 4-pixel bins
+HOUGH_OFF = 512      # rho-bin offset (rho >= -1024*max(h,w)/4096)
+HOUGH_W = 1536       # accumulator stride per theta bin
+
+
+def hough_lines_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Dominant Hough line of an int64 luma raster.  Engine mechanics:
+    12 bincount passes summed into one flat accumulator (the golden
+    twin scatters with np.add.at into a (12, W) matrix instead, over a
+    clamp-indexed edge map).  Returns
+    (n_edges, best_votes, best_theta, best_rho, chk)."""
+    h, w = lum_i.shape
+    assert h + w < (HOUGH_W - HOUGH_OFF) * HOUGH_RHO_Q // 1024, "raster too large"
+    mag = sobel_mag(lum_i)
+    er, ec = np.nonzero(mag > SOBEL_EDGE_T)
+    n_edges = int(er.size)
+    if n_edges == 0:
+        return (0, 0, -1, 0, 0)
+    er = er.astype(np.int64)
+    ec = ec.astype(np.int64)
+    acc = np.zeros(12 * HOUGH_W, dtype=np.int64)
+    for t in range(12):
+        rb = (ec * HOUGH_COS_FP[t] + er * HOUGH_SIN_FP[t]) // HOUGH_RHO_Q
+        acc += np.bincount(t * HOUGH_W + rb + HOUGH_OFF,
+                           minlength=12 * HOUGH_W)
+    best = int(np.argmax(acc))  # first max == smallest (theta, rho)
+    keys = np.arange(acc.size, dtype=np.int64)
+    chk = int((acc * acc * (keys + 1)).sum())
+    return (n_edges, int(acc[best]), best // HOUGH_W,
+            best % HOUGH_W - HOUGH_OFF, chk)
+
+
+def hough_lines_stats(images: DataFrame) -> DataFrame:
+    """Per-image dominant-line Hough stats (map-only)."""
+    return _int_terrain_op(
+        images, hough_lines_kernel,
+        ["n_edges", "best_votes", "best_theta", "best_rho", "chk"],
+        "n_edges bigint, best_votes bigint, best_theta bigint, "
+        "best_rho bigint, chk bigint",
+    )

@@ -47,6 +47,97 @@ GROUP BY 1, 2, 3
 """
 
 
+def _hll_union_sql() -> str:
+    """Identical HLL algorithm in DuckDB — registers per type, merged
+    union registers via per-bucket MAX, same integer harmonic form."""
+    from .queries_r5 import _HLL_M, _HLL_NUM, _hll_steps
+
+    steps = ", ".join(_hll_steps("h"))
+    item = ("CONCAT(CAST(user_id AS VARCHAR), '|', "
+            "CAST(CAST(ts AS DATE) AS VARCHAR))")
+    return f"""
+WITH ev AS (
+  SELECT event_type, md5({item}) AS h
+  FROM events WHERE event_type IN ('view', 'click')
+),
+br AS (SELECT event_type, {steps} FROM ev),
+regs AS (SELECT event_type, bucket, MAX(rho) AS m FROM br GROUP BY 1, 2),
+merged AS (SELECT 'union' AS event_type, bucket, MAX(m) AS m
+           FROM regs GROUP BY 2),
+all_regs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+sk AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INT)) AS BIGINT)
+           AS s_part
+  FROM all_regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_regs,
+         CAST(FLOOR({_HLL_NUM} / CAST(s_part + ({_HLL_M} - n_regs)
+           * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) AS BIGINT) AS est_hll
+  FROM sk
+),
+ue AS (SELECT event_type, {item} AS item FROM events
+       WHERE event_type IN ('view', 'click')
+       UNION ALL
+       SELECT 'union', {item} AS item FROM events
+       WHERE event_type IN ('view', 'click')),
+ex AS (SELECT event_type, CAST(COUNT(DISTINCT item) AS BIGINT)
+         AS exact_distinct FROM ue GROUP BY 1)
+SELECT est.event_type, est.n_regs, est.est_hll, ex.exact_distinct,
+       CAST(FLOOR(ABS(est_hll - exact_distinct) * 10000.0
+         / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_bp
+FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+
+ORACLES_R5E["hll_union_merge"] = _hll_union_sql()
+
+ORACLES_R5E["streaming_dedup_then_window"] = """
+WITH mx AS (SELECT MAX(epoch(ts)) AS m FROM events),
+agg AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT a.hour_epoch, a.event_type, a.n, a.sum_cents
+FROM agg a, mx WHERE a.hour_epoch + 3600 <= mx.m - 7200
+"""
+
+
+ORACLES_R5E["customer_deciles"] = """
+WITH per AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS mon
+  FROM orders GROUP BY 1
+),
+rk AS (SELECT ck, mon,
+              ROW_NUMBER() OVER (ORDER BY mon, ck) AS rank FROM per),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(mon) AS BIGINT) AS total_cents FROM per),
+dec AS (
+  SELECT CAST(FLOOR(10 * (rank - 1) / tot.n) + 1 AS BIGINT) AS decile,
+         mon, total_cents
+  FROM rk, tot
+),
+pd AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(mon) AS BIGINT) AS sum_cents,
+         MAX(total_cents) AS _tc
+  FROM dec GROUP BY 1
+)
+SELECT decile, n_customers, sum_cents,
+       CAST(sum_cents * 1000000 // _tc AS BIGINT) AS share_micros,
+       CAST(SUM(sum_cents) OVER (ORDER BY decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * 1000000 // _tc AS BIGINT) AS cum_share_micros
+FROM pd
+"""
+
+
 def fixture_oracles_r5e() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir
@@ -99,6 +190,19 @@ FROM hub, far1, far2
 """
     return {
         "roads_graph_diameter": diameter,
+        "image_affine_bilinear": f"""
+SELECT g.image_id, g.n_sampled, g.sum_out, g.max_out, g.chk
+FROM read_parquet('{gdir}/affine_sf0.01.parquet') g
+JOIN read_parquet('{img}') f2 USING (image_id)
+WHERE f2.image_id < 'img000000000500' AND f2.fmt <> 'jpg'
+""",
+        "image_hough_lines": f"""
+SELECT g.image_id, g.n_edges, g.best_votes, g.best_theta, g.best_rho,
+       g.chk
+FROM read_parquet('{gdir}/hough_sf0.01.parquet') g
+JOIN read_parquet('{img}') f2 USING (image_id)
+WHERE f2.image_id < 'img000000000500' AND f2.fmt <> 'jpg'
+""",
         "image_fast_corners": f"""
 SELECT g.image_id, g.n_interior, g.n_corners, g.n_bright, g.n_dark,
        g.chk

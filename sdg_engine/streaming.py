@@ -675,3 +675,55 @@ def stream_chained_windows(
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup_then_window(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+) -> None:
+    """MULTI-STATEFUL CHAIN #2 (§2.10): watermark-bounded streaming
+    DEDUP feeding a windowed aggregation inside one query — the
+    exactly-once ingest shape (redelivered events collapse in the
+    dedup store before ever reaching the counts).  Duplicates arriving
+    in later batches are dropped either by the dedup state or as
+    late-beyond-watermark — both leave the closed windows identical to
+    the batch twin over the DISTINCT events (verified empirically on a
+    doubled input)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    dd = (
+        src.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    # cents BEFORE the fold (gotcha 8): a streaming state merge sums in
+    # a different order than any batch engine — FLOOR(SUM(double))
+    # flipped at the boundary on 2 of 3370 windows; exact BIGINT cents
+    # are fold-order-free
+    agg = (
+        dd.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(
+                "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+            )).alias("sum_cents"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"), "event_type", "n",
+            "sum_cents",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

