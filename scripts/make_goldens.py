@@ -2795,3 +2795,71 @@ def make_hough_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"hough_sf{sf:g}.parquet"),
     )
     print(f"hough golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_canny_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_canny_hysteresis (r05 wave 25): same
+    two-threshold SPEC, INDEPENDENT mechanics — clamp-indexed Sobel on
+    generator pixels and a scalar deque BFS flood from the strong set
+    over the weak mask (vs the engine's vectorized dilation
+    fixpoint)."""
+    from collections import deque
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import CANNY_STRONG_T, SOBEL_EDGE_T
+
+    def edge_view(z, dr, dc):
+        h, w = z.shape
+        ri = np.clip(np.arange(h) + dr, 0, h - 1)
+        ci = np.clip(np.arange(w) + dc, 0, w - 1)
+        return z[np.ix_(ri, ci)]
+
+    ids, nws, nss, nfs, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        tl, t, tr = (edge_view(lum, -1, -1), edge_view(lum, -1, 0),
+                     edge_view(lum, -1, 1))
+        le, r = edge_view(lum, 0, -1), edge_view(lum, 0, 1)
+        bl, b, br = (edge_view(lum, 1, -1), edge_view(lum, 1, 0),
+                     edge_view(lum, 1, 1))
+        gx = (tr + 2 * r + br) - (tl + 2 * le + bl)
+        gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+        mag = np.abs(gx) + np.abs(gy)
+        weak = mag > SOBEL_EDGE_T
+        strong = mag > CANNY_STRONG_T
+        hh, ww = weak.shape
+        final = np.zeros_like(weak)
+        q = deque()
+        for rr, cc in zip(*np.nonzero(strong)):
+            final[rr, cc] = True
+            q.append((int(rr), int(cc)))
+        while q:
+            rr, cc = q.popleft()
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    nr, nc = rr + dr, cc + dc
+                    if (0 <= nr < hh and 0 <= nc < ww
+                            and weak[nr, nc] and not final[nr, nc]):
+                        final[nr, nc] = True
+                        q.append((nr, nc))
+        idx = np.flatnonzero(final).astype(np.int64)
+        ids.append(image_id)
+        nws.append(int(weak.sum()))
+        nss.append(int(strong.sum()))
+        nfs.append(int(final.sum()))
+        chks.append(int((idx + 1).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_weak": pa.array(nws, pa.int64()),
+            "n_strong": pa.array(nss, pa.int64()),
+            "n_final": pa.array(nfs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"canny_sf{sf:g}.parquet"),
+    )
+    print(f"canny golden: {len(ids)} rows (jpg skipped)")

@@ -1708,6 +1708,57 @@ def hough_lines_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
             best % HOUGH_W - HOUGH_OFF, chk)
 
 
+# ---------------------------------------------------------------------------
+# Hysteresis edge linking (r05 wave 25) — the two-threshold Canny
+# stage: weak edges survive only when 8-connected (through weak
+# pixels) to a strong edge.  SPEC shared by both twins:
+#   mag     = Sobel L1 magnitude (the certified edge map)
+#   weak    = mag > SOBEL_EDGE_T;  strong = mag > CANNY_STRONG_T
+#   final   = strong ∪ {weak pixels 8-connected to strong via weak}
+#   chk     = sum of (flat_index + 1) over final pixels  (order-free)
+# ---------------------------------------------------------------------------
+
+CANNY_STRONG_T = 220_000  # strong-edge gate in luma milli-units
+
+
+def canny_hysteresis_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """Engine mechanics: vectorized binary propagation — final starts
+    at strong and repeatedly ORs in its 8-dilation masked to weak
+    until the fixpoint (each sweep advances the frontier one pixel;
+    the golden twin runs a scalar BFS flood with a deque instead).
+    The fixpoint is the unique connected closure, so both mechanics
+    meet exactly.  Returns (n_weak, n_strong, n_final, chk)."""
+    mag = sobel_mag(lum_i)
+    weak = mag > SOBEL_EDGE_T
+    strong = mag > CANNY_STRONG_T
+    cur = strong.copy()
+    while True:
+        z = np.pad(cur, 1, mode="constant")
+        dil = (
+            z[:-2, :-2] | z[:-2, 1:-1] | z[:-2, 2:]
+            | z[1:-1, :-2] | cur | z[1:-1, 2:]
+            | z[2:, :-2] | z[2:, 1:-1] | z[2:, 2:]
+        )
+        nxt = dil & weak
+        if (nxt == cur).all():
+            break
+        cur = nxt
+    idx = np.flatnonzero(cur).astype(np.int64)
+    return (
+        int(weak.sum()), int(strong.sum()), int(cur.sum()),
+        int((idx + 1).sum()),
+    )
+
+
+def canny_hysteresis_stats(images: DataFrame) -> DataFrame:
+    """Per-image hysteresis edge stats (map-only)."""
+    return _int_terrain_op(
+        images, canny_hysteresis_kernel,
+        ["n_weak", "n_strong", "n_final", "chk"],
+        "n_weak bigint, n_strong bigint, n_final bigint, chk bigint",
+    )
+
+
 def hough_lines_stats(images: DataFrame) -> DataFrame:
     """Per-image dominant-line Hough stats (map-only)."""
     return _int_terrain_op(

@@ -138,6 +138,165 @@ FROM pd
 """
 
 
+ORACLES_R5E["quantile_sketch_eval"] = """
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+dist AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM cents GROUP BY 1),
+cum AS (
+  SELECT cents, SUM(cnt) OVER (ORDER BY cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+  FROM dist
+),
+hist AS (
+  SELECT CAST(FLOOR(cents / 819200) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM cents GROUP BY 1
+),
+hcum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+  FROM hist
+),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+pcts AS (
+  SELECT pct, CAST(FLOOR((pct * n + 99) / 100) AS BIGINT) AS target_rank
+  FROM tot, UNNEST([25, 50, 75, 90, 99]) AS t(pct)
+),
+hit AS (
+  SELECT p.pct, p.target_rank,
+         CAST(MIN(c.bin) * 819200 AS BIGINT) AS est_lo_cents
+  FROM pcts p JOIN hcum c ON c.n_le >= p.target_rank
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT p.pct, p.target_rank, MIN(c.cents) AS exact_cents
+  FROM pcts p JOIN cum c ON c.n_le >= p.target_rank
+  GROUP BY 1, 2
+)
+SELECT CAST(ex.pct AS INT) AS pct, ex.target_rank, ex.exact_cents,
+       hit.est_lo_cents,
+       CAST(ex.exact_cents - hit.est_lo_cents AS BIGINT) AS err_cents,
+       CAST(CASE WHEN ex.exact_cents >= hit.est_lo_cents
+                  AND ex.exact_cents < hit.est_lo_cents + 819200
+            THEN 1 ELSE 0 END AS INT) AS in_bin
+FROM ex JOIN hit ON ex.pct = hit.pct AND ex.target_rank = hit.target_rank
+"""
+
+
+ORACLES_R5E["events_best_f1_threshold"] = """
+WITH ev AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           AS BIGINT) AS pos
+  FROM events
+),
+dist AS (SELECT cents, CAST(SUM(pos) AS BIGINT) AS p_at,
+                CAST(COUNT(*) AS BIGINT) AS n_at
+         FROM ev GROUP BY 1),
+cum AS (
+  SELECT cents, p_at, n_at,
+         CAST(SUM(p_at) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS p_le,
+         CAST(SUM(n_at) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_le
+  FROM dist
+),
+tot AS (SELECT CAST(SUM(p_at) AS BIGINT) AS tp_all,
+               CAST(SUM(n_at) AS BIGINT) AS tn_all FROM dist),
+sweep AS (
+  SELECT cents,
+         tp_all - (p_le - p_at) AS tp,
+         (tn_all - tp_all) - ((n_le - n_at) - (p_le - p_at)) AS fp,
+         tp_all AS p
+  FROM cum, tot
+),
+sc AS (
+  SELECT cents, tp, fp, p - tp AS fn,
+         CAST(2 * tp * 1000000 // (tp + fp + p) AS BIGINT) AS f1_micros
+  FROM sweep
+)
+SELECT cents AS threshold_cents, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, f1_micros
+FROM sc ORDER BY f1_micros DESC, cents ASC LIMIT 1
+"""
+
+
+def _strokes_sql(roads_pq: str) -> str:
+    """roads_strokes: identical micro-degree segment extraction and
+    cross/dot angular gate; component labels via the pruned
+    recursive-CTE reachability min (the dissolve technique)."""
+    return f"""
+WITH raw AS (
+  SELECT CAST(road_id AS VARCHAR) AS rid, kind, coords AS cs
+  FROM read_parquet('{roads_pq}')
+),
+segs AS (
+  SELECT concat(rid, ':', CAST(i AS VARCHAR)) AS seg, kind,
+         CAST(FLOOR(cs[i].x * 1000000) AS BIGINT) AS x1,
+         CAST(FLOOR(cs[i].y * 1000000) AS BIGINT) AS y1,
+         CAST(FLOOR(cs[i + 1].x * 1000000) AS BIGINT) AS x2,
+         CAST(FLOOR(cs[i + 1].y * 1000000) AS BIGINT) AS y2
+  FROM (SELECT rid, kind, cs,
+               unnest(generate_series(1, len(cs) - 1)) AS i FROM raw)
+),
+ori AS (
+  SELECT seg, kind, x1, y1, x2, y2 FROM segs
+  UNION ALL
+  SELECT seg, kind, x2 AS x1, y2 AS y1, x1 AS x2, y1 AS y2 FROM segs
+),
+ins AS (
+  SELECT seg AS seg_a,
+         concat(kind, '|', CAST(x2 AS VARCHAR), '|',
+                CAST(y2 AS VARCHAR)) AS nk,
+         x2 - x1 AS ux, y2 - y1 AS uy
+  FROM ori
+),
+outs AS (
+  SELECT seg AS seg_b,
+         concat(kind, '|', CAST(x1 AS VARCHAR), '|',
+                CAST(y1 AS VARCHAR)) AS nk,
+         x2 - x1 AS vx, y2 - y1 AS vy
+  FROM ori
+),
+adj AS (
+  SELECT DISTINCT i.seg_a AS a, o.seg_b AS b
+  FROM ins i JOIN outs o USING (nk)
+  WHERE i.seg_a <> o.seg_b
+    AND ux * vx + uy * vy > 0
+    AND 1000 * abs(ux * vy - uy * vx) < 577 * (ux * vx + uy * vy)
+),
+verts AS (SELECT seg AS k FROM segs),
+w AS (
+  WITH RECURSIVE t(v, lab) AS (
+    SELECT k, k FROM verts
+    UNION
+    SELECT adj.b, t.lab FROM t JOIN adj ON adj.a = t.v
+    WHERE t.lab < adj.b
+  ) SELECT v, MIN(lab) AS label FROM t GROUP BY v
+),
+sl AS (
+  SELECT seg, kind,
+         CAST(FLOOR(sqrt(CAST((x2 - x1) * (x2 - x1) + (y2 - y1) *
+           (y2 - y1) AS DOUBLE))) AS BIGINT) AS len_u
+  FROM segs
+),
+per AS (
+  SELECT sl.kind, w.label, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(SUM(len_u) AS BIGINT) AS sum_len
+  FROM sl JOIN w ON w.v = sl.seg GROUP BY 1, 2
+)
+SELECT kind, CAST(SUM(n_segs) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_strokes,
+       CAST(MAX(n_segs) AS BIGINT) AS max_segments,
+       CAST(MAX(sum_len) AS BIGINT) AS max_len_micros
+FROM per GROUP BY kind
+"""
+
+
 def fixture_oracles_r5e() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir
@@ -190,9 +349,16 @@ FROM hub, far1, far2
 """
     return {
         "roads_graph_diameter": diameter,
+        "roads_strokes": _strokes_sql(roads),
         "image_affine_bilinear": f"""
 SELECT g.image_id, g.n_sampled, g.sum_out, g.max_out, g.chk
 FROM read_parquet('{gdir}/affine_sf0.01.parquet') g
+JOIN read_parquet('{img}') f2 USING (image_id)
+WHERE f2.image_id < 'img000000000500' AND f2.fmt <> 'jpg'
+""",
+        "image_canny_hysteresis": f"""
+SELECT g.image_id, g.n_weak, g.n_strong, g.n_final, g.chk
+FROM read_parquet('{gdir}/canny_sf0.01.parquet') g
 JOIN read_parquet('{img}') f2 USING (image_id)
 WHERE f2.image_id < 'img000000000500' AND f2.fmt <> 'jpg'
 """,

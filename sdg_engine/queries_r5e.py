@@ -407,6 +407,262 @@ def customer_deciles(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual stroke grouping (wave 24)
+# ---------------------------------------------------------------------------
+
+def roads_strokes(spark, sf_dir):
+    """STROKE GROUPING (perceptual road-network generalization — the
+    'good continuation' operator cartographers run before display
+    filtering): same-kind segments that meet at an EXACT shared vertex
+    and deflect by less than ~30 degrees chain into one stroke.  All
+    geometry is integer micro-degrees; the angular gate is the exact
+    cross/dot test 1000*|cross| < 577*dot with dot > 0 (tan 30 =
+    0.577, no trig anywhere).  Segments come from explode(sequence) +
+    element_at (no interpreted lambda, no window — gotcha 16b);
+    continuation candidates are NODE-BUCKETED equi-join pairs (fanout
+    = node degree, never all-pairs); components run through the
+    pointer-jumped min-label primitive (O(log diameter) rounds).
+    Stroke lengths fold FLOOR-micro segment lengths (exact BIGINTs).
+    Oracle: identical fragments + the pruned recursive-CTE
+    reachability min (the dissolve technique) in DuckDB."""
+    from .queries_ext import _fixture_images
+    from .queries_r5 import _components_jump
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    segs = (
+        roads.selectExpr(
+            "CAST(road_id AS STRING) AS rid", "kind", "coords",
+            "explode(sequence(1, size(coords) - 1)) AS i",
+        )
+        .selectExpr(
+            "concat(rid, ':', CAST(i AS STRING)) AS seg",
+            "kind",
+            "CAST(FLOOR(element_at(coords, i).x * 1000000) AS BIGINT)"
+            " AS x1",
+            "CAST(FLOOR(element_at(coords, i).y * 1000000) AS BIGINT)"
+            " AS y1",
+            "CAST(FLOOR(element_at(coords, i + 1).x * 1000000) AS"
+            " BIGINT) AS x2",
+            "CAST(FLOOR(element_at(coords, i + 1).y * 1000000) AS"
+            " BIGINT) AS y2",
+        )
+        .localCheckpoint()  # consumers: orientations, verts, lengths
+    )
+    ori = segs.selectExpr("seg", "kind", "x1", "y1", "x2", "y2") \
+        .unionByName(segs.selectExpr(
+            "seg", "kind", "x2 AS x1", "y2 AS y1", "x1 AS x2",
+            "y1 AS y2",
+        ))
+    ins = ori.selectExpr(
+        "seg AS seg_a",
+        "concat(kind, '|', CAST(x2 AS STRING), '|', CAST(y2 AS STRING))"
+        " AS nk",
+        "x2 - x1 AS ux", "y2 - y1 AS uy",
+    )
+    outs = ori.selectExpr(
+        "seg AS seg_b",
+        "concat(kind, '|', CAST(x1 AS STRING), '|', CAST(y1 AS STRING))"
+        " AS nk",
+        "x2 - x1 AS vx", "y2 - y1 AS vy",
+    )
+    pairs = ins.join(outs, "nk").filter("seg_a <> seg_b").filter(
+        "ux * vx + uy * vy > 0 AND "
+        "1000 * abs(ux * vy - uy * vx) < 577 * (ux * vx + uy * vy)"
+    )
+    edges = pairs.selectExpr("seg_a AS src", "seg_b AS dst").distinct()
+    verts = segs.selectExpr("seg AS k")
+    labels = _components_jump(edges, verts)
+    seg_len = segs.selectExpr(
+        "seg", "kind",
+        "CAST(FLOOR(sqrt(CAST((x2 - x1) * (x2 - x1) + (y2 - y1) *"
+        " (y2 - y1) AS DOUBLE))) AS BIGINT) AS len_u",
+    )
+    per = (
+        seg_len.join(labels, seg_len.seg == labels.v)
+        .groupBy("kind", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("len_u").alias("sum_len"),
+        )
+    )
+    return per.groupBy("kind").agg(
+        F.sum("n_segs").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_strokes"),
+        F.max("n_segs").alias("max_segments"),
+        F.max("sum_len").alias("max_len_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch quality eval (wave 24)
+# ---------------------------------------------------------------------------
+
+def quantile_sketch_eval(spark, sf_dir):
+    """SKETCH-QUALITY EVAL for the histogram quantile sketch — the
+    eval stage before trusting the single-pass p25..p99 at 100 TB
+    (the ann_recall_eval pattern applied to quantiles): the certified
+    hist_quantiles estimates joined against the EXACT nearest-rank
+    order statistics at the same target ranks, per-percentile error in
+    cents and the ±1-bin containment flag (provably always 1: the
+    first bin whose cumulative count reaches the rank IS the bin of
+    the exact value).  Exact side: cumulative distribution over the
+    DISTINCT-cents relation with a TWO-LEVEL bucket prefix (the
+    bucket-local window + broadcast offsets trick — never a
+    single-partition window over row-scale input)."""
+    from pyspark.sql import Window
+
+    from .queries_r5 import hist_quantiles
+
+    BIN = 819200
+    sk = hist_quantiles(spark, sf_dir).select(
+        "pct", "target_rank", "est_lo_cents"
+    )
+    dist = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr(
+            "cents", "cnt",
+            f"CAST(FLOOR(cents / {BIN}) AS BIGINT) AS b",
+        )
+        .localCheckpoint()  # consumers: local window + bucket totals
+    )
+    wl = Window.partitionBy("b").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    loc = dist.withColumn("loc_cum", F.sum("cnt").over(wl))
+    btot = dist.groupBy("b").agg(F.sum("cnt").alias("bt"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.withColumn(
+        "off", F.coalesce(F.sum("bt").over(wo), F.lit(0))
+    ).select("b", "off")
+    cum = loc.join(F.broadcast(offs), "b").selectExpr(
+        "cents", "loc_cum + off AS n_le"
+    )
+    exact = (
+        cum.join(F.broadcast(sk), cum.n_le >= F.col("target_rank"))
+        .groupBy("pct", "target_rank", "est_lo_cents")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return exact.selectExpr(
+        "pct", "target_rank", "exact_cents", "est_lo_cents",
+        "exact_cents - est_lo_cents AS err_cents",
+        f"CAST(CASE WHEN exact_cents >= est_lo_cents AND exact_cents"
+        f" < est_lo_cents + {BIN} THEN 1 ELSE 0 END AS INT) AS in_bin",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis edge linking (wave 25)
+# ---------------------------------------------------------------------------
+
+def image_canny_hysteresis(spark, sf_dir):
+    """TWO-THRESHOLD HYSTERESIS EDGE LINKING (the Canny stage after
+    the gradient): weak edges survive only when 8-connected — through
+    other weak pixels — to a strong edge, killing isolated noise while
+    keeping faint continuations of real contours.  The engine kernel
+    is a vectorized dilation fixpoint; the golden twin floods with a
+    scalar BFS deque — two different algorithms meeting at the unique
+    connected closure.  Map-only; every output is an exact integer.
+    Oracle: committed golden over clamp-indexed generator pixels."""
+    from .ops.payload import canny_hysteresis_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return canny_hysteresis_stats(sel)
+
+
+# ---------------------------------------------------------------------------
+# Exact best-F1 operating point (wave 25)
+# ---------------------------------------------------------------------------
+
+def events_best_f1_threshold(spark, sf_dir):
+    """EXACT OPERATING-POINT SELECTION — sweep every distinct score
+    threshold and pick the best F1 of value-as-classifier for the
+    'purchase' class (the threshold-tuning step after events_auc's
+    ranking eval).  Counts come from ONE cumulative pass over the
+    DISTINCT-cents relation (two-level bucket prefix — windows never
+    see row-scale input): at threshold t, TP = P - pos_lt(t),
+    FP = N - neg_lt(t); F1 compared at micro resolution
+    (f1_micros = 2*TP*1e6 DIV (TP+FP+P), integer-exact in both
+    engines), argmax via ONE max(struct) aggregation — max F1 then the
+    smallest threshold, no ranking window anywhere."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        " AS BIGINT) AS pos",
+    )
+    dist = (
+        ev.groupBy("cents")
+        .agg(
+            F.sum("pos").alias("p_at"),
+            F.count(F.lit(1)).alias("n_at"),
+        )
+        .selectExpr(
+            "cents", "p_at", "n_at",
+            "CAST(FLOOR(cents / 819200) AS BIGINT) AS b",
+        )
+        .localCheckpoint()  # consumers: local window + bucket totals
+    )
+    wl = Window.partitionBy("b").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    loc = dist.withColumn("p_le", F.sum("p_at").over(wl)) \
+        .withColumn("n_le", F.sum("n_at").over(wl))
+    btot = dist.groupBy("b").agg(
+        F.sum("p_at").alias("bp"), F.sum("n_at").alias("bn")
+    )
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "b",
+        F.coalesce(F.sum("bp").over(wo), F.lit(0)).alias("p_off"),
+        F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("n_off"),
+    )
+    tot = dist.agg(
+        F.sum("p_at").alias("tp_all"), F.sum("n_at").alias("tn_all")
+    )
+    sweep = (
+        loc.join(F.broadcast(offs), "b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cents",
+            # predictions positive at score >= t: subtract the counts
+            # STRICTLY BELOW t (inclusive-cum minus the at-t row)
+            "tp_all - (p_le + p_off - p_at) AS tp",
+            "(tn_all - tp_all) - ((n_le + n_off - n_at)"
+            " - (p_le + p_off - p_at)) AS fp",
+            "tp_all AS p",
+        )
+        .selectExpr(
+            "cents", "tp", "fp", "p - tp AS fn",
+            "CAST(2 * tp * 1000000 DIV (tp + fp + p) AS BIGINT)"
+            " AS f1_micros",
+        )
+    )
+    best = sweep.agg(
+        F.max(
+            F.struct(
+                F.col("f1_micros"),
+                (-F.col("cents")).alias("neg_c"),
+                "tp", "fp", "fn",
+            )
+        ).alias("s")
+    )
+    return best.selectExpr(
+        "-s.neg_c AS threshold_cents", "s.tp AS tp", "s.fp AS fp",
+        "s.fn AS fn", "s.f1_micros AS f1_micros",
+    )
+
+
 QUERIES_R5E = {
     "roads_graph_diameter": roads_graph_diameter,
     "image_fast_corners": image_fast_corners,
@@ -416,4 +672,8 @@ QUERIES_R5E = {
     "streaming_dedup_then_window": streaming_dedup_then_window,
     "image_hough_lines": image_hough_lines,
     "customer_deciles": customer_deciles,
+    "roads_strokes": roads_strokes,
+    "quantile_sketch_eval": quantile_sketch_eval,
+    "image_canny_hysteresis": image_canny_hysteresis,
+    "events_best_f1_threshold": events_best_f1_threshold,
 }

@@ -234,6 +234,150 @@ def test_customer_deciles_invariants(spark):
     assert int(out.share_micros.iloc[-1]) == int(out.share_micros.max())
 
 
+def test_roads_strokes_vs_union_find_twin(spark):
+    """Third mechanics: scalar union-find over the same predicate on
+    the full sf0.01 fixture roads reproduces every per-kind stroke
+    statistic."""
+    import math
+
+    from sdg_engine.jobs.rai import fixture_dir
+    from sdg_engine.queries_r5e import roads_strokes
+
+    out = _pdf(roads_strokes(spark, SF)).set_index("kind")
+    pdf = _pdf(spark.read.parquet(f"{fixture_dir(0.01)}/roads.parquet"))
+    segs = {}   # seg -> (kind, p, q) in micro ints
+    by_node = {}  # (kind, node) -> list of (seg, into_vector)
+    for rr in pdf.itertuples(index=False):
+        cs = [(int(math.floor(c["x"] * 1000000)),
+               int(math.floor(c["y"] * 1000000))) for c in rr.coords]
+        for i in range(len(cs) - 1):
+            seg = f"{rr.road_id}:{i + 1}"
+            p, q = cs[i], cs[i + 1]
+            segs[seg] = (rr.kind, p, q)
+            for a, b in ((p, q), (q, p)):  # orientation a -> b
+                u = (b[0] - a[0], b[1] - a[1])
+                by_node.setdefault((rr.kind, b), []).append((seg, u))
+    parent = {s: s for s in segs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (_kind, _n), lst in by_node.items():
+        for sa, u in lst:
+            for sb, w in lst:
+                if sa == sb:
+                    continue
+                # w is INTO the node for sb; the outgoing vector is -w
+                vx, vy = -w[0], -w[1]
+                dot = u[0] * vx + u[1] * vy
+                cross = u[0] * vy - u[1] * vx
+                if dot > 0 and 1000 * abs(cross) < 577 * dot:
+                    ra, rb = find(sa), find(sb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    agg = {}
+    for seg, (kind, p, q) in segs.items():
+        lab = find(seg)
+        ln = int(math.floor(math.sqrt(
+            float((q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2))))
+        n, s = agg.setdefault((kind, lab), [0, 0])
+        agg[(kind, lab)] = [n + 1, s + ln]
+    per_kind = {}
+    for (kind, _lab), (n, s) in agg.items():
+        d = per_kind.setdefault(kind, [0, 0, 0, 0])
+        d[0] += n
+        d[1] += 1
+        d[2] = max(d[2], n)
+        d[3] = max(d[3], s)
+    for kind, (nseg, nstr, mxs, mxl) in per_kind.items():
+        row = out.loc[kind]
+        assert int(row.n_segments) == nseg, kind
+        assert int(row.n_strokes) == nstr, kind
+        assert int(row.max_segments) == mxs, kind
+        assert int(row.max_len_micros) == mxl, kind
+    # strokes exist and actually merge segments somewhere
+    assert (out.n_strokes < out.n_segments).all()
+
+
+def test_quantile_sketch_eval_exactness(spark):
+    from sdg_engine.queries_r5e import quantile_sketch_eval
+
+    out = _pdf(quantile_sketch_eval(spark, SF)).sort_values("pct")
+    od = _pdf(spark.read.parquet(f"{SF}/orders.parquet"))
+    cents = np.sort(np.floor(od.o_totalprice * 100 + 0.5)
+                    .astype(np.int64).to_numpy())
+    n = cents.size
+    for rr in out.itertuples(index=False):
+        target = (rr.pct * n + 99) // 100
+        assert int(rr.target_rank) == target
+        assert int(rr.exact_cents) == int(cents[target - 1])
+        assert rr.in_bin == 1
+        assert 0 <= int(rr.err_cents) < 819200
+
+
+def test_canny_hysteresis_analytic():
+    """A weak-only blob far from any strong edge is dropped; a weak
+    bridge touching a strong edge survives end-to-end."""
+    from sdg_engine.ops.payload import (
+        canny_hysteresis_kernel, sobel_mag, CANNY_STRONG_T,
+        SOBEL_EDGE_T,
+    )
+
+    # a thin ridge's flanking rows see |gy| = 4 * height, so a 30k
+    # ridge is weak-only (120k) and an 80k ridge is strong (320k)
+    lum = np.zeros((32, 32), dtype=np.int64)
+    lum[10, 5:12] = 30_000   # weak tail...
+    lum[10, 12:16] = 80_000  # ...touching a strong segment
+    lum[25, 20:24] = 30_000  # isolated weak blob
+    mag = sobel_mag(lum)
+    assert (mag > CANNY_STRONG_T).any() and (mag > SOBEL_EDGE_T).any()
+    n_weak, n_strong, n_final, chk = canny_hysteresis_kernel(lum)
+    assert 0 < n_strong < n_weak
+    # the connected weak tail survives, the isolated blob dies
+    assert n_strong < n_final < n_weak
+    # the isolated blob's pixels (rows 24..26) are all absent: their
+    # flat indices never enter chk -> recompute final explicitly
+    weak = mag > SOBEL_EDGE_T
+    blob = np.zeros_like(weak)
+    blob[23:28, 18:26] = True
+    # flood from strong must not reach the blob region
+    cur = (mag > CANNY_STRONG_T).copy()
+    for _ in range(64):
+        z = np.pad(cur, 1)
+        cur = (z[:-2, :-2] | z[:-2, 1:-1] | z[:-2, 2:] | z[1:-1, :-2]
+               | cur | z[1:-1, 2:] | z[2:, :-2] | z[2:, 1:-1]
+               | z[2:, 2:]) & weak
+    assert not (cur & blob).any()
+    assert n_final == int(cur.sum())
+
+
+def test_best_f1_matches_brute_force(spark):
+    from sdg_engine.queries_r5e import events_best_f1_threshold
+
+    out = _pdf(events_best_f1_threshold(spark, SF))
+    assert len(out) == 1
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet"))
+    cents = np.floor(ev.value * 100 + 0.5).astype(np.int64).to_numpy()
+    pos = (ev.event_type == "purchase").to_numpy()
+    P = int(pos.sum())
+    best = None
+    for t in np.unique(cents):
+        sel = cents >= t
+        tp = int((sel & pos).sum())
+        fp = int((sel & ~pos).sum())
+        f1m = 2 * tp * 1_000_000 // (tp + fp + P)
+        key = (f1m, -int(t))
+        if best is None or key > best[0]:
+            best = (key, t, tp, fp, P - tp, f1m)
+    row = out.iloc[0]
+    assert int(row.threshold_cents) == int(best[1])
+    assert (int(row.tp), int(row.fp), int(row.fn)) == best[2:5]
+    assert int(row.f1_micros) == best[5]
+
+
 def test_dedup_then_window_drops_duplicates(spark):
     from sdg_engine.queries_r5e import streaming_dedup_then_window
 
