@@ -2863,3 +2863,80 @@ def make_canny_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"canny_sf{sf:g}.parquet"),
     )
     print(f"canny golden: {len(ids)} rows (jpg skipped)")
+
+
+def make_harris_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_harris_corners (r05 wave 26): the same Harris
+    SPEC through three INDEPENDENT mechanisms — np.ix_ clamp-free
+    index gathers for the Sobel taps (vs the engine's shifted slices),
+    a SUMMED-AREA TABLE for the 3x3 box sums (vs slice adds), and a
+    scalar candidate loop for the NMS (vs vectorized comparisons)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import HARRIS_T
+
+    ids, nis, ncs, sqs, mxs, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g = _golden_lum_i64(px) // 1000
+        hh, ww = g.shape
+        rr = np.arange(1, hh - 1)
+        cc = np.arange(1, ww - 1)
+
+        def tap(dr, dc):
+            return g[np.ix_(rr + dr, cc + dc)]
+
+        gx = (tap(-1, 1) + 2 * tap(0, 1) + tap(1, 1)) \
+            - (tap(-1, -1) + 2 * tap(0, -1) + tap(1, -1))
+        gy = (tap(1, -1) + 2 * tap(1, 0) + tap(1, 1)) \
+            - (tap(-1, -1) + 2 * tap(-1, 0) + tap(-1, 1))
+
+        def box3_sat(a):
+            s = np.zeros((a.shape[0] + 1, a.shape[1] + 1), dtype=np.int64)
+            s[1:, 1:] = a.cumsum(0).cumsum(1)
+            return s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+
+        sxx = box3_sat(gx * gx)
+        syy = box3_sat(gy * gy)
+        sxy = box3_sat(gx * gy)
+        resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        core = resp[1:-1, 1:-1]
+        ch, cw = core.shape
+        n_c = 0
+        chk = 0
+        for fr, fc in zip(*np.nonzero(core > HARRIS_T)):
+            v = int(core[fr, fc])
+            keep = True
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nb = int(resp[1 + fr + dr, 1 + fc + dc])
+                    if dr < 0 or (dr == 0 and dc < 0):
+                        if not v > nb:
+                            keep = False
+                    elif not v >= nb:
+                        keep = False
+            if keep:
+                n_c += 1
+                chk += int(fr) * cw + int(fc) + 1
+        ids.append(image_id)
+        nis.append(int(core.size))
+        ncs.append(n_c)
+        sqs.append(sum(int(v) // 65536 for v in core.ravel() if v > 0))
+        mxs.append(int(core.max()) if core.size else 0)
+        chks.append(chk)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_interior": pa.array(nis, pa.int64()),
+            "n_corners": pa.array(ncs, pa.int64()),
+            "sum_rq": pa.array(sqs, pa.int64()),
+            "max_r": pa.array(mxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"harris_sf{sf:g}.parquet"),
+    )
+    print(f"harris golden: {len(ids)} rows; corners total {sum(ncs)}")

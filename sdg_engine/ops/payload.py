@@ -1767,3 +1767,80 @@ def hough_lines_stats(images: DataFrame) -> DataFrame:
         "n_edges bigint, best_votes bigint, best_theta bigint, "
         "best_rho bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Harris corner response (r05 wave 26) — the classical corner detector
+# next to FAST-12, ALL INTEGER.  SPEC shared by both twins:
+#   g        = milli-luma // 1000 (0..255 gray — keeps every Harris
+#              product inside int64: |gx| <= 1020, 3x3 window sums of
+#              squares <= 9.4e6, det terms <= ~8.8e13, R in +-2e15)
+#   gx, gy   = Sobel on g (1-px border off)
+#   Sxx/Syy/Sxy = 3x3 box sums of gx*gx / gy*gy / gx*gy (1 more px off)
+#   R        = 20*(Sxx*Syy - Sxy*Sxy) - (Sxx + Syy)^2    (k = 0.05,
+#              scaled by 20 so it stays an exact integer)
+#   corner   = R > HARRIS_T  AND  R >= all 8 neighbors  AND  R > every
+#              raster-EARLIER neighbor (deterministic NMS under ties)
+#   evaluated on the 3-px-border interior of the original raster
+#   sum_rq   = sum over that interior of max(R, 0) // 65536
+#   chk      = sum of (flat_index + 1) over corner pixels (order-free)
+# ---------------------------------------------------------------------------
+
+HARRIS_T = 50_000_000  # response gate (scaled-R units; the synthetic
+# fixture is smooth — its per-image max responses sit at ~8e7 median /
+# 2.5e8 max, so 5e7 fires on real structure and stays off flat areas)
+
+
+def harris_corner_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Engine mechanics: shifted-slice Sobel + slice-add box sums +
+    eight vectorized neighbor comparisons (the golden twin gathers
+    gradients through np.ix_ clamp indexes, box-sums via a summed-area
+    table, and runs NMS as a scalar loop over candidates — three
+    independent mechanisms, same SPEC).  Returns
+    (n_interior, n_corners, sum_rq, max_r, chk)."""
+    g = lum_i // 1000
+    tl, t, tr = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    le, r = g[1:-1, :-2], g[1:-1, 2:]
+    bl, b, br = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+    gx = (tr + 2 * r + br) - (tl + 2 * le + bl)
+    gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+
+    def box3(a: np.ndarray) -> np.ndarray:
+        return (
+            a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+            + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+            + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:]
+        )
+
+    sxx = box3(gx * gx)
+    syy = box3(gy * gy)
+    sxy = box3(gx * gy)
+    resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    core = resp[1:-1, 1:-1]
+    hh, ww = resp.shape
+    ok = core > HARRIS_T
+    for dr, dc in ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                   (0, 1), (1, -1), (1, 0), (1, 1)):
+        nb = resp[1 + dr:hh - 1 + dr, 1 + dc:ww - 1 + dc]
+        if dr < 0 or (dr == 0 and dc < 0):  # raster-earlier: strict
+            ok &= core > nb
+        else:
+            ok &= core >= nb
+    idx = np.flatnonzero(ok).astype(np.int64)
+    return (
+        int(core.size),
+        int(ok.sum()),
+        int((np.maximum(core, 0) // 65536).sum()),
+        int(core.max()) if core.size else 0,
+        int((idx + 1).sum()),
+    )
+
+
+def harris_corner_stats(images: DataFrame) -> DataFrame:
+    """Per-image Harris corner stats (map-only)."""
+    return _int_terrain_op(
+        images, harris_corner_kernel,
+        ["n_interior", "n_corners", "sum_rq", "max_r", "chk"],
+        "n_interior bigint, n_corners bigint, sum_rq bigint, "
+        "max_r bigint, chk bigint",
+    )

@@ -684,6 +684,10 @@ from .oracles_r5e import ORACLES_R5E  # noqa: E402 — round-5 wave 21
 
 ORACLES.update(ORACLES_R5E)
 
+from .oracles_r5f import ORACLES_R5F  # noqa: E402 — round-5 wave 26
+
+ORACLES.update(ORACLES_R5F)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed
@@ -695,6 +699,7 @@ def all_oracles() -> dict[str, str]:
     from .oracles_r5c import fixture_oracles_r5c
     from .oracles_r5d import fixture_oracles_r5d
     from .oracles_r5e import fixture_oracles_r5e
+    from .oracles_r5f import fixture_oracles_r5f
 
     out = dict(ORACLES)
     out.update(image_oracles())
@@ -702,4 +707,5 @@ def all_oracles() -> dict[str, str]:
     out.update(fixture_oracles_r5c())
     out.update(fixture_oracles_r5d())
     out.update(fixture_oracles_r5e())
+    out.update(fixture_oracles_r5f())
     return out

@@ -860,6 +860,10 @@ from .queries_r5e import QUERIES_R5E  # noqa: E402 — round-5 wave 21
 
 QUERIES.update(QUERIES_R5E)
 
+from .queries_r5f import QUERIES_R5F  # noqa: E402 — round-5 wave 26
+
+QUERIES.update(QUERIES_R5F)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and

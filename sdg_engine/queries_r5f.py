@@ -1,0 +1,259 @@
+"""Round-5 wave 26: copy-on-write DELETE (the third lakehouse delete
+flavor), item-based collaborative filtering, Wilcoxon signed-rank,
+df.observe pipeline metrics (API surface), and integer Harris corners
+(golden-backed).
+
+Parity rules as everywhere (CLAUDE.md gotchas 7/8/17).
+Registered into queries.QUERIES via QUERIES_R5F.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
+_DAY_US = 86_400_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write DELETE
+# ---------------------------------------------------------------------------
+
+def snapshot_cow_delete(spark, sf_dir):
+    """COPY-ON-WRITE DELETE WHERE on the snapshot table (Iceberg/Delta
+    COW mode — completes the delete triptych next to the equality- and
+    position-tombstone MOR paths): five 100-doc appends build a 5-dir
+    table, then ``DELETE WHERE 150 <= doc_id < 350`` rewrites ONLY the
+    three dirs holding victims; the other two carry into the new
+    manifest verbatim and the post-delete read is scan-only (zero
+    anti-joins — that is the COW/MOR trade).  Pins: exactly 3 dirs
+    rewritten / 2 carried, the pre-delete head still time-travel reads
+    all 500 rows, and the post-delete per-lang content aggregate.
+    """
+    from .queries_ext import _stream_base
+    from .storage import (
+        delete_where_cow,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _stream_base(spark, "cowdel_")
+    path = f"{base}/tbl"
+    for k in range(5):
+        write_snapshot(
+            docs.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < (k + 1) * 100)
+            ).coalesce(2),
+            path,
+            mode="append",
+        )
+    snap, n_rw, n_keep = delete_where_cow(
+        spark, path, "doc_id >= 150 AND doc_id < 350"
+    )
+    pre_rows = read_snapshot(spark, path, as_of=5).count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .withColumn("n_dirs_rewritten", F.lit(n_rw).cast("int"))
+        .withColumn("n_dirs_carried", F.lit(n_keep).cast("int"))
+        .withColumn("pre_delete_rows", F.lit(pre_rows).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-based collaborative filtering (brand co-purchase cosine)
+# ---------------------------------------------------------------------------
+
+def brand_affinity_cf(spark, sf_dir):
+    """ITEM-BASED COLLABORATIVE FILTERING (the classic item-item
+    recommender): brands as items, customers as the binary rating
+    dimension, cosine similarity on co-purchase sets — cos² in exact
+    integer micros (n_both² · 1e6 DIV (n_a · n_b), counts only, no
+    sqrt).  The pair join keys on the customer and its fanout is
+    bounded by the 25-brand vocabulary (≤ |brands|² pairs per
+    customer, never all-pairs across customers); brand totals ride
+    back as a broadcast 25-row aggregate.  Output: top-3 most-similar
+    brands per brand, deterministic (cos² desc, brand asc) rank."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .selectExpr("o_custkey AS cust", "p_brand AS brand")
+        .distinct()
+        .localCheckpoint()  # three consumers: totals + both pair sides
+    )
+    nb = cb.groupBy("brand").agg(F.count(F.lit(1)).alias("n_cust"))
+    pairs = (
+        cb.selectExpr("cust", "brand AS a")
+        .join(cb.selectExpr("cust", "brand AS b"), "cust")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    scored = (
+        pairs.join(F.broadcast(nb.selectExpr("brand AS a", "n_cust AS n_a")), "a")
+        .join(F.broadcast(nb.selectExpr("brand AS b", "n_cust AS n_b")), "b")
+        .selectExpr(
+            "a", "b", "n_both",
+            "n_both * n_both * 1000000 DIV (n_a * n_b) AS cos2_micros",
+        )
+    )
+    sym = scored.selectExpr(
+        "a AS brand", "b AS rec_brand", "n_both", "cos2_micros"
+    ).unionByName(
+        scored.selectExpr(
+            "b AS brand", "a AS rec_brand", "n_both", "cos2_micros"
+        )
+    )
+    return (
+        sym.withColumn(
+            "rnk",
+            F.expr(
+                "ROW_NUMBER() OVER (PARTITION BY brand "
+                "ORDER BY cos2_micros DESC, rec_brand ASC)"
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("brand", "rec_brand", "n_both", "cos2_micros", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired view-vs-click daily totals)
+# ---------------------------------------------------------------------------
+
+def events_wilcoxon(spark, sf_dir):
+    """WILCOXON SIGNED-RANK test statistic on PAIRED samples — the
+    nonparametric paired twin of events_welch_ttest (unpaired) and
+    events_auc (rank-sum): per day, pair x = view-spend vs
+    y = click-spend (days with both present), d = x − y, drop zeros,
+    rank |d| with midranks.  Everything stays integral via the
+    TWICE-midrank trick (2·midrank = 2·cnt_lt + cnt_eq + 1 — the
+    events_spearman convention), and the cumulative rank runs over the
+    DISTINCT |d| relation, never raw days.  Emits W+·2, W−·2, n and
+    the identity check W+ + W− = n(n+1)/2 is oracle-visible
+    (w2_plus + w2_minus = n·(n+1))."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            f"{_TS_US} DIV {_DAY_US} AS d",
+            "event_type",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.expr("CASE WHEN event_type = 'view' THEN cents END"))
+            .alias("x"),
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN cents END"))
+            .alias("y"),
+        )
+        .filter("x IS NOT NULL AND y IS NOT NULL AND x <> y")
+        .selectExpr("d", "x - y AS diff", "ABS(x - y) AS a")
+    )
+    dist = daily.groupBy("a").agg(
+        F.count(F.lit(1)).alias("c_eq"),
+        F.sum(F.expr("CASE WHEN diff > 0 THEN 1 ELSE 0 END")).alias("n_pos"),
+    )
+    ranked = dist.selectExpr(
+        "a", "c_eq", "n_pos",
+        "2 * (SUM(c_eq) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND 1 PRECEDING)) AS lt2",
+    ).selectExpr(
+        "c_eq", "n_pos",
+        "COALESCE(lt2, 0) + c_eq + 1 AS r2",
+    )
+    return ranked.agg(
+        F.sum("c_eq").alias("n_pairs"),
+        F.sum(F.expr("r2 * n_pos")).alias("w2_plus"),
+        F.sum(F.expr("r2 * (c_eq - n_pos)")).alias("w2_minus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# df.observe pipeline metrics (Spark API surface)
+# ---------------------------------------------------------------------------
+
+def observe_scan_metrics(spark, sf_dir):
+    """PIPELINE OBSERVABILITY via ``df.observe`` (the Observation API —
+    Spark's mechanism for collecting dataset metrics as a side effect
+    of the job that already runs, instead of a second scan): the
+    orders scan is instrumented with count / sum / max accumulators, a
+    downstream per-status aggregate is executed, and the returned row
+    is built FROM the observed metrics plus the aggregate's totals —
+    the observe path is load-bearing, not decorative.  At 100 TB this
+    is how ingest validation rides the ingest job for free.  The one
+    materialization is the documented materialize-inside-builder
+    pattern (observation results only exist after an action)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_scan")
+    base = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderstatus AS status",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    groups = (
+        base.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(
+            int(m["n_rows"]), int(m["sum_cents"]), int(m["max_cents"]),
+            len(groups),
+            int(sum(r["n"] for r in groups)),
+            int(sum(r["c"] for r in groups)),
+        )],
+        "n_rows bigint, sum_cents bigint, max_cents bigint, "
+        "n_groups bigint, group_rows bigint, group_cents bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harris corners (golden-backed, map-only)
+# ---------------------------------------------------------------------------
+
+def image_harris_corners(spark, sf_dir):
+    """HARRIS CORNER DETECTION (the classical eigen-response detector
+    next to FAST-12's arc test — two independent keypoint signals for
+    image curation): all-integer response R = 20·det(M) − trace(M)²
+    (k = 0.05 exactly) over 3×3-summed Sobel products on the
+    255-scale gray raster, deterministic raster-order NMS.  Map-only
+    over the decode path — payload bytes never shuffle.  Golden twin
+    recomputes the SPEC via np.ix_ gathers + summed-area-table box
+    sums + scalar NMS (three independent mechanisms)."""
+    from .ops.payload import harris_corner_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return harris_corner_stats(sel)
+
+
+QUERIES_R5F = {
+    "snapshot_cow_delete": snapshot_cow_delete,
+    "brand_affinity_cf": brand_affinity_cf,
+    "events_wilcoxon": events_wilcoxon,
+    "observe_scan_metrics": observe_scan_metrics,
+    "image_harris_corners": image_harris_corners,
+}

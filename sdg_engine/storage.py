@@ -811,6 +811,106 @@ def delete_positions_where(spark: SparkSession, path: str,
             os.remove(tmp)
 
 
+def delete_where_cow(spark: SparkSession, path: str,
+                     condition: str) -> tuple[int, int, int]:
+    """COPY-ON-WRITE DELETE (Iceberg/Delta ``DELETE WHERE`` in COW
+    mode — the third delete flavor next to the two merge-on-read
+    paths): rewrite ONLY the data directories that actually contain
+    matching rows.  Survivors of the affected dirs land in one new
+    immutable dir; untouched dirs carry into the new manifest verbatim
+    with their zone-map stats, and no tombstone is written — reads
+    after a COW delete are scan-only, zero anti-joins.  This is the
+    complement of ``delete_from_snapshot``'s trade: commit cost is
+    O(affected data) instead of O(|keys|), read cost drops to zero —
+    right for bulk + localized deletes (a GDPR purge of one partition
+    range at 100 TB rewrites just that range), wrong for trickle
+    deletes (use the MOR paths).  Requires a clean head (no pending
+    MOR tombstones — run ``compact_snapshot`` first), mirroring the
+    rule that one commit is either COW or MOR, never both.
+
+    Victim location is ONE planning pass over the head keyed on the
+    parquet ``_metadata.file_path`` (the same physical address the
+    position-delete path uses); at cluster scale this pass is itself
+    prunable by the manifest's zone maps.  Returns
+    ``(snapshot_id, n_dirs_rewritten, n_dirs_carried)``."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots committed at {path!r}")
+    head = _read_manifest(path, hist[-1])
+    if head.get("deletes") or head.get("pos_deletes"):
+        raise ValueError(
+            "COW delete requires a compacted head — pending "
+            "merge-on-read tombstones (run compact_snapshot first)"
+        )
+    schema = (StructType.fromJson(head["schema"])
+              if head.get("schema") is not None else None)
+
+    def _scan(dirs: list[str]) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(*dirs)
+
+    hit_files = [
+        row[0]
+        for row in _scan(head["dirs"])
+        .select(F.col("_metadata.file_path").alias("_f"), "*")
+        .filter(condition)
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+
+    def _owns(d: str, f: str) -> bool:
+        base = os.path.abspath(d).rstrip("/") + "/"
+        return f.removeprefix("file://").removeprefix("file:").startswith(base)
+
+    affected = [d for d in head["dirs"]
+                if any(_owns(d, f) for f in hit_files)]
+    carried = [d for d in head["dirs"] if d not in affected]
+    if not affected:  # nothing matched: the head already IS the result
+        return hist[-1], 0, len(carried)
+    new_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex[:12]}")
+    _scan(affected).filter(f"NOT ({condition})").write.mode(
+        "error"
+    ).parquet(new_dir)
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    try:
+        while True:
+            hist = snapshot_history(path)
+            snap_id = hist[-1] + 1
+            parent = _read_manifest(path, hist[-1])
+            files_json = {
+                d: s for d, s in (parent.get("files") or {}).items()
+                if d in carried  # rewritten dirs' stats are stale
+            }
+            man = dict(parent)
+            man.update({
+                "snapshot_id": snap_id,
+                "parent": hist[-1],
+                "mode": "cowdelete",
+                "dirs": carried + [new_dir],
+                "files": files_json,
+            })
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            try:
+                os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+                return snap_id, len(affected), len(carried)
+            except FileExistsError:
+                continue  # lost the race — recompute against the new head
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def _walk_parquet(d: str) -> list[str]:
     import os
 

@@ -1,0 +1,240 @@
+"""INDEPENDENT invariant gates for the wave-26 operators."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(df) -> pd.DataFrame:
+    return df.toPandas()
+
+
+# ---------------------------------------------------------------------------
+# Harris kernel — analytic cases
+# ---------------------------------------------------------------------------
+
+def test_harris_flat_image_has_no_corners():
+    from sdg_engine.ops.payload import harris_corner_kernel
+
+    lum = np.full((20, 20), 120_000, dtype=np.int64)
+    n_int, n_c, sum_rq, max_r, chk = harris_corner_kernel(lum)
+    assert (n_int, n_c, sum_rq, max_r, chk) == (196, 0, 0, 0, 0)
+
+
+def test_harris_square_corner_fires_once_edge_does_not():
+    from sdg_engine.ops.payload import harris_corner_kernel
+
+    # one bright square => one L-corner inside the interior
+    lum = np.full((20, 20), 20_000, dtype=np.int64)
+    lum[8:, 8:] = 240_000
+    assert harris_corner_kernel(lum)[1] == 1
+    # a pure vertical edge has rank-1 structure tensor: R <= 0 nowhere
+    # above threshold, so zero corners
+    lum2 = np.full((20, 20), 20_000, dtype=np.int64)
+    lum2[:, 10:] = 240_000
+    assert harris_corner_kernel(lum2)[1] == 0
+
+
+def test_harris_engine_matches_scalar_reference():
+    """Third mechanism: a fully scalar python reimplementation of the
+    SPEC on a random raster must match the vectorized kernel."""
+    from sdg_engine.ops.payload import HARRIS_T, harris_corner_kernel
+
+    rng = np.random.RandomState(7)
+    lum = rng.randint(0, 256, size=(16, 18)).astype(np.int64) * 1000
+    g = lum // 1000
+    h, w = g.shape
+
+    def gxy(r, c):
+        gx = (g[r - 1, c + 1] + 2 * g[r, c + 1] + g[r + 1, c + 1]) - (
+            g[r - 1, c - 1] + 2 * g[r, c - 1] + g[r + 1, c - 1]
+        )
+        gy = (g[r + 1, c - 1] + 2 * g[r + 1, c] + g[r + 1, c + 1]) - (
+            g[r - 1, c - 1] + 2 * g[r - 1, c] + g[r - 1, c + 1]
+        )
+        return int(gx), int(gy)
+
+    def resp(r, c):  # r, c in original coords (3-border interior +1)
+        sxx = syy = sxy = 0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                gx, gy = gxy(r + dr, c + dc)
+                sxx += gx * gx
+                syy += gy * gy
+                sxy += gx * gy
+        return 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+
+    n_c = chk = sum_rq = 0
+    max_r = -(1 << 62)
+    cw = w - 6
+    for r in range(3, h - 3):
+        for c in range(3, w - 3):
+            v = resp(r, c)
+            max_r = max(max_r, v)
+            if v > 0:
+                sum_rq += v // 65536
+            if v <= HARRIS_T:
+                continue
+            keep = True
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nb = resp(r + dr, c + dc)
+                    if dr < 0 or (dr == 0 and dc < 0):
+                        keep &= v > nb
+                    else:
+                        keep &= v >= nb
+            if keep:
+                n_c += 1
+                chk += (r - 3) * cw + (c - 3) + 1
+    got = harris_corner_kernel(lum)
+    assert got == ((h - 6) * (w - 6), n_c, sum_rq, max_r, chk)
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write delete — protocol invariants
+# ---------------------------------------------------------------------------
+
+def test_cow_delete_rewrites_only_affected_dirs(spark, tmp_path):
+    from sdg_engine.storage import (
+        delete_where_cow,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    for k in range(4):
+        df = spark.range(k * 10, (k + 1) * 10).selectExpr(
+            "id", "id * 2 AS v"
+        )
+        write_snapshot(df.coalesce(1), path, mode="append")
+    snap, n_rw, n_keep = delete_where_cow(spark, path, "id >= 15 AND id < 25")
+    assert (snap, n_rw, n_keep) == (5, 2, 2)
+    # head content: victims gone, everything else intact
+    ids = sorted(r.id for r in read_snapshot(spark, path).collect())
+    assert ids == [i for i in range(40) if not (15 <= i < 25)]
+    # pre-delete snapshot unaffected (immutability)
+    assert read_snapshot(spark, path, as_of=4).count() == 40
+    # no-match delete is a no-op commit
+    snap2, rw2, keep2 = delete_where_cow(spark, path, "id = 999")
+    assert (snap2, rw2, keep2) == (5, 0, 3)
+    assert snapshot_history(path)[-1] == 5
+
+
+def test_cow_delete_refuses_mor_pending_head(spark, tmp_path):
+    import pytest
+
+    from sdg_engine.storage import (
+        delete_from_snapshot,
+        delete_where_cow,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 10).selectExpr("id", "id AS v")
+    write_snapshot(df.coalesce(1), path, mode="append")
+    delete_from_snapshot(spark, path, spark.range(3, 4).selectExpr("id"), "id")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        delete_where_cow(spark, path, "id = 5")
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — pure-python twin
+# ---------------------------------------------------------------------------
+
+def test_wilcoxon_matches_python_twin(spark):
+    from sdg_engine.queries_r5f import _DAY_US, events_wilcoxon
+
+    out = _pdf(events_wilcoxon(spark, SF)).iloc[0]
+    ev = _pdf(
+        spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_type",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+    )
+    ev["d"] = ev.us // _DAY_US
+    x = ev[ev.event_type == "view"].groupby("d").cents.sum()
+    y = ev[ev.event_type == "click"].groupby("d").cents.sum()
+    diffs = [
+        int(x[d]) - int(y[d])
+        for d in sorted(set(x.index) & set(y.index))
+        if int(x[d]) != int(y[d])
+    ]
+    absd = sorted(abs(v) for v in diffs)
+    w2p = w2m = 0
+    for v in diffs:
+        a = abs(v)
+        lt = sum(1 for u in absd if u < a)
+        eq = sum(1 for u in absd if u == a)
+        r2 = 2 * lt + eq + 1  # twice the midrank
+        if v > 0:
+            w2p += r2
+        else:
+            w2m += r2
+    assert int(out.n_pairs) == len(diffs)
+    assert (int(out.w2_plus), int(out.w2_minus)) == (w2p, w2m)
+    # rank-sum identity: W+ + W- = n(n+1)/2  (doubled units)
+    n = len(diffs)
+    assert int(out.w2_plus) + int(out.w2_minus) == n * (n + 1)
+
+
+# ---------------------------------------------------------------------------
+# Item-item CF — structural invariants + python twin
+# ---------------------------------------------------------------------------
+
+def test_brand_cf_matches_python_twin(spark):
+    from sdg_engine.queries_r5f import brand_affinity_cf
+
+    out = _pdf(brand_affinity_cf(spark, SF))
+    li = _pdf(spark.read.parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]])
+    od = _pdf(spark.read.parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]])
+    pt = _pdf(spark.read.parquet(f"{SF}/part.parquet")[
+        ["p_partkey", "p_brand"]])
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey").merge(
+        od, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    cb = set(zip(m.o_custkey, m.p_brand))
+    from collections import Counter, defaultdict
+
+    nb = Counter(b for _, b in cb)
+    by_cust = defaultdict(list)
+    for c, b in cb:
+        by_cust[c].append(b)
+    cooc: Counter = Counter()
+    for bs in by_cust.values():
+        bs = sorted(set(bs))
+        for i, a in enumerate(bs):
+            for b in bs[i + 1:]:
+                cooc[(a, b)] += 1
+    sym = []
+    for (a, b), n in cooc.items():
+        s = n * n * 1_000_000 // (nb[a] * nb[b])
+        sym.append((a, b, n, s))
+        sym.append((b, a, n, s))
+    want = []
+    by_brand = defaultdict(list)
+    for a, b, n, s in sym:
+        by_brand[a].append((-s, b, n))
+    for a, lst in by_brand.items():
+        for rnk, (negs, b, n) in enumerate(sorted(lst)[:3], start=1):
+            want.append((a, b, n, -negs, rnk))
+    got = sorted(map(tuple, out[
+        ["brand", "rec_brand", "n_both", "cos2_micros", "rnk"]].values))
+    assert got == sorted(want)
+
+
+def test_observe_metrics_consistency(spark):
+    from sdg_engine.queries_r5f import observe_scan_metrics
+
+    out = _pdf(observe_scan_metrics(spark, SF)).iloc[0]
+    # observed scan totals must equal the downstream aggregate totals
+    assert int(out.n_rows) == int(out.group_rows)
+    assert int(out.sum_cents) == int(out.group_cents)
+    assert int(out.max_cents) <= int(out.sum_cents)
+    assert int(out.n_groups) >= 1
