@@ -2940,3 +2940,137 @@ def make_harris_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"harris_sf{sf:g}.parquet"),
     )
     print(f"harris golden: {len(ids)} rows; corners total {sum(ncs)}")
+
+
+def make_skeleton_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_skeleton_zs (r05 wave 27): the same Zhang-Suen
+    SPEC through INDEPENDENT mechanics — the 8 neighbors are packed
+    into an 8-bit code and every per-pixel predicate (B range, A == 1,
+    the two sub-pass products) comes from 256-entry LOOKUP TABLES
+    built with scalar loops (vs the engine's arithmetic on shifted
+    slices)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import SKEL_T
+
+    # bit k of the code = P(2+k)  (P2..P9 clockwise from North)
+    lut_sub = [np.zeros(256, dtype=bool), np.zeros(256, dtype=bool)]
+    for code in range(256):
+        p = [(code >> k) & 1 for k in range(8)]
+        b = sum(p)
+        a = sum(1 for k in range(8) if p[k] == 0 and p[(k + 1) % 8] == 1)
+        base = 2 <= b <= 6 and a == 1
+        lut_sub[0][code] = base and p[0] * p[2] * p[4] == 0 \
+            and p[2] * p[4] * p[6] == 0
+        lut_sub[1][code] = base and p[0] * p[2] * p[6] == 0 \
+            and p[0] * p[4] * p[6] == 0
+    offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+    ids, nfs, nss, nits, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g = _golden_lum_i64(px) // 1000
+        fg = (g > SKEL_T).astype(np.int64)
+        n_fg = int(fg.sum())
+        it = 0
+        while True:
+            changed = False
+            for sub in (0, 1):
+                z = np.pad(fg, 1)
+                code = np.zeros_like(fg)
+                for k, (dr, dc) in enumerate(offs):
+                    code |= z[1 + dr:z.shape[0] - 1 + dr,
+                              1 + dc:z.shape[1] - 1 + dc] << k
+                kill = (fg == 1) & lut_sub[sub][code]
+                if kill.any():
+                    fg = np.where(kill, 0, fg)
+                    changed = True
+            it += 1
+            if not changed:
+                break
+        idx = np.flatnonzero(fg).astype(np.int64)
+        ids.append(image_id)
+        nfs.append(n_fg)
+        nss.append(int(fg.sum()))
+        nits.append(it)
+        chks.append(int((idx + 1).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_fg": pa.array(nfs, pa.int64()),
+            "n_skel": pa.array(nss, pa.int64()),
+            "n_iters": pa.array(nits, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"skeleton_sf{sf:g}.parquet"),
+    )
+    print(f"skeleton golden: {len(ids)} rows; skel px total {sum(nss)}")
+
+
+def make_bpe_encode_golden(sf_dir: str = "/root/testdata/sf0.01",
+                           rounds: int = 8) -> None:
+    """Golden for bpe_encode_docs (r05 wave 27): the scalar trainer
+    from make_bpe_golden re-run, then every document ENCODED through
+    the merged vocabulary with plain dict lookups, aggregated per
+    lang.  SPEC shared with the engine: split on single space, drop
+    empties, token count of a word = len of its merged token list,
+    char count = len(word)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq_read
+
+    tbl = pq_read.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    langs = tbl["lang"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    for _ in range(rounds):
+        pc = Counter()
+        for w, toks in vocab.items():
+            c = words[w]
+            for x, y in zip(toks, toks[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, t in vocab.items():
+            res = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            vocab[w] = res
+    agg: dict = {}
+    for lang, text in zip(langs, texts):
+        ws = [w for w in text.split(" ") if w]
+        e = agg.setdefault(lang, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += len(ws)
+        e[2] += sum(len(vocab[w]) for w in ws)
+        e[3] += sum(len(w) for w in ws)
+    rows = sorted(agg.items())
+    pq.write_table(
+        pa.table({
+            "lang": [k for k, _ in rows],
+            "n_docs": pa.array([v[0] for _, v in rows], pa.int64()),
+            "sum_words": pa.array([v[1] for _, v in rows], pa.int64()),
+            "sum_tokens": pa.array([v[2] for _, v in rows], pa.int64()),
+            "sum_chars": pa.array([v[3] for _, v in rows], pa.int64()),
+        }),
+        os.path.join(OUT, "bpe_encode_sf0.01.parquet"),
+    )
+    print(f"bpe encode golden: {rows}")

@@ -1844,3 +1844,71 @@ def harris_corner_stats(images: DataFrame) -> DataFrame:
         "n_interior bigint, n_corners bigint, sum_rq bigint, "
         "max_r bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zhang-Suen skeletonization (r05 wave 27) — morphological thinning to
+# a 1-px skeleton, the classical shape-analysis reduction.  SPEC shared
+# by both twins:
+#   fg      = (milli-luma // 1000) > SKEL_T   (0/1 raster)
+#   neighbors P2..P9 clockwise from North; outside the raster = 0
+#   B       = P2+...+P9;  A = # of 0->1 transitions in the circular
+#             sequence P2,P3,...,P9,P2
+#   sub-pass 1 deletes p when: fg, 2<=B<=6, A==1, P2*P4*P6==0, P4*P6*P8==0
+#   sub-pass 2 deletes p when: fg, 2<=B<=6, A==1, P2*P4*P8==0, P2*P6*P8==0
+#   deletions are SYNCHRONOUS per sub-pass; iterate full (two-sub-pass)
+#   sweeps until a sweep changes nothing; n_iters counts all sweeps
+#   (including the final unchanged one) — a deterministic fixpoint
+#   chk     = sum of (flat_index + 1) over skeleton pixels (order-free)
+# ---------------------------------------------------------------------------
+
+SKEL_T = 128  # binarize gate on the 0..255 gray raster
+
+
+def _zs_neighbors(fg: np.ndarray):
+    """P2..P9 as shifted zero-padded slices (engine mechanics; the
+    golden twin packs them into an 8-bit code and drives 256-entry
+    LUTs built with scalar loops instead)."""
+    z = np.pad(fg, 1)
+    return (z[:-2, 1:-1], z[:-2, 2:], z[1:-1, 2:], z[2:, 2:],
+            z[2:, 1:-1], z[2:, :-2], z[1:-1, :-2], z[:-2, :-2])
+
+
+def zhang_suen_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """Returns (n_fg, n_skel, n_iters, chk)."""
+    g = lum_i // 1000
+    fg = (g > SKEL_T).astype(np.int64)
+    n_fg = int(fg.sum())
+    it = 0
+    while True:
+        changed = False
+        for sub in (0, 1):
+            p2, p3, p4, p5, p6, p7, p8, p9 = _zs_neighbors(fg)
+            nbs = (p2, p3, p4, p5, p6, p7, p8, p9)
+            b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9
+            a = sum(
+                ((nbs[k] == 0) & (nbs[(k + 1) % 8] == 1)).astype(np.int64)
+                for k in range(8)
+            )
+            if sub == 0:
+                cond = (p2 * p4 * p6 == 0) & (p4 * p6 * p8 == 0)
+            else:
+                cond = (p2 * p4 * p8 == 0) & (p2 * p6 * p8 == 0)
+            kill = (fg == 1) & (b >= 2) & (b <= 6) & (a == 1) & cond
+            if kill.any():
+                fg = np.where(kill, 0, fg)
+                changed = True
+        it += 1
+        if not changed:
+            break
+    idx = np.flatnonzero(fg).astype(np.int64)
+    return (n_fg, int(fg.sum()), it, int((idx + 1).sum()))
+
+
+def zhang_suen_stats(images: DataFrame) -> DataFrame:
+    """Per-image skeletonization stats (map-only)."""
+    return _int_terrain_op(
+        images, zhang_suen_kernel,
+        ["n_fg", "n_skel", "n_iters", "chk"],
+        "n_fg bigint, n_skel bigint, n_iters bigint, chk bigint",
+    )

@@ -107,6 +107,27 @@ FROM base
 """
 
 
+# Streaming python-datasource drain: the same counter arithmetic over
+# DuckDB range() — the SPEC fragments are shared module constants.
+def _tick_sql() -> str:
+    from .queries_r5f import _TICK_CENTS, _TICK_HR, _TICK_N
+
+    hr = _TICK_HR.replace(" DIV ", " // ")
+    return f"""
+WITH t AS (
+  SELECT {hr} AS hr, {_TICK_CENTS} AS cents
+  FROM range(0, {_TICK_N}) r(i)
+)
+SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM t GROUP BY hr
+"""
+
+
+ORACLES_R5F["streaming_pysource_windows"] = _tick_sql()
+
+
 def fixture_oracles_r5f() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir
@@ -123,5 +144,15 @@ SELECT g.image_id, g.n_interior, g.n_corners, g.sum_rq, g.max_r, g.chk
 FROM read_parquet('{gdir}/harris_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "image_skeleton_zs": f"""
+SELECT g.image_id, g.n_fg, g.n_skel, g.n_iters, g.chk
+FROM read_parquet('{gdir}/skeleton_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "bpe_encode_docs": f"""
+SELECT lang, n_docs, sum_words, sum_tokens, sum_chars
+FROM read_parquet('{gdir}/bpe_encode_sf0.01.parquet')
 """,
     }

@@ -250,10 +250,162 @@ def image_harris_corners(spark, sf_dir):
     return harris_corner_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource (wave 27)
+# ---------------------------------------------------------------------------
+
+# SPEC shared verbatim with the DuckDB range() oracle:
+_TICK_N = 5000
+_TICK_HR = "(1600000000000000 + i * 37000000) DIV 3600000000"
+_TICK_CENTS = "(i * 7919) % 100000"
+
+
+def streaming_pysource_windows(spark, sf_dir):
+    """STREAMING PYTHON DATA SOURCE end-to-end (the streaming half of
+    the Spark 4 DataSource API, next to the batch mbtiles source): a
+    deterministic counter source whose replay is a pure function of
+    its offsets feeds an hourly event-time aggregate in COMPLETE mode;
+    the drain loop polls the memory sink until all N rows have flowed
+    through (5 genuine micro-batches — availableNow falls back to
+    single-batch for Python stream sources, so the multi-batch offset
+    path is exercised deliberately).  Oracle: the same arithmetic over
+    DuckDB range(0, N) — fully live, no golden."""
+    import time
+    import uuid
+
+    from .streaming import make_ticker_datasource
+
+    spark.dataSource.register(make_ticker_datasource())
+    name = f"tick_{uuid.uuid4().hex[:8]}"
+    src = spark.readStream.format("ticker").option(
+        "n_rows", str(_TICK_N)
+    ).option("rows_per_batch", "1000").option("n_splits", "4").load()
+    agg = (
+        src.selectExpr(
+            f"{_TICK_HR} AS hr", f"{_TICK_CENTS} AS cents"
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 180:
+            tot = spark.sql(
+                f"SELECT COALESCE(SUM(n_events), 0) AS s FROM {name}"
+            ).collect()[0].s
+            if tot == _TICK_N:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError("ticker stream did not drain in 180 s")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding application (wave 27)
+# ---------------------------------------------------------------------------
+
+def bpe_encode_docs(spark, sf_dir):
+    """TOKENIZER APPLICATION — the encode side of bpe_train_merges'
+    induction loop (train, then MEASURE the corpus under the trained
+    tokenizer: the compression-ratio QA step every tokenizer change
+    ships with).  The certified 8-merge trainer runs first; encoding
+    then touches only the DISTINCT-WORD vocabulary (dedup-before-
+    quadratic — the corpus-scale pass is one word explode + a
+    broadcast join against the vocab-sized encode table).  Per lang:
+    doc count, word instances, encoded token count, char count.
+    Oracle: committed golden from the INDEPENDENT scalar trainer +
+    dict-lookup encoder (scripts/make_goldens.py)."""
+    import pandas as pd
+
+    from .queries_r5d import bpe_train_merges
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    wpd = docs.selectExpr(
+        "lang", "explode(split(text, ' ')) AS w"
+    ).filter("length(w) > 0")
+    vocab = wpd.select("w").distinct()
+
+    def _enc(batches, _merges=merges):
+        for pdf in batches:
+            lens = []
+            for w in pdf["w"]:
+                t = list(w)
+                for a, b in _merges:
+                    res = []
+                    i = 0
+                    while i < len(t):
+                        if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(t[i])
+                            i += 1
+                    t = res
+                lens.append(len(t))
+            yield pd.DataFrame({"w": pdf["w"], "tok_len": lens})
+
+    enc = vocab.mapInPandas(_enc, "w string, tok_len int")
+    word_stats = (
+        wpd.join(F.broadcast(enc), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sum_words"),
+            F.sum("tok_len").alias("sum_tokens"),
+            F.sum(F.length("w")).alias("sum_chars"),
+        )
+    )
+    n_docs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.join(word_stats, "lang").select(
+        "lang", "n_docs", "sum_words", "sum_tokens", "sum_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zhang-Suen skeletonization (wave 27, golden-backed, map-only)
+# ---------------------------------------------------------------------------
+
+def image_skeleton_zs(spark, sf_dir):
+    """MORPHOLOGICAL SKELETONIZATION (Zhang-Suen thinning) — reduces
+    every bright region to its 1-px medial skeleton, the classical
+    shape-analysis step after binarization (stroke extraction for the
+    document-image curation family).  Synchronous two-sub-pass
+    deletion to the deterministic fixpoint; map-only over the decode
+    path.  Golden twin drives the same SPEC through 256-entry
+    predicate LUTs built with scalar loops (vs the engine's slice
+    arithmetic)."""
+    from .ops.payload import zhang_suen_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return zhang_suen_stats(sel)
+
+
 QUERIES_R5F = {
     "snapshot_cow_delete": snapshot_cow_delete,
     "brand_affinity_cf": brand_affinity_cf,
     "events_wilcoxon": events_wilcoxon,
     "observe_scan_metrics": observe_scan_metrics,
     "image_harris_corners": image_harris_corners,
+    "streaming_pysource_windows": streaming_pysource_windows,
+    "bpe_encode_docs": bpe_encode_docs,
+    "image_skeleton_zs": image_skeleton_zs,
 }

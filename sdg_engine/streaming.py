@@ -727,3 +727,82 @@ def stream_dedup_then_window(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic counter stream as a Spark 4 PYTHON STREAMING DATA
+# SOURCE (r05 wave 27) — the streaming half of the DataSource API
+# surface (the batch half is osm.make_mbtiles_datasource).  Offsets
+# are plain {"i": n} counters: latestOffset() advances one
+# rows_per_batch per micro-batch plan, partitions(start, end) splits
+# the offset range n_splits ways driver-side, and read() generates
+# rows on EXECUTORS from the range alone — a source whose replay is a
+# pure function of its offsets, which is exactly the contract
+# exactly-once recovery needs (same offsets => same rows).  SPEC for
+# the derived columns lives in the query that consumes it
+# (queries_r5f.streaming_pysource_windows) and is mirrored verbatim by
+# its DuckDB range() oracle.
+# ---------------------------------------------------------------------------
+
+TICKER_BASE_US = 1_600_000_000_000_000
+TICKER_STEP_US = 37_000_000
+
+
+def make_ticker_datasource():
+    """Built lazily so importing sdg_engine never requires the
+    pyspark.sql.datasource module (added in Spark 4)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _Range(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo, self.hi = lo, hi
+
+    class _TickerStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self._end = int(options.get("n_rows", "5000"))
+            self._batch = int(options.get("rows_per_batch", "1000"))
+            self._splits = int(options.get("n_splits", "4"))
+            self._cur = 0
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def latestOffset(self):
+            # one batch per planning cycle, capped at the end — the
+            # cap is what lets a drain loop detect completion
+            self._cur = min(self._cur + self._batch, self._end)
+            return {"i": self._cur}
+
+        def partitions(self, start, end):
+            lo, hi = start["i"], end["i"]
+            n = self._splits
+            bounds = [lo + (hi - lo) * k // n for k in range(n)] + [hi]
+            return [
+                _Range(bounds[k], bounds[k + 1])
+                for k in range(n)
+                if bounds[k] < bounds[k + 1]
+            ]
+
+        def read(self, part):
+            for i in range(part.lo, part.hi):
+                yield (i,)
+
+        def commit(self, end):
+            pass
+
+    class TickerDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "ticker"
+
+        def schema(self) -> str:
+            return "i bigint"
+
+        def streamReader(self, schema):
+            return _TickerStreamReader(self.options)
+
+    return TickerDataSource

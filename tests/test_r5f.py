@@ -238,3 +238,145 @@ def test_observe_metrics_consistency(spark):
     assert int(out.sum_cents) == int(out.group_cents)
     assert int(out.max_cents) <= int(out.sum_cents)
     assert int(out.n_groups) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Zhang-Suen — scalar third mechanism + analytic cases
+# ---------------------------------------------------------------------------
+
+def test_zhang_suen_matches_scalar_reference():
+    from sdg_engine.ops.payload import SKEL_T, zhang_suen_kernel
+
+    rng = np.random.RandomState(11)
+    lum = rng.randint(0, 256, size=(14, 17)).astype(np.int64) * 1000
+    g = lum // 1000
+    fg = {(r, c) for r in range(14) for c in range(17) if g[r, c] > SKEL_T}
+    n_fg = len(fg)
+
+    def nb(p, s):
+        r, c = p
+        offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+                (1, 0), (1, -1), (0, -1), (-1, -1))
+        return [1 if (r + dr, c + dc) in s else 0 for dr, dc in offs]
+
+    it = 0
+    while True:
+        changed = False
+        for sub in (0, 1):
+            kill = set()
+            for p in fg:
+                ns = nb(p, fg)
+                b = sum(ns)
+                a = sum(1 for k in range(8)
+                        if ns[k] == 0 and ns[(k + 1) % 8] == 1)
+                if not (2 <= b <= 6 and a == 1):
+                    continue
+                p2, _p3, p4, _p5, p6, _p7, p8, _p9 = ns
+                if sub == 0:
+                    ok = p2 * p4 * p6 == 0 and p4 * p6 * p8 == 0
+                else:
+                    ok = p2 * p4 * p8 == 0 and p2 * p6 * p8 == 0
+                if ok:
+                    kill.add(p)
+            if kill:
+                fg -= kill
+                changed = True
+        it += 1
+        if not changed:
+            break
+    chk = sum(r * 17 + c + 1 for r, c in fg)
+    assert zhang_suen_kernel(lum) == (n_fg, len(fg), it, chk)
+
+
+def test_zhang_suen_line_is_fixed_point():
+    from sdg_engine.ops.payload import zhang_suen_kernel
+
+    lum = np.zeros((11, 11), dtype=np.int64)
+    lum[5, 2:9] = 255_000
+    n_fg, n_skel, n_iters, _ = zhang_suen_kernel(lum)
+    assert (n_fg, n_skel, n_iters) == (7, 7, 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming python data source — multi-batch drain + python twin
+# ---------------------------------------------------------------------------
+
+def test_ticker_stream_matches_python_twin(spark):
+    from collections import defaultdict
+
+    from sdg_engine.queries_r5f import (
+        _TICK_N,
+        streaming_pysource_windows,
+    )
+
+    out = _pdf(streaming_pysource_windows(spark, SF))
+    want = defaultdict(lambda: [0, 0, 0])
+    for i in range(_TICK_N):
+        hr = (1_600_000_000_000_000 + i * 37_000_000) // 3_600_000_000
+        cents = (i * 7919) % 100_000
+        e = want[hr]
+        e[0] += 1
+        e[1] += cents
+        e[2] = max(e[2], cents)
+    got = {
+        int(r.hr): [int(r.n_events), int(r.sum_cents), int(r.max_cents)]
+        for r in out.itertuples()
+    }
+    assert got == dict(want)
+    assert int(out.n_events.sum()) == _TICK_N
+    # the source caps each micro-batch at rows_per_batch=1000, so a
+    # full drain necessarily crossed >= 5 offset ranges
+    assert len(out) > 1
+
+
+# ---------------------------------------------------------------------------
+# BPE encode — full python twin at sf0.001
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_matches_python_twin(spark):
+    from collections import Counter
+
+    from sdg_engine.queries_r5f import bpe_encode_docs
+
+    out = _pdf(bpe_encode_docs(spark, SF)).set_index("lang")
+    docs = _pdf(
+        spark.read.parquet(f"{SF}/documents.parquet")[["lang", "text"]]
+    )
+    words = Counter()
+    for t in docs.text:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    for _ in range(8):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for x, y in zip(toks, toks[1:]):
+                pc[(x, y)] += words[w]
+        if not pc:
+            break
+        (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, t in vocab.items():
+            res, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            vocab[w] = res
+    agg: dict = {}
+    for lang, text in zip(docs.lang, docs.text):
+        ws = [w for w in text.split(" ") if w]
+        e = agg.setdefault(lang, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += len(ws)
+        e[2] += sum(len(vocab[w]) for w in ws)
+        e[3] += sum(len(w) for w in ws)
+    for lang, (nd, sw, st, sc) in agg.items():
+        row = out.loc[lang]
+        assert (int(row.n_docs), int(row.sum_words),
+                int(row.sum_tokens), int(row.sum_chars)) == (nd, sw, st, sc)
+    # merges compress: tokens strictly fewer than chars
+    assert int(out.sum_tokens.sum()) < int(out.sum_chars.sum())
