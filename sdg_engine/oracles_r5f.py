@@ -128,6 +128,93 @@ FROM t GROUP BY hr
 ORACLES_R5F["streaming_pysource_windows"] = _tick_sql()
 
 
+def _anova_sql() -> str:
+    from .queries_r5f import _EV_TYPES, _anova_f_expr
+
+    per = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t},\n         "
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN cents ELSE 0 END)"
+        f" AS BIGINT) AS s_{t},\n         "
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN cents * cents"
+        f" ELSE 0 END) AS BIGINT) AS q_{t}"
+        for t in _EV_TYPES
+    )
+    cols = ", ".join(f"n_{t}" for t in _EV_TYPES)
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+piv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(cents) AS BIGINT) AS s_all,
+         {per}
+  FROM ev
+)
+SELECT n_all, {cols}, {_anova_f_expr()} AS f_micros FROM piv
+"""
+
+
+ORACLES_R5F["events_anova"] = _anova_sql()
+
+
+def _circ_sql() -> str:
+    from .queries_r5f import _circ_luts
+
+    cos_e, sin_e = _circ_luts()
+    return f"""
+WITH ev AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h FROM events
+),
+fp AS (SELECT event_type, {cos_e} AS c1, {sin_e} AS s1 FROM ev),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c1) AS BIGINT) AS c_fp, CAST(SUM(s1) AS BIGINT) AS s_fp
+  FROM fp GROUP BY event_type
+)
+SELECT event_type, n, c_fp, s_fp,
+       CAST((c_fp * c_fp + s_fp * s_fp) // (n * n) * 1000000
+            // 1048576 AS BIGINT) AS r2_ppm
+FROM agg
+"""
+
+
+ORACLES_R5F["events_hour_circular"] = _circ_sql()
+
+ORACLES_R5F["orders_cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT cust, MIN(m) AS cm FROM o GROUP BY cust),
+aged AS (
+  SELECT o.cust, f.cm, o.m - f.cm AS age, o.cents
+  FROM o JOIN first f ON o.cust = f.cust
+),
+sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM first
+       GROUP BY cm),
+cell AS (
+  SELECT cm, age, CAST(SUM(cents) AS BIGINT) AS cents,
+         CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_active
+  FROM aged GROUP BY cm, age
+),
+cum AS (
+  SELECT cm, age, n_active,
+         CAST(SUM(cents) OVER (PARTITION BY cm ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM cell
+)
+SELECT cum.cm, age, n_active, sz.n_cohort,
+       cum_cents // sz.n_cohort AS ltv_cents
+FROM cum JOIN sz ON cum.cm = sz.cm
+"""
+
+
 def fixture_oracles_r5f() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir

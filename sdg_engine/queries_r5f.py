@@ -251,6 +251,170 @@ def image_harris_corners(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# One-way ANOVA F (wave 28)
+# ---------------------------------------------------------------------------
+
+# The five fixture event types, pivoted to literal columns so the
+# across-group folds have a FIXED literal order (aggregate fold order
+# is partition-dependent; a 5-term left-associated expression is not).
+_EV_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _anova_f_expr() -> str:
+    """Shared Spark/DuckDB fragment: F in micros from the 15 exact
+    BIGINT moments (n_t, s_t, q_t per type).  Every division casts one
+    operand to DOUBLE explicitly (gotcha 17) and the five-term sums
+    are left-associated literal text, so both engines run the same
+    IEEE chain."""
+    gm = "(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE))"
+    parts_b, parts_w = [], []
+    for t in _EV_TYPES:
+        m = f"(CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE))"
+        parts_b.append(
+            f"(CAST(n_{t} AS DOUBLE) * ({m} - {gm}) * ({m} - {gm}))"
+        )
+        parts_w.append(
+            f"(CAST(q_{t} AS DOUBLE) - {m} * CAST(s_{t} AS DOUBLE))"
+        )
+    ssb = "(" + " + ".join(parts_b) + ")"
+    ssw = "(" + " + ".join(parts_w) + ")"
+    k = len(_EV_TYPES)
+    return (
+        f"CAST(FLOOR(1000000.0 * ({ssb} / CAST({k - 1} AS DOUBLE))"
+        f" / ({ssw} / CAST(n_all - {k} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+def events_anova(spark, sf_dir):
+    """ONE-WAY ANOVA F statistic of spend across the five event types —
+    the parametric k-group companion to events_kruskal (rank-based)
+    and events_welch_ttest (two-group): one map-side-combined pass
+    collects the 15 exact BIGINT moments (n, Σv, Σv² per type), the
+    F ratio is a single closed-form double chain over them with
+    literal fold order, shared verbatim with the oracle."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("cents").alias("s_all"),
+    ]
+    for t in _EV_TYPES:
+        aggs += [
+            F.sum(F.expr(
+                f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END"
+            )).alias(f"n_{t}"),
+            F.sum(F.expr(
+                f"CASE WHEN event_type = '{t}' THEN cents ELSE 0 END"
+            )).alias(f"s_{t}"),
+            F.sum(F.expr(
+                f"CASE WHEN event_type = '{t}' THEN cents * cents"
+                " ELSE 0 END"
+            )).alias(f"q_{t}"),
+        ]
+    piv = ev.agg(*aggs)
+    return piv.selectExpr(
+        "n_all",
+        *[f"n_{t}" for t in _EV_TYPES],
+        f"{_anova_f_expr()} AS f_micros",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics of the hour-of-day distribution (wave 28)
+# ---------------------------------------------------------------------------
+
+def _circ_luts() -> tuple[str, str]:
+    """24-entry fixed-point cos/sin CASE fragments over column ``h``
+    (fp10 literals — the Hough-table technique), shared verbatim by
+    both engines so every trig value is an integer literal, never a
+    runtime transcendental."""
+    import math
+
+    cos_c = " ".join(
+        f"WHEN h = {h} THEN {round(math.cos(2 * math.pi * h / 24) * 1024)}"
+        for h in range(24)
+    )
+    sin_c = " ".join(
+        f"WHEN h = {h} THEN {round(math.sin(2 * math.pi * h / 24) * 1024)}"
+        for h in range(24)
+    )
+    return f"(CASE {cos_c} END)", f"(CASE {sin_c} END)"
+
+
+def events_hour_circular(spark, sf_dir):
+    """CIRCULAR STATISTICS of activity time — hour-of-day is an angle,
+    so 23:00 and 01:00 are 2 h apart, not 22: per event type, the
+    resultant vector (C, S) of the 24-point circle in fp10 integers
+    (literal cos/sin tables — no runtime trig), and the squared mean
+    resultant length in ppm: R²_ppm = ((C² + S²) DIV n²) · 1e6 DIV
+    1024² — an exact-integer concentration measure (1e6·ppm = uniform
+    0, point mass ~1).  One hash agg; every op BIGINT."""
+    cos_e, sin_e = _circ_luts()
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"({_TS_US} DIV 3600000000) % 24 AS h",
+    )
+    return (
+        ev.selectExpr(
+            "event_type", f"{cos_e} AS c1", f"{sin_e} AS s1"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c1").alias("c_fp"),
+            F.sum("s1").alias("s_fp"),
+        )
+        .selectExpr(
+            "event_type", "n", "c_fp", "s_fp",
+            "(c_fp * c_fp + s_fp * s_fp) DIV (n * n) * 1000000"
+            " DIV 1048576 AS r2_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (wave 28)
+# ---------------------------------------------------------------------------
+
+def orders_cohort_ltv(spark, sf_dir):
+    """COHORT LTV TRIANGLE — the cumulative companion to
+    events_retention's counting triangle: customers cohorted by first
+    order month, spend accumulated by cohort age in months, LTV =
+    cumulative cents DIV cohort size (exact integer).  One customer
+    exchange for the cohort assignment; the running sum windows over
+    the months-sized (cohort, age) relation, never over orders."""
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS cust",
+        "CAST(EXTRACT(YEAR FROM o_orderdate) * 12"
+        " + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    first = o.groupBy("cust").agg(F.min("m").alias("cm"))
+    aged = o.join(first, "cust").selectExpr("cust", "cm", "m - cm AS age",
+                                            "cents")
+    size = first.groupBy("cm").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cell = aged.groupBy("cm", "age").agg(
+        F.sum("cents").alias("cents"),
+        F.countDistinct("cust").alias("n_active"),
+    )
+    return (
+        cell.selectExpr(
+            "cm", "age", "n_active",
+            "SUM(cents) OVER (PARTITION BY cm ORDER BY age"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS cum_cents",
+        )
+        .join(F.broadcast(size), "cm")
+        .selectExpr(
+            "cm", "age", "n_active", "n_cohort",
+            "cum_cents DIV n_cohort AS ltv_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming Python DataSource (wave 27)
 # ---------------------------------------------------------------------------
 
@@ -406,6 +570,9 @@ QUERIES_R5F = {
     "observe_scan_metrics": observe_scan_metrics,
     "image_harris_corners": image_harris_corners,
     "streaming_pysource_windows": streaming_pysource_windows,
+    "events_anova": events_anova,
+    "events_hour_circular": events_hour_circular,
+    "orders_cohort_ltv": orders_cohort_ltv,
     "bpe_encode_docs": bpe_encode_docs,
     "image_skeleton_zs": image_skeleton_zs,
 }

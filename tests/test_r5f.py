@@ -380,3 +380,81 @@ def test_bpe_encode_matches_python_twin(spark):
                 int(row.sum_tokens), int(row.sum_chars)) == (nd, sw, st, sc)
     # merges compress: tokens strictly fewer than chars
     assert int(out.sum_tokens.sum()) < int(out.sum_chars.sum())
+
+
+# ---------------------------------------------------------------------------
+# Wave 28: ANOVA / circular stats / cohort LTV — python twins
+# ---------------------------------------------------------------------------
+
+def test_anova_matches_python_twin(spark):
+    from sdg_engine.queries_r5f import _EV_TYPES, events_anova
+
+    out = _pdf(events_anova(spark, SF)).iloc[0]
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"))
+    groups = {t: ev[ev.event_type == t].cents.astype(int) for t in _EV_TYPES}
+    n_all = len(ev)
+    s_all = int(ev.cents.sum())
+    gm = s_all / n_all
+    ssb = ssw = 0.0
+    for t in _EV_TYPES:
+        g = groups[t]
+        n, s, q = len(g), int(g.sum()), int((g * g).sum())
+        m = s / n
+        ssb += n * (m - gm) * (m - gm)
+        ssw += q - m * s
+    k = len(_EV_TYPES)
+    import math
+
+    f = math.floor(1e6 * (ssb / (k - 1)) / (ssw / (n_all - k)))
+    assert int(out.n_all) == n_all
+    assert int(out.f_micros) == f
+    assert int(out.f_micros) > 0
+
+
+def test_hour_circular_matches_python_twin(spark):
+    import math
+
+    from sdg_engine.queries_r5f import events_hour_circular
+
+    out = _pdf(events_hour_circular(spark, SF)).set_index("event_type")
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type",
+        "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24 AS h"))
+    cos_fp = [round(math.cos(2 * math.pi * h / 24) * 1024) for h in range(24)]
+    sin_fp = [round(math.sin(2 * math.pi * h / 24) * 1024) for h in range(24)]
+    for t, grp in ev.groupby("event_type"):
+        c = sum(cos_fp[int(h)] for h in grp.h)
+        s = sum(sin_fp[int(h)] for h in grp.h)
+        n = len(grp)
+        r2 = (c * c + s * s) // (n * n) * 1_000_000 // 1_048_576
+        row = out.loc[t]
+        assert (int(row.n), int(row.c_fp), int(row.s_fp),
+                int(row.r2_ppm)) == (n, c, s, r2)
+        # concentration is bounded: R <= n  =>  R^2_ppm <= 1e6
+        assert 0 <= r2 <= 1_000_000
+
+
+def test_cohort_ltv_monotone_and_consistent(spark):
+    from sdg_engine.queries_r5f import orders_cohort_ltv
+
+    out = _pdf(orders_cohort_ltv(spark, SF))
+    o = _pdf(spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_custkey AS cust",
+        "CAST(EXTRACT(YEAR FROM o_orderdate) * 12"
+        " + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"))
+    # cohort sizes: each customer in exactly one cohort
+    first = o.groupby("cust").m.min()
+    assert int(out.groupby("cm").n_cohort.first().sum()) == len(first)
+    # LTV is nondecreasing in age within a cohort (cumulative DIV const)
+    for _, grp in out.sort_values("age").groupby("cm"):
+        v = list(grp.ltv_cents)
+        assert v == sorted(v)
+    # final-age cumulative spend equals the cohort's total spend
+    o2 = o.merge(first.rename("cm"), left_on="cust", right_index=True)
+    tot = o2.groupby("cm").cents.sum()
+    last = out.sort_values("age").groupby("cm").ltv_cents.last()
+    size = out.groupby("cm").n_cohort.first()
+    for cm in tot.index:
+        assert int(last[cm]) == int(tot[cm]) // int(size[cm])
