@@ -249,6 +249,9 @@ def main() -> None:
     from sdg_engine.queries_r5e import QUERIES_R5E
 
     queries_r5d.update(run_queries(spark, sf_dir, list(QUERIES_R5E)))
+    from sdg_engine.queries_r5f import QUERIES_R5F
+
+    queries_r5d.update(run_queries(spark, sf_dir, list(QUERIES_R5F)))
     flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
     spark.stop()
 

@@ -3074,3 +3074,153 @@ def make_bpe_encode_golden(sf_dir: str = "/root/testdata/sf0.01",
         os.path.join(OUT, "bpe_encode_sf0.01.parquet"),
     )
     print(f"bpe encode golden: {rows}")
+
+
+def make_lbp_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_lbp_texture (r05 wave 29): the 8 neighbor
+    comparisons packed into a code via np.take GATHERS on flat index
+    arrays, uniformity via a 256-entry transition LUT built with
+    scalar loops (vs the engine's slice arithmetic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lut_u = np.zeros(256, dtype=bool)
+    for code in range(256):
+        p = [(code >> k) & 1 for k in range(8)]
+        t = sum(1 for k in range(8) if p[k] != p[(k + 1) % 8])
+        lut_u[code] = t <= 2
+    offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+    ids, nis, nus, scs, chks = [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g = _golden_lum_i64(px) // 1000
+        hh, ww = g.shape
+        rr, cc = np.meshgrid(
+            np.arange(1, hh - 1), np.arange(1, ww - 1), indexing="ij"
+        )
+        flat = g.ravel()
+        ctr = flat.take(rr * ww + cc)
+        code = np.zeros_like(ctr)
+        for k, (dr, dc) in enumerate(offs):
+            nb = flat.take((rr + dr) * ww + (cc + dc))
+            code |= ((nb >= ctr).astype(np.int64) << k)
+        wgt = (np.arange(code.size, dtype=np.int64) % 97) + 1
+        ids.append(image_id)
+        nis.append(int(code.size))
+        nus.append(int(lut_u[code].sum()))
+        scs.append(int(code.sum()))
+        chks.append(int((wgt * code.ravel()).sum()))
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_interior": pa.array(nis, pa.int64()),
+            "n_uniform": pa.array(nus, pa.int64()),
+            "sum_code": pa.array(scs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"lbp_sf{sf:g}.parquet"),
+    )
+    print(f"lbp golden: {len(ids)} rows; uniform total {sum(nus)}")
+
+
+def make_canny_nms_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_canny_nms (r05 wave 29): the same sector SPEC
+    resolved per-candidate with a SCALAR loop (vs the engine's
+    vectorized sector masks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import SOBEL_EDGE_T, TAN22_FP
+
+    ids, nrs, nts, chks = [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        hh, ww = lum.shape
+
+        def gxy(r, c):
+            gx = (lum[r - 1, c + 1] + 2 * lum[r, c + 1] + lum[r + 1, c + 1]) \
+                - (lum[r - 1, c - 1] + 2 * lum[r, c - 1] + lum[r + 1, c - 1])
+            gy = (lum[r + 1, c - 1] + 2 * lum[r + 1, c] + lum[r + 1, c + 1]) \
+                - (lum[r - 1, c - 1] + 2 * lum[r - 1, c] + lum[r - 1, c + 1])
+            return int(gx), int(gy)
+
+        def mag(r, c):
+            gx, gy = gxy(r, c)
+            return abs(gx) + abs(gy)
+
+        n_raw = n_thin = chk = 0
+        cw = ww - 4
+        for r in range(2, hh - 2):
+            for c in range(2, ww - 2):
+                m = mag(r, c)
+                if m <= SOBEL_EDGE_T:
+                    continue
+                n_raw += 1
+                gx, gy = gxy(r, c)
+                ax, ay = abs(gx), abs(gy)
+                if 256 * ay <= TAN22_FP * ax:
+                    f, bk = (0, 1), (0, -1)
+                elif 256 * ax <= TAN22_FP * ay:
+                    f, bk = (1, 0), (-1, 0)
+                elif gx * gy > 0:
+                    f, bk = (1, 1), (-1, -1)
+                else:
+                    f, bk = (1, -1), (-1, 1)
+                if m > mag(r + f[0], c + f[1]) and m >= mag(r + bk[0],
+                                                            c + bk[1]):
+                    n_thin += 1
+                    chk += (r - 2) * cw + (c - 2) + 1
+        ids.append(image_id)
+        nrs.append(n_raw)
+        nts.append(n_thin)
+        chks.append(chk)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_raw": pa.array(nrs, pa.int64()),
+            "n_thin": pa.array(nts, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"canny_nms_sf{sf:g}.parquet"),
+    )
+    print(f"canny-nms golden: {len(ids)} rows; thin total {sum(nts)}")
+
+
+def make_zlib_golden(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Golden for doc_zlib_ratio (r05 wave 29).  zlib (RFC 1950/1951,
+    level 6) is a deterministic spec'd codec, so the 'independence'
+    here is in the plumbing only: pandas scalar loop vs the engine's
+    Arrow-batched mapInPandas — the codec is the shared SPEC exactly
+    like libm trig in the hillshade golden."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq_read
+
+    tbl = pq_read.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    agg: dict = {}
+    for lang, text in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        raw = text.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        e = agg.setdefault(lang, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(raw)
+        e[2] += len(comp)
+    rows = sorted(agg.items())
+    pq.write_table(
+        pa.table({
+            "lang": [k for k, _ in rows],
+            "n_docs": pa.array([v[0] for _, v in rows], pa.int64()),
+            "sum_raw": pa.array([v[1] for _, v in rows], pa.int64()),
+            "sum_comp": pa.array([v[2] for _, v in rows], pa.int64()),
+        }),
+        os.path.join(OUT, "zlib_sf0.01.parquet"),
+    )
+    print(f"zlib golden: {rows}")

@@ -1912,3 +1912,118 @@ def zhang_suen_stats(images: DataFrame) -> DataFrame:
         ["n_fg", "n_skel", "n_iters", "chk"],
         "n_fg bigint, n_skel bigint, n_iters bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Local Binary Patterns (r05 wave 29) — the classical texture code next
+# to GLCM.  SPEC shared by both twins:
+#   g       = milli-luma // 1000 (0..255 gray)
+#   code(p) = sum over k of 2^k * [neighbor_k(p) >= p], neighbors
+#             P2..P9 clockwise from North (interior pixels only)
+#   uniform = code whose circular 0<->1 transition count is <= 2
+#             (the Ojala uniform-pattern class)
+#   chk     = sum of code * ((flat_index % 97) + 1)  (order-free)
+# ---------------------------------------------------------------------------
+
+
+def lbp_texture_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int]:
+    """Engine mechanics: 8 shifted-slice comparisons summed with
+    bit-shift weights, transitions counted arithmetically (the golden
+    twin packs the same comparisons through 256-entry LUTs built with
+    scalar loops).  Returns (n_interior, n_uniform, sum_code, chk)."""
+    g = lum_i // 1000
+    c = g[1:-1, 1:-1]
+    nbs = (g[:-2, 1:-1], g[:-2, 2:], g[1:-1, 2:], g[2:, 2:],
+           g[2:, 1:-1], g[2:, :-2], g[1:-1, :-2], g[:-2, :-2])
+    bits = [(nb >= c).astype(np.int64) for nb in nbs]
+    code = sum(b << k for k, b in enumerate(bits))
+    trans = sum(
+        (bits[k] != bits[(k + 1) % 8]).astype(np.int64) for k in range(8)
+    )
+    uniform = trans <= 2
+    wgt = (np.arange(code.size, dtype=np.int64) % 97) + 1
+    return (
+        int(code.size),
+        int(uniform.sum()),
+        int(code.sum()),
+        int((wgt * code.ravel()).sum()),
+    )
+
+
+def lbp_texture_stats(images: DataFrame) -> DataFrame:
+    """Per-image LBP texture stats (map-only)."""
+    return _int_terrain_op(
+        images, lbp_texture_kernel,
+        ["n_interior", "n_uniform", "sum_code", "chk"],
+        "n_interior bigint, n_uniform bigint, sum_code bigint, chk bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canny directional non-maximum suppression (r05 wave 29) — the thin-
+# edge stage between sobel_mag and canny_hysteresis.  SPEC shared by
+# both twins (all-integer, cross-multiplied angle tests):
+#   gx, gy   = Sobel on milli-luma (the certified gradient)
+#   mag      = |gx| + |gy|;  raw edge when mag > SOBEL_EDGE_T
+#   direction (22.5-degree sectors, TAN22_FP = 106 ~ tan(22.5)*256):
+#     E-W   when 256*|gy| <= 106*|gx|
+#     N-S   when 256*|gx| <= 106*|gy|
+#     diag 45 (NE-SW) when gx*gy > 0 else diag 135 (NW-SE)
+#   survive  = raw edge AND mag > mag(forward nb) AND mag >= mag(back
+#              nb) (back = the raster-earlier one — deterministic ties)
+#   evaluated on the 2-px-border interior; chk = sum (flat_index+1)
+# ---------------------------------------------------------------------------
+
+TAN22_FP = 106  # round(tan(22.5 deg) * 256)
+
+
+def canny_nms_kernel(lum_i: np.ndarray) -> tuple[int, int, int]:
+    """Engine mechanics: vectorized sector masks + four pairs of
+    shifted magnitude slices (the golden twin walks candidates with a
+    scalar loop resolving each pixel's sector independently).
+    Returns (n_raw, n_thin, chk)."""
+    tl, t, tr = lum_i[:-2, :-2], lum_i[:-2, 1:-1], lum_i[:-2, 2:]
+    le, r = lum_i[1:-1, :-2], lum_i[1:-1, 2:]
+    bl, b, br = lum_i[2:, :-2], lum_i[2:, 1:-1], lum_i[2:, 2:]
+    gx = (tr + 2 * r + br) - (tl + 2 * le + bl)
+    gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
+    mag = np.abs(gx) + np.abs(gy)
+    ax, ay = np.abs(gx), np.abs(gy)
+    ew = 256 * ay <= TAN22_FP * ax
+    ns = 256 * ax <= TAN22_FP * ay
+    d45 = ~ew & ~ns & (gx * gy > 0)
+    d135 = ~ew & ~ns & ~d45
+    core = mag[1:-1, 1:-1]
+    hh, ww = mag.shape
+
+    def sh(dr, dc):
+        return mag[1 + dr:hh - 1 + dr, 1 + dc:ww - 1 + dc]
+
+    # (forward, back) neighbor offsets per sector; back = raster-earlier
+    # NOTE image rows grow DOWNWARD: gy>0 means south-brighter, so the
+    # 45-degree sector (gx*gy>0) runs along the NE-SW *image* diagonal
+    # (-1,+1)/(+1,-1) in (row, col) steps
+    pairs = {
+        "ew": ((0, 1), (0, -1)),
+        "ns": ((1, 0), (-1, 0)),
+        "d45": ((1, 1), (-1, -1)),
+        "d135": ((1, -1), (-1, 1)),
+    }
+    sec = {"ew": ew[1:-1, 1:-1], "ns": ns[1:-1, 1:-1],
+           "d45": d45[1:-1, 1:-1], "d135": d135[1:-1, 1:-1]}
+    raw = core > SOBEL_EDGE_T
+    keep = np.zeros_like(raw)
+    for s, ((fr, fc), (br_, bc)) in pairs.items():
+        m = sec[s] & raw & (core > sh(fr, fc)) & (core >= sh(br_, bc))
+        keep |= m
+    idx = np.flatnonzero(keep).astype(np.int64)
+    return (int(raw.sum()), int(keep.sum()), int((idx + 1).sum()))
+
+
+def canny_nms_stats(images: DataFrame) -> DataFrame:
+    """Per-image thin-edge stats (map-only)."""
+    return _int_terrain_op(
+        images, canny_nms_kernel,
+        ["n_raw", "n_thin", "chk"],
+        "n_raw bigint, n_thin bigint, chk bigint",
+    )

@@ -182,6 +182,23 @@ FROM agg
 
 ORACLES_R5F["events_hour_circular"] = _circ_sql()
 
+ORACLES_R5F["pipe_syntax_revenue"] = """
+WITH base AS (
+  SELECT l_returnflag AS rf,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity >= 10
+),
+agg AS (
+  SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(SUM(qty) AS BIGINT) AS sum_qty
+  FROM base GROUP BY rf
+)
+SELECT rf, n, sum_cents, sum_qty, sum_cents // n AS avg_cents
+FROM agg WHERE n > 0
+"""
+
 ORACLES_R5F["orders_cohort_ltv"] = """
 WITH o AS (
   SELECT o_custkey AS cust,
@@ -241,5 +258,22 @@ WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
         "bpe_encode_docs": f"""
 SELECT lang, n_docs, sum_words, sum_tokens, sum_chars
 FROM read_parquet('{gdir}/bpe_encode_sf0.01.parquet')
+""",
+        "doc_zlib_ratio": f"""
+SELECT lang, n_docs, sum_raw, sum_comp,
+       sum_comp * 1000 // sum_raw AS ratio_mils
+FROM read_parquet('{gdir}/zlib_sf0.01.parquet')
+""",
+        "image_lbp_texture": f"""
+SELECT g.image_id, g.n_interior, g.n_uniform, g.sum_code, g.chk
+FROM read_parquet('{gdir}/lbp_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "image_canny_nms": f"""
+SELECT g.image_id, g.n_raw, g.n_thin, g.chk
+FROM read_parquet('{gdir}/canny_nms_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """,
     }

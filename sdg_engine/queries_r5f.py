@@ -563,6 +563,105 @@ def image_skeleton_zs(spark, sf_dir):
     return zhang_suen_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Wave 29: SQL pipe syntax, LBP texture, Canny NMS, zlib compressibility
+# ---------------------------------------------------------------------------
+
+def pipe_syntax_revenue(spark, sf_dir):
+    """SQL PIPE SYNTAX (Spark 4.0 `|>` operators — the composable
+    SQL surface next to the VARIANT / LATERAL / UDTF demos): a
+    filter → project → aggregate → having → project chain written as
+    pipes, semantically identical to the ANSI form the oracle runs.
+    Exact integer cents; the pipe path is load-bearing (the engine
+    text IS pipe syntax)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql("""
+      FROM lineitem_pipe
+      |> WHERE l_quantity >= 10
+      |> SELECT l_returnflag AS rf,
+                CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                CAST(l_quantity AS BIGINT) AS qty
+      |> AGGREGATE COUNT(*) AS n, SUM(cents) AS sum_cents,
+                   SUM(qty) AS sum_qty GROUP BY rf
+      |> WHERE n > 0
+      |> SELECT rf, n, sum_cents, sum_qty, sum_cents DIV n AS avg_cents
+    """)
+
+
+def doc_zlib_ratio(spark, sf_dir):
+    """ZLIB COMPRESSIBILITY quality signal (the Gopher/C4-family
+    curation heuristic: highly compressible text is repetitive
+    boilerplate, incompressible text is noise): per-doc DEFLATE
+    (RFC 1950/1951, stdlib zlib level 6 — a deterministic spec'd
+    codec, the libm-trig precedent) lengths via one Arrow-batched
+    map pass, aggregated per lang with the ratio in exact mils.
+    Golden twin recomputes through pandas scalar plumbing."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+
+    def _comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [len(t.encode("utf-8")) for t in pdf["text"]]
+            comp = [len(zlib.compress(t.encode("utf-8"), 6))
+                    for t in pdf["text"]]
+            yield pd.DataFrame({
+                "lang": pdf["lang"], "raw_len": raw, "comp_len": comp,
+            })
+
+    return (
+        docs.mapInPandas(_comp, "lang string, raw_len long, comp_len long")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_len").alias("sum_raw"),
+            F.sum("comp_len").alias("sum_comp"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "sum_raw", "sum_comp",
+            "sum_comp * 1000 DIV sum_raw AS ratio_mils",
+        )
+    )
+
+
+def image_lbp_texture(spark, sf_dir):
+    """LOCAL BINARY PATTERNS (Ojala texture codes — the
+    rotation-sensitive micro-texture signal next to GLCM's
+    co-occurrence statistics): 8-bit neighbor-comparison codes with
+    the uniform-pattern count (circular transitions <= 2), all
+    integer, map-only.  Golden twin packs the same comparisons via
+    flat np.take gathers + a scalar-built 256-entry transition LUT."""
+    from .ops.payload import lbp_texture_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return lbp_texture_stats(sel)
+
+
+def image_canny_nms(spark, sf_dir):
+    """CANNY DIRECTIONAL NON-MAX SUPPRESSION — the thin-edge stage
+    between the certified Sobel magnitude and the hysteresis linker:
+    gradient direction quantized to 22.5-degree sectors by
+    cross-multiplied integer tests (TAN22_FP = 106, no atan2), each
+    edge pixel survives only as the strict maximum along its own
+    gradient line (raster-earlier neighbor breaks ties).  Map-only,
+    all-integer.  Golden twin resolves every candidate with a scalar
+    loop."""
+    from .ops.payload import canny_nms_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return canny_nms_stats(sel)
+
+
 QUERIES_R5F = {
     "snapshot_cow_delete": snapshot_cow_delete,
     "brand_affinity_cf": brand_affinity_cf,
@@ -575,4 +674,8 @@ QUERIES_R5F = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "bpe_encode_docs": bpe_encode_docs,
     "image_skeleton_zs": image_skeleton_zs,
+    "pipe_syntax_revenue": pipe_syntax_revenue,
+    "doc_zlib_ratio": doc_zlib_ratio,
+    "image_lbp_texture": image_lbp_texture,
+    "image_canny_nms": image_canny_nms,
 }

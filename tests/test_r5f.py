@@ -458,3 +458,102 @@ def test_cohort_ltv_monotone_and_consistent(spark):
     size = out.groupby("cm").n_cohort.first()
     for cm in tot.index:
         assert int(last[cm]) == int(tot[cm]) // int(size[cm])
+
+
+# ---------------------------------------------------------------------------
+# Wave 29: LBP / Canny NMS / zlib / pipe syntax
+# ---------------------------------------------------------------------------
+
+def test_lbp_matches_scalar_reference():
+    from sdg_engine.ops.payload import lbp_texture_kernel
+
+    rng = np.random.RandomState(5)
+    lum = rng.randint(0, 256, size=(10, 12)).astype(np.int64) * 1000
+    g = lum // 1000
+    offs = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))
+    n_u = s_c = chk = 0
+    k_idx = 0
+    for r in range(1, 9):
+        for c in range(1, 11):
+            bits = [1 if g[r + dr, c + dc] >= g[r, c] else 0
+                    for dr, dc in offs]
+            code = sum(b << k for k, b in enumerate(bits))
+            t = sum(1 for k in range(8) if bits[k] != bits[(k + 1) % 8])
+            if t <= 2:
+                n_u += 1
+            s_c += code
+            chk += code * ((k_idx % 97) + 1)
+            k_idx += 1
+    assert lbp_texture_kernel(lum) == (80, n_u, s_c, chk)
+
+
+def test_canny_nms_thins_vertical_edge_to_one_column():
+    from sdg_engine.ops.payload import canny_nms_kernel
+
+    lum = np.zeros((12, 12), dtype=np.int64)
+    lum[:, 6:] = 255_000
+    n_raw, n_thin, _ = canny_nms_kernel(lum)
+    assert n_raw == 16 and n_thin == 8  # two raw columns -> one
+
+
+def test_canny_nms_diagonal_edge_thins():
+    from sdg_engine.ops.payload import canny_nms_kernel
+
+    lum = np.zeros((16, 16), dtype=np.int64)
+    for r in range(16):
+        lum[r, r:] = 255_000
+    n_raw, n_thin, _ = canny_nms_kernel(lum)
+    assert 0 < n_thin < n_raw
+
+
+def test_zlib_ratio_matches_python_twin(spark):
+    import zlib
+    from collections import defaultdict
+
+    from sdg_engine.queries_r5f import doc_zlib_ratio
+
+    out = _pdf(doc_zlib_ratio(spark, SF)).set_index("lang")
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet")[
+        ["lang", "text"]])
+    agg = defaultdict(lambda: [0, 0, 0])
+    for lang, text in zip(docs.lang, docs.text):
+        raw = text.encode("utf-8")
+        e = agg[lang]
+        e[0] += 1
+        e[1] += len(raw)
+        e[2] += len(zlib.compress(raw, 6))
+    for lang, (n, sr, sc) in agg.items():
+        row = out.loc[lang]
+        assert (int(row.n_docs), int(row.sum_raw),
+                int(row.sum_comp)) == (n, sr, sc)
+        assert int(row.ratio_mils) == sc * 1000 // sr
+        assert 0 < int(row.ratio_mils) < 1000  # text compresses
+
+
+def test_pipe_syntax_matches_dataframe_form(spark):
+    from pyspark.sql import functions as F
+
+    from sdg_engine.queries_r5f import pipe_syntax_revenue
+
+    out = _pdf(pipe_syntax_revenue(spark, SF)).set_index("rf")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    want = _pdf(
+        li.filter("l_quantity >= 10")
+        .selectExpr(
+            "l_returnflag AS rf",
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+            "CAST(l_quantity AS BIGINT) AS qty",
+        )
+        .groupBy("rf")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"),
+             F.sum("qty").alias("q"))
+    ).set_index("rf")
+    assert sorted(out.index) == sorted(want.index)
+    for rf in want.index:
+        assert int(out.loc[rf].n) == int(want.loc[rf].n)
+        assert int(out.loc[rf].sum_cents) == int(want.loc[rf].s)
+        assert int(out.loc[rf].sum_qty) == int(want.loc[rf].q)
+        assert int(out.loc[rf].avg_cents) == (
+            int(want.loc[rf].s) // int(want.loc[rf].n)
+        )
