@@ -3224,3 +3224,97 @@ def make_zlib_golden(sf_dir: str = "/root/testdata/sf0.01") -> None:
         os.path.join(OUT, "zlib_sf0.01.parquet"),
     )
     print(f"zlib golden: {rows}")
+
+
+def make_dither_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_dither_fs (r05 wave 30): the same error-
+    diffusion SPEC as a fully SCALAR python-int 2-D list walk (vs the
+    engine's numpy row buffers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, nps, nos, chks = [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g = _golden_lum_i64(px) // 1000
+        hh, ww = g.shape
+        buf = [[int(v) for v in row] for row in g]
+        n_on = chk = 0
+        for r in range(hh):
+            for c in range(ww):
+                v = buf[r][c]
+                on = v >= 128
+                if on:
+                    n_on += 1
+                    chk += r * ww + c + 1
+                e = v - (255 if on else 0)
+                if c + 1 < ww:
+                    buf[r][c + 1] += e * 7 // 16
+                if r + 1 < hh:
+                    if c - 1 >= 0:
+                        buf[r + 1][c - 1] += e * 3 // 16
+                    buf[r + 1][c] += e * 5 // 16
+                    if c + 1 < ww:
+                        buf[r + 1][c + 1] += e * 1 // 16
+        ids.append(image_id)
+        nps.append(hh * ww)
+        nos.append(n_on)
+        chks.append(chk)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_px": pa.array(nps, pa.int64()),
+            "n_on": pa.array(nos, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"dither_sf{sf:g}.parquet"),
+    )
+    print(f"dither golden: {len(ids)} rows; on total {sum(nos)}")
+
+
+def make_decimate_golden() -> None:
+    """Golden for multimodal_audio_decimate (r05 wave 30): regenerated
+    waveform + reimplemented PCM16 (the audio-golden convention), FIR
+    run as a SCALAR python-int loop (vs the engine's strided slices)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(1234)
+    ids, nis, nos, sas, mxs, chks = [], [], [], [], [], []
+    for i in range(64):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+        x = [int(v) for v in pcm[:, 0]]
+        n = len(x)
+        ys = []  # python // is floor division for ints (the SPEC's floor)
+        nn = 2
+        while 2 * nn + 3 < n:
+            y = (-x[2 * nn - 3] + 9 * x[2 * nn - 1] + 16 * x[2 * nn]
+                 + 9 * x[2 * nn + 1] - x[2 * nn + 3])
+            ys.append((nn, y // 32))
+            nn += 1
+        ids.append(f"aud{i:08d}")
+        nis.append(n)
+        nos.append(len(ys))
+        sas.append(sum(abs(v) for _, v in ys))
+        mxs.append(max((abs(v) for _, v in ys), default=0))
+        chks.append(sum(v * ((k % 97) + 1) for k, v in ys))
+    pq.write_table(
+        pa.table({
+            "media_id": ids,
+            "n_in": pa.array(nis, pa.int64()),
+            "n_out": pa.array(nos, pa.int64()),
+            "sum_abs": pa.array(sas, pa.int64()),
+            "max_abs": pa.array(mxs, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, "audio_decimate.parquet"),
+    )
+    print(f"decimate golden: {len(ids)} clips")

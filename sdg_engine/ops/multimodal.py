@@ -515,3 +515,59 @@ def video_motion_blocks(video: DataFrame, block: int = 8, search: int = 4,
         "media_id string, n_pairs int, n_blocks bigint, n_moving bigint, "
         "sum_sad bigint, sum_abs_mv bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-band decimation (r05 wave 30) — integer sample-rate reduction,
+# the resample primitive of audio ingest.  SPEC shared with the golden
+# twin (regenerated waveform + reimplemented PCM16, scalar FIR loop):
+#   x    = channel-0 int16 PCM as int64
+#   y[n] = (-x[2n-3] + 9*x[2n-1] + 16*x[2n] + 9*x[2n+1] - x[2n+3]) // 32
+#          for every n with 2n-3 >= 0 and 2n+3 < len(x)  (// = floor)
+#   chk  = sum of y[n] * ((n % 97) + 1)
+# ---------------------------------------------------------------------------
+
+DECIMATE_TAPS = (-1, 0, 9, 16, 9, 0, -1)  # classic half-band, sum 32
+
+
+def audio_decimate_stats(audio: DataFrame) -> DataFrame:
+    """Per-clip decimate-by-2 stats: (n_in, n_out, sum_abs, max_abs,
+    chk).  Engine mechanics: strided numpy slices per tap (the golden
+    twin loops samples scalar)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import decode_wav
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pcm, _sr = decode_wav(bytes(r.bytes))
+                x = pcm[:, 0].astype(np.int64)
+                n = len(x)
+                lo = 2  # smallest n with 2n-3 >= 0
+                hi = (n - 4) // 2  # largest n with 2n+3 <= n-1
+                if hi < lo:
+                    out.append((r.media_id, n, 0, 0, 0, 0))
+                    continue
+                ctr = 2 * np.arange(lo, hi + 1, dtype=np.int64)
+                y = (
+                    -x[ctr - 3] + 9 * x[ctr - 1] + 16 * x[ctr]
+                    + 9 * x[ctr + 1] - x[ctr + 3]
+                )
+                y = y // 32
+                wgt = (np.arange(lo, hi + 1, dtype=np.int64) % 97) + 1
+                out.append((
+                    r.media_id, n, int(y.size), int(np.abs(y).sum()),
+                    int(np.abs(y).max()), int((y * wgt).sum()),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_in", "n_out", "sum_abs",
+                         "max_abs", "chk"],
+            )
+
+    return audio.mapInPandas(
+        _dec,
+        "media_id string, n_in bigint, n_out bigint, sum_abs bigint, "
+        "max_abs bigint, chk bigint",
+    )

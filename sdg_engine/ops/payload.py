@@ -2027,3 +2027,64 @@ def canny_nms_stats(images: DataFrame) -> DataFrame:
         ["n_raw", "n_thin", "chk"],
         "n_raw bigint, n_thin bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Floyd-Steinberg dithering (r05 wave 30) — 1-bit halftoning with
+# integer error diffusion.  SPEC shared by both twins:
+#   g        = milli-luma // 1000 (0..255 gray), int64 working copy
+#   scan rows top-down, columns left-to-right; at each pixel
+#     on  = value >= 128;  e = value - (255 if on else 0)
+#   diffuse with FLOOR division (numpy //, true floor on negatives):
+#     right (r, c+1)       += e * 7 // 16
+#     below-left (r+1,c-1) += e * 3 // 16
+#     below (r+1, c)       += e * 5 // 16
+#     below-right (r+1,c+1)+= e * 1 // 16
+#   out-of-raster targets are dropped; chk = sum (flat_index + 1) over
+#   ON pixels (order-free given the deterministic scan)
+# ---------------------------------------------------------------------------
+
+
+def dither_fs_kernel(lum_i: np.ndarray) -> tuple[int, int, int]:
+    """Engine mechanics: a row-buffer numpy implementation (current
+    row vector + next-row accumulator, scalar inner loop over columns;
+    the golden twin runs a fully scalar dict-free 2-D list walk).
+    Error diffusion is inherently sequential — each pixel's decision
+    depends on its left and upper neighbors' residuals — so this stays
+    a per-image kernel behind the map-only decode path.
+    Returns (n_px, n_on, chk)."""
+    g = lum_i // 1000
+    h, w = g.shape
+    cur = g[0].astype(np.int64).copy()
+    chk = 0
+    n_on = 0
+    for r in range(h):
+        nxt = (g[r + 1].astype(np.int64).copy()
+               if r + 1 < h else None)
+        for c in range(w):
+            v = int(cur[c])
+            on = v >= 128
+            if on:
+                n_on += 1
+                chk += r * w + c + 1
+            e = v - (255 if on else 0)
+            if c + 1 < w:
+                cur[c + 1] += e * 7 // 16
+            if nxt is not None:
+                if c - 1 >= 0:
+                    nxt[c - 1] += e * 3 // 16
+                nxt[c] += e * 5 // 16
+                if c + 1 < w:
+                    nxt[c + 1] += e * 1 // 16
+        if nxt is not None:
+            cur = nxt
+    return (h * w, n_on, chk)
+
+
+def dither_fs_stats(images: DataFrame) -> DataFrame:
+    """Per-image Floyd-Steinberg dither stats (map-only)."""
+    return _int_terrain_op(
+        images, dither_fs_kernel,
+        ["n_px", "n_on", "chk"],
+        "n_px bigint, n_on bigint, chk bigint",
+    )

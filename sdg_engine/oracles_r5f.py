@@ -232,6 +232,47 @@ FROM cum JOIN sz ON cum.cm = sz.cm
 """
 
 
+ORACLES_R5F["events_pinball_eval"] = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+gd AS (SELECT cents, COUNT(*) AS c FROM ev GROUP BY cents),
+gq AS (
+  SELECT CAST(MIN(cents) AS BIGINT) AS pred_global FROM (
+    SELECT cents,
+           SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS n
+    FROM gd
+  ) WHERE cum >= (3 * n + 3) // 4
+),
+td AS (SELECT event_type, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+tq AS (
+  SELECT event_type, CAST(MIN(cents) AS BIGINT) AS pred_type FROM (
+    SELECT event_type, cents,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY cents ROWS
+             BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM td
+  ) WHERE cum >= (3 * n + 3) // 4
+  GROUP BY event_type
+)
+SELECT ev.event_type, gq.pred_global, tq.pred_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cents >= pred_global
+            THEN 3 * (cents - pred_global)
+            ELSE pred_global - cents END) AS BIGINT) AS loss4_global,
+       CAST(SUM(CASE WHEN cents >= pred_type
+            THEN 3 * (cents - pred_type)
+            ELSE pred_type - cents END) AS BIGINT) AS loss4_type
+FROM ev
+JOIN tq ON ev.event_type = tq.event_type
+CROSS JOIN gq
+GROUP BY 1, 2, 3
+"""
+
+
 def fixture_oracles_r5f() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir
@@ -275,5 +316,15 @@ SELECT g.image_id, g.n_raw, g.n_thin, g.chk
 FROM read_parquet('{gdir}/canny_nms_sf0.01.parquet') g
 JOIN read_parquet('{img}') f USING (image_id)
 WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "image_dither_fs": f"""
+SELECT g.image_id, g.n_px, g.n_on, g.chk
+FROM read_parquet('{gdir}/dither_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "multimodal_audio_decimate": f"""
+SELECT media_id, n_in, n_out, sum_abs, max_abs, chk
+FROM read_parquet('{gdir}/audio_decimate.parquet')
 """,
     }

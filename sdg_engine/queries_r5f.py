@@ -662,6 +662,97 @@ def image_canny_nms(spark, sf_dir):
     return canny_nms_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Wave 30: pinball-loss forecast eval, FS dithering, audio decimation
+# ---------------------------------------------------------------------------
+
+def events_pinball_eval(spark, sf_dir):
+    """QUANTILE-FORECAST EVALUATION by pinball loss — the eval metric
+    behind every quantile forecaster (the companion to events_auc /
+    events_best_f1_threshold on the regression side): two p75
+    predictors (global vs per-type, exact nearest-rank over the
+    DISTINCT-cents relation: smallest v with cum >= (3n+3) DIV 4) are
+    scored at q = 3/4, where 4*loss = 3*(y-yhat)+ + (yhat-y)+ stays an
+    exact BIGINT.  The conditioned predictor must win or tie per type
+    — oracle-visible.  Windows run over distinct values, never rows."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).localCheckpoint()  # two consumers: quantile build + loss scan
+    # global p75 over distinct cents
+    gd = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    gq = (
+        gd.selectExpr(
+            "cents",
+            "SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS cum",
+            "SUM(c) OVER () AS n",
+        )
+        .filter("cum >= (3 * n + 3) DIV 4")
+        .agg(F.min("cents").alias("pred_global"))
+    )
+    # per-type p75 over distinct cents within type
+    td = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    tq = (
+        td.selectExpr(
+            "event_type", "cents",
+            "SUM(c) OVER (PARTITION BY event_type ORDER BY cents ROWS"
+            " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+            "SUM(c) OVER (PARTITION BY event_type) AS n",
+        )
+        .filter("cum >= (3 * n + 3) DIV 4")
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("pred_type"))
+    )
+    return (
+        ev.join(F.broadcast(tq), "event_type")
+        .crossJoin(F.broadcast(gq))
+        .selectExpr(
+            "event_type", "pred_global", "pred_type",
+            "CASE WHEN cents >= pred_global THEN 3 * (cents - pred_global)"
+            " ELSE pred_global - cents END AS lg",
+            "CASE WHEN cents >= pred_type THEN 3 * (cents - pred_type)"
+            " ELSE pred_type - cents END AS lt",
+        )
+        .groupBy("event_type", "pred_global", "pred_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lg").alias("loss4_global"),
+            F.sum("lt").alias("loss4_type"),
+        )
+    )
+
+
+def image_dither_fs(spark, sf_dir):
+    """FLOYD-STEINBERG DITHERING — 1-bit halftoning with integer error
+    diffusion (the display/compression preprocessing op; also the
+    classic example of an inherently SEQUENTIAL per-image kernel that
+    still parallelizes perfectly ACROSS images behind the map-only
+    decode path).  All-integer FLOOR diffusion; golden twin is a fully
+    scalar 2-D list walk.  A mid-gray field dithers to ~50% on-pixels
+    (pinned analytically in pytest)."""
+    from .ops.payload import dither_fs_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return dither_fs_stats(sel)
+
+
+def multimodal_audio_decimate(spark, sf_dir):
+    """SAMPLE-RATE REDUCTION (decimate-by-2 through the classic 32-sum
+    half-band FIR, all-integer with floor division) over the REAL-WAV
+    audio fixture — the resample primitive of audio ingest pipelines.
+    Engine: strided numpy slices per tap over the decoded channel-0
+    PCM; golden: regenerated waveform + reimplemented PCM16 + scalar
+    FIR loop (the audio-golden convention)."""
+    from .ops.multimodal import audio_decimate_stats, synth_audio_table
+
+    return audio_decimate_stats(synth_audio_table(spark, 64))
+
+
 QUERIES_R5F = {
     "snapshot_cow_delete": snapshot_cow_delete,
     "brand_affinity_cf": brand_affinity_cf,
@@ -678,4 +769,7 @@ QUERIES_R5F = {
     "doc_zlib_ratio": doc_zlib_ratio,
     "image_lbp_texture": image_lbp_texture,
     "image_canny_nms": image_canny_nms,
+    "events_pinball_eval": events_pinball_eval,
+    "image_dither_fs": image_dither_fs,
+    "multimodal_audio_decimate": multimodal_audio_decimate,
 }

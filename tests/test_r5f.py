@@ -557,3 +557,101 @@ def test_pipe_syntax_matches_dataframe_form(spark):
         assert int(out.loc[rf].avg_cents) == (
             int(want.loc[rf].s) // int(want.loc[rf].n)
         )
+
+
+# ---------------------------------------------------------------------------
+# Wave 30: pinball eval / FS dither / audio decimate
+# ---------------------------------------------------------------------------
+
+def test_pinball_conditioned_predictor_wins(spark):
+    from sdg_engine.queries_r5f import events_pinball_eval
+
+    out = _pdf(events_pinball_eval(spark, SF))
+    ev = _pdf(spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"))
+    # exact nearest-rank p75 twin
+    allc = sorted(ev.cents.astype(int))
+    n = len(allc)
+    pg = allc[(3 * n + 3) // 4 - 1]
+    for row in out.itertuples():
+        assert int(row.pred_global) == pg
+        grp = sorted(ev[ev.event_type == row.event_type].cents.astype(int))
+        m = len(grp)
+        pt = grp[(3 * m + 3) // 4 - 1]
+        assert int(row.pred_type) == pt
+        lg = sum(3 * (y - pg) if y >= pg else pg - y for y in grp)
+        lt = sum(3 * (y - pt) if y >= pt else pt - y for y in grp)
+        assert (int(row.loss4_global), int(row.loss4_type)) == (lg, lt)
+        # conditioning can't hurt at the group's own optimum quantile
+        assert int(row.loss4_type) <= int(row.loss4_global)
+
+
+def test_dither_mid_gray_is_half_on():
+    from sdg_engine.ops.payload import dither_fs_kernel
+
+    lum = np.full((32, 32), 128_000, dtype=np.int64)
+    n, on, _ = dither_fs_kernel(lum)
+    assert 0.45 < on / n < 0.55
+    assert dither_fs_kernel(np.zeros((8, 8), dtype=np.int64))[1] == 0
+    full = dither_fs_kernel(np.full((8, 8), 255_000, dtype=np.int64))
+    assert full[1] == 64
+
+
+def test_dither_matches_scalar_reference():
+    from sdg_engine.ops.payload import dither_fs_kernel
+
+    rng = np.random.RandomState(13)
+    lum = rng.randint(0, 256, size=(9, 11)).astype(np.int64) * 1000
+    buf = [[int(v) for v in row] for row in (lum // 1000)]
+    n_on = chk = 0
+    for r in range(9):
+        for c in range(11):
+            v = buf[r][c]
+            on = v >= 128
+            if on:
+                n_on += 1
+                chk += r * 11 + c + 1
+            e = v - (255 if on else 0)
+            if c + 1 < 11:
+                buf[r][c + 1] += e * 7 // 16
+            if r + 1 < 9:
+                if c - 1 >= 0:
+                    buf[r + 1][c - 1] += e * 3 // 16
+                buf[r + 1][c] += e * 5 // 16
+                if c + 1 < 11:
+                    buf[r + 1][c + 1] += e * 1 // 16
+    assert dither_fs_kernel(lum) == (99, n_on, chk)
+
+
+def test_decimate_preserves_dc_and_halves_rate():
+    import numpy as np
+
+    from sdg_engine.codecs import encode_wav
+    from sdg_engine.ops.multimodal import audio_decimate_stats
+
+    # constant signal: half-band FIR (sum 32, /32) reproduces it
+    pcm = np.full((200, 1), 1000, dtype=np.int16)
+    import pandas as pd
+
+    def run(pcm_arr, sr=16000):
+        buf = encode_wav(pcm_arr, sr)
+        return (
+            ("m0", buf, "wav", sr, pcm_arr.shape[1],
+             int(1000 * len(pcm_arr) / sr)),
+        )
+
+    from sdg_engine.ops.multimodal import AUDIO_SCHEMA  # noqa: F401
+    # direct kernel-level check through the dataframe op
+    from sdg_engine.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        list(run(pcm)),
+        "media_id string, bytes binary, codec string, sample_rate int, "
+        "n_channels int, duration_ms int",
+    )
+    row = audio_decimate_stats(df).collect()[0]
+    assert row.n_in == 200
+    assert row.n_out == (200 - 4) // 2 - 1  # n in [2, (len-4)//2]
+    assert row.max_abs == 1000  # DC gain exactly 1
+    assert row.sum_abs == row.n_out * 1000
