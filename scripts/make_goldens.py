@@ -3318,3 +3318,97 @@ def make_decimate_golden() -> None:
         os.path.join(OUT, "audio_decimate.parquet"),
     )
     print(f"decimate golden: {len(ids)} clips")
+
+
+def make_dog_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_dog_blobs (r05 wave 31): the binomial blur via
+    flat np.take GATHERS on index arrays (vs the engine's slice adds)
+    and the two-polarity NMS resolved with a SCALAR candidate loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import DOG_T
+
+    def blur_take(a):
+        hh, ww = a.shape
+        flat = a.ravel()
+        rr, cc = np.meshgrid(
+            np.arange(hh), np.arange(ww - 4), indexing="ij"
+        )
+        t = sum(
+            w * flat.take(rr * ww + cc + k)
+            for k, w in enumerate((1, 4, 6, 4, 1))
+        )
+        th, tw = t.shape
+        tf = t.ravel()
+        rr2, cc2 = np.meshgrid(
+            np.arange(th - 4), np.arange(tw), indexing="ij"
+        )
+        u = sum(
+            w * tf.take((rr2 + k) * tw + cc2)
+            for k, w in enumerate((1, 4, 6, 4, 1))
+        )
+        return u // 256
+
+    ids, ncs, nbs, nds, sds, chks = [], [], [], [], [], []
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        lum = _golden_lum_i64(px)
+        b1 = blur_take(lum)
+        b2 = blur_take(b1)
+        dog = b1[2:-2, 2:-2] - b2
+        hh, ww = dog.shape
+        n_b = n_d = chk = 0
+        cw = ww - 2
+        earlier = {(-1, -1), (-1, 0), (-1, 1), (0, -1)}
+        for r in range(1, hh - 1):
+            for c in range(1, ww - 1):
+                v = int(dog[r, c])
+                if v > DOG_T:
+                    ok = True
+                    for dr in (-1, 0, 1):
+                        for dc in (-1, 0, 1):
+                            if dr == 0 and dc == 0:
+                                continue
+                            nb = int(dog[r + dr, c + dc])
+                            if (dr, dc) in earlier:
+                                ok &= v > nb
+                            else:
+                                ok &= v >= nb
+                    if ok:
+                        n_b += 1
+                        chk += (r - 1) * cw + (c - 1) + 1
+                elif v < -DOG_T:
+                    ok = True
+                    for dr in (-1, 0, 1):
+                        for dc in (-1, 0, 1):
+                            if dr == 0 and dc == 0:
+                                continue
+                            nb = int(dog[r + dr, c + dc])
+                            if (dr, dc) in earlier:
+                                ok &= v < nb
+                            else:
+                                ok &= v <= nb
+                    if ok:
+                        n_d += 1
+                        chk += (r - 1) * cw + (c - 1) + 1
+        core = dog[1:-1, 1:-1]
+        ids.append(image_id)
+        ncs.append(int(core.size))
+        nbs.append(n_b)
+        nds.append(n_d)
+        sds.append(int(np.abs(core).sum()))
+        chks.append(chk)
+    pq.write_table(
+        pa.table({
+            "image_id": ids,
+            "n_core": pa.array(ncs, pa.int64()),
+            "n_bright": pa.array(nbs, pa.int64()),
+            "n_dark": pa.array(nds, pa.int64()),
+            "sum_absdog": pa.array(sds, pa.int64()),
+            "chk": pa.array(chks, pa.int64()),
+        }),
+        os.path.join(OUT, f"dog_sf{sf:g}.parquet"),
+    )
+    print(f"dog golden: {len(ids)} rows; blobs {sum(nbs)}+{sum(nds)}")

@@ -2088,3 +2088,74 @@ def dither_fs_stats(images: DataFrame) -> DataFrame:
         ["n_px", "n_on", "chk"],
         "n_px bigint, n_on bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-of-Gaussians blob detection (r05 wave 31) — completes the
+# keypoint triad (Harris corners / Canny edges / DoG blobs).  SPEC
+# shared by both twins, ALL INTEGER:
+#   g     = milli-luma as-is (the extra x1000 resolution matters: the
+#           synthetic fixture is smooth, gray-unit DoG rounds to ~2)
+#   blur  = separable binomial (1,4,6,4,1) in rows then cols, ONE floor
+#           division by 256 at the end (valid interior only: 2 px per
+#           blur level, no padding)
+#   b1 = blur(g); b2 = blur(b1); dog = b1[2:-2, 2:-2] - b2
+#   bright blob: dog > DOG_T  and dog >= all 8 neighbors, > the
+#                raster-earlier ones (the Harris NMS rule)
+#   dark blob:   dog < -DOG_T and dog <= all 8 neighbors, < earlier
+#   evaluated on the 1-px interior of the dog plane
+#   chk = sum (flat_index + 1) over blobs of both polarities
+# ---------------------------------------------------------------------------
+
+DOG_T = 800  # blob-contrast gate in MILLI-luma units (fixture DoG
+# magnitudes reach ~1000 milli at their sparse extrema)
+
+
+def _binom_blur_valid(a: np.ndarray) -> np.ndarray:
+    """(1,4,6,4,1) rows-then-cols with a single // 256 at the end."""
+    t = (a[:, :-4] + 4 * a[:, 1:-3] + 6 * a[:, 2:-2]
+         + 4 * a[:, 3:-1] + a[:, 4:])
+    u = (t[:-4] + 4 * t[1:-3] + 6 * t[2:-2] + 4 * t[3:-1] + t[4:])
+    return u // 256
+
+
+def dog_blob_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Engine mechanics: slice convolutions + vectorized 8-neighbor
+    comparisons (the golden twin convolves via np.take gathers and
+    resolves candidates with a scalar NMS loop).  Returns
+    (n_core, n_bright, n_dark, sum_absdog, chk)."""
+    b1 = _binom_blur_valid(lum_i)
+    b2 = _binom_blur_valid(b1)
+    dog = b1[2:-2, 2:-2] - b2
+    core = dog[1:-1, 1:-1]
+    hh, ww = dog.shape
+    bright = core > DOG_T
+    dark = core < -DOG_T
+    for dr, dc in ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                   (0, 1), (1, -1), (1, 0), (1, 1)):
+        nb = dog[1 + dr:hh - 1 + dr, 1 + dc:ww - 1 + dc]
+        if dr < 0 or (dr == 0 and dc < 0):
+            bright &= core > nb
+            dark &= core < nb
+        else:
+            bright &= core >= nb
+            dark &= core <= nb
+    blobs = bright | dark
+    idx = np.flatnonzero(blobs).astype(np.int64)
+    return (
+        int(core.size),
+        int(bright.sum()),
+        int(dark.sum()),
+        int(np.abs(core).sum()),
+        int((idx + 1).sum()),
+    )
+
+
+def dog_blob_stats(images: DataFrame) -> DataFrame:
+    """Per-image DoG blob stats (map-only)."""
+    return _int_terrain_op(
+        images, dog_blob_kernel,
+        ["n_core", "n_bright", "n_dark", "sum_absdog", "chk"],
+        "n_core bigint, n_bright bigint, n_dark bigint, "
+        "sum_absdog bigint, chk bigint",
+    )

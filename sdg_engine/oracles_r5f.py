@@ -273,6 +273,37 @@ GROUP BY 1, 2, 3
 """
 
 
+def _simhash_pairs_sql() -> str:
+    """Reuses the certified SIMHASH60 signature CTE verbatim, then the
+    band explode + dedup-before-verify pair join."""
+    from .oracles_ext import SIMHASH60
+
+    body = SIMHASH60.strip()
+    assert body.startswith("WITH")
+    inner = body[len("WITH"):].rsplit("SELECT", 1)
+    # re-wrap: the final SELECT of SIMHASH60 becomes a CTE `sigs`
+    return f"""
+WITH{inner[0]},
+sigs AS (SELECT{inner[1]}),
+bands AS (
+  SELECT doc_id, simhash, k, (simhash >> (12 * k)) & 4095 AS bv
+  FROM sigs, UNNEST(generate_series(0, 4)) AS u(k)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, x.simhash AS sa,
+         y.doc_id AS b, y.simhash AS sb
+  FROM bands x JOIN bands y ON x.k = y.k AND x.bv = y.bv
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+"""
+
+
+ORACLES_R5F["simhash_neardup_pairs"] = _simhash_pairs_sql()
+
+
 def fixture_oracles_r5f() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir
@@ -326,5 +357,11 @@ WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
         "multimodal_audio_decimate": f"""
 SELECT media_id, n_in, n_out, sum_abs, max_abs, chk
 FROM read_parquet('{gdir}/audio_decimate.parquet')
+""",
+        "image_dog_blobs": f"""
+SELECT g.image_id, g.n_core, g.n_bright, g.n_dark, g.sum_absdog, g.chk
+FROM read_parquet('{gdir}/dog_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
 """,
     }

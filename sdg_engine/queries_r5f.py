@@ -753,6 +753,59 @@ def multimodal_audio_decimate(spark, sf_dir):
     return audio_decimate_stats(synth_audio_table(spark, 64))
 
 
+# ---------------------------------------------------------------------------
+# Wave 31: SimHash banded near-dup join + DoG blobs
+# ---------------------------------------------------------------------------
+
+def simhash_neardup_pairs(spark, sf_dir):
+    """SIMHASH BANDED NEAR-DUP JOIN — the third dedup index family
+    wired end-to-end (MinHash-LSH and phash-LSH are certified; this
+    closes the loop on the simhash60 signatures): 60-bit signatures
+    split into 5 bands of 12 bits, candidates from the band equi-join
+    (group sizes bounded by docs per 12-bit bucket — never all-pairs),
+    deduped BEFORE the verify (each pair's hamming runs once however
+    many bands it collides in), kept at hamming <= 6 of 60.  Identical
+    CTE in DuckDB (bit_count/xor parity per the phash precedent)."""
+    from .queries_ext import simhash60
+
+    sigs = simhash60(spark, sf_dir).localCheckpoint()  # both join sides
+    bands = sigs.selectExpr(
+        "doc_id", "simhash", "explode(sequence(0, 4)) AS k"
+    ).selectExpr(
+        "doc_id", "simhash", "k",
+        "shiftright(simhash, 12 * k) & 4095 AS bv",
+    )
+    x = bands.selectExpr("k", "bv", "doc_id AS a", "simhash AS sa")
+    y = bands.selectExpr("k", "bv", "doc_id AS b", "simhash AS sb")
+    cand = (
+        x.join(y, ["k", "bv"])
+        .filter("a < b")
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    return cand.selectExpr(
+        "a AS doc_a", "b AS doc_b", "bit_count(sa ^ sb) AS hamming"
+    ).filter("hamming <= 6")
+
+
+def image_dog_blobs(spark, sf_dir):
+    """DIFFERENCE-OF-GAUSSIANS BLOB DETECTION — completes the keypoint
+    triad (Harris corners, Canny thin edges, DoG blobs): two levels of
+    the separable binomial pyramid on MILLI-luma (the fixture is
+    smooth; gray-unit DoG rounds away), two-polarity extremum NMS with
+    the deterministic raster-earlier tie rule, all integer, map-only.
+    Golden twin convolves via flat np.take gathers and resolves every
+    candidate with a scalar loop."""
+    from .ops.payload import dog_blob_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return dog_blob_stats(sel)
+
+
 QUERIES_R5F = {
     "snapshot_cow_delete": snapshot_cow_delete,
     "brand_affinity_cf": brand_affinity_cf,
@@ -772,4 +825,6 @@ QUERIES_R5F = {
     "events_pinball_eval": events_pinball_eval,
     "image_dither_fs": image_dither_fs,
     "multimodal_audio_decimate": multimodal_audio_decimate,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
+    "image_dog_blobs": image_dog_blobs,
 }

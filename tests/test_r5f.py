@@ -655,3 +655,93 @@ def test_decimate_preserves_dc_and_halves_rate():
     assert row.n_out == (200 - 4) // 2 - 1  # n in [2, (len-4)//2]
     assert row.max_abs == 1000  # DC gain exactly 1
     assert row.sum_abs == row.n_out * 1000
+
+
+# ---------------------------------------------------------------------------
+# Wave 31: SimHash banded pairs / DoG blobs
+# ---------------------------------------------------------------------------
+
+def test_simhash_pairs_recall_vs_brute_force(spark):
+    """Every hamming<=6 pair that shares at least one 12-bit band MUST
+    be found (banding is exact for band-colliding pairs), and every
+    reported pair must verify against brute-force hamming."""
+    from sdg_engine.queries_ext import simhash60
+    from sdg_engine.queries_r5f import simhash_neardup_pairs
+
+    out = _pdf(simhash_neardup_pairs(spark, SF))
+    sigs = {r.doc_id: int(r.simhash)
+            for r in simhash60(spark, SF).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            x = sigs[a] ^ sigs[b]
+            if bin(x).count("1") <= 6:
+                if any(((x >> (12 * k)) & 4095) == 0 for k in range(5)):
+                    want.add((a, b))
+    got = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
+    assert got == want
+    for r in out.itertuples():
+        assert bin(sigs[r.doc_a] ^ sigs[r.doc_b]).count("1") == int(r.hamming)
+        assert int(r.hamming) <= 6
+    # pigeonhole: hamming <= 4 over 5 bands ALWAYS collides in a band
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 4:
+                assert (a, b) in got
+
+
+def test_dog_blob_kernel_finds_dot_and_matches_scalar():
+    from sdg_engine.ops.payload import DOG_T, dog_blob_kernel
+
+    lum = np.zeros((24, 24), dtype=np.int64)
+    lum[11:13, 11:13] = 255_000
+    n_core, n_b, n_d, s_abs, chk = dog_blob_kernel(lum)
+    assert n_b == 1  # the dot is one bright extremum
+    assert n_d >= 1  # with a dark ring around it
+    # flat field: nothing
+    assert dog_blob_kernel(np.full((20, 20), 99_000, np.int64))[1:3] == (0, 0)
+    # scalar third mechanism on a random raster
+    rng = np.random.RandomState(2)
+    lum2 = rng.randint(0, 256, size=(15, 16)).astype(np.int64) * 1000
+
+    def blur_scalar(a):
+        hh, ww = a.shape
+        t = [[sum(wt * int(a[r, c + k]) for k, wt in
+                  enumerate((1, 4, 6, 4, 1))) for c in range(ww - 4)]
+             for r in range(hh)]
+        u = [[sum(wt * t[r + k][c] for k, wt in
+                  enumerate((1, 4, 6, 4, 1))) // 256
+              for c in range(ww - 4)] for r in range(hh - 4)]
+        return u
+
+    b1 = blur_scalar(lum2)
+    b1a = np.array(b1, dtype=np.int64)
+    b2 = np.array(blur_scalar(b1a), dtype=np.int64)
+    dog = b1a[2:-2, 2:-2] - b2
+    hh, ww = dog.shape
+    n_b2 = n_d2 = chk2 = 0
+    earlier = {(-1, -1), (-1, 0), (-1, 1), (0, -1)}
+    for r in range(1, hh - 1):
+        for c in range(1, ww - 1):
+            v = int(dog[r, c])
+            if abs(v) <= DOG_T:
+                continue
+            ok = True
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nb = int(dog[r + dr, c + dc])
+                    if v > 0:
+                        ok &= (v > nb) if (dr, dc) in earlier else (v >= nb)
+                    else:
+                        ok &= (v < nb) if (dr, dc) in earlier else (v <= nb)
+            if ok:
+                if v > 0:
+                    n_b2 += 1
+                else:
+                    n_d2 += 1
+                chk2 += (r - 1) * (ww - 2) + (c - 1) + 1
+    got = dog_blob_kernel(lum2)
+    assert got[1] == n_b2 and got[2] == n_d2 and got[4] == chk2
