@@ -304,17 +304,104 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 6
 ORACLES_R5F["simhash_neardup_pairs"] = _simhash_pairs_sql()
 
 
+def _tfidf_topk_sql() -> str:
+    from .queries_r5f import _TFIDF_QUERY_DOC, _TFIDF_TOPK, _TFIDF_W
+
+    w = _TFIDF_W.replace(" DIV ", " // ")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents),
+w AS (
+  SELECT doc_id, tf.tok, CAST({w} AS BIGINT) AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nd
+),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2 FROM w
+          GROUP BY doc_id),
+qv AS (SELECT tok, w AS wq FROM w WHERE doc_id = {_TFIDF_QUERY_DOC}),
+dots AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(w.w * qv.wq) AS BIGINT) AS dot
+  FROM w JOIN qv ON w.tok = qv.tok
+  WHERE w.doc_id <> {_TFIDF_QUERY_DOC}
+  GROUP BY w.doc_id
+),
+qn AS (SELECT nrm2 AS nq FROM norms WHERE doc_id = {_TFIDF_QUERY_DOC}),
+scored AS (
+  SELECT dots.doc_id, n_shared,
+         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+              / (sqrt(CAST(norms.nrm2 AS DOUBLE))
+                 * sqrt(CAST(qn.nq AS DOUBLE)))) AS BIGINT) AS cos_micros
+  FROM dots JOIN norms ON norms.doc_id = dots.doc_id CROSS JOIN qn
+)
+SELECT doc_id, n_shared, cos_micros, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_micros DESC, doc_id ASC)
+    AS rnk
+  FROM scored
+) WHERE rnk <= {_TFIDF_TOPK}
+"""
+
+
+ORACLES_R5F["tfidf_cosine_topk"] = _tfidf_topk_sql()
+
+
 def fixture_oracles_r5f() -> dict[str, str]:
     """Lazily-built oracles embedding absolute fixture/golden paths."""
     from .jobs.rai import fixture_dir
+    from .queries_r5 import _BFS_NODE
+    from .queries_r5e import _DIAM_MAX_HOPS
 
     fdir = fixture_dir(0.01)
     img = os.path.join(fdir, "images.parquet").replace("'", "''")
+    roads = os.path.join(fdir, "roads.parquet").replace("'", "''")
     gdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "goldens",
     ).replace("'", "''")
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    bipartite = f"""
+WITH RECURSIVE
+nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+        FROM read_parquet('{roads}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM ab
+        UNION ALL SELECT b AS src, a AS dst FROM ab)
+      WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+hub AS (SELECT src AS node FROM deg ORDER BY deg DESC, src ASC LIMIT 1),
+walk(node, hops) AS (
+  SELECT node, 0 FROM hub
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {_DIAM_MAX_HOPS}
+),
+lab AS (SELECT node, MIN(hops) % 2 AS par FROM walk GROUP BY node),
+conf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_comp,
+         CAST(SUM(CASE WHEN pa.par = pb.par THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conflicts
+  FROM e
+  JOIN lab pa ON pa.node = e.src
+  JOIN lab pb ON pb.node = e.dst
+  WHERE e.src < e.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lab) AS n_visited,
+       n_edges_comp, n_conflicts,
+       CAST(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_bipartite
+FROM conf
+"""
     return {
+        "roads_bipartite_check": bipartite,
         "image_harris_corners": f"""
 SELECT g.image_id, g.n_interior, g.n_corners, g.sum_rq, g.max_r, g.chk
 FROM read_parquet('{gdir}/harris_sf0.01.parquet') g

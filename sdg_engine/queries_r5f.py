@@ -806,6 +806,125 @@ def image_dog_blobs(spark, sf_dir):
     return dog_blob_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Wave 32: TF-IDF cosine pairs + bipartite check
+# ---------------------------------------------------------------------------
+
+# Shared SPEC fragments (engine and oracle verbatim):
+_TFIDF_QUERY_DOC = 0  # the query document
+_TFIDF_TOPK = 10
+_TFIDF_W = "tf * ((n_docs * 16) DIV df)"  # log-free integer idf proxy
+
+
+def tfidf_cosine_topk(spark, sf_dir):
+    """TF-IDF COSINE more-like-this retrieval — the WEIGHTED
+    vector-space twin of bm25_top_docs' probabilistic ranking: score
+    every document sharing a term with the QUERY doc (doc_id 0) by
+    cosine over w = tf · idf_proxy weights (log-free integer
+    (N·16) DIV df — the BM25 precedent).  The scored relation is the
+    union of the query's posting lists (|query terms| · df rows —
+    bounded by the query length at any corpus size, the classic
+    query-time inverted-index plan); dot products are exact BIGINT
+    sums; only the final cosine touches DOUBLE (sqrt is on the
+    allowed-op list); deterministic (cos desc, doc asc) top-10."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.expr("split(text, ' ')")).alias("tok")
+        )
+        .filter("length(tok) > 0")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # consumers: df, norms, query + corpus sides
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr("doc_id", "tok", f"{_TFIDF_W} AS w")
+        .localCheckpoint()  # norms + the retrieval probe
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.expr("w * w")).alias("nrm2"))
+    qv = w.filter(f"doc_id = {_TFIDF_QUERY_DOC}") \
+        .selectExpr("tok", "w AS wq")
+    dots = (
+        w.filter(f"doc_id <> {_TFIDF_QUERY_DOC}")
+        .join(F.broadcast(qv), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.expr("w * wq")).alias("dot"),
+        )
+    )
+    qn = norms.filter(f"doc_id = {_TFIDF_QUERY_DOC}") \
+        .selectExpr("nrm2 AS nq")
+    scored = (
+        dots.join(F.broadcast(norms), "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .selectExpr(
+            "doc_id", "n_shared",
+            "CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(nrm2 AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))))"
+            " AS BIGINT) AS cos_micros",
+        )
+    )
+    return scored.selectExpr(
+        "doc_id", "n_shared", "cos_micros",
+        "ROW_NUMBER() OVER (ORDER BY cos_micros DESC, doc_id ASC) AS rnk",
+    ).filter(f"rnk <= {_TFIDF_TOPK}")
+
+
+def roads_bipartite_check(spark, sf_dir):
+    """BIPARTITENESS TEST of the road graph (2-colorability — the
+    odd-cycle detector; a planar street grid is bipartite iff no odd
+    block cycles): BFS hop-parity labels from the max-degree hub (the
+    certified frontier loop), then one pass over the edges counts
+    same-parity endpoints — each is an odd cycle witness.  Oracle:
+    recursive-CTE BFS + identical conflict count."""
+    from .queries_ext import _fixture_images
+    from .queries_r5 import _BFS_NODE
+    from .queries_r5e import _DIAM_MAX_HOPS, _bfs_labels
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = roads.selectExpr(
+        f"transform(coords, c -> {node}) AS nds"
+    ).selectExpr(
+        "explode(transform(sequence(1, size(nds) - 1), "
+        "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+    ).select("e.a", "e.b")
+    edges = (
+        segs.selectExpr("a AS src", "b AS dst")
+        .unionAll(segs.selectExpr("b AS src", "a AS dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hub = deg.orderBy(F.col("deg").desc(), F.col("src").asc()).limit(1) \
+        .selectExpr("src AS node")
+    visited = _bfs_labels(edges, hub, _DIAM_MAX_HOPS).localCheckpoint()
+    lab = visited.selectExpr("node", "hops % 2 AS par")
+    conf = (
+        edges.filter("src < dst")
+        .join(lab.selectExpr("node AS src", "par AS pa"), "src")
+        .join(lab.selectExpr("node AS dst", "par AS pb"), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges_comp"),
+            F.sum(F.expr("CASE WHEN pa = pb THEN 1 ELSE 0 END"))
+            .alias("n_conflicts"),
+        )
+    )
+    n_vis = visited.count()
+    return conf.selectExpr(
+        f"CAST({n_vis} AS BIGINT) AS n_visited",
+        "n_edges_comp", "n_conflicts",
+        "CAST(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END AS INT)"
+        " AS is_bipartite",
+    )
+
+
 QUERIES_R5F = {
     "snapshot_cow_delete": snapshot_cow_delete,
     "brand_affinity_cf": brand_affinity_cf,
@@ -827,4 +946,6 @@ QUERIES_R5F = {
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "image_dog_blobs": image_dog_blobs,
+    "tfidf_cosine_topk": tfidf_cosine_topk,
+    "roads_bipartite_check": roads_bipartite_check,
 }

@@ -745,3 +745,88 @@ def test_dog_blob_kernel_finds_dot_and_matches_scalar():
                 chk2 += (r - 1) * (ww - 2) + (c - 1) + 1
     got = dog_blob_kernel(lum2)
     assert got[1] == n_b2 and got[2] == n_d2 and got[4] == chk2
+
+
+# ---------------------------------------------------------------------------
+# Wave 32: TF-IDF more-like-this / bipartite check
+# ---------------------------------------------------------------------------
+
+def test_tfidf_topk_matches_python_twin(spark):
+    import math
+    from collections import Counter
+
+    from sdg_engine.queries_r5f import tfidf_cosine_topk
+
+    out = _pdf(tfidf_cosine_topk(spark, SF))
+    docs = _pdf(spark.read.parquet(f"{SF}/documents.parquet")[
+        ["doc_id", "text"]])
+    tf = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        tf[int(did)] = Counter(w for w in text.split(" ") if w)
+    n_docs = len(docs)
+    df = Counter()
+    for c in tf.values():
+        for t in c:
+            df[t] += 1
+    w = {d: {t: n * ((n_docs * 16) // df[t]) for t, n in c.items()}
+         for d, c in tf.items()}
+    nrm = {d: sum(v * v for v in ws.values()) for d, ws in w.items()}
+    q = w[0]
+    scored = []
+    for d, ws in w.items():
+        if d == 0:
+            continue
+        shared = set(ws) & set(q)
+        if not shared:
+            continue
+        dot = sum(ws[t] * q[t] for t in shared)
+        cos = math.floor(1e6 * dot / (math.sqrt(nrm[d]) * math.sqrt(nrm[0])))
+        scored.append((-cos, d, len(shared), cos))
+    scored.sort()
+    want = [(d, ns, cos, i + 1)
+            for i, (_, d, ns, cos) in enumerate(scored[:10])]
+    got = [(int(r.doc_id), int(r.n_shared), int(r.cos_micros), int(r.rnk))
+           for r in out.sort_values("rnk").itertuples()]
+    assert got == want
+    # cosine is bounded and the list is sorted
+    assert all(0 <= c <= 1_000_000 for _, _, c, _ in got)
+
+
+def test_bipartite_check_matches_python_bfs(spark):
+    import math
+    from collections import deque
+
+    from sdg_engine.queries_ext import _fixture_images
+    from sdg_engine.queries_r5f import roads_bipartite_check
+
+    out = _pdf(roads_bipartite_check(spark, SF)).iloc[0]
+    rp = _pdf(_fixture_images(spark, SF, pin_sf=0.01)[1])
+    adj: dict = {}
+    for r in rp.itertuples():
+        nds = [
+            (int(math.floor(c["x"] * 10 + 0.5)) + 100) * 1000
+            + (int(math.floor(c["y"] * 10 + 0.5)) + 100)
+            for c in r.coords
+        ]
+        for a, b in zip(nds, nds[1:]):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    hub = min(adj, key=lambda n: (-len(adj[n]), n))
+    hops = {hub: 0}
+    q = deque([hub])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in hops:
+                hops[v] = hops[u] + 1
+                q.append(v)
+    n_edges = sum(1 for a in adj for b in adj[a]
+                  if a < b and a in hops and b in hops)
+    n_conf = sum(1 for a in adj for b in adj[a]
+                 if a < b and a in hops and b in hops
+                 and hops[a] % 2 == hops[b] % 2)
+    assert int(out.n_visited) == len(hops)
+    assert int(out.n_edges_comp) == n_edges
+    assert int(out.n_conflicts) == n_conf
+    assert int(out.is_bipartite) == (1 if n_conf == 0 else 0)
