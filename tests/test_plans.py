@@ -779,3 +779,41 @@ def test_snap_and_edt_stay_map_shaped(spark):
     assert "Window" not in plan
     eplan = _plan(image_edt(spark, SF))
     assert "Exchange" not in eplan
+
+
+def test_wave26plus_kernels_are_map_only(spark):
+    """Harris / skeleton / LBP / Canny-NMS / dither / DoG: payload
+    bytes never shuffle — zero Exchange in all six plans."""
+    from sdg_engine.queries_r5f import (
+        image_canny_nms,
+        image_dither_fs,
+        image_dog_blobs,
+        image_harris_corners,
+        image_lbp_texture,
+        image_skeleton_zs,
+    )
+
+    for fn in (image_harris_corners, image_skeleton_zs,
+               image_lbp_texture, image_canny_nms, image_dither_fs,
+               image_dog_blobs):
+        assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
+
+
+def test_simhash_band_join_no_cartesian(spark):
+    """The banded near-dup join must plan as a band equi-join —
+    CartesianProduct / BroadcastNestedLoopJoin are forbidden."""
+    from sdg_engine.queries_r5f import simhash_neardup_pairs
+
+    p = _plan(simhash_neardup_pairs(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_tfidf_topk_probe_is_broadcast(spark):
+    """The query-vector probe must broadcast (it is query-length
+    sized); no cartesian anywhere."""
+    from sdg_engine.queries_r5f import tfidf_cosine_topk
+
+    p = _plan(tfidf_cosine_topk(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
