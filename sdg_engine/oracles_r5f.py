@@ -304,6 +304,55 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 6
 ORACLES_R5F["simhash_neardup_pairs"] = _simhash_pairs_sql()
 
 
+_ZTEST_Z = (
+    "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+)
+
+ORACLES_R5F["events_conversion_ztest"] = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+halves AS (
+  SELECT CASE WHEN us < mid THEN 0 ELSE 1 END AS half, hit
+  FROM ev CROSS JOIN mid
+),
+piv AS (
+  SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN half = 0 THEN hit ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN half = 1 THEN hit ELSE 0 END) AS BIGINT) AS x2
+  FROM halves
+)
+SELECT n1, x1, n2, x2,
+       x1 * 1000000 // n1 AS rate1_ppm,
+       x2 * 1000000 // n2 AS rate2_ppm,
+       CAST(FLOOR(1000000.0 * ({_ZTEST_Z})) AS BIGINT) AS z_micros
+FROM piv
+"""
+
+ORACLES_R5F["events_hhi_concentration"] = """
+WITH per AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(s * s) AS BIGINT)
+            // (CAST(SUM(s) AS BIGINT) * CAST(SUM(s) AS BIGINT)
+                // 1000000) AS BIGINT) AS hhi_ppm
+FROM per GROUP BY event_type
+"""
+
+
 def _tfidf_topk_sql() -> str:
     from .queries_r5f import _TFIDF_QUERY_DOC, _TFIDF_TOPK, _TFIDF_W
 

@@ -925,6 +925,85 @@ def roads_bipartite_check(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 33: two-proportion z-test + HHI concentration
+# ---------------------------------------------------------------------------
+
+def events_conversion_ztest(spark, sf_dir):
+    """TWO-PROPORTION Z-TEST of conversion drift — did the purchase
+    share of events change between the first and second half of the
+    timeline?  The A/B-test primitive next to events_welch_ttest
+    (means) and drift_chisq (whole distributions): four exact BIGINT
+    counts (x1, n1, x2, n2) from one map-side-combined pass (the epoch
+    midpoint is a broadcast one-row aggregate), then z from the pooled
+    estimator as a single shared double chain (only + - * / sqrt;
+    explicit DOUBLE casts per gotcha 17).  Emits z_micros and the
+    per-half rates in exact ppm."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        f"{_TS_US} AS us",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit",
+    )
+    mid = ev.agg(
+        F.expr("(MIN(us) + MAX(us)) DIV 2 AS mid")
+    )
+    counts = ev.crossJoin(F.broadcast(mid)).selectExpr(
+        "CASE WHEN us < mid THEN 0 ELSE 1 END AS half", "hit"
+    ).groupBy("half").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("x")
+    )
+    piv = counts.agg(
+        F.sum(F.expr("CASE WHEN half = 0 THEN n ELSE 0 END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN half = 0 THEN x ELSE 0 END")).alias("x1"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN n ELSE 0 END")).alias("n2"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN x ELSE 0 END")).alias("x2"),
+    )
+    z = (
+        "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+    )
+    return piv.selectExpr(
+        "n1", "x1", "n2", "x2",
+        "x1 * 1000000 DIV n1 AS rate1_ppm",
+        "x2 * 1000000 DIV n2 AS rate2_ppm",
+        f"CAST(FLOOR(1000000.0 * ({z})) AS BIGINT) AS z_micros",
+    )
+
+
+def events_hhi_concentration(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN concentration of spend across users, per
+    event type — the long-tail-vs-whale diagnostic next to
+    customer_gini (inequality) and doc_word_diversity (Simpson; HHI is
+    its complement on shares): per-(type, user) cents totals, then
+    HHI_ppm = Σ s_u² DIV (S² DIV 1e6) — the denominator is pre-divided
+    so every term stays inside int64 at any scale (Σ s_u² ≤ S·max s_u).
+    Two hash aggs, map-side combined."""
+    per = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type", "user_id",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("s"))
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("s").alias("total_cents"),
+            F.sum(F.expr("s * s")).alias("sum_sq"),
+        )
+        .selectExpr(
+            "event_type", "n_users", "total_cents",
+            "sum_sq DIV (total_cents * total_cents DIV 1000000)"
+            " AS hhi_ppm",
+        )
+    )
+
+
 QUERIES_R5F = {
     "snapshot_cow_delete": snapshot_cow_delete,
     "brand_affinity_cf": brand_affinity_cf,
@@ -948,4 +1027,6 @@ QUERIES_R5F = {
     "image_dog_blobs": image_dog_blobs,
     "tfidf_cosine_topk": tfidf_cosine_topk,
     "roads_bipartite_check": roads_bipartite_check,
+    "events_conversion_ztest": events_conversion_ztest,
+    "events_hhi_concentration": events_hhi_concentration,
 }

@@ -830,3 +830,51 @@ def test_bipartite_check_matches_python_bfs(spark):
     assert int(out.n_edges_comp) == n_edges
     assert int(out.n_conflicts) == n_conf
     assert int(out.is_bipartite) == (1 if n_conf == 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Wave 33: two-proportion z-test + HHI concentration
+# ---------------------------------------------------------------------------
+
+def test_conversion_ztest_matches_scalar(spark):
+    import math
+
+    from sdg_engine.queries_r5f import events_conversion_ztest
+
+    out = _pdf(events_conversion_ztest(spark, SF)).iloc[0]
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["ts", "event_type"])
+    us = ev["ts"].astype("int64")
+    mid = (int(us.min()) + int(us.max())) // 2
+    first = us < mid
+    hit = (ev["event_type"] == "purchase").astype(int)
+    n1, x1 = int(first.sum()), int(hit[first].sum())
+    n2, x2 = int((~first).sum()), int(hit[~first].sum())
+    assert (int(out.n1), int(out.x1), int(out.n2), int(out.x2)) == \
+        (n1, x1, n2, x2)
+    p = (x1 + x2) / (n1 + n2)
+    z = (x1 / n1 - x2 / n2) / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    assert int(out.z_micros) == math.floor(1e6 * z)
+    assert int(out.rate1_ppm) == x1 * 1_000_000 // n1
+    assert int(out.rate2_ppm) == x2 * 1_000_000 // n2
+
+
+def test_hhi_concentration_matches_scalar_and_bounds(spark):
+    import math
+
+    from sdg_engine.queries_r5f import events_hhi_concentration
+
+    out = _pdf(events_hhi_concentration(spark, SF))
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for r in out.itertuples():
+        g = ev[ev["event_type"] == r.event_type]
+        per = g.groupby("user_id")["cents"].sum()
+        s, ss = int(per.sum()), int((per * per).sum())
+        assert int(r.n_users) == per.size
+        assert int(r.total_cents) == s
+        want = ss // (s * s // 1_000_000)
+        assert int(r.hhi_ppm) == want
+        # HHI in (1e6/n, 1e6]: equality floor .. single-whale ceiling
+        assert 1_000_000 // per.size <= int(r.hhi_ppm) <= 1_000_001
