@@ -688,6 +688,10 @@ from .oracles_r5f import ORACLES_R5F  # noqa: E402 — round-5 wave 26
 
 ORACLES.update(ORACLES_R5F)
 
+from .oracles_r5g import ORACLES_R5G  # noqa: E402 — round-5 wave 34
+
+ORACLES.update(ORACLES_R5G)
+
 
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-built image-fixture oracles (they embed

@@ -1,0 +1,92 @@
+"""DuckDB oracle twins for queries_r5g (wave 34).
+
+The Spark side routes through SQL UDFs / session variables / Arrow
+batches / a grouped-agg pandas UDF; the DuckDB twin states the same
+semantics in plain ANSI SQL — per-row FLOOR-to-cents before sums
+(gotcha 8), nearest-rank-lower medians (no interpolation).
+"""
+
+from __future__ import annotations
+
+ORACLES_R5G: dict[str, str] = {}
+
+ORACLES_R5G["sql_udf_revenue"] = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                           * (1.0 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                                     * l_tax * 100.0 + 0.5) AS BIGINT)
+                          * 25
+                          > CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                                       * (1.0 - l_discount) * 100.0
+                                       + 0.5) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+ORACLES_R5G["session_variable_segments"] = """
+WITH thr AS (
+  SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS min_bal FROM customer
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       CAST(SUM(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer CROSS JOIN thr
+WHERE CAST(c_acctbal AS DOUBLE) > min_bal
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+ORACLES_R5G["arrow_doc_stats"] = r"""
+WITH per AS (
+  SELECT doc_id, lang,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[aeiou]')) AS n_vowels
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_vowels) AS BIGINT) AS total_vowels,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R5G["grouped_agg_user_median"] = """
+WITH cents AS (
+  SELECT event_type, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                            ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, user_id) AS cnt
+  FROM cents
+),
+per_user AS (
+  SELECT event_type, user_id,
+         MAX(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS med_cents,
+         MAX(cnt) AS n
+  FROM ranked
+  GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(med_cents) AS BIGINT) AS sum_medians,
+       CAST(MAX(med_cents) AS BIGINT) AS max_median,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_user
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -864,6 +864,10 @@ from .queries_r5f import QUERIES_R5F  # noqa: E402 — round-5 wave 26
 
 QUERIES.update(QUERIES_R5F)
 
+from .queries_r5g import QUERIES_R5G  # noqa: E402 — round-5 wave 34
+
+QUERIES.update(QUERIES_R5G)
+
 
 def _with_prep(fn):
     """Every registry entry runs _prep first: non-ANSI arithmetic and

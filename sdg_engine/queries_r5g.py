@@ -1,0 +1,221 @@
+"""Round-5 wave 34: the four PySpark/Spark-SQL API surfaces the suite
+had not yet exercised, each doing real work over the harness tables:
+
+- SQL scalar UDFs (``CREATE TEMPORARY FUNCTION ... RETURN expr``,
+  Spark 4 SQL-function support) — sql_udf_revenue;
+- session variables (``DECLARE VARIABLE`` / ``SET VAR``) plus the
+  ``IDENTIFIER()`` clause for late-bound table names —
+  session_variable_segments;
+- ``mapInArrow`` (RecordBatch-level Arrow transform, the lowest-level
+  vectorized Python hook) — arrow_doc_stats;
+- grouped-aggregate pandas UDF (``groupBy().agg(pandas_udf)``) —
+  grouped_agg_user_median.
+
+Parity rules as everywhere (CLAUDE.md gotchas 7/8/17): per-row FLOOR
+to BIGINT cents before any multi-row sum, so every aggregate is
+associative; medians are nearest-rank-lower (no interpolation).
+Registered into queries.QUERIES via QUERIES_R5G.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDFs
+# ---------------------------------------------------------------------------
+
+def sql_udf_revenue(spark, sf_dir):
+    """SQL SCALAR UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    the declarative cousin of every pandas UDF in this repo — the body
+    is a SQL expression, so Catalyst INLINES it (codegen, pushdown,
+    no Python round-trip; the plan is identical to writing the
+    expression in place, which is exactly what the oracle does).
+    Two functions: ``disc_cents`` (per-row discounted price in exact
+    BIGINT cents — FLOOR per row keeps the sum associative, gotcha 8)
+    and a boolean ``is_high_tax`` that COMPOSES the first one in its
+    own body; revenue and high-tax-line share per return flag."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents("
+        "p DOUBLE, d DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(FLOOR(CAST(p AS DOUBLE) * (1.0 - d) * 100.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_high_tax("
+        "t DOUBLE, p DOUBLE, d DOUBLE) RETURNS BOOLEAN "
+        "RETURN CAST(FLOOR(CAST(p AS DOUBLE) * t * 100.0 + 0.5) AS BIGINT)"
+        " * 25 > disc_cents(p, d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag,
+               COUNT(*) AS n_lines,
+               SUM(disc_cents(l_extendedprice, l_discount))
+                 AS revenue_cents,
+               SUM(CASE WHEN is_high_tax(l_tax, l_extendedprice,
+                                         l_discount)
+                        THEN 1 ELSE 0 END) AS n_high_tax
+        FROM li_sqludf
+        GROUP BY l_returnflag
+        ORDER BY flag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session variables + IDENTIFIER()
+# ---------------------------------------------------------------------------
+
+def session_variable_segments(spark, sf_dir):
+    """SESSION VARIABLES (``DECLARE VARIABLE`` / ``SET VAR``) driving
+    both a predicate AND a late-bound table name via ``IDENTIFIER()``
+    — the parameterized-deployment surface (one SQL text, per-run
+    bindings) next to param_sql_revenue's client-side named
+    parameters.  The threshold variable is itself COMPUTED by a SQL
+    statement (the mean balance), so the binding round-trips through
+    the variable store rather than the Python driver.  Per-segment
+    counts and cents over customers above the mean balance."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_sessvar")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_tbl STRING")
+    spark.sql("SET VAR sv_tbl = 'cust_sessvar'")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_min_bal DOUBLE")
+    spark.sql(
+        "SET VAR sv_min_bal = (SELECT AVG(CAST(c_acctbal AS DOUBLE))"
+        " FROM IDENTIFIER(sv_tbl))"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_above,
+               SUM(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5)
+                        AS BIGINT)) AS bal_cents
+        FROM IDENTIFIER(sv_tbl)
+        WHERE CAST(c_acctbal AS DOUBLE) > sv_min_bal
+        GROUP BY c_mktsegment
+        ORDER BY segment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow
+# ---------------------------------------------------------------------------
+
+def _arrow_doc_batches(batches):
+    """RecordBatch-level transform: pure pyarrow.compute kernels, no
+    pandas materialization — every output is a PER-ROW function of the
+    input row, so the result is independent of Arrow batch boundaries
+    (the invariant the pytest twin pins by re-running at batch size 7).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        n_bytes = pc.binary_length(text.cast(pa.binary()))
+        n_tokens = pc.count_substring_regex(text, r"\S+")
+        n_vowels = pc.count_substring_regex(text, "[aeiou]")
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(b.schema.get_field_index("doc_id")),
+                b.column(b.schema.get_field_index("lang")),
+                n_bytes.cast(pa.int64()),
+                n_tokens.cast(pa.int64()),
+                n_vowels.cast(pa.int64()),
+            ],
+            names=["doc_id", "lang", "n_bytes", "n_tokens", "n_vowels"],
+        )
+
+
+def arrow_doc_stats(spark, sf_dir):
+    """``mapInArrow`` byte/token/vowel profile — the RecordBatch-level
+    Arrow hook (one abstraction BELOW mapInPandas: no pandas object
+    materialization, kernels run on Arrow buffers) that completes the
+    vectorized-Python API ladder next to mapInPandas (codecs),
+    cogrouped applyInPandas (tile burn), applyInPandasWithState
+    (sessionize), arrow-optimized pandas UDFs, and the Python UDTF.
+    Map-only over the scan; the per-lang rollup is the only exchange.
+    At 100 TB this is the shape of every decode pass in the repo."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stats = docs.mapInArrow(
+        _arrow_doc_batches,
+        "doc_id bigint, lang string, n_bytes bigint, n_tokens bigint,"
+        " n_vowels bigint",
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_vowels").alias("total_vowels"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF
+# ---------------------------------------------------------------------------
+
+def grouped_agg_user_median(spark, sf_dir):
+    """GROUPED-AGGREGATE pandas UDF (``groupBy().agg(pandas_udf)``) —
+    exact nearest-rank-lower median spend per (event_type, user):
+    the group is one user's events of one type (BOUNDED per user at
+    any corpus size — the honest unit for a whole-group-in-memory
+    API; the unbounded-group exact-median scale path is the two-level
+    bucket rank in customer_deciles/hist_quantiles), then a plain JVM
+    rollup of those medians per event type."""
+
+    @F.pandas_udf("bigint")
+    def med_lower(v: pd.Series) -> int:
+        s = v.sort_values().reset_index(drop=True)
+        return int(s.iloc[(len(s) + 1) // 2 - 1])
+
+    @F.pandas_udf("bigint")
+    def n_rows(v: pd.Series) -> int:
+        # Spark forbids mixing grouped-agg pandas UDFs with JVM
+        # aggregates in one agg() — so the count rides along as a
+        # second pandas aggregate.
+        return int(len(v))
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type", "user_id",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            med_lower(F.col("cents")).alias("med_cents"),
+            n_rows(F.col("cents")).alias("n"),
+        )
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("med_cents").alias("sum_medians"),
+            F.max("med_cents").alias("max_median"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_R5G = {
+    "sql_udf_revenue": sql_udf_revenue,
+    "session_variable_segments": session_variable_segments,
+    "arrow_doc_stats": arrow_doc_stats,
+    "grouped_agg_user_median": grouped_agg_user_median,
+}
