@@ -10,6 +10,20 @@ from __future__ import annotations
 
 ORACLES_R5G: dict[str, str] = {}
 
+ORACLES_R5G["avro_roundtrip_events"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(epoch_us(ts) % 997) AS BIGINT) AS ts_chk
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES_R5G["sql_udf_revenue"] = """
 SELECT l_returnflag AS flag,
        CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -213,7 +213,113 @@ def grouped_agg_user_median(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Avro object-container roundtrip
+# ---------------------------------------------------------------------------
+
+def avro_roundtrip_events(spark, sf_dir):
+    """AVRO EXPORT + re-ingest — the classic row-oriented interchange
+    format next to the TFRecord/WebDataset training sinks, through the
+    FROM-SCRATCH Object Container codec (sdg_engine/avro.py, Apache
+    Avro 1.11 public spec: zigzag-varint binary encoding, metadata
+    map, sync-marker-framed data blocks).  Every partition writes one
+    shard — EVEN partitions deflate-coded, ODD null-coded, so both
+    codec paths are load-bearing; timestamps travel as
+    timestamp-micros longs; blocks are 200 records so the reader walks
+    a real multi-block chain.  The shards come back via binaryFile +
+    mapInPandas decode and the per-type rollup (counts, exact cents,
+    id extrema, distinct users) is checked against DuckDB over the
+    source parquet.  At 100 TB this is the standard sharded-export
+    shape: one file per task, content never shuffles."""
+    import os
+
+    from .queries_ext import _stream_base
+
+    schema = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts_us", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+            {"name": "props", "type": ["null", "string"]},
+        ],
+    }
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        "user_id", "event_type", "value", "props",
+    )
+    out = f"{_stream_base(spark, 'avro_')}/shards"
+    os.makedirs(out, exist_ok=True)
+
+    def _write(rows):
+        from pyspark import TaskContext
+
+        from sdg_engine.avro import write_avro
+
+        recs = [
+            {
+                "event_id": int(r.event_id), "ts_us": int(r.ts_us),
+                "user_id": int(r.user_id), "event_type": r.event_type,
+                "value": float(r.value), "props": r.props,
+            }
+            for r in rows
+        ]
+        if recs:
+            pid = TaskContext.get().partitionId()
+            codec = "deflate" if pid % 2 == 0 else "null"
+            write_avro(os.path.join(out, f"shard-{pid:05d}.avro"),
+                       schema, recs, codec=codec, block_records=200)
+
+    ev.foreachPartition(_write)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*")
+        .load(out)
+    )
+
+    def _parse(batches):
+        from sdg_engine.avro import read_avro
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, recs = read_avro(bytes(blob))
+                rows.extend(
+                    (r["event_id"], r["ts_us"], r["user_id"],
+                     r["event_type"], r["value"])
+                    for r in recs
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["event_id", "ts_us", "user_id", "event_type",
+                         "value"],
+            )
+
+    decoded = bf.select("content").mapInPandas(
+        _parse,
+        "event_id bigint, ts_us bigint, user_id bigint,"
+        " event_type string, value double",
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+            .alias("cents"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.expr("ts_us % 997")).alias("ts_chk"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES_R5G = {
+    "avro_roundtrip_events": avro_roundtrip_events,
     "sql_udf_revenue": sql_udf_revenue,
     "session_variable_segments": session_variable_segments,
     "arrow_doc_stats": arrow_doc_stats,

@@ -84,3 +84,71 @@ def test_grouped_agg_median_matches_scalar(spark):
         assert int(out.loc[et, "sum_medians"]) == int(meds.sum())
         assert int(out.loc[et, "max_median"]) == int(meds.max())
         assert int(out.loc[et, "n_events"]) == len(g)
+
+
+# ---------------------------------------------------------------------------
+# Avro object container codec
+# ---------------------------------------------------------------------------
+
+def test_avro_zigzag_spec_vectors():
+    """Known vectors from the public Avro spec's binary-encoding table."""
+    from sdg_engine.avro import write_long
+
+    def enc(n):
+        b = bytearray()
+        write_long(b, n)
+        return bytes(b)
+
+    assert enc(0) == b"\x00"
+    assert enc(-1) == b"\x01"
+    assert enc(1) == b"\x02"
+    assert enc(-2) == b"\x03"
+    assert enc(2) == b"\x04"
+    assert enc(-64) == b"\x7f"
+    assert enc(64) == b"\x80\x01"
+
+
+def test_avro_roundtrip_both_codecs_and_blocks(tmp_path):
+    from sdg_engine.avro import MAGIC, read_avro, write_avro
+
+    schema = {
+        "type": "record", "name": "T",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+            {"name": "o", "type": ["null", "string"]},
+        ],
+    }
+    recs = [
+        {"i": k * 7 - 50, "d": k / 3.0, "s": f"row{k}é",
+         "b": bytes([k % 256, 255 - k % 256]), "f": k % 2 == 0,
+         "o": None if k % 3 == 0 else f"opt{k}"}
+        for k in range(25)
+    ]
+    for codec in ("null", "deflate"):
+        p = tmp_path / f"t_{codec}.avro"
+        # block_records=10 -> 3 blocks: the reader must walk the chain
+        write_avro(str(p), schema, recs, codec=codec, block_records=10)
+        blob = p.read_bytes()
+        assert blob[:4] == MAGIC
+        got_schema, got = read_avro(blob)
+        assert got_schema["fields"][0]["name"] == "i"
+        assert got == recs
+
+
+def test_avro_sync_marker_corruption_detected(tmp_path):
+    import pytest
+
+    from sdg_engine.avro import read_avro, write_avro
+
+    schema = {"type": "record", "name": "T",
+              "fields": [{"name": "i", "type": "long"}]}
+    p = tmp_path / "t.avro"
+    write_avro(str(p), schema, [{"i": 1}, {"i": 2}], block_records=1)
+    blob = bytearray(p.read_bytes())
+    blob[-1] ^= 0xFF  # flip one byte of the final sync marker
+    with pytest.raises(ValueError, match="sync"):
+        read_avro(bytes(blob))
