@@ -10,6 +10,102 @@ from __future__ import annotations
 
 ORACLES_R5G: dict[str, str] = {}
 
+ORACLES_R5G["events_nelson_aalen"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MAX(epoch_us(ts)) AS t_last,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS t_hit
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT CASE WHEN t_hit IS NOT NULL
+              THEN (t_hit - t0) // 3600000000
+              ELSE (t_last - t0) // 3600000000 END AS dur_hr,
+         CASE WHEN t_hit IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+),
+per_dur AS (
+  SELECT dur_hr,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY dur_hr
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj),
+risk AS (
+  SELECT dur_hr, d,
+         n_total - COALESCE(SUM(m) OVER (ORDER BY dur_hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM per_dur CROSS JOIN tot
+),
+haz AS (
+  SELECT dur_hr, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+         CAST(d * 1000000000 // n_at_risk AS BIGINT) AS hazard_nanos
+  FROM risk WHERE d > 0
+)
+SELECT dur_hr, d, n_at_risk, hazard_nanos,
+       CAST(SUM(hazard_nanos) OVER (ORDER BY dur_hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_nanos
+FROM haz
+ORDER BY dur_hr
+"""
+
+ORACLES_R5G["doc_term_chisq"] = """
+WITH terms AS (
+  SELECT DISTINCT doc_id, lang, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text),
+                '[^a-z]+')) AS term) AS t
+  WHERE t.term != ''
+),
+df_lang AS (
+  SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM terms GROUP BY term, lang
+),
+df_all AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY term
+),
+n_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+  FROM documents GROUP BY lang
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cont AS (
+  SELECT dl.lang, dl.term, dl.a,
+         da.df - dl.a AS b, nl.nl - dl.a AS c,
+         nt.n - da.df - (nl.nl - dl.a) AS d, nt.n
+  FROM df_lang dl
+  JOIN df_all da USING (term)
+  JOIN n_lang nl USING (lang)
+  CROSS JOIN n_tot nt
+),
+chi AS (
+  SELECT lang, term, a,
+         CAST(FLOOR(1000000.0 * CAST(n AS DOUBLE)
+              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+              / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                 * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))
+              AS BIGINT) AS chi2_micros
+  FROM cont
+)
+SELECT lang, term, a, chi2_micros,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT lang, term, a, chi2_micros,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY chi2_micros DESC, term) AS rnk
+  FROM chi
+)
+WHERE rnk <= 3
+ORDER BY lang, rnk
+"""
+
 ORACLES_R5G["avro_roundtrip_events"] = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,

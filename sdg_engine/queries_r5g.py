@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -318,7 +321,126 @@ def avro_roundtrip_events(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 36: Nelson-Aalen survival + chi-squared feature selection
+# ---------------------------------------------------------------------------
+
+def events_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN cumulative hazard of time-to-first-purchase — the
+    survival-analysis primitive (the sum-form twin of Kaplan-Meier,
+    chosen BECAUSE it is a sum: per-term ``d_i*1e9 DIV n_i`` floors to
+    BIGINT nanos, so the cumulative hazard is an associative BIGINT
+    running sum — no float product chain anywhere).  Subjects are
+    users; duration = hours from a user's first event to their first
+    purchase, right-CENSORED at their last event when no purchase
+    occurs (the censor keeps n_at_risk honest).  One hash agg to the
+    per-user relation, then windows over the DISTINCT-DURATIONS
+    relation (bounded by the time range, the best_f1 precedent — never
+    a window over raw events)."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", f"{_TS_US} AS us",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("MIN(us)").alias("t0"),
+            F.expr("MAX(us)").alias("t_last"),
+            F.expr("MIN(CASE WHEN hit = 1 THEN us END)").alias("t_hit"),
+        )
+        .selectExpr(
+            "CASE WHEN t_hit IS NOT NULL"
+            " THEN (t_hit - t0) DIV 3600000000"
+            " ELSE (t_last - t0) DIV 3600000000 END AS dur_hr",
+            "CASE WHEN t_hit IS NOT NULL THEN 1 ELSE 0 END AS event",
+        )
+    )
+    per_dur = per_user.groupBy("dur_hr").agg(
+        F.sum("event").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w = (
+        "SUM(m) OVER (ORDER BY dur_hr"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_dur.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "dur_hr", "d", "m",
+            f"n_total - COALESCE({w}, 0) AS n_at_risk",
+        )
+        .filter("d > 0")
+        .selectExpr(
+            "dur_hr", "d", "n_at_risk",
+            "d * 1000000000 DIV n_at_risk AS hazard_nanos",
+        )
+        .selectExpr(
+            "dur_hr", "d", "n_at_risk", "hazard_nanos",
+            "SUM(hazard_nanos) OVER (ORDER BY dur_hr"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS cum_hazard_nanos",
+        )
+        .orderBy("dur_hr")
+    )
+
+
+def doc_term_chisq(spark, sf_dir):
+    """CHI-SQUARED feature selection — which terms are most associated
+    with each language (the classifier-feature primitive next to
+    drift_chisq, which compares whole distributions): per (lang, term)
+    the 2x2 contingency counts a/b/c/d from ONE distinct-terms explode
+    pass (the relation is vocab x langs — bounded at any corpus size),
+    then chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) computed in DOUBLE
+    (identical op shape in the oracle; counts exceed int64 products at
+    real N, so the float chain IS the scale-honest form) and floored
+    to micros.  Top-3 terms per lang, chi2-desc / term-asc ties."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    terms = docs.selectExpr(
+        "doc_id", "lang",
+        "explode(array_distinct(split(lower(text), '[^a-z]+'))) AS term",
+    ).filter("term != ''")
+    df_lang = terms.groupBy("term", "lang").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    df_all = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    chi = (
+        df_lang.join(F.broadcast(df_all), "term")
+        .join(F.broadcast(n_lang), "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .selectExpr(
+            "lang", "term", "a",
+            "df - a AS b", "nl - a AS c", "n - df - (nl - a) AS d", "n",
+        )
+        .selectExpr(
+            "lang", "term", "a",
+            "CAST(FLOOR(1000000.0 * CAST(n AS DOUBLE)"
+            " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+            "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+            " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+            "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+            " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+            "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))"
+            " AS BIGINT) AS chi2_micros",
+        )
+    )
+    return (
+        chi.selectExpr(
+            "lang", "term", "a", "chi2_micros",
+            "ROW_NUMBER() OVER (PARTITION BY lang"
+            " ORDER BY chi2_micros DESC, term) AS rnk",
+        )
+        .filter("rnk <= 3")
+        .orderBy("lang", "rnk")
+    )
+
+
 QUERIES_R5G = {
+    "events_nelson_aalen": events_nelson_aalen,
+    "doc_term_chisq": doc_term_chisq,
     "avro_roundtrip_events": avro_roundtrip_events,
     "sql_udf_revenue": sql_udf_revenue,
     "session_variable_segments": session_variable_segments,

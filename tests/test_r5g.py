@@ -152,3 +152,84 @@ def test_avro_sync_marker_corruption_detected(tmp_path):
     blob[-1] ^= 0xFF  # flip one byte of the final sync marker
     with pytest.raises(ValueError, match="sync"):
         read_avro(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Wave 36: Nelson-Aalen + chi-squared feature selection
+# ---------------------------------------------------------------------------
+
+def test_nelson_aalen_matches_scalar(spark):
+    from sdg_engine.queries_r5g import events_nelson_aalen
+
+    out = _pdf(events_nelson_aalen(spark, SF))
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["us"] = ev["ts"].astype("int64")
+    subj = []
+    for _, g in ev.groupby("user_id"):
+        t0, t_last = int(g["us"].min()), int(g["us"].max())
+        hits = g.loc[g["event_type"] == "purchase", "us"]
+        if len(hits):
+            subj.append(((int(hits.min()) - t0) // 3_600_000_000, 1))
+        else:
+            subj.append(((t_last - t0) // 3_600_000_000, 0))
+    total = len(subj)
+    per = {}
+    for dur, event in subj:
+        d, m = per.get(dur, (0, 0))
+        per[dur] = (d + event, m + 1)
+    seen = 0
+    cum = 0
+    want = []
+    for dur in sorted(per):
+        d, m = per[dur]
+        n_risk = total - seen
+        seen += m
+        if d == 0:
+            continue
+        haz = d * 1_000_000_000 // n_risk
+        cum += haz
+        want.append((dur, d, n_risk, haz, cum))
+    got = [tuple(int(v) for v in r)
+           for r in out.sort_values("dur_hr").itertuples(index=False)]
+    assert got == want
+    # survival-table invariants
+    risks = [r[2] for r in got]
+    assert risks == sorted(risks, reverse=True)
+    cums = [r[4] for r in got]
+    assert cums == sorted(cums)
+
+
+def test_doc_term_chisq_scalar_twin(spark):
+    import math
+    import re
+
+    from sdg_engine.queries_r5g import doc_term_chisq
+
+    out = _pdf(doc_term_chisq(spark, SF))
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    n = len(docs)
+    df_all: dict = {}
+    df_lang: dict = {}
+    n_lang = docs["lang"].value_counts().to_dict()
+    for r in docs.itertuples():
+        for t in set(x for x in re.split(r"[^a-z]+", r.text.lower()) if x):
+            df_all[t] = df_all.get(t, 0) + 1
+            df_lang[(r.lang, t)] = df_lang.get((r.lang, t), 0) + 1
+    for row in out.itertuples():
+        a = df_lang[(row.lang, row.term)]
+        b = df_all[row.term] - a
+        c = n_lang[row.lang] - a
+        d = n - df_all[row.term] - c
+        chi = (
+            1e6 * float(n) * (float(a) * float(d) - float(b) * float(c))
+            * (float(a) * float(d) - float(b) * float(c))
+            / (float(a + b) * float(c + d) * float(a + c) * float(b + d))
+        )
+        assert int(row.chi2_micros) == math.floor(chi)
+        assert int(row.a) == a
+        assert row.chi2_micros >= 0
+    # exactly 3 ranked terms per language
+    for _, s in out.groupby("lang")["rnk"]:
+        assert sorted(int(x) for x in s) == [1, 2, 3]
