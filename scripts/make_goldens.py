@@ -3412,3 +3412,100 @@ def make_dog_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"dog_sf{sf:g}.parquet"),
     )
     print(f"dog golden: {len(ids)} rows; blobs {sum(nbs)}+{sum(nds)}")
+
+
+def make_haar_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_haar_energy (r05 wave 37): the same
+    unnormalized 2-level Haar SPEC with every 2x2 block corner
+    gathered by SCALAR loops over python ints (vs the engine's
+    strided-slice arithmetic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def level(gr):
+        hh, ww = len(gr) // 2, len(gr[0]) // 2
+        ll = [[0] * ww for _ in range(hh)]
+        eh = ev = ed = 0
+        for r in range(hh):
+            for c in range(ww):
+                a = gr[2 * r][2 * c]
+                b = gr[2 * r][2 * c + 1]
+                cc = gr[2 * r + 1][2 * c]
+                d = gr[2 * r + 1][2 * c + 1]
+                ll[r][c] = a + b + cc + d
+                eh += (a - b + cc - d) ** 2
+                ev += (a + b - cc - d) ** 2
+                ed += (a - b - cc + d) ** 2
+        return ll, eh, ev, ed
+
+    cols = {k: [] for k in ("image_id", "n_px", "e_ll2", "e_h1", "e_v1",
+                            "e_d1", "e_h2", "e_v2", "e_d2")}
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g64 = _golden_lum_i64(px) // 1000
+        hh, ww = (g64.shape[0] // 4) * 4, (g64.shape[1] // 4) * 4
+        gr = [[int(v) for v in row[:ww]] for row in g64[:hh]]
+        ll1, eh1, ev1, ed1 = level(gr)
+        ll2, eh2, ev2, ed2 = level(ll1)
+        ell2 = sum(v * v for row in ll2 for v in row)
+        cols["image_id"].append(image_id)
+        for k, v in (("n_px", hh * ww), ("e_ll2", ell2), ("e_h1", eh1),
+                     ("e_v1", ev1), ("e_d1", ed1), ("e_h2", eh2),
+                     ("e_v2", ev2), ("e_d2", ed2)):
+            cols[k].append(v)
+    pq.write_table(
+        pa.table({k: (v if k == "image_id" else pa.array(v, pa.int64()))
+                  for k, v in cols.items()}),
+        os.path.join(OUT, f"haar_sf{sf:g}.parquet"),
+    )
+    print(f"haar golden: {len(cols['image_id'])} rows")
+
+
+def make_seam_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_seam_carve (r05 wave 37): the whole energy +
+    DP + backtrack SPEC as scalar python ints (vs the engine's
+    row-vectorized numpy DP)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    INF = 1 << 40
+    cols = {k: [] for k in ("image_id", "seam_cost", "top_col",
+                            "bottom_col", "sum_energy", "chk")}
+    for i, image_id, fmt, lon, lat, w_, h_, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g64 = _golden_lum_i64(px) // 1000
+        h, w = g64.shape
+        g = [[int(v) for v in row] for row in g64]
+        e = [[abs(g[r][min(c + 1, w - 1)] - g[r][max(c - 1, 0)])
+              + abs(g[min(r + 1, h - 1)][c] - g[max(r - 1, 0)][c])
+              for c in range(w)] for r in range(h)]
+        m = [e[0][:]]
+        for r in range(1, h):
+            prev = m[r - 1]
+            m.append([
+                e[r][c] + min(prev[c - 1] if c > 0 else INF, prev[c],
+                              prev[c + 1] if c + 1 < w else INF)
+                for c in range(w)
+            ])
+        bottom = min(range(w), key=lambda c: (m[h - 1][c], c))
+        cost = m[h - 1][bottom]
+        col = bottom
+        chk = (h - 1) * w + col + 1
+        for r in range(h - 2, -1, -1):
+            cand = [c for c in (col - 1, col, col + 1) if 0 <= c < w]
+            col = min(cand, key=lambda c: (m[r][c], c))
+            chk += r * w + col + 1
+        cols["image_id"].append(image_id)
+        for k, v in (("seam_cost", cost), ("top_col", col),
+                     ("bottom_col", bottom),
+                     ("sum_energy", sum(sum(row) for row in e)),
+                     ("chk", chk)):
+            cols[k].append(v)
+    pq.write_table(
+        pa.table({k: (v if k == "image_id" else pa.array(v, pa.int64()))
+                  for k, v in cols.items()}),
+        os.path.join(OUT, f"seam_sf{sf:g}.parquet"),
+    )
+    print(f"seam golden: {len(cols['image_id'])} rows")

@@ -2159,3 +2159,111 @@ def dog_blob_stats(images: DataFrame) -> DataFrame:
         "n_core bigint, n_bright bigint, n_dark bigint, "
         "sum_absdog bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-level integer Haar DWT subband energies (r05 wave 37).  SPEC shared
+# by both twins, ALL INTEGER because the transform is UNNORMALIZED
+# (sum/difference form — no division anywhere, so it is exact and
+# fold-order-free; the scale grows x4 per level, which the energy
+# columns simply carry):
+#   g = milli-luma // 1000, cropped to dims divisible by 4
+#   per 2x2 block (a b / c d):
+#     ll = a+b+c+d   h = a-b+c-d   v = a+b-c-d   dd = a-b-c+d
+#   level 2 = same transform applied to the level-1 ll plane
+#   e_X = sum of squares over the X subband (int64: |coef| <= 4080,
+#   coef^2 <= 1.7e7, * 4096 px well inside range)
+# ---------------------------------------------------------------------------
+
+
+def _haar_blocks(g: np.ndarray):
+    a = g[0::2, 0::2]
+    b = g[0::2, 1::2]
+    c = g[1::2, 0::2]
+    d = g[1::2, 1::2]
+    return a + b + c + d, a - b + c - d, a + b - c - d, a - b - c + d
+
+
+def haar_energy_kernel(lum_i: np.ndarray) -> tuple[int, ...]:
+    """Engine mechanics: strided-slice block arithmetic (the golden
+    twin gathers each block corner with scalar loops).  Returns
+    (n_px, e_ll2, e_h1, e_v1, e_d1, e_h2, e_v2, e_d2)."""
+    g = lum_i // 1000
+    hh, ww = (lum_i.shape[0] // 4) * 4, (lum_i.shape[1] // 4) * 4
+    g = g[:hh, :ww]
+    ll1, h1, v1, d1 = _haar_blocks(g)
+    ll2, h2, v2, d2 = _haar_blocks(ll1)
+    sq = lambda x: int((x.astype(np.int64) ** 2).sum())  # noqa: E731
+    return (hh * ww, sq(ll2), sq(h1), sq(v1), sq(d1),
+            sq(h2), sq(v2), sq(d2))
+
+
+def haar_energy_stats(images: DataFrame) -> DataFrame:
+    """Per-image Haar subband energies (map-only)."""
+    return _int_terrain_op(
+        images, haar_energy_kernel,
+        ["n_px", "e_ll2", "e_h1", "e_v1", "e_d1", "e_h2", "e_v2", "e_d2"],
+        "n_px bigint, e_ll2 bigint, e_h1 bigint, e_v1 bigint,"
+        " e_d1 bigint, e_h2 bigint, e_v2 bigint, e_d2 bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vertical seam carving (r05 wave 37) — the content-aware-resize DP
+# (another inherently sequential per-image kernel that parallelizes
+# across images, like the dither).  SPEC shared by both twins:
+#   g  = milli-luma // 1000
+#   E[r][c] = |g[r][min(c+1,w-1)] - g[r][max(c-1,0)]|
+#           + |g[min(r+1,h-1)][c] - g[max(r-1,0)][c]|   (clamped grads)
+#   M[0] = E[0];  M[r][c] = E[r][c] + min(M[r-1][c-1], M[r-1][c],
+#                                         M[r-1][c+1])  (missing = inf)
+#   seam bottom = leftmost argmin of M[h-1]; walking up, the parent is
+#   the leftmost argmin of the (up to 3) cells above
+#   chk = sum over seam rows of (r * w + col_r + 1)
+# ---------------------------------------------------------------------------
+
+_SEAM_INF = np.int64(1) << 40
+
+
+def seam_carve_kernel(lum_i: np.ndarray) -> tuple[int, int, int, int, int]:
+    """Engine mechanics: row-vectorized DP (three shifted copies +
+    np.minimum per row, argmin backtrack); the golden twin runs the
+    whole DP as scalar python ints.  Returns
+    (seam_cost, top_col, bottom_col, sum_energy, chk)."""
+    g = lum_i // 1000
+    h, w = g.shape
+    dx = np.abs(g[:, np.minimum(np.arange(w) + 1, w - 1)]
+                - g[:, np.maximum(np.arange(w) - 1, 0)])
+    dy = np.abs(g[np.minimum(np.arange(h) + 1, h - 1), :]
+                - g[np.maximum(np.arange(h) - 1, 0), :])
+    e = (dx + dy).astype(np.int64)
+    m = np.empty_like(e)
+    m[0] = e[0]
+    left = np.empty(w, dtype=np.int64)
+    right = np.empty(w, dtype=np.int64)
+    for r in range(1, h):
+        prev = m[r - 1]
+        left[0] = _SEAM_INF
+        left[1:] = prev[:-1]
+        right[-1] = _SEAM_INF
+        right[:-1] = prev[1:]
+        m[r] = e[r] + np.minimum(np.minimum(left, prev), right)
+    bottom = int(np.argmin(m[h - 1]))  # np.argmin = leftmost tie
+    cost = int(m[h - 1][bottom])
+    col = bottom
+    chk = (h - 1) * w + col + 1
+    for r in range(h - 2, -1, -1):
+        lo = max(col - 1, 0)
+        col = lo + int(np.argmin(m[r][lo:min(col + 2, w)]))
+        chk += r * w + col + 1
+    return (cost, col, bottom, int(e.sum()), chk)
+
+
+def seam_carve_stats(images: DataFrame) -> DataFrame:
+    """Per-image vertical-seam stats (map-only)."""
+    return _int_terrain_op(
+        images, seam_carve_kernel,
+        ["seam_cost", "top_col", "bottom_col", "sum_energy", "chk"],
+        "seam_cost bigint, top_col bigint, bottom_col bigint,"
+        " sum_energy bigint, chk bigint",
+    )

@@ -704,6 +704,7 @@ def all_oracles() -> dict[str, str]:
     from .oracles_r5d import fixture_oracles_r5d
     from .oracles_r5e import fixture_oracles_r5e
     from .oracles_r5f import fixture_oracles_r5f
+    from .oracles_r5g import fixture_oracles_r5g
 
     out = dict(ORACLES)
     out.update(image_oracles())
@@ -712,4 +713,5 @@ def all_oracles() -> dict[str, str]:
     out.update(fixture_oracles_r5d())
     out.update(fixture_oracles_r5e())
     out.update(fixture_oracles_r5f())
+    out.update(fixture_oracles_r5g())
     return out

@@ -200,3 +200,35 @@ FROM per_user
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def fixture_oracles_r5g() -> dict[str, str]:
+    """Lazily-built oracles embedding absolute fixture/golden paths
+    (the image kernels compare against committed goldens produced by
+    the INDEPENDENT scalar twins in scripts/make_goldens.py)."""
+    import os
+
+    from .jobs.rai import fixture_dir
+
+    fdir = fixture_dir(0.01)
+    img = os.path.join(fdir, "images.parquet").replace("'", "''")
+    gdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "goldens",
+    ).replace("'", "''")
+    return {
+        "image_haar_energy": f"""
+SELECT g.image_id, g.n_px, g.e_ll2, g.e_h1, g.e_v1, g.e_d1,
+       g.e_h2, g.e_v2, g.e_d2
+FROM read_parquet('{gdir}/haar_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "image_seam_carve": f"""
+SELECT g.image_id, g.seam_cost, g.top_col, g.bottom_col,
+       g.sum_energy, g.chk
+FROM read_parquet('{gdir}/seam_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+    }

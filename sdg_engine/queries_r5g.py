@@ -438,7 +438,48 @@ def doc_term_chisq(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 37: Haar DWT subband energies + vertical seam carving
+# ---------------------------------------------------------------------------
+
+def image_haar_energy(spark, sf_dir):
+    """2-LEVEL INTEGER HAAR DWT subband energies — the wavelet
+    frequency-split every compression/denoise/texture pipeline starts
+    from, in its UNNORMALIZED sum/difference form so the transform is
+    EXACT integer arithmetic (no division, no rounding spec to agree
+    on — the energies are fold-order-free BIGINTs by construction).
+    Map-only behind the decode path; golden twin gathers each 2x2
+    block corner with scalar loops (vs the engine's strided slices)."""
+    from .ops.payload import haar_energy_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return haar_energy_stats(sel)
+
+
+def image_seam_carve(spark, sf_dir):
+    """VERTICAL SEAM CARVING — the content-aware-resize DP (min-energy
+    top-to-bottom 8-connected path over the clamped-gradient energy
+    map), the third inherently-sequential-per-image kernel next to the
+    dither and the skeleton fixpoint: row-vectorized DP in the engine,
+    fully scalar DP in the golden, leftmost-argmin ties in both.
+    Parallel across images, payload bytes never shuffle."""
+    from .ops.payload import seam_carve_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return seam_carve_stats(sel)
+
+
 QUERIES_R5G = {
+    "image_haar_energy": image_haar_energy,
+    "image_seam_carve": image_seam_carve,
     "events_nelson_aalen": events_nelson_aalen,
     "doc_term_chisq": doc_term_chisq,
     "avro_roundtrip_events": avro_roundtrip_events,

@@ -817,3 +817,12 @@ def test_tfidf_topk_probe_is_broadcast(spark):
     p = _plan(tfidf_cosine_topk(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_wave37_kernels_are_map_only(spark):
+    """Haar DWT + seam carving: payload bytes never shuffle — zero
+    Exchange in both plans."""
+    from sdg_engine.queries_r5g import image_haar_energy, image_seam_carve
+
+    for fn in (image_haar_energy, image_seam_carve):
+        assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__

@@ -233,3 +233,78 @@ def test_doc_term_chisq_scalar_twin(spark):
     # exactly 3 ranked terms per language
     for _, s in out.groupby("lang")["rnk"]:
         assert sorted(int(x) for x in s) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Wave 37: Haar DWT + seam carving — analytic cases
+# ---------------------------------------------------------------------------
+
+def test_haar_flat_image_has_zero_detail_energy():
+    import numpy as np
+
+    from sdg_engine.ops.payload import haar_energy_kernel
+
+    lum = np.full((16, 16), 100_000, dtype=np.int64)
+    n_px, e_ll2, e_h1, e_v1, e_d1, e_h2, e_v2, e_d2 = haar_energy_kernel(lum)
+    assert n_px == 256
+    # flat field: ll2 coefficient = 16 * gray per block, details all 0
+    assert e_ll2 == 16 * ((16 * 100) ** 2)
+    assert (e_h1, e_v1, e_d1, e_h2, e_v2, e_d2) == (0, 0, 0, 0, 0, 0)
+
+
+def test_haar_column_stripes_land_in_h_band_only():
+    import numpy as np
+
+    from sdg_engine.ops.payload import haar_energy_kernel
+
+    # columns alternate a,b,a,b -> within every 2x2 block h = 2(a-b),
+    # v = d = 0; level-2 input is a flat ll plane -> level-2 details 0
+    lum = np.zeros((8, 8), dtype=np.int64)
+    lum[:, 0::2] = 200_000
+    lum[:, 1::2] = 50_000
+    _, _, e_h1, e_v1, e_d1, e_h2, e_v2, e_d2 = haar_energy_kernel(lum)
+    assert e_h1 == 16 * (2 * (200 - 50)) ** 2
+    assert (e_v1, e_d1, e_h2, e_v2, e_d2) == (0, 0, 0, 0, 0)
+
+
+def test_seam_avoids_bright_stripe_and_matches_scalar():
+    import numpy as np
+
+    from sdg_engine.ops.payload import seam_carve_kernel
+
+    # a bright vertical stripe at col 5: energy is zero away from it,
+    # so the min seam costs 0 and never touches cols 4..6
+    lum = np.zeros((12, 12), dtype=np.int64)
+    lum[:, 5] = 255_000
+    cost, top, bottom, sum_e, chk = seam_carve_kernel(lum)
+    assert cost == 0
+    assert top not in (4, 5, 6) and bottom not in (4, 5, 6)
+    # leftmost tie rule: the all-zero-energy seam hugs column 0
+    assert top == 0 and bottom == 0
+
+    # engine vs an independent scalar DP on a random integer image
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(10, 9), dtype=np.int64)
+    lum2 = g * 1000
+    INF = 1 << 40
+    h, w = g.shape
+    gi = [[int(v) for v in row] for row in g]
+    e = [[abs(gi[r][min(c + 1, w - 1)] - gi[r][max(c - 1, 0)])
+          + abs(gi[min(r + 1, h - 1)][c] - gi[max(r - 1, 0)][c])
+          for c in range(w)] for r in range(h)]
+    m = [e[0][:]]
+    for r in range(1, h):
+        prev = m[r - 1]
+        m.append([e[r][c] + min(prev[c - 1] if c > 0 else INF, prev[c],
+                                prev[c + 1] if c + 1 < w else INF)
+                  for c in range(w)])
+    bot = min(range(w), key=lambda c: (m[h - 1][c], c))
+    col = bot
+    chk2 = (h - 1) * w + col + 1
+    for r in range(h - 2, -1, -1):
+        cand = [c for c in (col - 1, col, col + 1) if 0 <= c < w]
+        col = min(cand, key=lambda c: (m[r][c], c))
+        chk2 += r * w + col + 1
+    got = seam_carve_kernel(lum2)
+    assert got == (m[h - 1][bot], col, bot,
+                   sum(sum(row) for row in e), chk2)
