@@ -212,11 +212,42 @@ def fixture_oracles_r5g() -> dict[str, str]:
 
     fdir = fixture_dir(0.01)
     img = os.path.join(fdir, "images.parquet").replace("'", "''")
+    roads = os.path.join(fdir, "roads.parquet").replace("'", "''")
     gdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "goldens",
     ).replace("'", "''")
     return {
+        "polyline_roundtrip_roads": f"""
+WITH pts AS (
+  SELECT r.road_id, r.kind,
+         CAST(FLOOR(c.x * 100000 + 0.5) AS BIGINT) AS qx,
+         CAST(FLOOR(c.y * 100000 + 0.5) AS BIGINT) AS qy
+  FROM read_parquet('{roads}') r, UNNEST(r.coords) AS t(c)
+),
+per_road AS (
+  SELECT r.road_id, r.kind,
+         CAST(len(r.coords) AS BIGINT) AS n_pts,
+         CAST(FLOOR(r.coords[len(r.coords)].x * 100000 + 0.5) AS BIGINT)
+           - CAST(FLOOR(r.coords[1].x * 100000 + 0.5) AS BIGINT)
+           AS drift_qx
+  FROM read_parquet('{roads}') r
+),
+sums AS (
+  SELECT road_id, CAST(SUM(qx) AS BIGINT) AS sum_qx,
+         CAST(SUM(qy) AS BIGINT) AS sum_qy
+  FROM pts GROUP BY road_id
+)
+SELECT p.kind,
+       CAST(COUNT(*) AS BIGINT) AS n_roads,
+       CAST(SUM(p.n_pts) AS BIGINT) AS total_pts,
+       CAST(SUM(s.sum_qx) AS BIGINT) AS sum_qx,
+       CAST(SUM(s.sum_qy) AS BIGINT) AS sum_qy,
+       CAST(SUM(p.drift_qx) AS BIGINT) AS net_drift_qx
+FROM per_road p JOIN sums s USING (road_id)
+GROUP BY p.kind
+ORDER BY p.kind
+""",
         "image_haar_energy": f"""
 SELECT g.image_id, g.n_px, g.e_ll2, g.e_h1, g.e_v1, g.e_d1,
        g.e_h2, g.e_v2, g.e_d2

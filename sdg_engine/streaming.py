@@ -806,3 +806,103 @@ def make_ticker_datasource():
             return _TickerStreamReader(self.options)
 
     return TickerDataSource
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (r05 wave 39) — the Spark 4 arbitrary-
+# stateful-processing API (SPARK-42931 successor of applyInPandasWith-
+# State): a StatefulProcessor object with TYPED state primitives
+# (ValueState + MapState here) instead of one opaque state tuple.
+# Requires the RocksDB state-store provider; the query builder sets it
+# around the drain and restores the previous provider after.
+# ---------------------------------------------------------------------------
+
+_TWS_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, cents_total bigint, n_types bigint"
+)
+
+
+def _make_tws_processor():
+    """Built lazily so the class body (which subclasses a pyspark ABC)
+    ships to workers via the pyfiles zip, not a driver closure."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        """Per-user RUNNING SPEND TOTALS with a per-type seen-count
+        map: ValueState carries (cents, n) across micro-batches,
+        MapState carries event_type -> count (n_types = its key
+        cardinality — the state shape applyInPandasWithState's single
+        tuple cannot express without serializing a dict by hand)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "cents long, n long")
+            self._types = handle.getMapState(
+                "types", "t string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cents = 0
+            n = 0
+            counts: dict = {}
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                cents += int(pdf["cents"].sum())
+                n += len(pdf)
+                for t, c in pdf["event_type"].value_counts().items():
+                    counts[t] = counts.get(t, 0) + int(c)
+            if self._tot.exists():
+                pc, pn = self._tot.get()
+                cents += int(pc)
+                n += int(pn)
+            self._tot.update((cents, n))
+            for t, c in counts.items():
+                if self._types.containsKey((t,)):
+                    c += int(self._types.getValue((t,))[0])
+                self._types.updateValue((t,), (c,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [n],
+                 "cents_total": [cents], "n_types": [n_types]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def stream_tws_running_totals(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str
+) -> None:
+    """transformWithStateInPandas drain: per-user running totals over
+    the ts-chunked file source (maxFilesPerTrigger=1 — each chunk is
+    one micro-batch, so every user emits a strictly-growing n_events
+    row per batch it appears in)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .selectExpr(
+            "user_id", "event_type",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+    )
+    totals = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_tws_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+    (
+        totals.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -308,3 +308,70 @@ def test_seam_avoids_bright_stripe_and_matches_scalar():
     got = seam_carve_kernel(lum2)
     assert got == (m[h - 1][bot], col, bot,
                    sum(sum(row) for row in e), chk2)
+
+
+# ---------------------------------------------------------------------------
+# Wave 38: encoded polyline
+# ---------------------------------------------------------------------------
+
+def test_polyline_matches_public_spec_vector():
+    from sdg_engine.polyline import decode_polyline, encode_polyline
+
+    pts = [(-120.2, 38.5), (-120.95, 40.7), (-126.453, 43.252)]
+    s = encode_polyline(pts)
+    # the canonical example from the public algorithm description
+    assert s == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    assert decode_polyline(s) == [
+        (-12020000, 3850000), (-12095000, 4070000), (-12645300, 4325200)
+    ]
+
+
+def test_polyline_roundtrip_properties():
+    import numpy as np
+
+    from sdg_engine.polyline import decode_polyline, encode_polyline
+
+    rng = np.random.default_rng(42)
+    for n in (1, 2, 17):
+        pts = [(float(x), float(y))
+               for x, y in rng.uniform(-179.9, 179.9, size=(n, 2))]
+        want = [(int(np.floor(x * 1e5 + 0.5)), int(np.floor(y * 1e5 + 0.5)))
+                for x, y in pts]
+        s = encode_polyline(pts)
+        assert s.isascii() and all("?" <= ch <= "~" for ch in s)
+        assert decode_polyline(s) == want
+
+
+# ---------------------------------------------------------------------------
+# Wave 39: transformWithStateInPandas (env-gated on python protobuf)
+# ---------------------------------------------------------------------------
+
+def test_tws_running_totals_where_protobuf_exists(spark):
+    """transformWithStateInPandas needs the python protobuf package
+    (the tws state-server wire protocol, StateMessage_pb2); in
+    containers without it the driver worker crashes with ImportError
+    before batch 0 — so the end-to-end check runs only where the dep
+    exists, and the query stays out of the oracle registry (see
+    queries_r5g.streaming_tws_totals docstring)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("python protobuf not installed (tws wire protocol)")
+    from sdg_engine.queries_r5g import streaming_tws_totals
+
+    out = _pdf(streaming_tws_totals(spark, SF))
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(int)
+    want = ev.groupby("user_id").agg(
+        n_events=("cents", "size"), cents_total=("cents", "sum"),
+        n_types=("event_type", "nunique"),
+    ).reset_index()
+    got = out.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"user_id": "int64", "n_events": "int64",
+                          "cents_total": "int64", "n_types": "int64"}),
+        check_dtype=False,
+    )
