@@ -252,6 +252,9 @@ def main() -> None:
     from sdg_engine.queries_r5f import QUERIES_R5F
 
     queries_r5d.update(run_queries(spark, sf_dir, list(QUERIES_R5F)))
+    from sdg_engine.queries_r5g import QUERIES_R5G
+
+    queries_r5d.update(run_queries(spark, sf_dir, list(QUERIES_R5G)))
     flagship_thr = n_input / queries["flagship_rai"] if queries["flagship_rai"] else 0.0
     spark.stop()
 

@@ -53,6 +53,53 @@ FROM haz
 ORDER BY dur_hr
 """
 
+ORACLES_R5G["doc_lang_classifier"] = """
+WITH terms AS (
+  SELECT DISTINCT doc_id, lang, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text),
+                '[^a-z]+')) AS term) AS t
+  WHERE t.term != ''
+),
+df_lang AS (
+  SELECT term, lang AS wl, CAST(COUNT(*) AS BIGINT) AS a
+  FROM terms GROUP BY 1, 2
+),
+df_all AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY term
+),
+n_lang AS (
+  SELECT lang AS wl, CAST(COUNT(*) AS BIGINT) AS nl
+  FROM documents GROUP BY 1
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+weights AS (
+  SELECT dl.term, dl.wl,
+         CAST(dl.a * nt.n * 1000000 // (da.df * nl.nl) AS BIGINT) AS w
+  FROM df_lang dl
+  JOIN df_all da USING (term)
+  JOIN n_lang nl USING (wl)
+  CROSS JOIN n_tot nt
+),
+scores AS (
+  SELECT t.doc_id, t.lang, w.wl, CAST(SUM(w.w) AS BIGINT) AS score
+  FROM terms t JOIN weights w USING (term)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, lang AS true_lang, wl AS pred_lang, score AS best_score
+  FROM scores
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, wl) = 1
+)
+SELECT true_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(best_score) AS BIGINT) AS sum_score
+FROM pred
+GROUP BY 1, 2
+ORDER BY true_lang, pred_lang
+"""
+
 ORACLES_R5G["doc_term_chisq"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term
@@ -217,7 +264,67 @@ def fixture_oracles_r5g() -> dict[str, str]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "goldens",
     ).replace("'", "''")
+    from .queries_r5 import _BFS_NODE, _LPA_ROUNDS
+
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    rounds_sql = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds_sql.append(
+            f"c{i} AS (SELECT d.dst AS v2, l.label, COUNT(*) AS cnt\n"
+            f"  FROM dirs d JOIN l{i - 1} l ON l.v = d.src GROUP BY 1, 2),\n"
+            f"l{i} AS (SELECT v2 AS v, label FROM c{i}\n"
+            f"  QUALIFY ROW_NUMBER() OVER (PARTITION BY v2"
+            f" ORDER BY cnt DESC, label) = 1)"
+        )
+    modularity = f"""
+WITH nds AS (SELECT list_transform(coords, c -> {node}) AS nds
+             FROM read_parquet('{roads}')),
+ab AS (SELECT nds[i] AS a, nds[i + 1] AS b
+       FROM nds, UNNEST(generate_series(1, len(nds) - 1)) AS u(i)),
+und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM ab WHERE a <> b),
+dirs AS (SELECT u AS src, v AS dst FROM und
+         UNION ALL SELECT v AS src, u AS dst FROM und),
+l0 AS (SELECT DISTINCT src AS v, src AS label FROM dirs),
+{",".join(rounds_sql)},
+fin AS (SELECT v, label FROM l{_LPA_ROUNDS}),
+m_cte AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM dirs GROUP BY src),
+intra AS (
+  SELECT fu.label, CAST(COUNT(*) AS BIGINT) AS m_in
+  FROM und e
+  JOIN fin fu ON fu.v = e.u
+  JOIN fin fv ON fv.v = e.v
+  WHERE fu.label = fv.label
+  GROUP BY fu.label
+),
+per_c AS (
+  SELECT f.label,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+  FROM fin f JOIN deg d ON d.src = f.v
+  GROUP BY f.label
+),
+contribs AS (
+  SELECT p.label, p.n_nodes,
+         CAST(COALESCE(i.m_in, 0) AS BIGINT) AS m_in, p.deg_sum,
+         CAST(4 * mc.m * COALESCE(i.m_in, 0)
+              - p.deg_sum * p.deg_sum AS BIGINT) AS contrib,
+         mc.m
+  FROM per_c p
+  LEFT JOIN intra i USING (label)
+  CROSS JOIN m_cte mc
+)
+SELECT label, n_nodes, m_in, deg_sum, contrib,
+       CAST(FLOOR(1000000.0 * CAST(SUM(contrib) OVER () AS DOUBLE)
+            / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+            AS BIGINT) AS q_ppm
+FROM contribs
+ORDER BY label
+"""
     return {
+        "community_modularity": modularity,
         "polyline_roundtrip_roads": f"""
 WITH pts AS (
   SELECT r.road_id, r.kind,

@@ -630,7 +630,142 @@ def streaming_tws_totals(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 40: community modularity + integer language classifier
+# ---------------------------------------------------------------------------
+
+def community_modularity(spark, sf_dir):
+    """MODULARITY of the certified label-propagation communities — the
+    quality score that makes community detection an EVALUATED op (the
+    eval-composition pattern of ann_recall_eval / quantile_sketch_eval):
+    re-runs the 4 deterministic LPA rounds, then per community c emits
+    m_in (intra edges), deg_sum, and the EXACT integer contribution
+    4·m·m_in − deg_sum² (Q = Σ contrib / 4m² — everything BIGINT until
+    one double division whose operands stay under 2^53, then FLOOR to
+    ppm; negative-numerator DIV truncation differs across engines, so
+    the division runs in DOUBLE, gotcha-7 discipline).  The Q window
+    sum runs over the communities relation (small by construction)."""
+    from pyspark.sql import Window
+
+    from .queries_ext import _fixture_images
+    from .queries_r5 import _BFS_NODE, _LPA_ROUNDS
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    node = _BFS_NODE.format(x="c.x", y="c.y")
+    segs = (
+        roads.selectExpr(f"transform(coords, c -> {node}) AS nds")
+        .selectExpr(
+            "explode(transform(sequence(1, size(nds) - 1), "
+            "i -> struct(nds[i - 1] AS a, nds[i] AS b))) AS e"
+        )
+        .select("e.a", "e.b")
+    )
+    und = (
+        segs.selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # probed by LP rounds AND the intra-edge pass
+    )
+    dirs = und.selectExpr("u AS src", "v AS dst").unionAll(
+        und.selectExpr("v AS src", "u AS dst")
+    ).localCheckpoint()
+    labels = dirs.selectExpr("src AS v", "src AS label").distinct()
+    pick = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            dirs.join(labels, dirs.src == labels.v)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(pick))
+            .filter("rn = 1")
+            .selectExpr("dst AS v", "label")
+            .localCheckpoint()
+        )
+    m_df = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    lab_u = labels.selectExpr("v AS u", "label AS lu")
+    lab_v = labels.selectExpr("v AS v", "label AS lv")
+    intra = (
+        und.join(lab_u, "u").join(lab_v, "v")
+        .filter("lu = lv")
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("m_in"))
+    )
+    per_c = (
+        labels.join(deg, labels.v == deg.src)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.sum("deg").alias("deg_sum"))
+        .join(intra, "label", "left")
+        .selectExpr("label", "n_nodes", "COALESCE(m_in, 0) AS m_in",
+                    "deg_sum")
+        .crossJoin(F.broadcast(m_df))
+        .selectExpr(
+            "label", "n_nodes", "m_in", "deg_sum",
+            "4 * m * m_in - deg_sum * deg_sum AS contrib", "m",
+        )
+    )
+    return per_c.selectExpr(
+        "label", "n_nodes", "m_in", "deg_sum", "contrib",
+        "CAST(FLOOR(1000000.0 * CAST(SUM(contrib) OVER () AS DOUBLE)"
+        " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
+        " AS BIGINT) AS q_ppm",
+    ).orderBy("label")
+
+
+def doc_lang_classifier(spark, sf_dir):
+    """NAIVE-BAYES-STYLE LANGUAGE CLASSIFIER in exact integers — the
+    likelihood-ratio form that needs no logs (the parity killer, gotcha
+    8): per (term, lang) weight w = a·n·1e6 DIV (df·nl) — the lift of
+    the term under the language, all BIGINT — a doc's score per lang is
+    Σw over its distinct terms, prediction = argmax (lang-asc ties).
+    Train and predict on the same corpus (resubstitution — the
+    contract the oracle mirrors); the score join is bounded by
+    vocab × langs at any corpus size.  Output: the 5×5 confusion
+    matrix plus per-pair mean score in micros."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    terms = docs.selectExpr(
+        "doc_id", "lang",
+        "explode(array_distinct(split(lower(text), '[^a-z]+'))) AS term",
+    ).filter("term != ''").localCheckpoint()  # feeds train AND predict
+    df_lang = terms.groupBy("term", F.col("lang").alias("wl")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    df_all = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_lang = docs.groupBy(F.col("lang").alias("wl")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    weights = (
+        df_lang.join(F.broadcast(df_all), "term")
+        .join(F.broadcast(n_lang), "wl")
+        .crossJoin(F.broadcast(n_tot))
+        .selectExpr("term", "wl", "a * n * 1000000 DIV (df * nl) AS w")
+    )
+    scores = (
+        terms.join(weights, "term")
+        .groupBy("doc_id", "lang", "wl")
+        .agg(F.sum("w").alias("score"))
+    )
+    pred = (
+        scores.groupBy("doc_id", "lang")
+        .agg(F.expr("MIN(struct(-score AS ns, wl))").alias("best"))
+        .selectExpr("doc_id", "lang AS true_lang",
+                    "best.wl AS pred_lang", "-best.ns AS best_score")
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("best_score").alias("sum_score"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 QUERIES_R5G = {
+    "community_modularity": community_modularity,
+    "doc_lang_classifier": doc_lang_classifier,
     # streaming_tws_totals is env-gated: see its docstring (protobuf)
     "polyline_roundtrip_roads": polyline_roundtrip_roads,
     "image_haar_energy": image_haar_energy,

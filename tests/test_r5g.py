@@ -375,3 +375,72 @@ def test_tws_running_totals_where_protobuf_exists(spark):
                           "cents_total": "int64", "n_types": "int64"}),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 40: modularity + language classifier
+# ---------------------------------------------------------------------------
+
+def test_community_modularity_identities(spark):
+    import math
+
+    from sdg_engine.queries_r5g import community_modularity
+
+    out = _pdf(community_modularity(spark, SF))
+    m = None
+    # recover m from any row's contrib identity: contrib = 4*m*m_in - D^2
+    r0 = out[out["m_in"] > 0].iloc[0]
+    m = (int(r0.contrib) + int(r0.deg_sum) ** 2) // (4 * int(r0.m_in))
+    # handshake: community degree sums add to 2m; intra edges <= m
+    assert int(out["deg_sum"].sum()) == 2 * m
+    assert 0 <= int(out["m_in"].sum()) <= m
+    # every row repeats the same global Q; recompute it from the parts
+    q = set(int(v) for v in out["q_ppm"])
+    assert len(q) == 1
+    want_q = math.floor(1e6 * float(out["contrib"].sum()) / (4.0 * m * m))
+    assert q == {want_q}
+    assert -1_000_000 <= want_q <= 1_000_000
+    # per-row identity holds everywhere
+    for r in out.itertuples():
+        assert int(r.contrib) == 4 * m * int(r.m_in) - int(r.deg_sum) ** 2
+
+
+def test_doc_lang_classifier_matches_scalar(spark):
+    import re
+
+    from sdg_engine.queries_r5g import doc_lang_classifier
+
+    out = _pdf(doc_lang_classifier(spark, SF))
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    n = len(docs)
+    doc_terms = {}
+    df_all: dict = {}
+    df_lang: dict = {}
+    n_lang = docs["lang"].value_counts().to_dict()
+    for r in docs.itertuples():
+        ts = set(x for x in re.split(r"[^a-z]+", r.text.lower()) if x)
+        doc_terms[r.doc_id] = (r.lang, ts)
+        for t in ts:
+            df_all[t] = df_all.get(t, 0) + 1
+            df_lang[(t, r.lang)] = df_lang.get((t, r.lang), 0) + 1
+    conf: dict = {}
+    for doc_id, (true_lang, ts) in doc_terms.items():
+        scores: dict = {}
+        for t in ts:
+            for wl in n_lang:
+                a = df_lang.get((t, wl), 0)
+                if a:
+                    scores[wl] = scores.get(wl, 0) + (
+                        a * n * 1_000_000 // (df_all[t] * n_lang[wl])
+                    )
+        pred = min(scores, key=lambda L: (-scores[L], L))
+        k = (true_lang, pred)
+        c = conf.get(k, (0, 0))
+        conf[k] = (c[0] + 1, c[1] + scores[pred])
+    got = {(r.true_lang, r.pred_lang): (int(r.n_docs), int(r.sum_score))
+           for r in out.itertuples()}
+    assert got == conf
+    # row sums = per-language doc counts
+    rows = out.groupby("true_lang")["n_docs"].sum().to_dict()
+    assert rows == n_lang
