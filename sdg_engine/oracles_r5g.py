@@ -53,6 +53,75 @@ FROM haz
 ORDER BY dur_hr
 """
 
+ORACLES_R5G["events_permutation_test"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN us < mid THEN -cents ELSE cents END)
+              AS BIGINT) AS d
+  FROM ev CROSS JOIN mid GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS t_obs,
+         CAST(SUM(abs(d)) AS BIGINT) AS sum_abs_d,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user
+),
+perms AS (
+  SELECT k,
+         CAST(SUM((CASE WHEN substring(md5(concat(
+                 CAST(user_id AS VARCHAR), ':', CAST(k AS VARCHAR))),
+                 1, 1) IN ('0','1','2','3','4','5','6','7')
+               THEN 1 ELSE -1 END) * d) AS BIGINT) AS t_k
+  FROM per_user
+  CROSS JOIN (SELECT CAST(UNNEST(generate_series(0, 199)) AS INT) AS k)
+  GROUP BY k
+)
+SELECT o.t_obs, o.sum_abs_d, o.n_users,
+       CAST(SUM(CASE WHEN abs(p.t_k) >= abs(o.t_obs)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST((1 + SUM(CASE WHEN abs(p.t_k) >= abs(o.t_obs)
+                     THEN 1 ELSE 0 END)) * 1000 // 201 AS BIGINT)
+         AS p_milli
+FROM perms p CROSS JOIN obs o
+GROUP BY o.t_obs, o.sum_abs_d, o.n_users
+"""
+
+ORACLES_R5G["orders_holt_linear"] = """
+WITH RECURSIVE days AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) - 1 AS t, y
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+  )
+),
+holt (t, y, level_milli, trend_milli) AS (
+  SELECT d0.t, d0.y,
+         d0.y * 1000 AS level_milli,
+         (d1.y - d0.y) * 1000 AS trend_milli
+  FROM days d0 JOIN days d1 ON d1.t = 1
+  WHERE d0.t = 0
+  UNION ALL
+  SELECT d.t, d.y,
+         CAST(FLOOR((d.y * 1000
+              + 4 * (h.level_milli + h.trend_milli)) / 5) AS BIGINT),
+         CAST(FLOOR((CAST(FLOOR((d.y * 1000
+                + 4 * (h.level_milli + h.trend_milli)) / 5) AS BIGINT)
+              - h.level_milli + 9 * h.trend_milli) / 10) AS BIGINT)
+  FROM holt h JOIN days d ON d.t = h.t + 1
+)
+SELECT t, y, level_milli, trend_milli,
+       CAST(level_milli + trend_milli AS BIGINT) AS forecast_next_milli
+FROM holt
+ORDER BY t
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term

@@ -763,7 +763,136 @@ def doc_lang_classifier(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 41: permutation test + Holt linear smoothing
+# ---------------------------------------------------------------------------
+
+_PERM_K = 200  # deterministic sign-flip permutations
+
+_PERM_SIGN = (
+    "CASE WHEN substring(md5(concat(CAST(user_id AS STRING), ':',"
+    " CAST(k AS STRING))), 1, 1)"
+    " IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END"
+)
+
+
+def events_permutation_test(spark, sf_dir):
+    """PAIRED SIGN-FLIP PERMUTATION TEST of spend drift — the
+    distribution-free companion of events_conversion_ztest: per-user
+    paired difference d_u = second-half cents − first-half cents, test
+    statistic T = Σ d_u, and 200 DETERMINISTIC permutations whose
+    sign for (user, k) is the first hex digit of md5(user_id:k) — the
+    md5-draw discipline of sample_stratified, so both engines flip
+    identical signs without any RNG.  Everything is an associative
+    BIGINT sum (users × 200 rows, a bounded constant multiplier at any
+    scale); p = (1 + #extreme) / (K + 1) in exact millis."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", f"{_TS_US} AS us",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .crossJoin(F.broadcast(
+            _t(spark, sf_dir, "events")
+            .selectExpr(f"{_TS_US} AS us")
+            .agg(F.expr("(MIN(us) + MAX(us)) DIV 2 AS mid"))
+        ))
+        .selectExpr(
+            "user_id",
+            "CASE WHEN us < mid THEN -cents ELSE cents END AS signed",
+        )
+        .groupBy("user_id")
+        .agg(F.sum("signed").alias("d"))
+        .localCheckpoint()  # feeds T_obs and all 200 permutations
+    )
+    t_obs = per_user.agg(
+        F.sum("d").alias("t_obs"),
+        F.sum(F.expr("abs(d)")).alias("sum_abs_d"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    perms = (
+        per_user.crossJoin(
+            F.broadcast(
+                spark.range(_PERM_K).selectExpr("CAST(id AS INT) AS k")
+            )
+        )
+        .selectExpr("k", f"{_PERM_SIGN} * d AS sd")
+        .groupBy("k")
+        .agg(F.sum("sd").alias("t_k"))
+    )
+    return (
+        perms.crossJoin(F.broadcast(t_obs))
+        .agg(
+            F.max("t_obs").alias("t_obs"),
+            F.max("sum_abs_d").alias("sum_abs_d"),
+            F.max("n_users").alias("n_users"),
+            F.sum(F.expr(
+                "CASE WHEN abs(t_k) >= abs(t_obs) THEN 1 ELSE 0 END"
+            )).alias("n_extreme"),
+        )
+        .selectExpr(
+            "t_obs", "sum_abs_d", "n_users", "n_extreme",
+            f"(1 + n_extreme) * 1000 DIV ({_PERM_K} + 1) AS p_milli",
+        )
+    )
+
+
+def orders_holt_linear(spark, sf_dir):
+    """HOLT LINEAR (double exponential) SMOOTHING of daily order
+    counts — the trend-forecast primitive next to events_ewma (level
+    only) and events_forecast_ols (global fit).  The recurrence is
+    inherently sequential, and the series relation is DAYS-sized
+    (bounded by the calendar at any corpus size), so the engine folds
+    it in ONE applyInPandas task over the aggregated relation — a
+    per-day recursive CTE was measured first and rejected: Spark's
+    UnionLoop replans every level, and ~2400 day-levels ran minutes
+    (vs 12 capped hops in recursive_order_chain; the DuckDB oracle
+    KEEPS the WITH RECURSIVE form, where levels are cheap).  Integer
+    milli-state, alpha=1/5, beta=1/10, python floor division — exact
+    floor, the same value the oracle's FLOOR(x / 5) computes (integer
+    DIV would hit the negative-trend floor-vs-truncate split,
+    gotcha 7)."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr("CAST(o_orderdate AS DATE) AS day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .selectExpr(
+            "CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) - 1 AS t",
+            "y",
+        )
+    )
+
+    def _fold(pdf):
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        y = [int(v) for v in pdf["y"]]
+        lv = [y[0] * 1000]
+        tr = [(y[1] - y[0]) * 1000]
+        for i in range(1, len(y)):
+            l_new = (y[i] * 1000 + 4 * (lv[-1] + tr[-1])) // 5
+            tr.append((l_new - lv[-1] + 9 * tr[-1]) // 10)
+            lv.append(l_new)
+        return pd.DataFrame({
+            "t": pdf["t"], "y": pdf["y"],
+            "level_milli": lv, "trend_milli": tr,
+            "forecast_next_milli": [a + b for a, b in zip(lv, tr)],
+        })
+
+    return (
+        days.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _fold,
+            "t bigint, y bigint, level_milli bigint, trend_milli bigint,"
+            " forecast_next_milli bigint",
+        )
+        .orderBy("t")
+    )
+
+
 QUERIES_R5G = {
+    "events_permutation_test": events_permutation_test,
+    "orders_holt_linear": orders_holt_linear,
     "community_modularity": community_modularity,
     "doc_lang_classifier": doc_lang_classifier,
     # streaming_tws_totals is env-gated: see its docstring (protobuf)

@@ -444,3 +444,61 @@ def test_doc_lang_classifier_matches_scalar(spark):
     # row sums = per-language doc counts
     rows = out.groupby("true_lang")["n_docs"].sum().to_dict()
     assert rows == n_lang
+
+
+# ---------------------------------------------------------------------------
+# Wave 41: permutation test + Holt linear smoothing
+# ---------------------------------------------------------------------------
+
+def test_permutation_test_matches_scalar(spark):
+    import hashlib
+
+    from sdg_engine.queries_r5g import events_permutation_test
+
+    out = _pdf(events_permutation_test(spark, SF)).iloc[0]
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev["us"] = ev["ts"].astype("int64")
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(int)
+    mid = (int(ev["us"].min()) + int(ev["us"].max())) // 2
+    d = {}
+    for r in ev.itertuples():
+        d[r.user_id] = d.get(r.user_id, 0) + (
+            r.cents if r.us >= mid else -r.cents
+        )
+    t_obs = sum(d.values())
+    assert int(out.t_obs) == t_obs
+    assert int(out.sum_abs_d) == sum(abs(v) for v in d.values())
+    assert int(out.n_users) == len(d)
+    n_ext = 0
+    for k in range(200):
+        t_k = 0
+        for u, du in d.items():
+            h = hashlib.md5(f"{u}:{k}".encode()).hexdigest()
+            t_k += du if h[0] in "01234567" else -du
+        if abs(t_k) >= abs(t_obs):
+            n_ext += 1
+    assert int(out.n_extreme) == n_ext
+    assert int(out.p_milli) == (1 + n_ext) * 1000 // 201
+    assert 0 < int(out.p_milli) <= 1000
+
+
+def test_holt_linear_matches_scalar(spark):
+    from sdg_engine.queries_r5g import orders_holt_linear
+
+    out = _pdf(orders_holt_linear(spark, SF)).sort_values("t")
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_orderdate"])
+    y = orders.groupby("o_orderdate").size().sort_index().tolist()
+    lv = [y[0] * 1000]
+    tr = [(y[1] - y[0]) * 1000]
+    for i in range(1, len(y)):
+        l_new = (y[i] * 1000 + 4 * (lv[-1] + tr[-1])) // 5
+        tr.append((l_new - lv[-1] + 9 * tr[-1]) // 10)
+        lv.append(l_new)
+    assert out["y"].tolist() == y
+    assert out["level_milli"].tolist() == lv
+    assert out["trend_milli"].tolist() == tr
+    assert out["forecast_next_milli"].tolist() == [
+        a + b for a, b in zip(lv, tr)
+    ]
