@@ -3509,3 +3509,50 @@ def make_seam_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         os.path.join(OUT, f"seam_sf{sf:g}.parquet"),
     )
     print(f"seam golden: {len(cols['image_id'])} rows")
+
+
+def make_biquad_golden() -> None:
+    """Golden for multimodal_audio_biquad (r05 wave 42): regenerated
+    waveform + reimplemented PCM16 (the audio-golden convention), the
+    WHOLE filter run as a fully scalar python-int loop (vs the
+    engine's vectorized feed-forward half)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.multimodal import BIQUAD_A, BIQUAD_B, BIQUAD_Q
+
+    rng = np.random.default_rng(1234)
+    cols = {k: [] for k in ("media_id", "n", "sum_abs_y", "max_abs_y",
+                            "y_last", "chk")}
+    for i in range(64):
+        sr = [16000, 22050, 44100][i % 3]
+        n_ch = 1 + (i % 2)
+        dur_ms = 40 + (i % 7) * 10
+        t = np.arange(int(sr * dur_ms / 1000)) / sr
+        freq = 220.0 * (1 + (i % 8))
+        wave = 0.5 * np.sin(2 * np.pi * freq * t)
+        wave = wave[:, None] + 0.05 * rng.standard_normal((len(t), n_ch))
+        pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+        x = [int(v) for v in pcm[:, 0]]
+        b0, b1, b2 = BIQUAD_B
+        a1, a2 = BIQUAD_A
+        x1 = x2 = y1 = y2 = 0
+        ys = []
+        for v in x:
+            y = (b0 * v + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2) // BIQUAD_Q
+            ys.append(y)
+            x2, x1 = x1, v
+            y2, y1 = y1, y
+        cols["media_id"].append(f"aud{i:08d}")
+        cols["n"].append(len(ys))
+        cols["sum_abs_y"].append(sum(abs(v) for v in ys))
+        cols["max_abs_y"].append(max((abs(v) for v in ys), default=0))
+        cols["y_last"].append(ys[-1] if ys else 0)
+        cols["chk"].append(sum(v * ((k % 97) + 1)
+                               for k, v in enumerate(ys)))
+    pq.write_table(
+        pa.table({k: (v if k == "media_id" else pa.array(v, pa.int64()))
+                  for k, v in cols.items()}),
+        os.path.join(OUT, "audio_biquad.parquet"),
+    )
+    print(f"biquad golden: {len(cols['media_id'])} clips")

@@ -571,3 +571,75 @@ def audio_decimate_stats(audio: DataFrame) -> DataFrame:
         "media_id string, n_in bigint, n_out bigint, sum_abs bigint, "
         "max_abs bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point biquad IIR low-pass (r05 wave 42) — the feedback filter
+# next to the decimator's feed-forward FIR.  SPEC shared by both twins,
+# ALL INTEGER in Q14 fixed point (floor division by 16384 per sample —
+# python/numpy // is floor for negatives, the same value the golden's
+# scalar loop computes):
+#   acc[n] = B0*x[n] + B1*x[n-1] + B2*x[n-2]
+#          + A1*y[n-1] + A2*y[n-2]        (x, y int64; zero priming)
+#   y[n]   = acc[n] // 16384
+# Coefficients are a Butterworth-ish low-pass quantized to Q14; the
+# feedback poles stay inside the unit circle after quantization (step
+# response convergence is pinned in pytest).
+# ---------------------------------------------------------------------------
+
+BIQUAD_Q = 16384  # Q14
+BIQUAD_B = (1106, 2211, 1106)
+BIQUAD_A = (18727, -6763)  # +a1*y1 +a2*y2 form
+
+
+def biquad_kernel(x: np.ndarray) -> list[int]:
+    """Engine mechanics: the feed-forward half is VECTORIZED numpy
+    (b0..b2 taps over shifted slices); only the feedback recursion is
+    a scalar loop (the golden twin runs fully scalar).  Returns the
+    filtered int64 samples."""
+    b0, b1, b2 = BIQUAD_B
+    a1, a2 = BIQUAD_A
+    ff = b0 * x
+    ff[1:] += b1 * x[:-1]
+    ff[2:] += b2 * x[:-2]
+    y1 = y2 = 0
+    out = []
+    for f in ff:
+        y = (int(f) + a1 * y1 + a2 * y2) // BIQUAD_Q
+        out.append(y)
+        y2, y1 = y1, y
+    return out
+
+
+def audio_biquad_stats(audio: DataFrame) -> DataFrame:
+    """Per-clip biquad low-pass stats: (n, sum_abs_y, max_abs_y, y_last,
+    chk) over channel-0 PCM16."""
+
+    def _bq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import decode_wav
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pcm, _sr = decode_wav(bytes(r.bytes))
+                x = pcm[:, 0].astype(np.int64)
+                y = biquad_kernel(x)
+                wgt = [(k % 97) + 1 for k in range(len(y))]
+                out.append((
+                    r.media_id, len(y),
+                    sum(abs(v) for v in y),
+                    max((abs(v) for v in y), default=0),
+                    y[-1] if y else 0,
+                    sum(v * w for v, w in zip(y, wgt)),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n", "sum_abs_y", "max_abs_y",
+                         "y_last", "chk"],
+            )
+
+    return audio.mapInPandas(
+        _bq,
+        "media_id string, n bigint, sum_abs_y bigint, max_abs_y bigint,"
+        " y_last bigint, chk bigint",
+    )

@@ -122,6 +122,50 @@ FROM holt
 ORDER BY t
 """
 
+ORACLES_R5G["events_cuped_eval"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT)
+           AS pre,
+         CAST(SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT)
+           AS post
+  FROM ev CROSS JOIN mid GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre) AS BIGINT) AS sx,
+         CAST(SUM(post) AS BIGINT) AS sy,
+         CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+         CAST(SUM(post * post) AS BIGINT) AS syy,
+         CAST(SUM(pre * post) AS BIGINT) AS sxy
+  FROM per_user
+)
+SELECT n, sx, sy, sxx, syy, sxy,
+       CAST(FLOOR(1000000.0
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            AS BIGINT) AS theta_micros,
+       CAST(FLOOR(1000000.0
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+            AS BIGINT) AS var_reduction_ppm
+FROM m
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term
@@ -393,6 +437,10 @@ FROM contribs
 ORDER BY label
 """
     return {
+        "multimodal_audio_biquad": f"""
+SELECT media_id, n, sum_abs_y, max_abs_y, y_last, chk
+FROM read_parquet('{gdir}/audio_biquad.parquet')
+""",
         "community_modularity": modularity,
         "polyline_roundtrip_roads": f"""
 WITH pts AS (

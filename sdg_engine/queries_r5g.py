@@ -890,7 +890,79 @@ def orders_holt_linear(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 42: biquad IIR + CUPED
+# ---------------------------------------------------------------------------
+
+def multimodal_audio_biquad(spark, sf_dir):
+    """FIXED-POINT BIQUAD IIR LOW-PASS over the real-WAV fixture — the
+    FEEDBACK filter completing the audio-DSP family next to the
+    half-band FIR (feed-forward), STFT, pitch and spectral ops: Q14
+    integer state, floor division per sample, channel-0 PCM16.  The
+    feed-forward taps are vectorized numpy; only the 2-pole recursion
+    loops (IIR is inherently sequential per clip, parallel across
+    clips — the dither/seam discipline).  Golden: regenerated waveform
+    + reimplemented PCM16 + fully scalar filter loop (the
+    audio-golden convention)."""
+    from .ops.multimodal import audio_biquad_stats, synth_audio_table
+
+    return audio_biquad_stats(synth_audio_table(spark, 64))
+
+
+def events_cuped_eval(spark, sf_dir):
+    """CUPED VARIANCE REDUCTION — the experimentation-platform adjunct
+    of the z-test/permutation pair: pre = first-half cents, post =
+    second-half cents per user; θ = cov(pre,post)/var(pre) and the
+    variance-reduction factor ρ² from FIVE exact BIGINT moments in one
+    map-side-combined pass (the covariance products exceed int64 at
+    real N, so θ and ρ² run as DOUBLE chains with the identical op
+    shape in the oracle — the chi² precedent — then FLOOR to
+    micros/ppm)."""
+    moments = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", f"{_TS_US} AS us",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .crossJoin(F.broadcast(
+            _t(spark, sf_dir, "events")
+            .selectExpr(f"{_TS_US} AS us")
+            .agg(F.expr("(MIN(us) + MAX(us)) DIV 2 AS mid"))
+        ))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN us < mid THEN cents ELSE 0 END"))
+            .alias("pre"),
+            F.sum(F.expr("CASE WHEN us >= mid THEN cents ELSE 0 END"))
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pre").alias("sx"),
+            F.sum("post").alias("sy"),
+            F.sum(F.expr("pre * pre")).alias("sxx"),
+            F.sum(F.expr("post * post")).alias("syy"),
+            F.sum(F.expr("pre * post")).alias("sxy"),
+        )
+    )
+    cov = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    vx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vy = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    return moments.selectExpr(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        f"CAST(FLOOR(1000000.0 * {cov} / {vx}) AS BIGINT)"
+        " AS theta_micros",
+        f"CAST(FLOOR(1000000.0 * {cov} * {cov} / ({vx} * {vy}))"
+        " AS BIGINT) AS var_reduction_ppm",
+    )
+
+
 QUERIES_R5G = {
+    "multimodal_audio_biquad": multimodal_audio_biquad,
+    "events_cuped_eval": events_cuped_eval,
     "events_permutation_test": events_permutation_test,
     "orders_holt_linear": orders_holt_linear,
     "community_modularity": community_modularity,

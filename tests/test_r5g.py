@@ -502,3 +502,84 @@ def test_holt_linear_matches_scalar(spark):
     assert out["forecast_next_milli"].tolist() == [
         a + b for a, b in zip(lv, tr)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Wave 42: biquad IIR + CUPED
+# ---------------------------------------------------------------------------
+
+def test_biquad_step_response_converges_to_dc_gain():
+    import numpy as np
+
+    from sdg_engine.ops.multimodal import (
+        BIQUAD_A,
+        BIQUAD_B,
+        BIQUAD_Q,
+        biquad_kernel,
+    )
+
+    # step input: y converges to x * (b0+b1+b2) / (Q - a1 - a2)
+    x = np.full(400, 10_000, dtype=np.int64)
+    y = biquad_kernel(x)
+    dc = 10_000 * sum(BIQUAD_B) / (BIQUAD_Q - sum(BIQUAD_A))
+    assert abs(y[-1] - dc) <= 2  # fixed-point settles within 2 LSB
+    # stability: output bounded by ~2x input for a low-pass
+    assert max(abs(v) for v in y) < 25_000
+
+
+def test_biquad_engine_matches_fully_scalar():
+    import numpy as np
+
+    from sdg_engine.ops.multimodal import (
+        BIQUAD_A,
+        BIQUAD_B,
+        BIQUAD_Q,
+        biquad_kernel,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32768, 32768, size=300, dtype=np.int64)
+    b0, b1, b2 = BIQUAD_B
+    a1, a2 = BIQUAD_A
+    x1 = x2 = y1 = y2 = 0
+    want = []
+    for v in (int(u) for u in x):
+        y = (b0 * v + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2) // BIQUAD_Q
+        want.append(y)
+        x2, x1 = x1, v
+        y2, y1 = y1, y
+    assert biquad_kernel(x) == want
+
+
+def test_cuped_matches_scalar_and_bounds(spark):
+    import math
+
+    from sdg_engine.queries_r5g import events_cuped_eval
+
+    out = _pdf(events_cuped_eval(spark, SF)).iloc[0]
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev["us"] = ev["ts"].astype("int64")
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(int)
+    mid = (int(ev["us"].min()) + int(ev["us"].max())) // 2
+    pre, post = {}, {}
+    for r in ev.itertuples():
+        d = pre if r.us < mid else post
+        d[r.user_id] = d.get(r.user_id, 0) + r.cents
+    users = sorted(set(pre) | set(post))
+    xs = [pre.get(u, 0) for u in users]
+    ys = [post.get(u, 0) for u in users]
+    n = len(users)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    assert (int(out.n), int(out.sx), int(out.sy), int(out.sxx),
+            int(out.syy), int(out.sxy)) == (n, sx, sy, sxx, syy, sxy)
+    cov = float(n) * float(sxy) - float(sx) * float(sy)
+    vx = float(n) * float(sxx) - float(sx) * float(sx)
+    vy = float(n) * float(syy) - float(sy) * float(sy)
+    assert int(out.theta_micros) == math.floor(1e6 * cov / vx)
+    assert int(out.var_reduction_ppm) == math.floor(1e6 * cov * cov / (vx * vy))
+    # rho^2 in [0, 1]
+    assert 0 <= int(out.var_reduction_ppm) <= 1_000_000
