@@ -166,6 +166,100 @@ SELECT n, sx, sy, sxx, syy, sxy,
 FROM m
 """
 
+ORACLES_R5G["events_attribution_linear"] = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         strftime(ts, '%a') AS dow
+  FROM events
+),
+views AS (
+  SELECT user_id, event_id AS view_id, us AS v_us, dow
+  FROM ev WHERE event_type = 'view'
+),
+purch AS (
+  SELECT user_id, event_id AS purchase_id, us AS p_us
+  FROM ev WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT v.dow, v.view_id, p.purchase_id
+  FROM views v JOIN purch p USING (user_id)
+  WHERE v.v_us <= p.p_us AND p.p_us - v.v_us <= 604800000000
+),
+n_per AS (
+  SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_views
+  FROM pairs GROUP BY purchase_id
+),
+credited AS (
+  SELECT pr.dow, pr.view_id, pr.purchase_id,
+         CAST(1000000 // np.n_views AS BIGINT) AS credit_micros
+  FROM pairs pr JOIN n_per np USING (purchase_id)
+)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+       CAST(SUM(credit_micros) AS BIGINT) AS credit_micros
+FROM credited
+GROUP BY dow
+ORDER BY dow
+"""
+
+_MAT_DOT16 = (
+    "list_sum(list_transform(generate_series(1, 16), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+_MAT_DOT64 = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+ORACLES_R5G["ann_matryoshka_recall"] = f"""
+WITH nrm64 AS (
+  SELECT vec_id, embedding,
+         SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_MAT_DOT64} / (a.nrm * b.nrm) AS cos_sim
+    FROM nrm64 a CROSS JOIN nrm64 b
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id ASC) <= 3
+),
+nrm16 AS (
+  SELECT vec_id, embedding[1:16] AS embedding,
+         SQRT(list_sum(list_transform(embedding[1:16],
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+trunc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_MAT_DOT16} / (a.nrm * b.nrm) AS cos_sim
+    FROM nrm16 a CROSS JOIN nrm16 b
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id ASC) <= 3
+),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN trunc t USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) * 1000 // 3 AS BIGINT) AS recall_mils
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term

@@ -960,7 +960,126 @@ def events_cuped_eval(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 43: linear attribution + Matryoshka-truncation recall
+# ---------------------------------------------------------------------------
+
+_7D_US = 7 * 86_400_000_000
+
+
+def events_attribution_linear(spark, sf_dir):
+    """LINEAR (equal-credit) MARKETING ATTRIBUTION — each purchase
+    splits 1e6 micros of credit equally across the SAME USER's view
+    events in the preceding 7 days (inclusive): the multi-touch
+    companion of events_funnel's single-path conversion.  The
+    view-purchase pair join is an equi-join on user_id with a range
+    residual (per-user bounded at any scale — the events_concurrency
+    interval discipline); credit = 1e6 DIV n_views is exact BIGINT, so
+    per-purchase credit sums to 1e6 - (1e6 mod n) and every rollup is
+    associative.  Rolled up by the VIEW's day-of-week (when did the
+    credited touch happen)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type", f"{_TS_US} AS us",
+        "CAST(date_format(CAST(ts AS TIMESTAMP), 'E') AS STRING) AS dow",
+    )
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "user_id", "event_id AS view_id", "us AS v_us", "dow"
+    )
+    purch = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS purchase_id", "us AS p_us"
+    )
+    pairs = views.join(purch, "user_id").filter(
+        f"v_us <= p_us AND p_us - v_us <= {_7D_US}"
+    )
+    n_per = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
+    credited = pairs.join(n_per, "purchase_id").selectExpr(
+        "dow", "view_id", "purchase_id",
+        "1000000 DIV n_views AS credit_micros",
+    )
+    return (
+        credited.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.countDistinct("view_id").alias("n_views"),
+            F.sum("credit_micros").alias("credit_micros"),
+        )
+        .orderBy("dow")
+    )
+
+
+def ann_matryoshka_recall(spark, sf_dir):
+    """MATRYOSHKA-TRUNCATION RECALL — how much of the exact 64-dim
+    top-3 neighborhood survives when queries run on the FIRST 16
+    DIMENSIONS only (the truncation trade every MRL-style embedding
+    deployment measures before shipping the cheap index): both sides
+    are the certified broadcast-bounded brute-force cosine (the
+    truncated side just slices the arrays), joined on (query,
+    neighbor); recall in integer mils.  The oracle composes the same
+    two rankings in DuckDB, so the measured truncation loss is pinned
+    exactly."""
+    from .queries import QUERIES as _Q
+
+    exact = (
+        _Q["ann_cosine_topk"](spark, sf_dir)
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # ground truth: hits join + query universe
+    )
+    emb16 = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "slice(embedding, 1, 16) AS embedding"
+    )
+    norm = F.expr(
+        "SQRT(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    with_norm = emb16.select("vec_id", "embedding", norm.alias("nrm"))
+    qs = F.broadcast(with_norm.filter(F.col("vec_id") < 10)).alias("a")
+    dot = (
+        "aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>), "
+        "CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    trunc = (
+        qs.crossJoin(with_norm.alias("b"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(f"{dot} / (a.nrm * b.nrm)").alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit",
+            "CAST(COALESCE(n_hit, 0) * 1000 DIV 3 AS BIGINT)"
+            " AS recall_mils",
+        )
+        .orderBy("query_id")
+    )
+
+
 QUERIES_R5G = {
+    "events_attribution_linear": events_attribution_linear,
+    "ann_matryoshka_recall": ann_matryoshka_recall,
     "multimodal_audio_biquad": multimodal_audio_biquad,
     "events_cuped_eval": events_cuped_eval,
     "events_permutation_test": events_permutation_test,

@@ -583,3 +583,58 @@ def test_cuped_matches_scalar_and_bounds(spark):
     assert int(out.var_reduction_ppm) == math.floor(1e6 * cov * cov / (vx * vy))
     # rho^2 in [0, 1]
     assert 0 <= int(out.var_reduction_ppm) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Wave 43: linear attribution + Matryoshka recall
+# ---------------------------------------------------------------------------
+
+def test_attribution_linear_matches_scalar(spark):
+    from sdg_engine.queries_r5g import events_attribution_linear
+
+    out = _pdf(events_attribution_linear(spark, SF))
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "event_id", "event_type",
+                                  "ts"])
+    ev["us"] = ev["ts"].astype("int64")
+    ev["dow"] = ev["ts"].dt.strftime("%a")
+    week = 7 * 86_400_000_000
+    views = ev[ev["event_type"] == "view"]
+    purch = ev[ev["event_type"] == "purchase"]
+    touches = []  # (dow, view_id, purchase_id)
+    for p in purch.itertuples():
+        vs = views[(views["user_id"] == p.user_id)
+                   & (views["us"] <= p.us)
+                   & (p.us - views["us"] <= week)]
+        for v in vs.itertuples():
+            touches.append((v.dow, v.event_id, p.event_id))
+    n_per = {}
+    for _, _, pid in touches:
+        n_per[pid] = n_per.get(pid, 0) + 1
+    agg = {}
+    for dow, vid, pid in touches:
+        a = agg.setdefault(dow, [0, set(), set(), 0])
+        a[0] += 1
+        a[1].add(pid)
+        a[2].add(vid)
+        a[3] += 1_000_000 // n_per[pid]
+    got = {r.dow: (int(r.n_touches), int(r.n_purchases),
+                   int(r.n_views), int(r.credit_micros))
+           for r in out.itertuples()}
+    want = {d: (a[0], len(a[1]), len(a[2]), a[3]) for d, a in agg.items()}
+    assert got == want
+    # each purchase's credit sums to 1e6 - (1e6 mod n): total bound
+    total = sum(a[3] for a in agg.values())
+    n_attr = len(n_per)
+    assert n_attr * (1_000_000 - max(n_per.values())) <= total \
+        <= n_attr * 1_000_000
+
+
+def test_matryoshka_recall_bounds_and_universe(spark):
+    from sdg_engine.queries_r5g import ann_matryoshka_recall
+
+    out = _pdf(ann_matryoshka_recall(spark, SF))
+    # one row per query vector, recall in {0, 333, 666, 1000}
+    assert sorted(out["query_id"]) == list(range(len(out)))
+    assert set(out["recall_mils"]).issubset({0, 333, 666, 1000})
+    assert (out["n_hit"] * 1000 // 3 == out["recall_mils"]).all()
