@@ -3556,3 +3556,97 @@ def make_biquad_golden() -> None:
         os.path.join(OUT, "audio_biquad.parquet"),
     )
     print(f"biquad golden: {len(cols['media_id'])} clips")
+
+
+def make_template_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_template_match (r05 wave 44): windows gathered
+    via np.take over flat indices + a SCALAR argmin re-resolution (vs
+    the engine's shifted-slice accumulation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_engine.ops.payload import TEMPLATE_K, _match_template
+
+    t = _match_template()
+    K = TEMPLATE_K
+    cols = {k: [] for k in ("image_id", "n_pos", "best_ssd", "best_row",
+                            "best_col", "ssd_chk")}
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        g = (_golden_lum_i64(px) // 1000).ravel()
+        hh = ww = px.shape[0]
+        oh, ow = hh - K + 1, ww - K + 1
+        base = (np.arange(oh)[:, None] * ww + np.arange(ow)[None, :])
+        off = (np.arange(K)[:, None] * ww + np.arange(K)[None, :]).ravel()
+        wins = np.take(g, base.ravel()[:, None] + off[None, :])
+        d = wins - t.ravel()[None, :]
+        ssd = (d * d).sum(axis=1)
+        best = 0
+        for j in range(1, len(ssd)):  # scalar leftmost-min re-resolution
+            if ssd[j] < ssd[best]:
+                best = j
+        cols["image_id"].append(image_id)
+        cols["n_pos"].append(oh * ow)
+        cols["best_ssd"].append(int(ssd[best]))
+        cols["best_row"].append(best // ow)
+        cols["best_col"].append(best % ow)
+        cols["ssd_chk"].append(int((ssd % 997).sum()))
+    pq.write_table(
+        pa.table({k: (v if k == "image_id" else pa.array(v, pa.int64()))
+                  for k, v in cols.items()}),
+        os.path.join(OUT, f"template_sf{sf:g}.parquet"),
+    )
+    print(f"template golden: {len(cols['image_id'])} rows")
+
+
+def make_vw_golden(sf: float = 0.01) -> None:
+    """Golden for roads_simplify_vw (r05 wave 44): the same VW SPEC
+    with a FULL RESCAN over python lists per removal (vs the engine's
+    linked prev/next arrays)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    A2_MIN = 1_000_000
+    roads = FX.roads_records(sf)
+    cols = {k: [] for k in ("road_id", "kind", "n_in", "n_kept",
+                            "keep_mask", "removed_a2")}
+    for r in roads:
+        pts = [(int(np.floor(p["x"] * 1e5 + 0.5)),
+                int(np.floor(p["y"] * 1e5 + 0.5))) for p in r["coords"]]
+        idx = list(range(len(pts)))
+        removed_sum = 0
+        while len(idx) > 2:
+            areas = []
+            for j in range(1, len(idx) - 1):
+                (ax, ay), (bx, by), (cx, cy) = (
+                    pts[idx[j - 1]], pts[idx[j]], pts[idx[j + 1]]
+                )
+                areas.append((abs((bx - ax) * (cy - ay)
+                                  - (cx - ax) * (by - ay)), idx[j], j))
+            a_min = min(areas)
+            if a_min[0] >= A2_MIN:
+                break
+            removed_sum += a_min[0]
+            idx.pop(a_min[2])
+        mask = 0
+        for k in idx:
+            mask |= 1 << k
+        cols["road_id"].append(r["road_id"])
+        cols["kind"].append(r["kind"])
+        cols["n_in"].append(len(pts))
+        cols["n_kept"].append(len(idx))
+        cols["keep_mask"].append(mask)
+        cols["removed_a2"].append(removed_sum)
+    pq.write_table(
+        pa.table({
+            "road_id": pa.array(cols["road_id"], pa.int64()),
+            "kind": cols["kind"],
+            "n_in": pa.array(cols["n_in"], pa.int64()),
+            "n_kept": pa.array(cols["n_kept"], pa.int64()),
+            "keep_mask": pa.array(cols["keep_mask"], pa.int64()),
+            "removed_a2": pa.array(cols["removed_a2"], pa.int64()),
+        }),
+        os.path.join(OUT, f"vw_sf{sf:g}.parquet"),
+    )
+    print(f"vw golden: {len(cols['road_id'])} roads")

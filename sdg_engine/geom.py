@@ -439,3 +439,54 @@ def ring_area_seq(ring: np.ndarray) -> float:
         x1, y1 = float(r[(i + 1) % n][0]), float(r[(i + 1) % n][1])
         s = s + (x0 * y1 - x1 * y0)
     return 0.5 * s
+
+
+def vw_keep_mask(qpts, a2_min: int):
+    """Visvalingam-Whyatt simplification keep-mask over QUANTIZED
+    integer points (r05 wave 44) — the area-based generalizer next to
+    Douglas-Peucker's distance-based one (dp_keep_mask above).
+
+    SPEC (the golden twin reimplements it with a per-step full rescan
+    over python lists; this engine version maintains doubly-linked
+    prev/next arrays — same removals, different mechanics):
+
+    * endpoints always kept
+    * effective area of interior point i = |cross(prev, i, next)|,
+      the TWICE-area of the triangle — exact int64 on quantized coords
+      (no float area anywhere)
+    * repeatedly remove the interior point with the smallest effective
+      area (ties -> smallest index) while that minimum is < a2_min;
+      neighbours' areas are recomputed after each removal
+    * returns (keep mask, sum of removed twice-areas)
+    """
+    import numpy as np
+
+    q = np.asarray(qpts, dtype=np.int64)
+    n = len(q)
+    keep = np.ones(n, dtype=bool)
+    if n < 3:
+        return keep, 0
+    prv = np.arange(n, dtype=np.int64) - 1
+    nxt = np.arange(n, dtype=np.int64) + 1
+
+    def area2(i: int) -> int:
+        a, b, c = prv[i], i, nxt[i]
+        return abs(int(
+            (q[b, 0] - q[a, 0]) * (q[c, 1] - q[a, 1])
+            - (q[c, 0] - q[a, 0]) * (q[b, 1] - q[a, 1])
+        ))
+
+    areas = {i: area2(i) for i in range(1, n - 1)}
+    removed_sum = 0
+    while areas:
+        i = min(areas, key=lambda k: (areas[k], k))
+        if areas[i] >= a2_min:
+            break
+        removed_sum += areas.pop(i)
+        keep[i] = False
+        p, x = int(prv[i]), int(nxt[i])
+        nxt[p], prv[x] = x, p
+        for j in (p, x):
+            if j in areas:
+                areas[j] = area2(j)
+    return keep, removed_sum

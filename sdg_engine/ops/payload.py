@@ -2267,3 +2267,55 @@ def seam_carve_stats(images: DataFrame) -> DataFrame:
         "seam_cost bigint, top_col bigint, bottom_col bigint,"
         " sum_energy bigint, chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer template matching (r05 wave 44).  SPEC shared by both twins:
+#   g = milli-luma // 1000
+#   T = the fixed 8x8 pattern T[r][c] = ((3r + 5c) % 16) * 17  (0..255)
+#   SSD(u, v) = sum over (r, c) of (g[u+r][v+c] - T[r][c])^2 — exact
+#   int64 at any raster size; best match = min SSD, raster-earlier tie
+#   (argmin over the flattened SSD plane).
+# ---------------------------------------------------------------------------
+
+TEMPLATE_K = 8
+
+
+def _match_template() -> np.ndarray:
+    r = np.arange(TEMPLATE_K, dtype=np.int64)[:, None]
+    c = np.arange(TEMPLATE_K, dtype=np.int64)[None, :]
+    return ((3 * r + 5 * c) % 16) * 17
+
+
+def template_match_kernel(lum_i: np.ndarray) -> tuple[int, ...]:
+    """Engine mechanics: one shifted-slice accumulation per template
+    cell (64 vectorized adds — the golden twin gathers windows with
+    np.take and verifies the argmin with a scalar loop).  Returns
+    (n_pos, best_ssd, best_row, best_col, ssd_chk)."""
+    g = lum_i // 1000
+    t = _match_template()
+    hh, ww = g.shape
+    oh, ow = hh - TEMPLATE_K + 1, ww - TEMPLATE_K + 1
+    ssd = np.zeros((oh, ow), dtype=np.int64)
+    for r in range(TEMPLATE_K):
+        for c in range(TEMPLATE_K):
+            d = g[r:r + oh, c:c + ow] - t[r, c]
+            ssd += d * d
+    flat = int(np.argmin(ssd))  # leftmost/topmost tie
+    return (
+        oh * ow,
+        int(ssd.flat[flat]),
+        flat // ow,
+        flat % ow,
+        int((ssd % 997).sum()),
+    )
+
+
+def template_match_stats(images: DataFrame) -> DataFrame:
+    """Per-image template-match stats (map-only)."""
+    return _int_terrain_op(
+        images, template_match_kernel,
+        ["n_pos", "best_ssd", "best_row", "best_col", "ssd_chk"],
+        "n_pos bigint, best_ssd bigint, best_row bigint,"
+        " best_col bigint, ssd_chk bigint",
+    )

@@ -536,6 +536,17 @@ SELECT media_id, n, sum_abs_y, max_abs_y, y_last, chk
 FROM read_parquet('{gdir}/audio_biquad.parquet')
 """,
         "community_modularity": modularity,
+        "image_template_match": f"""
+SELECT g.image_id, g.n_pos, g.best_ssd, g.best_row, g.best_col,
+       g.ssd_chk
+FROM read_parquet('{gdir}/template_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
+        "roads_simplify_vw": f"""
+SELECT road_id, kind, n_in, n_kept, keep_mask, removed_a2
+FROM read_parquet('{gdir}/vw_sf0.01.parquet')
+""",
         "polyline_roundtrip_roads": f"""
 WITH pts AS (
   SELECT r.road_id, r.kind,

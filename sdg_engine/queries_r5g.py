@@ -1077,7 +1077,81 @@ def ann_matryoshka_recall(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 44: template matching + Visvalingam-Whyatt simplification
+# ---------------------------------------------------------------------------
+
+_VW_A2_MIN = 1_000_000  # twice-area threshold in (1e-5 deg)^2 units
+
+
+def image_template_match(spark, sf_dir):
+    """INTEGER TEMPLATE MATCHING — min-SSD localization of a fixed 8x8
+    pattern (the where-is-this-patch primitive next to the detectors:
+    Harris/DoG find WHAT is interesting, matching finds WHERE a known
+    patch sits).  SSD decomposes into 64 shifted-slice accumulations —
+    exact int64, map-only; the golden gathers windows with np.take and
+    re-resolves the raster-earlier argmin with a scalar loop."""
+    from .ops.payload import template_match_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return template_match_stats(sel)
+
+
+def roads_simplify_vw(spark, sf_dir):
+    """VISVALINGAM-WHYATT simplification of every fixture road — the
+    AREA-based generalizer next to Douglas-Peucker's distance-based
+    one (roads_simplify_dp), and the one cartographers prefer for
+    shape retention: repeatedly drop the interior vertex whose
+    triangle with its CURRENT neighbours has the smallest twice-area,
+    until the minimum reaches the threshold.  All-integer on 1e-5-deg
+    quantized coords (exact cross products, no float area); engine
+    maintains linked prev/next arrays, the golden twin rescans lists
+    per step — same removals, different mechanics.  Output carries
+    the kept-vertex BITMASK (n_pts <= 42 fits bigint) like the DP
+    twin, so one flipped keep decision fails the hash."""
+    import numpy as np
+
+    from .queries_ext import _fixture_images
+
+    _images, roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+
+    def _vw(batches):
+        from sdg_engine.geom import vw_keep_mask
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                q = np.array([
+                    [int(np.floor(p["x"] * 1e5 + 0.5)),
+                     int(np.floor(p["y"] * 1e5 + 0.5))]
+                    for p in r.coords
+                ], dtype=np.int64)
+                keep, removed = vw_keep_mask(q, _VW_A2_MIN)
+                mask = 0
+                for k in np.nonzero(keep)[0]:
+                    mask |= 1 << int(k)
+                out.append((r.road_id, r.kind, len(q),
+                            int(keep.sum()), mask, removed))
+            yield pd.DataFrame(
+                out,
+                columns=["road_id", "kind", "n_in", "n_kept",
+                         "keep_mask", "removed_a2"],
+            )
+
+    return roads.select("road_id", "kind", "coords").mapInPandas(
+        _vw,
+        "road_id bigint, kind string, n_in bigint, n_kept bigint,"
+        " keep_mask bigint, removed_a2 bigint",
+    )
+
+
 QUERIES_R5G = {
+    "image_template_match": image_template_match,
+    "roads_simplify_vw": roads_simplify_vw,
     "events_attribution_linear": events_attribution_linear,
     "ann_matryoshka_recall": ann_matryoshka_recall,
     "multimodal_audio_biquad": multimodal_audio_biquad,

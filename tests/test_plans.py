@@ -826,3 +826,12 @@ def test_wave37_kernels_are_map_only(spark):
 
     for fn in (image_haar_energy, image_seam_carve):
         assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
+
+
+def test_wave44_kernels_are_map_only(spark):
+    """Template match + VW simplify: payload/geometry never shuffles —
+    zero Exchange in both plans."""
+    from sdg_engine.queries_r5g import image_template_match, roads_simplify_vw
+
+    for fn in (image_template_match, roads_simplify_vw):
+        assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__

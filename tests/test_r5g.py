@@ -638,3 +638,74 @@ def test_matryoshka_recall_bounds_and_universe(spark):
     assert sorted(out["query_id"]) == list(range(len(out)))
     assert set(out["recall_mils"]).issubset({0, 333, 666, 1000})
     assert (out["n_hit"] * 1000 // 3 == out["recall_mils"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Wave 44: template matching + Visvalingam-Whyatt
+# ---------------------------------------------------------------------------
+
+def test_template_match_finds_planted_template():
+    import numpy as np
+
+    from sdg_engine.ops.payload import (
+        TEMPLATE_K,
+        _match_template,
+        template_match_kernel,
+    )
+
+    lum = np.full((32, 32), 200_000, dtype=np.int64)
+    t = _match_template()
+    lum[10:10 + TEMPLATE_K, 17:17 + TEMPLATE_K] = t * 1000
+    n_pos, best_ssd, row, col, chk = template_match_kernel(lum)
+    assert (best_ssd, row, col) == (0, 10, 17)
+    assert n_pos == 25 * 25
+
+
+def test_vw_keep_mask_properties():
+    import numpy as np
+
+    from sdg_engine.geom import vw_keep_mask
+
+    # a truly collinear point costs 0 area and goes first; the spike
+    # and its (area-inflated) neighbours survive a low threshold
+    q = np.array([[0, 0], [100, 0], [200, 0], [300, 5000],
+                  [400, 0], [500, 0]], dtype=np.int64)
+    keep, removed = vw_keep_mask(q, 400_000)
+    assert list(keep) == [True, False, True, True, True, True]
+    assert removed == 0  # the collinear removal contributed zero area
+    # a huge threshold flattens everything to the endpoints
+    keep2, r_high = vw_keep_mask(q, 1 << 40)
+    assert list(keep2) == [True, False, False, False, False, True]
+    assert r_high >= removed
+
+
+def test_vw_engine_matches_rescan_twin():
+    import numpy as np
+
+    from sdg_engine.geom import vw_keep_mask
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(3, 30))
+        q = rng.integers(-10_000, 10_000, size=(n, 2)).astype(np.int64)
+        keep, removed = vw_keep_mask(q, 1_000_000)
+        # full-rescan twin (the golden's mechanics)
+        pts = [(int(a), int(b)) for a, b in q]
+        idx = list(range(n))
+        removed2 = 0
+        while len(idx) > 2:
+            areas = []
+            for j in range(1, len(idx) - 1):
+                (ax, ay), (bx, by), (cx, cy) = (
+                    pts[idx[j - 1]], pts[idx[j]], pts[idx[j + 1]]
+                )
+                areas.append((abs((bx - ax) * (cy - ay)
+                                  - (cx - ax) * (by - ay)), idx[j], j))
+            a_min = min(areas)
+            if a_min[0] >= 1_000_000:
+                break
+            removed2 += a_min[0]
+            idx.pop(a_min[2])
+        assert [bool(v) for v in keep] == \
+            [i in (0, n - 1) or i in idx for i in range(n)]
+        assert removed == removed2
