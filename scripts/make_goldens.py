@@ -3650,3 +3650,67 @@ def make_vw_golden(sf: float = 0.01) -> None:
         os.path.join(OUT, f"vw_sf{sf:g}.parquet"),
     )
     print(f"vw golden: {len(cols['road_id'])} roads")
+
+
+def make_palette_golden(sf: float = 0.01, n_limit: int = 500) -> None:
+    """Golden for image_palette_mediancut (r05 wave 45): the same
+    median-cut SPEC over SCALAR python dicts and sorted lists (vs the
+    engine's np.unique + lexsort + searchsorted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    K = 8
+    cols = {k: [] for k in ("image_id", "n_distinct", "n_boxes", "err",
+                            "chk")}
+    for i, image_id, fmt, lon, lat, w, h, px, half in _fixture_image_iter(
+        sf, n_limit=n_limit, jpg="skip"
+    ):
+        counts: dict = {}
+        for r, g, b in px.reshape(-1, 3):
+            key = (int(r), int(g), int(b))
+            counts[key] = counts.get(key, 0) + 1
+        boxes = [sorted(counts.items())]
+        while len(boxes) < K:
+            best, best_n = -1, 0
+            for j, box in enumerate(boxes):
+                tot = sum(n for _, n in box)
+                if len(box) > 1 and tot > best_n:
+                    best, best_n = j, tot
+            if best < 0:
+                break
+            box = boxes[best]
+            mins = [min(c[ch] for c, _ in box) for ch in range(3)]
+            maxs = [max(c[ch] for c, _ in box) for ch in range(3)]
+            ranges = [maxs[ch] - mins[ch] for ch in range(3)]
+            ch = ranges.index(max(ranges))
+            box = sorted(box, key=lambda e: (e[0][ch], e[0]))
+            tot = sum(n for _, n in box)
+            half = (tot + 1) // 2
+            cum = 0
+            cut = len(box) - 2
+            for j, (_, n) in enumerate(box):
+                cum += n
+                if cum >= half:
+                    cut = min(j, len(box) - 2)
+                    break
+            boxes[best] = box[:cut + 1]
+            boxes.append(box[cut + 1:])
+        err = chk = 0
+        for j, box in enumerate(boxes):
+            tot = sum(n for _, n in box)
+            mean = [sum(c[ch] * n for c, n in box) // tot
+                    for ch in range(3)]
+            for c, n in box:
+                err += n * sum((c[ch] - mean[ch]) ** 2 for ch in range(3))
+            chk += (j + 1) * (mean[0] * 65536 + mean[1] * 256 + mean[2])
+        cols["image_id"].append(image_id)
+        cols["n_distinct"].append(len(counts))
+        cols["n_boxes"].append(len(boxes))
+        cols["err"].append(err)
+        cols["chk"].append(chk)
+    pq.write_table(
+        pa.table({k: (v if k == "image_id" else pa.array(v, pa.int64()))
+                  for k, v in cols.items()}),
+        os.path.join(OUT, f"palette_sf{sf:g}.parquet"),
+    )
+    print(f"palette golden: {len(cols['image_id'])} rows")

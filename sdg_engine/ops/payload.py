@@ -2319,3 +2319,87 @@ def template_match_stats(images: DataFrame) -> DataFrame:
         "n_pos bigint, best_ssd bigint, best_row bigint,"
         " best_col bigint, ssd_chk bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Median-cut palette extraction (r05 wave 45).  SPEC shared by both
+# twins, ALL INTEGER and fully deterministic:
+#   pixels   = RGB uint8 triples of the decoded image
+#   start    = one box holding every pixel
+#   repeat until 8 boxes (or no splittable box remains):
+#     - pick the box with the MOST PIXELS, tie -> earliest created
+#       (a box of one distinct color is unsplittable and skipped)
+#     - split channel = widest (max - min) range, tie order R, G, B
+#     - order the box's DISTINCT colors by (channel value, r, g, b);
+#       lower half = the shortest prefix whose pixel count reaches
+#       half (>= ceil(total/2)) BUT never the whole box
+#   palette entry per box = componentwise SUM DIV COUNT (floor mean)
+#   err      = sum over pixels of SSD to their OWN box's palette entry
+#   chk      = sum over boxes (creation order i) of
+#              (i + 1) * (r * 65536 + g * 256 + b)
+# ---------------------------------------------------------------------------
+
+PALETTE_K = 8
+
+
+def palette_mediancut_kernel(px: np.ndarray) -> tuple[int, int, int, int]:
+    """Engine mechanics: distinct colors + counts via np.unique, splits
+    by cumulative-count searchsorted on channel-sorted arrays (the
+    golden twin walks scalar dicts).  px is the decoded (h, w, 3)
+    uint8 raster.  Returns (n_distinct, n_boxes, err, chk)."""
+    flat = px.reshape(-1, 3).astype(np.int64)
+    colors, counts = np.unique(flat, axis=0, return_counts=True)
+    boxes = [(colors, counts)]  # creation order
+    while len(boxes) < PALETTE_K:
+        best = -1
+        best_n = 0
+        for j, (cs, ns) in enumerate(boxes):
+            tot = int(ns.sum())
+            if len(cs) > 1 and tot > best_n:
+                best, best_n = j, tot
+        if best < 0:
+            break
+        cs, ns = boxes[best]
+        ranges = cs.max(axis=0) - cs.min(axis=0)
+        ch = int(np.argmax(ranges))  # ties -> lowest index = R,G,B order
+        order = np.lexsort((cs[:, 2], cs[:, 1], cs[:, 0], cs[:, ch]))
+        cs, ns = cs[order], ns[order]
+        half = -(-int(ns.sum()) // 2)  # ceil
+        cut = int(np.searchsorted(np.cumsum(ns), half))
+        cut = min(cut, len(cs) - 2)  # never take the whole box
+        boxes[best] = (cs[:cut + 1], ns[:cut + 1])
+        boxes.append((cs[cut + 1:], ns[cut + 1:]))
+    err = 0
+    chk = 0
+    for i, (cs, ns) in enumerate(boxes):
+        tot = int(ns.sum())
+        mean = (cs * ns[:, None]).sum(axis=0) // tot
+        d = cs - mean
+        err += int(((d * d).sum(axis=1) * ns).sum())
+        r, g, b = (int(v) for v in mean)
+        chk += (i + 1) * (r * 65536 + g * 256 + b)
+    return (len(colors), len(boxes), err, chk)
+
+
+def palette_mediancut_stats(images: DataFrame) -> DataFrame:
+    """Per-image median-cut palette stats (map-only)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_engine.codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                img = decode_image(bytes(rr.bytes), rr.fmt, int(rr.w),
+                                   int(rr.h))
+                out.append((rr.image_id, *palette_mediancut_kernel(img)))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_distinct", "n_boxes", "err",
+                         "chk"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _run, "image_id string, n_distinct bigint, n_boxes bigint,"
+        " err bigint, chk bigint"
+    )

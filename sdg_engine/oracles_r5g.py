@@ -260,6 +260,35 @@ LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """
 
+ORACLES_R5G["doc_collocation_tscore"] = """
+WITH toks AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+),
+big AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS f_xy
+        FROM toks GROUP BY x, y),
+ux AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS f_x FROM toks GROUP BY x),
+uy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS f_y FROM toks GROUP BY y),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM toks),
+scored AS (
+  SELECT b.x, b.y, b.f_xy,
+         CAST(FLOOR(1000000.0 * (CAST(b.f_xy AS DOUBLE)
+              - CAST(ux.f_x AS DOUBLE) * CAST(uy.f_y AS DOUBLE)
+              / CAST(nb.n_big AS DOUBLE))
+              / sqrt(CAST(b.f_xy AS DOUBLE))) AS BIGINT) AS t_micros
+  FROM big b JOIN ux USING (x) JOIN uy USING (y) CROSS JOIN nb
+  WHERE b.f_xy >= 5
+)
+SELECT CAST(rnk AS INT) AS rnk, x, y, f_xy, t_micros
+FROM (
+  SELECT x, y, f_xy, t_micros,
+         ROW_NUMBER() OVER (ORDER BY t_micros DESC, x, y) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term
@@ -536,6 +565,12 @@ SELECT media_id, n, sum_abs_y, max_abs_y, y_last, chk
 FROM read_parquet('{gdir}/audio_biquad.parquet')
 """,
         "community_modularity": modularity,
+        "image_palette_mediancut": f"""
+SELECT g.image_id, g.n_distinct, g.n_boxes, g.err, g.chk
+FROM read_parquet('{gdir}/palette_sf0.01.parquet') g
+JOIN read_parquet('{img}') f USING (image_id)
+WHERE f.image_id < 'img000000000500' AND f.fmt <> 'jpg'
+""",
         "image_template_match": f"""
 SELECT g.image_id, g.n_pos, g.best_ssd, g.best_row, g.best_col,
        g.ssd_chk

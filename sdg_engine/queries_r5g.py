@@ -1149,7 +1149,73 @@ def roads_simplify_vw(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 45: median-cut palette + t-score collocations
+# ---------------------------------------------------------------------------
+
+def doc_collocation_tscore(spark, sf_dir):
+    """T-SCORE COLLOCATIONS — the hypothesis-testing collocation
+    ranker next to pmi_bigrams' lift (PMI overweights rare pairs; the
+    t-score (obs − exp)/sqrt(obs) corrects for that, and unlike the
+    log-likelihood G² it needs only sqrt — IEEE-safe, gotcha 8).  One
+    explode feeds bigram and unigram counts (the pmi shape); exp runs
+    in DOUBLE (c_x·c_y exceeds int64 at real corpus sizes), t floors
+    to micros; top-10, tie lexicographic."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
+        "doc_id",
+        "explode(sequence(1, size(w) - 1)) AS i",
+        "w",
+    ).selectExpr("element_at(w, i) AS x", "element_at(w, i + 1) AS y")
+    big = toks.groupBy("x", "y").agg(F.count(F.lit(1)).alias("f_xy"))
+    uni_x = toks.groupBy("x").agg(F.count(F.lit(1)).alias("f_x"))
+    uni_y = toks.groupBy("y").agg(F.count(F.lit(1)).alias("f_y"))
+    n_big = toks.agg(F.count(F.lit(1)).alias("n_big"))
+    t_expr = (
+        "CAST(FLOOR(1000000.0 * (CAST(f_xy AS DOUBLE)"
+        " - CAST(f_x AS DOUBLE) * CAST(f_y AS DOUBLE)"
+        " / CAST(n_big AS DOUBLE))"
+        " / sqrt(CAST(f_xy AS DOUBLE))) AS BIGINT)"
+    )
+    w = Window.orderBy(F.col("t_micros").desc(),
+                       F.col("x").asc(), F.col("y").asc())
+    return (
+        big.filter(F.col("f_xy") >= 5)
+        .join(F.broadcast(uni_x), "x")
+        .join(F.broadcast(uni_y), "y")
+        .crossJoin(F.broadcast(n_big))
+        .withColumn("t_micros", F.expr(t_expr))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "x", "y", "f_xy", "t_micros")
+    )
+
+
+def image_palette_mediancut(spark, sf_dir):
+    """MEDIAN-CUT PALETTE EXTRACTION — the dominant-color primitive of
+    image curation (and the classic GIF/PNG8 quantizer), fully
+    deterministic: split the box with the most pixels (tie: earliest
+    created), along its widest channel (tie order R,G,B), at the
+    median pixel of the channel-sorted distinct colors (lower half
+    inclusive), to 8 boxes; palette entry = componentwise floor mean.
+    All integer; error = SSD of each pixel to ITS box's mean.  Golden:
+    the same SPEC over scalar python dicts (vs the engine's sorted
+    numpy distinct-color arrays)."""
+    from .ops.payload import palette_mediancut_stats
+    from .queries_ext import _fixture_images
+
+    images, _roads = _fixture_images(spark, sf_dir, pin_sf=0.01)
+    sel = images.filter(
+        (F.col("image_id") < "img000000000500") & (F.col("fmt") != "jpg")
+    )
+    return palette_mediancut_stats(sel)
+
+
 QUERIES_R5G = {
+    "doc_collocation_tscore": doc_collocation_tscore,
+    "image_palette_mediancut": image_palette_mediancut,
     "image_template_match": image_template_match,
     "roads_simplify_vw": roads_simplify_vw,
     "events_attribution_linear": events_attribution_linear,

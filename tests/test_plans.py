@@ -835,3 +835,10 @@ def test_wave44_kernels_are_map_only(spark):
 
     for fn in (image_template_match, roads_simplify_vw):
         assert "Exchange" not in _plan(fn(spark, SF)), fn.__name__
+
+
+def test_wave45_palette_is_map_only(spark):
+    """Median-cut palette: payload bytes never shuffle."""
+    from sdg_engine.queries_r5g import image_palette_mediancut
+
+    assert "Exchange" not in _plan(image_palette_mediancut(spark, SF))

@@ -709,3 +709,61 @@ def test_vw_engine_matches_rescan_twin():
         assert [bool(v) for v in keep] == \
             [i in (0, n - 1) or i in idx for i in range(n)]
         assert removed == removed2
+
+
+# ---------------------------------------------------------------------------
+# Wave 45: t-score collocations + median-cut palette
+# ---------------------------------------------------------------------------
+
+def test_tscore_matches_scalar_and_is_sorted(spark):
+    import math
+
+    from sdg_engine.queries_r5g import doc_collocation_tscore
+
+    out = _pdf(doc_collocation_tscore(spark, SF)).sort_values("rnk")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    big: dict = {}
+    ux: dict = {}
+    uy: dict = {}
+    n_big = 0
+    for text in docs["text"]:
+        w = text.split(" ")
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ux[a] = ux.get(a, 0) + 1
+            uy[b] = uy.get(b, 0) + 1
+            n_big += 1
+    scored = []
+    for (a, b), f in big.items():
+        if f >= 5:
+            t = 1e6 * (f - ux[a] * uy[b] / n_big) / math.sqrt(f)
+            scored.append((-math.floor(t), a, b, f))
+    scored.sort()
+    want = [(i + 1, a, b, f, -nt)
+            for i, (nt, a, b, f) in enumerate(scored[:10])]
+    got = [(int(r.rnk), r.x, r.y, int(r.f_xy), int(r.t_micros))
+           for r in out.itertuples()]
+    assert got == want
+
+
+def test_palette_mediancut_analytic_cases():
+    import numpy as np
+
+    from sdg_engine.ops.payload import palette_mediancut_kernel
+
+    # single color: 1 unsplittable box, zero error
+    px = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert palette_mediancut_kernel(px) == (1, 1, 0, 77 * 65536 + 77 * 256 + 77)
+    # exactly 8 distinct colors -> every box isolates one color, err 0
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    for k in range(8):
+        px[k // 4, k % 4] = (k * 30, 255 - k * 30, k * 7)
+    n_distinct, n_boxes, err, chk = palette_mediancut_kernel(px)
+    assert (n_distinct, n_boxes, err) == (8, 8, 0)
+    # 16 distinct colors -> 8 boxes, error strictly positive
+    px2 = np.zeros((4, 4, 3), dtype=np.uint8)
+    for k in range(16):
+        px2[k // 4, k % 4] = (k * 16, (k * 37) % 256, (k * 91) % 256)
+    n_d2, n_b2, err2, _ = palette_mediancut_kernel(px2)
+    assert (n_d2, n_b2) == (16, 8)
+    assert err2 > 0
