@@ -289,6 +289,54 @@ FROM (
 WHERE rnk <= 10
 """
 
+ORACLES_R5G["snapshot_rename_column"] = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(1 AS INT) AS rename_was_metadata_only,
+       CAST(1 AS INT) AS pre_snapshot_has_old_name,
+       CAST(1 AS INT) AS head_has_new_name
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R5G["streaming_full_outer_join"] = """
+WITH clicks AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+  FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+),
+views AS (
+  SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+  FROM events
+  WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+),
+j AS (
+  SELECT COALESCE(c.c_user, v.v_user) AS user_id,
+         c.click_id, c.c_ts, v.view_id, v.v_ts
+  FROM clicks c
+  FULL JOIN views v
+    ON c.c_user = v.v_user
+   AND v.v_ts >= c.c_ts - INTERVAL 1800 SECOND
+   AND v.v_ts <= c.c_ts
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN click_id IS NOT NULL AND view_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_only,
+       CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_only,
+       CAST(SUM(COALESCE(click_id, 0) + COALESCE(view_id, 0)) AS BIGINT)
+         AS id_chk
+FROM j
+WHERE COALESCE(c_ts, v_ts) < TIMESTAMP '2024-01-09 00:00:00'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term

@@ -1213,7 +1213,140 @@ def image_palette_mediancut(spark, sf_dir):
     return palette_mediancut_stats(sel)
 
 
+# ---------------------------------------------------------------------------
+# Wave 46: snapshot rename + full-outer stream join
+# ---------------------------------------------------------------------------
+
+def snapshot_rename_column(spark, sf_dir):
+    """METADATA-ONLY COLUMN RENAME on the snapshot table — the Iceberg
+    rename semantic after add-column evolution and time travel: two
+    appends commit (doc_id, lang, n_chars), the rename to char_count
+    touches ZERO data files (pinned: the new manifest carries the
+    parent's dirs verbatim), a third append WRITES WITH THE NEW NAME
+    (write_snapshot maps it back to disk-name space, Iceberg's
+    field-id indirection as a name mapping), and the full read
+    aggregates under char_count while the PRE-rename snapshot still
+    time-travel-reads as n_chars."""
+    from .queries_ext import _stream_base
+    from .storage import (
+        _read_manifest,
+        read_snapshot,
+        rename_column,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _stream_base(spark, "rencol_")
+    path = f"{base}/tbl"
+    write_snapshot(docs.filter("doc_id < 150"), path, mode="append")
+    write_snapshot(
+        docs.filter("doc_id >= 150 AND doc_id < 300"), path, mode="append"
+    )
+    snap = rename_column(path, "n_chars", "char_count")
+    # metadata-only pin: the rename commit carries the dirs verbatim
+    same_dirs = int(
+        _read_manifest(path, snap)["dirs"]
+        == _read_manifest(path, snap - 1)["dirs"]
+    )
+    third = docs.filter("doc_id >= 300").withColumnRenamed(
+        "n_chars", "char_count"
+    )
+    write_snapshot(third, path, mode="append")
+    pre = read_snapshot(spark, path, as_of=2)
+    old_name_visible = int("n_chars" in pre.columns)
+    cur = read_snapshot(spark, path)
+    new_name_visible = int(
+        "char_count" in cur.columns and "n_chars" not in cur.columns
+    )
+    return (
+        cur.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("char_count").alias("total_chars"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "total_chars",
+            f"CAST({same_dirs} AS INT) AS rename_was_metadata_only",
+            f"CAST({old_name_visible} AS INT) AS pre_snapshot_has_old_name",
+            f"CAST({new_name_visible} AS INT) AS head_has_new_name",
+        )
+        .orderBy("lang")
+    )
+
+
+def streaming_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join drained to parquet — the
+    last join mode (inner r03, left r05): both sides evict, so
+    watermark-proven-unmatched CLICKS and VIEWS each emit their NULL
+    row.  Same chronological-chunk + filler-batch discipline as the
+    left join (gotchas 16a/16c); the comparison bound keeps both
+    eviction horizons provably under the final global watermark, and
+    the oracle is the plain batch FULL JOIN under the same bounds."""
+    import datetime as _dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import streaming as STR
+    from .queries_ext import _stream_base
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _stream_base(spark, "sfj_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.filter(
+        pa.compute.less(t["ts"], pa.scalar(_dt.datetime(2024, 1, 11)))
+    )
+    idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    for k in range(4):
+        pq.write_table(
+            t.slice(k * n // 4, (k + 1) * n // 4 - k * n // 4),
+            os.path.join(in_dir, f"chunk-{k:02d}.parquet"),
+        )
+    filler = t.filter(pa.compute.equal(t["event_type"], "signup")).slice(0, 4)
+    for k in range(2):
+        pq.write_table(
+            filler, os.path.join(in_dir, f"chunk-9{k}-filler.parquet")
+        )
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        STR.stream_interval_join_full(spark, in_dir, out, ck,
+                                      emit_before="2024-01-10 00:00:00")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out)
+        .filter(F.expr(
+            "COALESCE(c_ts, v_ts) < TIMESTAMP '2024-01-09 00:00:00'"
+        ))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr(
+                "CASE WHEN click_id IS NOT NULL AND view_id IS NOT NULL"
+                " THEN 1 ELSE 0 END")).alias("n_matched"),
+            F.sum(F.expr(
+                "CASE WHEN view_id IS NULL THEN 1 ELSE 0 END"
+            )).alias("n_click_only"),
+            F.sum(F.expr(
+                "CASE WHEN click_id IS NULL THEN 1 ELSE 0 END"
+            )).alias("n_view_only"),
+            F.sum(F.expr("COALESCE(click_id, 0) + COALESCE(view_id, 0)"))
+            .alias("id_chk"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES_R5G = {
+    "snapshot_rename_column": snapshot_rename_column,
+    "streaming_full_outer_join": streaming_full_outer_join,
     "doc_collocation_tscore": doc_collocation_tscore,
     "image_palette_mediancut": image_palette_mediancut,
     "image_template_match": image_template_match,

@@ -490,6 +490,16 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
     import uuid
 
     assert mode in ("append", "overwrite")
+    renames: dict = {}
+    if mode == "append":
+        hist0 = snapshot_history(path)
+        if hist0:
+            renames = _read_manifest(path, hist0[-1]).get("renames") or {}
+            # incoming frames use CURRENT names; files are written in
+            # DISK-name space so every snapshot's data stays uniform
+            for disk, cur in renames.items():
+                if cur in df.columns and disk not in df.columns:
+                    df = df.withColumnRenamed(cur, disk)
     if check is None and mode == "append":
         check = table_check(path)  # inherit the table's constraint
     if check is not None:
@@ -549,6 +559,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
                            "deletes": deletes,
                            "pos_deletes": pos_deletes,
                            "check": check,
+                           "renames": renames or None,
                            "schema": schema_json}, f)
             try:
                 os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
@@ -617,6 +628,22 @@ def read_snapshot_partitioned(spark: SparkSession, path: str, eq: dict,
 def _read_manifest_df(spark: SparkSession, m: dict,
                       dir_files: dict[str, list[str]] | None = None
                       ) -> DataFrame:
+    """Materialize a manifest as a DataFrame, then surface RENAMED
+    columns under their current names (r05 wave 46): on-disk files
+    keep their original column names forever — rename_column is
+    metadata-only, exactly Iceberg's field-id indirection realized as
+    a name mapping — so the scan runs in disk-name space (schemas,
+    zone maps, delete keys all stay valid) and the rename is one
+    zero-cost projection at the end."""
+    df = _read_manifest_df_disk(spark, m, dir_files)
+    for disk, cur in (m.get("renames") or {}).items():
+        df = df.withColumnRenamed(disk, cur)
+    return df
+
+
+def _read_manifest_df_disk(spark: SparkSession, m: dict,
+                           dir_files: dict[str, list[str]] | None = None
+                           ) -> DataFrame:
     """Materialize a manifest as a DataFrame: read its data dirs under
     the committed schema and apply MERGE-ON-READ equality deletes with
     Iceberg-v2 sequence semantics — a delete commit suppresses keys
@@ -1031,6 +1058,55 @@ def merge_snapshot(spark: SparkSession, path: str, updates: DataFrame,
         )
     merged = survivors.unionByName(updates)
     return write_snapshot(merged, path, mode="overwrite")
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """METADATA-ONLY COLUMN RENAME (r05 wave 46) — the Iceberg rename
+    semantic: no data file is touched (the commit carries the parent's
+    dirs/files/deletes verbatim); the new manifest just extends the
+    disk-name -> current-name mapping.  Readers of PRE-rename snapshots
+    still see the old name (each manifest is self-describing); appends
+    after the rename may use the new name — write_snapshot maps them
+    back to disk-name space.  Same hard-link optimistic commit."""
+    import json
+    import os
+    import uuid
+
+    hist = snapshot_history(path)
+    if not hist:
+        raise ValueError(f"no snapshots committed at {path!r}")
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    try:
+        while True:
+            hist = snapshot_history(path)
+            parent = _read_manifest(path, hist[-1])
+            ren = dict(parent.get("renames") or {})
+            disk_fields = [f["name"] for f in parent["schema"]["fields"]]
+            cur_of = {d: ren.get(d, d) for d in disk_fields}
+            if old not in cur_of.values():
+                raise ValueError(f"no column {old!r} (have "
+                                 f"{sorted(cur_of.values())})")
+            if new in cur_of.values():
+                raise ValueError(f"column {new!r} already exists")
+            disk = next(d for d, c in cur_of.items() if c == old)
+            ren[disk] = new
+            snap_id = hist[-1] + 1
+            m = dict(parent)
+            m["snapshot_id"] = snap_id
+            m["parent"] = hist[-1]
+            m["mode"] = "rename"
+            m["renames"] = ren
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            try:
+                os.link(tmp, os.path.join(mdir, f"{snap_id}.json"))
+                return snap_id
+            except FileExistsError:
+                continue
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:

@@ -906,3 +906,70 @@ def stream_tws_running_totals(
         .start()
         .awaitTermination()
     )
+
+
+def stream_interval_join_full(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+    interval_s: int = 1800,
+    emit_before: str = "2024-01-25 00:00:00",
+) -> None:
+    """Stream-stream FULL OUTER interval join (r05 wave 46) — the last
+    join mode (inner and left are certified): BOTH sides now carry
+    eviction semantics, so an unmatched click emits a NULL-view row
+    when the watermark passes ``c_ts + interval``, and an unmatched
+    view emits a NULL-click row when it passes ``v_ts + interval``
+    (a view at v_ts can match clicks up to v_ts + interval, the
+    mirror horizon).  Gotcha 16c applies twice: the bounded click
+    side throttles the global watermark to ~(emit_before − delay),
+    so the caller compares only rows whose ANCHOR timestamp (c_ts
+    when a click is present, v_ts otherwise) is far enough below the
+    bound that both horizons are provably crossed."""
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "click")
+        .filter(F.expr(f"ts < TIMESTAMP '{emit_before}'"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND v_ts >= c_ts - INTERVAL {interval_s} SECOND "
+            f"AND v_ts <= c_ts"
+        ),
+        "fullOuter",
+    ).select(
+        F.expr("COALESCE(c_user, v_user)").alias("user_id"),
+        "click_id", "c_ts", "view_id", "v_ts",
+    )
+    (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -767,3 +767,40 @@ def test_palette_mediancut_analytic_cases():
     n_d2, n_b2, err2, _ = palette_mediancut_kernel(px2)
     assert (n_d2, n_b2) == (16, 8)
     assert err2 > 0
+
+
+# ---------------------------------------------------------------------------
+# Wave 46: metadata-only rename
+# ---------------------------------------------------------------------------
+
+def test_rename_column_chain_and_errors(spark, tmp_path):
+    import pytest
+
+    from sdg_engine.storage import (
+        read_snapshot,
+        rename_column,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    write_snapshot(df, path, mode="append")
+    rename_column(path, "v", "val")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(path, "v", "x")  # old name is gone
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(path, "val", "id")
+    # chained rename: val -> score; appends under the newest name land
+    # in disk-name space and read back renamed
+    rename_column(path, "val", "score")
+    write_snapshot(
+        spark.createDataFrame([(3, 30)], "id bigint, score bigint"),
+        path, mode="append",
+    )
+    cur = read_snapshot(spark, path)
+    assert set(cur.columns) == {"id", "score"}
+    assert sorted((r.id, r.score) for r in cur.collect()) == \
+        [(1, 10), (2, 20), (3, 30)]
+    # pre-rename snapshot still reads the original name
+    first = read_snapshot(spark, path, as_of=1)
+    assert set(first.columns) == {"id", "v"}
