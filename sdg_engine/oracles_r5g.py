@@ -337,6 +337,77 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+ORACLES_R5G["doc_char_lm_score"] = """
+WITH bi AS (
+  SELECT doc_id, lang,
+         substring(text, i, 1) AS x,
+         substring(text, i, 2) AS xy
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - 1)) AS u(i)
+),
+c_xy AS (SELECT xy, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bi GROUP BY xy),
+c_x AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x FROM bi GROUP BY x),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_trans,
+         CAST(SUM(CAST(n_xy * 1000000 // n_x AS BIGINT)) AS BIGINT)
+           AS sum_ppm
+  FROM bi JOIN c_xy USING (xy) JOIN c_x USING (x)
+  GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT doc_id, lang, n_trans,
+         CAST(sum_ppm // n_trans AS BIGINT) AS score_ppm
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+       CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+       CAST(MIN(doc_id) FILTER (WHERE score_ppm = mn) AS BIGINT)
+         AS worst_doc
+FROM (SELECT *, MIN(score_ppm) OVER (PARTITION BY lang) AS mn
+      FROM scored)
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R5G["vocab_coverage_curve"] = """
+WITH toks AS (
+  SELECT t.w
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w) AS t
+  WHERE t.w != ''
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+ranked AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk
+  FROM vocab
+),
+cum AS (
+  SELECT rnk,
+         CAST(SUM(n) OVER (ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM ranked
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+levels AS (
+  SELECT CAST(i AS INT) AS i,
+         CAST(POW(2, i) AS BIGINT) AS k
+  FROM UNNEST(generate_series(1, 10)) AS u(i)
+)
+SELECT l.i, l.k,
+       CAST(MAX(c.cum) AS BIGINT) AS covered,
+       t.total,
+       CAST(MAX(c.cum) * 1000000 // t.total AS BIGINT) AS coverage_ppm
+FROM cum c JOIN levels l ON c.rnk <= l.k
+CROSS JOIN total t
+GROUP BY l.i, l.k, t.total
+ORDER BY l.i
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term

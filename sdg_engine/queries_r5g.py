@@ -1344,7 +1344,112 @@ def streaming_full_outer_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 47: char-bigram LM score + vocab coverage curve
+# ---------------------------------------------------------------------------
+
+def doc_char_lm_score(spark, sf_dir):
+    """CHARACTER-BIGRAM LM QUALITY SCORE — the gibberish detector of
+    curation pipelines, in the log-free form the oracle contract
+    demands (perplexity's logs are unparityable; the MEAN TRANSITION
+    PROBABILITY in ppm carries the same ordering for filtering): train
+    corpus bigram/prefix counts (a 256²-bounded relation), score each
+    doc as AVG over its transitions of floor(1e6·c(xy)/c(x·)) — the
+    per-term floor makes every sum associative; resubstitution, which
+    the oracle mirrors.  Per-lang rollup: mean-of-means in ppm plus
+    the min-scoring doc (the worst-document probe)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bi = docs.selectExpr(
+        "doc_id", "lang",
+        "explode(sequence(1, length(text) - 1)) AS i",
+        "text",
+    ).selectExpr(
+        "doc_id", "lang",
+        "substring(text, i, 1) AS x",
+        "substring(text, i, 2) AS xy",
+    )
+    c_xy = bi.groupBy("xy").agg(F.count(F.lit(1)).alias("n_xy"))
+    c_x = bi.groupBy("x").agg(F.count(F.lit(1)).alias("n_x"))
+    per_doc = (
+        bi.join(F.broadcast(c_xy), "xy")
+        .join(F.broadcast(c_x), "x")
+        .selectExpr(
+            "doc_id", "lang",
+            "n_xy * 1000000 DIV n_x AS p_ppm",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("p_ppm").alias("sum_ppm"),
+        )
+        .selectExpr(
+            "doc_id", "lang", "n_trans",
+            "sum_ppm DIV n_trans AS score_ppm",
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_ppm").alias("sum_score_ppm"),
+            F.min("score_ppm").alias("min_score_ppm"),
+            F.expr("MIN(struct(score_ppm, doc_id)).doc_id")
+            .alias("worst_doc"),
+        )
+        .selectExpr(
+            "lang", "n_docs",
+            "sum_score_ppm DIV n_docs AS mean_score_ppm",
+            "min_score_ppm", "worst_doc",
+        )
+        .orderBy("lang")
+    )
+
+
+def vocab_coverage_curve(spark, sf_dir):
+    """VOCABULARY COVERAGE CURVE — what share of all token occurrences
+    the top-2^i words cover, i = 1..10 (the curve a tokenizer design
+    reads before fixing vocab size; Zipf's law makes it concave, which
+    the pytest pins as monotonicity).  One token explode, one
+    vocabulary-sized ranking window, exact cumulative BIGINTs; the
+    rank→tier mapping is a CASE on powers of two, so the result is 10
+    rows regardless of corpus size."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter("w != ''")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    ranked = vocab.selectExpr(
+        "w", "n",
+        "ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk",
+    ).selectExpr(
+        "n", "rnk",
+        "SUM(n) OVER (ORDER BY rnk"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    levels = spark.range(1, 11).selectExpr(
+        "CAST(id AS INT) AS i", "CAST(pow(2, id) AS BIGINT) AS k"
+    )
+    at_k = (
+        ranked.crossJoin(F.broadcast(levels))
+        .filter("rnk <= k")
+        .groupBy("i", "k")
+        .agg(F.max("cum").alias("covered"))
+    )
+    return (
+        at_k.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "i", "k", "covered", "total",
+            "covered * 1000000 DIV total AS coverage_ppm",
+        )
+        .orderBy("i")
+    )
+
+
 QUERIES_R5G = {
+    "doc_char_lm_score": doc_char_lm_score,
+    "vocab_coverage_curve": vocab_coverage_curve,
     "snapshot_rename_column": snapshot_rename_column,
     "streaming_full_outer_join": streaming_full_outer_join,
     "doc_collocation_tscore": doc_collocation_tscore,

@@ -804,3 +804,57 @@ def test_rename_column_chain_and_errors(spark, tmp_path):
     # pre-rename snapshot still reads the original name
     first = read_snapshot(spark, path, as_of=1)
     assert set(first.columns) == {"id", "v"}
+
+
+# ---------------------------------------------------------------------------
+# Wave 47: char-LM score + vocab coverage curve
+# ---------------------------------------------------------------------------
+
+def test_char_lm_score_matches_scalar(spark):
+    from sdg_engine.queries_r5g import doc_char_lm_score
+
+    out = _pdf(doc_char_lm_score(spark, SF)).set_index("lang")
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    c_xy: dict = {}
+    c_x: dict = {}
+    for text in docs["text"]:
+        for i in range(len(text) - 1):
+            c_x[text[i]] = c_x.get(text[i], 0) + 1
+            c_xy[text[i:i + 2]] = c_xy.get(text[i:i + 2], 0) + 1
+    per_lang: dict = {}
+    for r in docs.itertuples():
+        t = r.text
+        terms = [c_xy[t[i:i + 2]] * 1_000_000 // c_x[t[i]]
+                 for i in range(len(t) - 1)]
+        score = sum(terms) // len(terms)
+        per_lang.setdefault(r.lang, []).append((score, r.doc_id))
+    for lang, scores in per_lang.items():
+        mean = sum(s for s, _ in scores) // len(scores)
+        mn = min(scores)
+        assert int(out.loc[lang, "n_docs"]) == len(scores)
+        assert int(out.loc[lang, "mean_score_ppm"]) == mean
+        assert int(out.loc[lang, "min_score_ppm"]) == mn[0]
+        assert int(out.loc[lang, "worst_doc"]) == mn[1]
+        # a probability mean stays inside (0, 1e6]
+        assert 0 < mean <= 1_000_000
+
+
+def test_vocab_coverage_curve_is_monotone_and_exact(spark):
+    from collections import Counter
+
+    from sdg_engine.queries_r5g import vocab_coverage_curve
+
+    out = _pdf(vocab_coverage_curve(spark, SF)).sort_values("i")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    cnt = Counter(w for t in docs["text"] for w in t.split(" ") if w)
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda e: (-e[1], e[0]))
+    for r in out.itertuples():
+        covered = sum(n for _, n in ordered[:int(r.k)])
+        assert int(r.covered) == covered
+        assert int(r.total) == total
+        assert int(r.coverage_ppm) == covered * 1_000_000 // total
+    cov = out["coverage_ppm"].tolist()
+    assert cov == sorted(cov)  # Zipf concavity -> monotone coverage
+    assert cov[-1] <= 1_000_000
