@@ -36,7 +36,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (sdg_engine/oracles.py).
 
     EVERY registered query has an oracle entry (zero rows-only since
-    r04; len(queries()) is the count — 345 registered as of r05 final) (`set(oracle_sql()) == set(queries())`, pinned by
+    r04; len(queries()) is the count — 347 registered as of r05 final) (`set(oracle_sql()) == set(queries())`, pinned by
     tests/test_spark_pipeline.py::test_entry_contract).  Queries whose content is binary payload math
     (RAI burn/cost-distance, warp, multimodal audio/video features)
     compare against COMMITTED goldens produced by INDEPENDENT twins

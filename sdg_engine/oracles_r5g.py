@@ -408,6 +408,85 @@ GROUP BY l.i, l.k, t.total
 ORDER BY l.i
 """
 
+ORACLES_R5G["doc_ngram_novelty"] = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         array_to_string(w[i + 1:i + 5], ' ') AS shingle
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        FROM documents),
+       UNNEST(generate_series(0, len(w) - 5)) AS u(i)
+),
+per_sh AS (
+  SELECT doc_id, lang, shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sh GROUP BY 1, 2, 3
+),
+owners AS (
+  SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS owner
+  FROM per_sh GROUP BY shingle
+),
+per_doc AS (
+  SELECT p.doc_id, p.lang,
+         CAST(SUM(p.cnt) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN o.owner = p.doc_id THEN p.cnt ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM per_sh p JOIN owners o USING (shingle)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, lang, n_shingles, n_novel,
+         CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS total_novel,
+       CAST(SUM(novelty_ppm) // COUNT(*) AS BIGINT) AS mean_novelty_ppm,
+       CAST(MIN(doc_id) FILTER (WHERE novelty_ppm = mn) AS BIGINT)
+         AS least_novel_doc
+FROM (SELECT *, MIN(novelty_ppm) OVER (PARTITION BY lang) AS mn
+      FROM scored)
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R5G["dedup_impact_report"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(text) AS h_exact,
+         md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS h_norm
+  FROM documents
+),
+base AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM d GROUP BY lang
+),
+ex AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_docs,
+         CAST(SUM(tok1) AS BIGINT) AS exact_tokens
+  FROM (SELECT lang, h_exact, MAX(n_tokens) AS tok1
+        FROM d GROUP BY lang, h_exact)
+  GROUP BY lang
+),
+nm AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS norm_docs,
+         CAST(SUM(tok1) AS BIGINT) AS norm_tokens
+  FROM (SELECT lang, h_norm, MAX(n_tokens) AS tok1
+        FROM d GROUP BY lang, h_norm)
+  GROUP BY lang
+)
+SELECT b.lang, b.n_docs, b.n_tokens,
+       ex.exact_docs, ex.exact_tokens, nm.norm_docs, nm.norm_tokens,
+       CAST(ex.exact_tokens * 1000000 // b.n_tokens AS BIGINT)
+         AS exact_keep_ppm,
+       CAST(nm.norm_tokens * 1000000 // b.n_tokens AS BIGINT)
+         AS norm_keep_ppm
+FROM base b JOIN ex USING (lang) JOIN nm USING (lang)
+ORDER BY b.lang
+"""
+
 ORACLES_R5G["doc_lang_classifier"] = """
 WITH terms AS (
   SELECT DISTINCT doc_id, lang, t.term

@@ -1458,7 +1458,116 @@ def vocab_coverage_curve(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 48: n-gram novelty + dedup impact report
+# ---------------------------------------------------------------------------
+
+def doc_ngram_novelty(spark, sf_dir):
+    """N-GRAM NOVELTY — what fraction of each document's word 5-gram
+    shingles appears in NO earlier document (doc_id order): the
+    memorization/duplication growth curve a curation pipeline tracks
+    as a corpus accretes (a shingle is "owned" by its MIN doc_id, so
+    novelty needs one explode + one min-agg + one equi-join — no
+    pairwise anything, scale-safe by construction).  Shingles via
+    explode(sequence) + codegen'd projection (gotcha 16b's fast form).
+    Per-lang rollup: mean novelty in ppm + the least-novel doc."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sh = (
+        docs.selectExpr(
+            "doc_id", "lang",
+            "split(text, ' ') AS w",
+        )
+        .selectExpr(
+            "doc_id", "lang",
+            "explode(sequence(0, size(w) - 5)) AS i", "w",
+        )
+        .selectExpr(
+            "doc_id", "lang",
+            "concat_ws(' ', slice(w, i + 1, 5)) AS shingle",
+        )
+    )
+    per_sh = sh.groupBy("doc_id", "lang", "shingle").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()  # feeds owners AND the novelty join
+    owners = per_sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        per_sh.join(owners, "shingle")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_shingles"),
+            F.sum(F.expr(
+                "CASE WHEN owner = doc_id THEN cnt ELSE 0 END"
+            )).alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id", "lang", "n_shingles", "n_novel",
+            "n_novel * 1000000 DIV n_shingles AS novelty_ppm",
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.sum("n_novel").alias("total_novel"),
+            F.sum("novelty_ppm").alias("sum_novelty_ppm"),
+            F.expr("MIN(struct(novelty_ppm, doc_id)).doc_id")
+            .alias("least_novel_doc"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "total_shingles", "total_novel",
+            "sum_novelty_ppm DIV n_docs AS mean_novelty_ppm",
+            "least_novel_doc",
+        )
+        .orderBy("lang")
+    )
+
+
+def dedup_impact_report(spark, sf_dir):
+    """DEDUP IMPACT REPORT — the before/after accounting a curation
+    run publishes: corpus size in docs and whitespace tokens, then
+    what survives EXACT dedup (md5 of raw text) and NORMALIZED dedup
+    (lower + collapsed whitespace — the cheap canonicalization tier
+    below MinHash/SimHash): keeper = min doc_id per group, surviving
+    tokens = the keepers' tokens.  Two hash aggs per tier over
+    fingerprints, never text pairs; one row per lang."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang",
+        "size(split(text, ' ')) AS n_tokens",
+        "md5(text) AS h_exact",
+        "md5(regexp_replace(lower(text), ' +', ' ')) AS h_norm",
+    )
+
+    def tier(col, pre):
+        keep = docs.groupBy("lang", col).agg(
+            F.min("doc_id").alias("keeper"),
+            F.max("n_tokens").alias("tok1"),
+        )
+        return keep.groupBy("lang").agg(
+            F.count(F.lit(1)).alias(f"{pre}_docs"),
+            F.sum("tok1").alias(f"{pre}_tokens"),
+        )
+
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return (
+        base.join(tier("h_exact", "exact"), "lang")
+        .join(tier("h_norm", "norm"), "lang")
+        .selectExpr(
+            "lang", "n_docs", "n_tokens",
+            "exact_docs", "exact_tokens", "norm_docs", "norm_tokens",
+            "exact_tokens * 1000000 DIV n_tokens AS exact_keep_ppm",
+            "norm_tokens * 1000000 DIV n_tokens AS norm_keep_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES_R5G = {
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "dedup_impact_report": dedup_impact_report,
     "doc_char_lm_score": doc_char_lm_score,
     "vocab_coverage_curve": vocab_coverage_curve,
     "snapshot_rename_column": snapshot_rename_column,

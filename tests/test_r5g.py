@@ -858,3 +858,56 @@ def test_vocab_coverage_curve_is_monotone_and_exact(spark):
     cov = out["coverage_ppm"].tolist()
     assert cov == sorted(cov)  # Zipf concavity -> monotone coverage
     assert cov[-1] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Wave 48: n-gram novelty + dedup impact
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_matches_scalar(spark):
+    from sdg_engine.queries_r5g import doc_ngram_novelty
+
+    out = _pdf(doc_ngram_novelty(spark, SF)).set_index("lang")
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "lang", "text"]
+                           ).sort_values("doc_id")
+    owner: dict = {}
+    rows = []
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        shingles = [" ".join(w[i:i + 5]) for i in range(len(w) - 4)]
+        for s in shingles:
+            owner.setdefault(s, r.doc_id)
+        rows.append((r.doc_id, r.lang, shingles))
+    per_lang: dict = {}
+    for doc_id, lang, shingles in rows:
+        novel = sum(1 for s in shingles if owner[s] == doc_id)
+        ppm = novel * 1_000_000 // len(shingles)
+        a = per_lang.setdefault(lang, [0, 0, 0, 0, (1 << 62, -1)])
+        a[0] += 1
+        a[1] += len(shingles)
+        a[2] += novel
+        a[3] += ppm
+        a[4] = min(a[4], (ppm, doc_id))
+    for lang, a in per_lang.items():
+        assert int(out.loc[lang, "n_docs"]) == a[0]
+        assert int(out.loc[lang, "total_shingles"]) == a[1]
+        assert int(out.loc[lang, "total_novel"]) == a[2]
+        assert int(out.loc[lang, "mean_novelty_ppm"]) == a[3] // a[0]
+        assert int(out.loc[lang, "least_novel_doc"]) == a[4][1]
+    # first doc of the corpus is 100% novel by construction
+    first = docs.iloc[0]
+    assert all(owner[" ".join(first.text.split(" ")[i:i + 5])]
+               == first.doc_id
+               for i in range(len(first.text.split(" ")) - 4))
+
+
+def test_dedup_impact_bounds(spark):
+    from sdg_engine.queries_r5g import dedup_impact_report
+
+    out = _pdf(dedup_impact_report(spark, SF))
+    for r in out.itertuples():
+        # dedup only removes: docs and tokens never grow, norm <= exact
+        assert int(r.norm_docs) <= int(r.exact_docs) <= int(r.n_docs)
+        assert int(r.norm_tokens) <= int(r.exact_tokens) <= int(r.n_tokens)
+        assert 0 < int(r.norm_keep_ppm) <= int(r.exact_keep_ppm) <= 1_000_000
