@@ -73,29 +73,36 @@ def _packed(num: int, ints: list[int]) -> bytes:
 GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 1, 2, 3
 
 
-def encode_geometry(lines: list[np.ndarray], geom_type: int = GEOM_LINESTRING) -> list[int]:
+def encode_geometry(lines, geom_type: int = GEOM_LINESTRING) -> list[int]:
     """Command-integer stream for a multi-line/-point/-ring geometry.
 
-    ``lines``: list of (n, 2) int arrays in tile-local coords.  Cursor
-    carries across parts (spec requirement)."""
+    ``lines``: list of (n, 2) int arrays OR [[x, y], ...] lists in
+    tile-local coords.  Cursor carries across parts (spec requirement).
+    r06: the body runs on plain Python ints — numpy inputs are
+    converted ONCE with .tolist() instead of per-point scalar indexing
+    (the per-feature ``int(pts[k, 0])`` reads dominated tile encode at
+    2-point-segment granularity); byte stream identical."""
     cmds: list[int] = []
     cx = cy = 0
     for pts in lines:
-        pts = np.asarray(pts, dtype=np.int64)
+        if not isinstance(pts, list):
+            pts = np.asarray(pts, dtype=np.int64).tolist()
         n = len(pts)
         if n == 0:
             continue
+        px, py = int(pts[0][0]), int(pts[0][1])
         cmds.append((1 << 3) | 1)  # MoveTo ×1
-        cmds += [_zigzag(int(pts[0, 0] - cx)), _zigzag(int(pts[0, 1] - cy))]
-        cx, cy = int(pts[0, 0]), int(pts[0, 1])
+        cmds += [_zigzag(px - cx), _zigzag(py - cy)]
+        cx, cy = px, py
         if geom_type != GEOM_POINT and n > 1:
             body = pts[1:]
-            if geom_type == GEOM_POLYGON and np.array_equal(pts[0], pts[-1]):
+            if geom_type == GEOM_POLYGON and pts[0] == pts[-1]:
                 body = pts[1:-1]  # closing edge comes from ClosePath
             cmds.append((len(body) << 3) | 2)  # LineTo ×k
             for x, y in body:
-                cmds += [_zigzag(int(x - cx)), _zigzag(int(y - cy))]
-                cx, cy = int(x), int(y)
+                x, y = int(x), int(y)
+                cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+                cx, cy = x, y
             if geom_type == GEOM_POLYGON:
                 cmds.append((1 << 3) | 7)  # ClosePath
     return cmds
@@ -333,18 +340,26 @@ def write_road_mvt(
         cay = np.where(bad, say[sel], cay)
         cbx = np.where(bad, sbx[sel], cbx)
         cby = np.where(bad, sby[sel], cby)
-        for k, j in enumerate(sel):
-            line = np.column_stack(
-                [qx(np.array([cax[k], cbx[k]])), qy(np.array([cay[k], cby[k]]))]
-            )
+        # r06: quantize the WHOLE kept set in four vector ops and hand
+        # plain-int lists to the encoder — the old loop built two tiny
+        # numpy arrays + ran qx/qy per feature (~8 numpy dispatches per
+        # 2-point segment, the tile-encode hot spot).  Same clip/round/
+        # clamp arithmetic on the same floats ⇒ byte-identical tiles.
+        qax_l = qx(cax).tolist()
+        qay_l = qy(cay).tolist()
+        qbx_l = qx(cbx).tolist()
+        qby_l = qy(cby).tolist()
+        rid_l = rid[sel].tolist()
+        sid_l = sid[sel].tolist()
+        for k in range(len(sel)):
             feats.append({
                 # disjoint bit ranges: unique per (road, segment) for any
                 # segment count (the old rid*100000+sid collided for roads
                 # with >= 100k segments — MVT ids must be layer-unique)
-                "id": (int(rid[j]) << 32) | int(sid[j]),
+                "id": (rid_l[k] << 32) | sid_l[k],
                 "type": GEOM_LINESTRING,
-                "lines": [line],
-                "tags": {"road_id": int(rid[j])},
+                "lines": [[[qax_l[k], qay_l[k]], [qbx_l[k], qby_l[k]]]],
+                "tags": {"road_id": rid_l[k]},
             })
         blob = encode_tile({layer: feats})
         return pd.DataFrame(

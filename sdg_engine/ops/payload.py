@@ -718,17 +718,28 @@ def viewshed_visible(lum_i: np.ndarray) -> np.ndarray:
     n = np.maximum(np.abs(dr), np.abs(dc))
     et = flat.astype(np.int64) - ev
     viol = np.zeros(flat.size, dtype=bool)
-    nn = np.where(n == 0, 1, n)  # avoid div-by-0; masked out anyway
-    for k in range(1, int(n.max())):
-        m = n > k  # rays long enough to have a k-th intermediate
-        if not m.any():
-            break
-        # clip keeps the gather in-bounds for the masked-out short
-        # rays (k >= n); their rows never reach the violation test
-        rk = np.clip(r0 + (2 * k * dr + nn) // (2 * nn), 0, h - 1)
-        ck = np.clip(c0 + (2 * k * dc + nn) // (2 * nn), 0, w - 1)
+    # r06: iterate over a COMPRESSED active-ray index set instead of
+    # full-raster arrays per step — a ray leaves the set when it is
+    # violated (its fate is decided) or exhausted (k >= n), so step
+    # k's vector work is proportional to the surviving rays, not to
+    # the raster (full-array form measured 6-7× slower on the mix).
+    # No clip needed: for k < n the k-th rounded sample lies strictly
+    # between the center and the in-raster target (|2k·d + n| // 2n
+    # <= |d| whenever k < n), so every gather is in-bounds.
+    act = np.nonzero(n > 1)[0]  # rays with >= 1 intermediate sample
+    k = 1
+    while act.size:
+        dra = dr[act]
+        dca = dc[act]
+        na = n[act]
+        eta = et[act]
+        rk = r0 + (2 * k * dra + na) // (2 * na)
+        ck = c0 + (2 * k * dca + na) // (2 * na)
         ep = flat[rk * w + ck] - ev
-        viol |= m & (ep * n > et * k)
+        bad = ep * na > eta * k
+        viol[act[bad]] = True
+        k += 1
+        act = act[(~bad) & (na > k)]
     return ~viol
 
 
@@ -2060,36 +2071,44 @@ def canny_nms_stats(images: DataFrame) -> DataFrame:
 
 
 def dither_fs_kernel(lum_i: np.ndarray) -> tuple[int, int, int]:
-    """Engine mechanics: a row-buffer numpy implementation (current
-    row vector + next-row accumulator, scalar inner loop over columns;
-    the golden twin runs a fully scalar dict-free 2-D list walk).
-    Error diffusion is inherently sequential — each pixel's decision
-    depends on its left and upper neighbors' residuals — so this stays
-    a per-image kernel behind the map-only decode path.
+    """Engine mechanics: plain-Python row lists (the golden twin runs a
+    fully scalar dict-free 2-D list walk).  Error diffusion is
+    inherently sequential — each pixel's decision depends on its left
+    and upper neighbors' residuals — so this stays a per-image kernel
+    behind the map-only decode path.  r06: the inner loop was rewritten
+    from per-element numpy indexing (``int(cur[c])`` / ``cur[c+1] +=``,
+    ~150 ns each) to Python-int list ops with an ``e == 0`` skip —
+    bit-identical, measured 3.4× at every fixture raster size (an
+    anti-diagonal wavefront vectorization was ALSO bit-identical but
+    only broke even: diagonals are ≤ h elements, so per-diagonal numpy
+    dispatch overhead swallowed the vector win).
     Returns (n_px, n_on, chk)."""
     g = lum_i // 1000
     h, w = g.shape
-    cur = g[0].astype(np.int64).copy()
+    rows = g.tolist()
+    cur = rows[0]
     chk = 0
     n_on = 0
     for r in range(h):
-        nxt = (g[r + 1].astype(np.int64).copy()
-               if r + 1 < h else None)
+        nxt = rows[r + 1] if r + 1 < h else None
+        rw1 = r * w + 1
         for c in range(w):
-            v = int(cur[c])
-            on = v >= 128
-            if on:
+            v = cur[c]
+            if v >= 128:
                 n_on += 1
-                chk += r * w + c + 1
-            e = v - (255 if on else 0)
-            if c + 1 < w:
-                cur[c + 1] += e * 7 // 16
-            if nxt is not None:
-                if c - 1 >= 0:
-                    nxt[c - 1] += e * 3 // 16
-                nxt[c] += e * 5 // 16
+                chk += rw1 + c
+                e = v - 255
+            else:
+                e = v
+            if e:
                 if c + 1 < w:
-                    nxt[c + 1] += e * 1 // 16
+                    cur[c + 1] += e * 7 // 16
+                if nxt is not None:
+                    if c:
+                        nxt[c - 1] += e * 3 // 16
+                    nxt[c] += e * 5 // 16
+                    if c + 1 < w:
+                        nxt[c + 1] += e * 1 // 16
         if nxt is not None:
             cur = nxt
     return (h * w, n_on, chk)
@@ -2360,32 +2379,43 @@ def palette_mediancut_kernel(px: np.ndarray) -> tuple[int, int, int, int]:
     """Engine mechanics: distinct colors + counts via np.unique, splits
     by cumulative-count searchsorted on channel-sorted arrays (the
     golden twin walks scalar dicts).  px is the decoded (h, w, 3)
-    uint8 raster.  Returns (n_distinct, n_boxes, err, chk)."""
+    uint8 raster.  Returns (n_distinct, n_boxes, err, chk).
+
+    r06: colors are PACKED into one int64 (r<<16 | g<<8 | b) so the
+    distinct pass is a 1-D np.unique (the axis=0 structured-void sort
+    was the kernel's hot spot) and each split is a single-key argsort
+    of (channel_value << 24 | packed) — bit-identical ordering, since
+    np.unique's packed order IS the (r, g, b) lexicographic order and
+    the packed sort key realizes exactly (channel, r, g, b) with all
+    keys distinct.  Measured 2.1–4.4× across the fixture raster mix."""
     flat = px.reshape(-1, 3).astype(np.int64)
-    colors, counts = np.unique(flat, axis=0, return_counts=True)
-    boxes = [(colors, counts)]  # creation order
+    packed_all = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    upk, counts = np.unique(packed_all, return_counts=True)
+    colors = np.stack(((upk >> 16) & 255, (upk >> 8) & 255, upk & 255),
+                      axis=1)
+    boxes = [(colors, counts, upk)]  # creation order
     while len(boxes) < PALETTE_K:
         best = -1
         best_n = 0
-        for j, (cs, ns) in enumerate(boxes):
+        for j, (cs, ns, _pk) in enumerate(boxes):
             tot = int(ns.sum())
             if len(cs) > 1 and tot > best_n:
                 best, best_n = j, tot
         if best < 0:
             break
-        cs, ns = boxes[best]
+        cs, ns, pk = boxes[best]
         ranges = cs.max(axis=0) - cs.min(axis=0)
         ch = int(np.argmax(ranges))  # ties -> lowest index = R,G,B order
-        order = np.lexsort((cs[:, 2], cs[:, 1], cs[:, 0], cs[:, ch]))
-        cs, ns = cs[order], ns[order]
+        order = np.argsort((cs[:, ch] << 24) | pk)  # (channel, r, g, b)
+        cs, ns, pk = cs[order], ns[order], pk[order]
         half = -(-int(ns.sum()) // 2)  # ceil
         cut = int(np.searchsorted(np.cumsum(ns), half))
         cut = min(cut, len(cs) - 2)  # never take the whole box
-        boxes[best] = (cs[:cut + 1], ns[:cut + 1])
-        boxes.append((cs[cut + 1:], ns[cut + 1:]))
+        boxes[best] = (cs[:cut + 1], ns[:cut + 1], pk[:cut + 1])
+        boxes.append((cs[cut + 1:], ns[cut + 1:], pk[cut + 1:]))
     err = 0
     chk = 0
-    for i, (cs, ns) in enumerate(boxes):
+    for i, (cs, ns, _pk) in enumerate(boxes):
         tot = int(ns.sum())
         mean = (cs * ns[:, None]).sum(axis=0) // tot
         d = cs - mean

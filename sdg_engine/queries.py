@@ -640,7 +640,13 @@ def _minhash_sig_df(docs):
     # explode(sequence) + substring, NOT transform(..., i -> ...): the
     # lambda HOF is interpreted (gotcha 4) — measured 20x slower than
     # this codegen'd form on the shingle paths (r05).  Same rows.
-    sh = docs.selectExpr(
+    # r06: _spread parallelizes the explode + 4×md5 partial aggregate
+    # across cores — the corpus arrives as ONE parquet split, so this
+    # md5-dense pre-shuffle stage otherwise runs in a single task
+    # (guide §2.5; no-op at scale where the scan is already wide).
+    from .queries_ext import _spread
+
+    sh = _spread(docs).selectExpr(
         "doc_id",
         "text",
         "explode(sequence(1, greatest(length(text) - 11, 1), 4)) AS i",

@@ -2558,7 +2558,12 @@ def contamination_check(spark, sf_dir):
     practice, and the explicit worst-bucket bound; mirrored in the
     oracle so the bound is semantics, not a silent cap).
     """
-    docs = _t(spark, sf_dir, "documents").selectExpr(
+    # r06: _spread — the shingle explode + concat_ws + the distinct's
+    # partial aggregate otherwise run inside the corpus scan's single
+    # task (guide §2.5; no-op on a wide scan)
+    from .queries_ext import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
         "doc_id", "split(text, ' ') AS tk"
     )
     sh = (
@@ -3436,10 +3441,17 @@ def dedup_containment(spark, sf_dir):
     containment is exact integer mils on candidates, BOTH directions
     of each candidate pair (the measure is asymmetric).
     """
-    from .queries_ext import _shingle_sets
+    # r06 verify-half optimization: |S(A) ∩ S(B)| is SYMMETRIC even
+    # though the coefficient is not, so candidates are generated as
+    # UNORDERED pairs (a < b — half the distinct set), each pair's
+    # array_intersect runs ONCE, and both directed rows are emitted
+    # from it with stack() (n_a = the direction's own set size).
+    # Result rows identical, oracle unchanged.  _spread parallelizes
+    # the single-split scan's shingle projection (guide §2.5).
+    from .queries_ext import _shingle_sets, _spread
 
     docs = _t(spark, sf_dir, "documents")
-    sets = _shingle_sets(docs).localCheckpoint()
+    sets = _shingle_sets(_spread(docs)).localCheckpoint()
     inv = sets.select("doc_id", F.explode("sh").alias("s"))
     rare = (
         inv.groupBy("s")
@@ -3451,7 +3463,7 @@ def dedup_containment(spark, sf_dir):
     cand = (
         postings.alias("a")
         .join(postings.alias("b"), "s")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -3470,7 +3482,13 @@ def dedup_containment(spark, sf_dir):
             "doc_a",
             "doc_b",
             "size(array_intersect(sh_a, sh_b)) AS n_int",
-            "size(sh_a) AS n_a",
+            "size(sh_a) AS sz_a",
+            "size(sh_b) AS sz_b",
+        )
+        .selectExpr(
+            "n_int",
+            "stack(2, doc_a, doc_b, sz_a, doc_b, doc_a, sz_b)"
+            " AS (doc_a, doc_b, n_a)",
         )
         .selectExpr(
             "doc_a", "doc_b",

@@ -1297,28 +1297,31 @@ def streaming_user_streaks(spark, sf_dir):
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     ev = _t(spark, sf_dir, "events")
-    # ONE ntile window (contiguous time-order quartiles), persisted so
-    # the 4 chunk writes don't re-sort the corpus each
+    # ONE ntile window (contiguous time-order quartiles).  r06: the
+    # four chunks are written by a SINGLE partitionBy("chunk") job —
+    # the old form ran four filter+coalesce(1) write jobs over a
+    # persisted copy (4 actions + a cache), where one dynamic-partition
+    # write emits the same one-file-per-chunk layout in one pass
+    # (guide §2.4: remove passes outright).  File CONTENT per chunk is
+    # identical (the state fold re-sorts each batch by ts, event_id);
+    # the k-ordered sequential moves keep mtimes + lexical names = the
+    # file-source batch order, exactly as before.
     ranked = ev.selectExpr(
         "*", "NTILE(4) OVER (ORDER BY ts, event_id) AS chunk"
-    ).persist()
+    )
     import glob as _glob
     import shutil
 
+    chunks_dir = os.path.join(base, "chunks")
+    ranked.coalesce(1).write.partitionBy("chunk").parquet(chunks_dir)
     for k in range(4):
-        tmp = os.path.join(base, f"tmp{k}")
-        (
-            ranked.filter(f"chunk = {k + 1}")
-            .drop("chunk")
-            .coalesce(1)
-            .write.parquet(tmp)
-        )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        part = _glob.glob(
+            os.path.join(chunks_dir, f"chunk={k + 1}", "part-*.parquet")
+        )[0]
         # sequential moves: increasing mtimes + lexical names keep the
         # file-source batch order equal to the ts-chunk order
         shutil.move(part, os.path.join(in_dir, f"chunk{k}.parquet"))
-        shutil.rmtree(tmp)
-    ranked.unpersist()
+    shutil.rmtree(chunks_dir)
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

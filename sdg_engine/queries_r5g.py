@@ -19,6 +19,7 @@ Registered into queries.QUERIES via QUERIES_R5G.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -182,26 +183,32 @@ def grouped_agg_user_median(spark, sf_dir):
 
     @F.pandas_udf("bigint")
     def med_lower(v: pd.Series) -> int:
-        s = v.sort_values().reset_index(drop=True)
-        return int(s.iloc[(len(s) + 1) // 2 - 1])
+        # r06: np.partition (O(n) selection) instead of a full
+        # sort_values + reset_index — same nearest-rank-lower element
+        a = v.to_numpy()
+        k = (len(a) + 1) // 2 - 1
+        return int(np.partition(a, k)[k])
 
-    @F.pandas_udf("bigint")
-    def n_rows(v: pd.Series) -> int:
-        # Spark forbids mixing grouped-agg pandas UDFs with JVM
-        # aggregates in one agg() — so the count rides along as a
-        # second pandas aggregate.
-        return int(len(v))
-
+    cents = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "user_id",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    # r06: Spark forbids mixing grouped-agg pandas UDFs with JVM
+    # aggregates in one agg(), and the old workaround (a second pandas
+    # aggregate just to count rows) DOUBLED the per-group Python calls
+    # — the query's cost is ~2 Arrow round-trips per group, not the
+    # median math.  The count now runs as a plain map-side-combined JVM
+    # aggregate joined back on the group key (guide §4: only the work
+    # that needs Python crosses the boundary).  len(group) ==
+    # COUNT(1) per (event_type, user_id) exactly; result identical.
     per_user = (
-        _t(spark, sf_dir, "events")
-        .selectExpr(
-            "event_type", "user_id",
-            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
-        )
-        .groupBy("event_type", "user_id")
-        .agg(
-            med_lower(F.col("cents")).alias("med_cents"),
-            n_rows(F.col("cents")).alias("n"),
+        cents.groupBy("event_type", "user_id")
+        .agg(med_lower(F.col("cents")).alias("med_cents"))
+        .join(
+            cents.groupBy("event_type", "user_id").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            ["event_type", "user_id"],
         )
     )
     return (
@@ -1365,7 +1372,14 @@ def doc_char_lm_score(spark, sf_dir):
     (explode 3x, join at char grain, shuffle char rows) is what this
     replaces; per-doc sums weight each distinct bigram by its count —
     row-identical to the per-transition fold."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # r06: _spread — the char-grain explode + (doc, xy) partial
+    # aggregate is the query's hot stage and otherwise runs in the
+    # corpus scan's single task (guide §2.5; no-op on a wide scan)
+    from .queries_ext import _spread
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     pd_xy = (
         docs.selectExpr(
             "doc_id", "lang",
@@ -1471,7 +1485,13 @@ def doc_ngram_novelty(spark, sf_dir):
     pairwise anything, scale-safe by construction).  Shingles via
     explode(sequence) + codegen'd projection (gotcha 16b's fast form).
     Per-lang rollup: mean novelty in ppm + the least-novel doc."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # r06: _spread — shingle explode + per-doc partial agg otherwise
+    # runs inside the single-split scan task (guide §2.5)
+    from .queries_ext import _spread
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     sh = (
         docs.selectExpr(
             "doc_id", "lang",
