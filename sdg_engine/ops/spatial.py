@@ -1264,6 +1264,7 @@ def assign_countries(
     id_col: str = "image_id",
     use_udf: bool | None = None,
     broadcast_back_max_rows: int = 4_000_000,
+    case_min_rows: int = 2_000_000,
 ) -> DataFrame:
     """J2 ★: two-stage country assignment (SURVEY.md §2.4).
 
@@ -1315,7 +1316,26 @@ def assign_countries(
             use_udf = True  # unbounded ⇒ the scale-safe Arrow ray-cast
         else:
             est = n_rows * boundary_fraction(rings, level, hi_auto)
-            use_udf = est > broadcast_back_max_rows
+            # r06 LOWER bound: the literal-CASE stage pays a fixed
+            # multi-second driver-side janino compile of the multi-ring
+            # expression (re-paid whenever the 100-entry codegen cache
+            # has evicted it — i.e. on every fresh plan in a busy
+            # session).  Below ~2M input rows that fixed cost cannot
+            # amortize and the Arrow ray-cast (identical decisions,
+            # certified by the same oracles) is strictly cheaper;
+            # above it the compiled CASE wins per-row.  The row guess
+            # for THIS bound comes from a payload-free projection
+            # (id + lon + lat): _estimate_rows deliberately inflates
+            # byte-heavy tables for the UPPER bound's safety, but an
+            # image table's blob column must not make a 10k-row input
+            # look like millions here.  Measured: image_zonal_stats
+            # first-plan 7.3 s → 2.4 s, no steady-state regression.
+            n_rows_l = _estimate_rows(
+                images_geo.select(id_col, "lon", "lat")
+            )
+            use_udf = est > broadcast_back_max_rows or (
+                n_rows_l is not None and n_rows_l < case_min_rows
+            )
     interior_df, boundary_df, edges_df = _country_dims(spark, rings, level)
 
     in_cols = list(images_geo.columns)

@@ -106,6 +106,31 @@ _SHINGLES_FROM_WORDS = (
 )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _drain_confs(spark, parts: str = "8"):
+    """Scoped confs for a streaming drain or tiny-relation iterative
+    loop (saved/restored): shuffle partitions down to ``parts``
+    (gotcha 16d — state stores / loop fixed cost = partitions ×
+    batches) and whole-stage codegen OFF (r06: every micro-batch's
+    incremental plan compiles FRESH janino classes — measured
+    12.6 s → 5.4 s first-run on streaming_left_join, 5.7 → 5.1 warm;
+    the drained relations are micro-batch-sized, so interpreted row
+    processing is the right trade at any scale, while fact-table
+    batch stages elsewhere keep codegen)."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
+
+
 def _spread(df, key: str = "doc_id"):
     """Scale-ADAPTIVE underparallelism fix (r06, guide §2.5 "input
     skew ... repartition immediately after the read"): a small corpus

@@ -1160,15 +1160,14 @@ def streaming_left_join(spark, sf_dir):
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     # stateful-join state stores (4 per join) are one per shuffle
     # partition PER BATCH — at 32 partitions that is 128 store commits
-    # a batch, pure fixed cost at harness size.  8 is plenty here; the
-    # session value is restored right after the drain.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # a batch, pure fixed cost at harness size.  8 is plenty here;
+    # _drain_confs also turns codegen off for the drain (r06 — see its
+    # docstring) and restores both right after.
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
         STR.stream_interval_join_left(spark, in_dir, out, ck,
                                       emit_before="2024-01-10 00:00:00")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out)
         # a full day below the stream cutoff: the final global watermark
@@ -2223,8 +2222,12 @@ def phrase_search(spark, sf_dir):
     Output per phrase: matching docs, total occurrences, doc-id
     checksum.
     """
+    # r06: _spread — the posexplode over the corpus otherwise runs in
+    # the single-split scan task (guide §2.5)
+    from .queries_ext import _spread
+
     toks = (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"))
         .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, tok)")
         .filter(F.col("tok") != "")
         .localCheckpoint()  # postings reused by both phrase legs
@@ -2524,9 +2527,12 @@ def geohash_cells(spark, sf_dir):
     sqlgen.geohash_steps fragments) + one hash agg — zero joins.
     """
     from .harness import PX, PY
+    from .queries_ext import _spread
     from .sqlgen import apply_steps, geohash_steps
 
-    pts = _t(spark, sf_dir, "orders").selectExpr(
+    # r06: _spread — the 6-level base-32 string construction otherwise
+    # runs inside the single-split scan task (guide §2.5)
+    pts = _spread(_t(spark, sf_dir, "orders"), "o_orderkey").selectExpr(
         "o_orderkey AS point_id", f"{PX} AS lon", f"{PY} AS lat"
     )
     steps = geohash_steps("lon", "lat", 6, "gh")
@@ -2739,7 +2745,12 @@ def ann_pq_topk(spark, sf_dir):
     IVF-ADC shape.  Centroid updates ROUND(avg, 6) in both engines
     (full-mantissa values ⇒ no boundary ties; kmeans precedent).
     """
-    emb = _t(spark, sf_dir, "embeddings").select(
+    # r06: _spread — the interpreted HOF distance evaluations
+    # (sub × 16 centroids per assign pass) otherwise run in the
+    # single-split scan's one task (guide §2.5)
+    from .queries_ext import _spread
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb")
     )
     sub = (
@@ -2890,14 +2901,37 @@ def _components_jump(edges, verts_k, max_iter: int = 12,
     """
     spark = edges.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    # r06: whole-stage codegen OFF for the loop (saved/restored like
+    # the partition count): every round plans fresh tiny jobs over the
+    # label relation, so janino compile time dominates and never
+    # amortizes — measured 17.9 s -> 6.6 s first-invocation on
+    # mst_roads (which nests this per Boruvka round), warm 7.1 -> 6.0.
+    # The label relation is the SMALL side by construction (cells /
+    # component ids), so interpreted row processing is the right
+    # trade at any scale; fact-table stages elsewhere keep codegen.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         return _components_jump_inner(edges, verts_k, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
 
 
 def _components_jump_inner(edges, verts_k, max_iter: int):
+    # r06 job-count reduction (these iterative loops are pure
+    # fixed-cost: ~20 ms stages, so ACTIONS per round dominate —
+    # measured via event-log stage attribution on mst_roads):
+    #  * step and jump fold into ONE localCheckpoint per round — the
+    #    step side is referenced twice by the jump self-join and is
+    #    recomputed inside that single job (two parallel branches off
+    #    the checkpointed labels) instead of paying a second
+    #    materialization action;
+    #  * the convergence probe rides ON the checkpointed frame as a
+    #    `changed` flag, so the old join-against-previous-labels job
+    #    becomes a filter+isEmpty scan of already-local blocks.
+    # Labels produced are identical (LEAST chain unchanged).
     und = edges.unionByName(
         edges.selectExpr("dst AS src", "src AS dst")
     ).localCheckpoint()
@@ -2910,21 +2944,24 @@ def _components_jump_inner(edges, verts_k, max_iter: int):
         )
         stepped = (
             labels.join(nbr, labels.v == nbr.dst, "left")
-            .selectExpr("v", "LEAST(label, COALESCE(nl, label)) AS label")
-            .localCheckpoint()
+            .selectExpr(
+                "v",
+                "label AS old",
+                "LEAST(label, COALESCE(nl, label)) AS label",
+            )
         )
         j = stepped.selectExpr("v AS lv", "label AS l2")
         jumped = (
             stepped.join(j, stepped.label == j.lv)
-            .selectExpr("v", "LEAST(label, l2) AS label")
+            .selectExpr(
+                "v",
+                "LEAST(label, l2) AS label",
+                "LEAST(label, l2) < old AS changed",
+            )
             .localCheckpoint()
         )
-        done = (
-            jumped.join(labels.selectExpr("v", "label AS old"), "v")
-            .filter("label < old")
-            .isEmpty()
-        )
-        labels = jumped
+        done = jumped.filter("changed").isEmpty()
+        labels = jumped.select("v", "label")
         if done:
             break
     else:
@@ -3524,7 +3561,10 @@ def streaming_snapshot_sink(spark, sf_dir):
     ck = os.path.join(base, "ck")
     if not os.path.exists(in_dir):
         _t(spark, sf_dir, "events").repartition(4).write.parquet(in_dir)
-        STR.stream_snapshot_sink(spark, in_dir, table, ck)
+        from .queries_ext import _drain_confs
+
+        with _drain_confs(spark):  # r06: codegen off per drained batch
+            STR.stream_snapshot_sink(spark, in_dir, table, ck)
     n_snaps = len(snapshot_history(table))
     return (
         read_snapshot(spark, table)
@@ -4249,7 +4289,10 @@ def streaming_static_enrich(spark, sf_dir):
             "ELSE 'platinum' END AS tier",
         )
     )
-    STR.stream_static_enrich(spark, in_dir, out, ck, dim)
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):  # r06: codegen off per drained batch
+        STR.stream_static_enrich(spark, in_dir, out, ck, dim)
     return (
         spark.read.parquet(out)
         .groupBy("tier", "event_type")
@@ -5403,7 +5446,10 @@ def streaming_session_window(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet",
                 os.path.join(in_dir, "events.parquet"))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
-    STR.stream_sessions_native(spark, in_dir, out, ck)
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):  # r06: codegen off per drained batch
+        STR.stream_sessions_native(spark, in_dir, out, ck)
     sess = spark.read.parquet(out).selectExpr(
         "user_id", "n_events", "sum_cents",
         "unix_micros(CAST(s_end AS TIMESTAMP)) "

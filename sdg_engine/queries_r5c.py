@@ -1323,12 +1323,10 @@ def streaming_user_streaks(spark, sf_dir):
         shutil.move(part, os.path.join(in_dir, f"chunk{k}.parquet"))
     shutil.rmtree(chunks_dir)
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
         STR.stream_user_streaks(spark, in_dir, out, ck)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     sink = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (

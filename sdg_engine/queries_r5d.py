@@ -300,9 +300,22 @@ def mst_roads(spark, sf_dir):
     labels = nodes.selectExpr("k AS node", "k AS label").localCheckpoint()
     spark_ = eu.sparkSession
     old_parts = spark_.conf.get("spark.sql.shuffle.partitions")
+    old_wscg = spark_.conf.get("spark.sql.codegen.wholeStage")
     spark_.conf.set("spark.sql.shuffle.partitions", "8")
+    # r06: codegen OFF for the loop (see _components_jump): per-round
+    # plan churn over component-sized relations means compile time
+    # dominates; restored in the finally below.
+    spark_.conf.set("spark.sql.codegen.wholeStage", "false")
+    # r06 job-count reduction (the loop is fixed-cost-bound: ~20 ms
+    # stages — see _components_jump_inner): the forest's THREE output
+    # aggregates (edge count, Σw, Σ(u·1000003+v)) are associative, so
+    # each round folds its chosen-edge aggregate into driver-side ints
+    # with ONE tiny job instead of materializing a growing
+    # union-localCheckpoint chain of edge frames (2 actions/round +
+    # a final scan, and the chain itself re-uploaded per round).
+    # The selected edges per round and hence the sums are unchanged.
+    n_mst = tot_w = chk = 0
     try:
-        mst = None
         for _ in range(12):
             act = (
                 eu.join(labels.selectExpr("node AS u", "label AS lu"), "u")
@@ -326,10 +339,18 @@ def mst_roads(spark, sf_dir):
                 )
                 .localCheckpoint()
             )
-            chosen = sel.select("u", "v", "w").distinct().localCheckpoint()
-            mst = chosen if mst is None else (
-                mst.unionByName(chosen).localCheckpoint()
+            row = (
+                sel.select("u", "v", "w").distinct()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("w").alias("sw"),
+                    F.sum(F.expr("u * 1000003 + v")).alias("ck"),
+                )
+                .collect()[0]
             )
+            n_mst += int(row.n)
+            tot_w += int(row.sw)
+            chk += int(row.ck)
             comp_labels = _components_jump(
                 sel.selectExpr("comp AS src", "other AS dst"),
                 sel.selectExpr("comp AS k").distinct(),
@@ -346,21 +367,17 @@ def mst_roads(spark, sf_dir):
             raise RuntimeError("Boruvka did not converge in 12 rounds")
     finally:
         spark_.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark_.conf.set("spark.sql.codegen.wholeStage", old_wscg)
     nstats = labels.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.countDistinct("label").alias("n_components"),
     )
-    stats = mst.agg(
-        F.count(F.lit(1)).alias("n_mst_edges"),
-        F.sum("w").alias("total_w"),
-        F.sum(F.expr("u * 1000003 + v")).alias("chk"),
-    )
-    return nstats.crossJoin(stats).selectExpr(
+    return nstats.selectExpr(
         "CAST(n_nodes AS BIGINT) AS n_nodes",
         "CAST(n_components AS BIGINT) AS n_components",
-        "CAST(n_mst_edges AS BIGINT) AS n_mst_edges",
-        "CAST(total_w AS BIGINT) AS total_w",
-        "CAST(chk AS BIGINT) AS chk",
+        f"CAST({n_mst} AS BIGINT) AS n_mst_edges",
+        f"CAST({tot_w} AS BIGINT) AS total_w",
+        f"CAST({chk} AS BIGINT) AS chk",
     )
 
 
@@ -443,12 +460,10 @@ def streaming_chained_aggs(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet",
                 os.path.join(in_dir, "events.parquet"))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
         STR.stream_chained_windows(spark, in_dir, out, ck)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out).select(
         F.unix_timestamp("hour_start").alias("hour_epoch"),
         "event_type", "n", "n_quarters", "max_quarter",
@@ -1153,6 +1168,14 @@ def bpe_train_merges(spark, sf_dir):
                 out = []
                 for toks in pdf["toks"]:
                     t = list(toks)
+                    # r06 fast path: most vocabulary words do not
+                    # contain the merge pair at all — two C-speed
+                    # membership tests skip the scalar merge walk
+                    # (same output: the walk is a no-op without both
+                    # tokens present)
+                    if _a not in t or _b not in t:
+                        out.append(t)
+                        continue
                     res = []
                     i = 0
                     while i < len(t):

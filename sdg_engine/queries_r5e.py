@@ -85,9 +85,12 @@ def roads_graph_diameter(spark, sf_dir):
     )
     # the frontier tables are graph-sized, not corpus-sized — run the
     # ~2x32 tiny rounds at 8 shuffle partitions (gotcha 16d: iterative
-    # fixed cost = partitions x rounds x stages)
+    # fixed cost = partitions x rounds x stages); r06: codegen OFF for
+    # the rounds too (per-round plan churn — see _drain_confs)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         lab1 = _bfs_labels(edges, hub, _DIAM_MAX_HOPS)
         far1 = (
@@ -101,6 +104,7 @@ def roads_graph_diameter(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
     return (
         hub.selectExpr("node AS hub")
         .crossJoin(far1.selectExpr("node AS u", "hops AS ecc_hub"))
@@ -312,12 +316,10 @@ def streaming_dedup_then_window(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "a.parquet"))
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(in_dir, "b.parquet"))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
         STR.stream_dedup_then_window(spark, in_dir, out, ck)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out).select(
         F.unix_timestamp("hour_start").alias("hour_epoch"),
         "event_type", "n", "sum_cents",

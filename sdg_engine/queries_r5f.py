@@ -455,24 +455,27 @@ def streaming_pysource_windows(spark, sf_dir):
             F.max("cents").alias("max_cents"),
         )
     )
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        t0 = time.time()
-        while time.time() - t0 < 180:
-            tot = spark.sql(
-                f"SELECT COALESCE(SUM(n_events), 0) AS s FROM {name}"
-            ).collect()[0].s
-            if tot == _TICK_N:
-                break
-            time.sleep(0.25)
-        else:
-            raise TimeoutError("ticker stream did not drain in 180 s")
-    finally:
-        q.stop()
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):  # r06: codegen off per drained batch
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 180:
+                tot = spark.sql(
+                    f"SELECT COALESCE(SUM(n_events), 0) AS s FROM {name}"
+                ).collect()[0].s
+                if tot == _TICK_N:
+                    break
+                time.sleep(0.25)
+            else:
+                raise TimeoutError("ticker stream did not drain in 180 s")
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -511,6 +514,11 @@ def bpe_encode_docs(spark, sf_dir):
             for w in pdf["w"]:
                 t = list(w)
                 for a, b in _merges:
+                    # r06 fast path: skip the merge walk when the pair
+                    # cannot occur (C-speed membership tests; the walk
+                    # is a no-op without both tokens present)
+                    if a not in t or b not in t:
+                        continue
                     res = []
                     i = 0
                     while i < len(t):

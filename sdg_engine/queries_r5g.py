@@ -1320,13 +1320,11 @@ def streaming_full_outer_join(spark, sf_dir):
             filler, os.path.join(in_dir, f"chunk-9{k}-filler.parquet")
         )
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
         STR.stream_interval_join_full(spark, in_dir, out, ck,
                                       emit_before="2024-01-10 00:00:00")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out)
         .filter(F.expr(

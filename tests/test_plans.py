@@ -86,12 +86,16 @@ def test_knn_uses_partial_aggregation(spark):
 
 
 def test_assign_countries_is_broadcast_only(spark):
+    # use_udf=False pins the JVM-CASE stage-2 (r06: the AUTO default
+    # now picks the Arrow ray-cast below case_min_rows because the
+    # giant-CASE janino compile cannot amortize on small inputs — see
+    # test_assign_countries_auto_small_input_uses_udf)
     cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
-                             id_col="point_id")
+                             id_col="point_id", use_udf=False)
     plan = _plan(cc)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # default stage-2 PIP is pure JVM (oracle-identical CASE expr) …
+    # explicit stage-2 PIP is pure JVM (oracle-identical CASE expr) …
     assert "ArrowEvalPython" not in plan
     assert "CASE WHEN" in plan
     # … isolated in its own post-exchange stage so the giant CASE never
@@ -100,6 +104,23 @@ def test_assign_countries_is_broadcast_only(spark):
     # no isnotnull(cell) filter may be inferred below the probe — the
     # COALESCE-wrapped cell id is non-nullable by construction
     assert not re.search(r"Condition : isnotnull\(\(\(162", plan)
+
+
+def test_assign_countries_auto_small_input_uses_udf(spark):
+    """r06: the strategy auto-select has a LOWER bound too — below
+    case_min_rows the fixed janino compile of the multi-ring literal
+    CASE cannot amortize, so the single-pass Arrow ray-cast runs
+    (identical decisions, same oracles).  The harness fixture is far
+    below the default 2M-row bound ⇒ the default plan is the UDF; a
+    large case_min_rows=0 override restores the CASE."""
+    cc = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
+                             id_col="point_id")
+    plan = _plan(cc)
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    cc2 = SP.assign_countries(points_df(spark, SF), harness_rings(), 9,
+                              id_col="point_id", case_min_rows=0)
+    assert "ArrowEvalPython" not in _plan(cc2)
 
 
 def test_assign_countries_auto_flips_to_udf(spark):
