@@ -171,45 +171,97 @@ def write_avro(path: str, schema: dict, records, codec: str = "null",
         fh.write(out)
 
 
+def _read_long_at(buf: bytes, pos: int) -> tuple[int, int]:
+    """Buffer-cursor twin of read_long (r06: the BytesIO path paid a
+    method call PER BYTE of every varint — ~2M calls per 100k-record
+    file; indexing a bytes object is ~10x cheaper)."""
+    u = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (u >> 1) ^ -(u & 1), pos
+        shift += 7
+
+
+def _read_value_at(buf: bytes, pos: int, typ):
+    """Buffer-cursor twin of _read_value — same spec dispatch."""
+    if isinstance(typ, list):
+        branch, pos = _read_long_at(buf, pos)
+        b = typ[branch]
+        return (None, pos) if b == "null" else _read_value_at(buf, pos, b)
+    if typ in ("long", "int"):
+        return _read_long_at(buf, pos)
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    if typ == "string":
+        n, pos = _read_long_at(buf, pos)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if typ == "bytes":
+        n, pos = _read_long_at(buf, pos)
+        return bytes(buf[pos:pos + n]), pos + n
+    raise NotImplementedError(f"avro type {typ!r}")
+
+
 def read_avro(blob: bytes):
     """Parse an Object Container File -> (schema dict, list of dict
-    records).  Verifies magic and every block's sync marker."""
-    f = io.BytesIO(blob)
-    if f.read(4) != MAGIC:
+    records).  Verifies magic and every block's sync marker.
+
+    r06: decode runs on a (buffer, offset) cursor instead of BytesIO
+    (per-byte .read(1) calls dominated), and a NEGATIVE map/array
+    block count now consumes the spec-mandated byte-size long that
+    follows it (ADVICE r05: files from other writers commonly emit
+    negative counts; our own writer never does, so results over our
+    fixtures are unchanged)."""
+    if blob[:4] != MAGIC:
         raise ValueError("not an avro object container file")
+    pos = 4
     meta = {}
     while True:
-        count = read_long(f)
+        count, pos = _read_long_at(blob, pos)
         if count == 0:
             break
+        if count < 0:
+            # spec: a negative count is followed by the block's byte
+            # size (which readers may use to skip); consume it
+            _size, pos = _read_long_at(blob, pos)
         for _ in range(abs(count)):
-            k = f.read(read_long(f)).decode("utf-8")
-            meta[k] = f.read(read_long(f))
+            n, pos = _read_long_at(blob, pos)
+            k = blob[pos:pos + n].decode("utf-8")
+            pos += n
+            n, pos = _read_long_at(blob, pos)
+            meta[k] = blob[pos:pos + n]
+            pos += n
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    sync = f.read(16)
+    sync = blob[pos:pos + 16]
+    pos += 16
     fields = schema["fields"]
+    names_types = [(fld["name"], _field_type(fld)) for fld in fields]
     records = []
-    while True:
-        head = f.read(1)
-        if not head:
-            break
-        f.seek(-1, io.SEEK_CUR)
-        n = read_long(f)
-        size = read_long(f)
-        payload = f.read(size)
+    blob_len = len(blob)
+    while pos < blob_len:
+        n, pos = _read_long_at(blob, pos)
+        size, pos = _read_long_at(blob, pos)
+        payload = blob[pos:pos + size]
+        pos += size
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
-        pf = io.BytesIO(payload)
+        p = 0
         for _ in range(n):
-            records.append(
-                {fld["name"]: _read_value(pf, _field_type(fld))
-                 for fld in fields}
-            )
-        if pf.read(1):
+            rec = {}
+            for name, typ in names_types:
+                rec[name], p = _read_value_at(payload, p, typ)
+            records.append(rec)
+        if p != len(payload):
             raise ValueError("trailing bytes inside avro block")
-        if f.read(16) != sync:
+        if blob[pos:pos + 16] != sync:
             raise ValueError("avro sync marker mismatch")
+        pos += 16
     return schema, records

@@ -704,27 +704,34 @@ def connected_components(edges, vertices, id_col: str = "doc_id",
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint()
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und.src == labels.v)
-            .groupBy("dst").agg(F.min("label").alias("nbr_label"))
-        )
-        new = (
-            labels.join(nbr_min, labels.v == nbr_min.dst, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+    # r06: the rounds run under _drain_confs (8 shuffle partitions +
+    # whole-stage codegen OFF, restored after) — per-round plan churn
+    # over the label relation means janino compile dominates these
+    # tiny jobs (the _components_jump / mst_roads measurement)
+    spark_ = edges.sparkSession
+    converged = False
+    with _drain_confs(spark_):
+        for _ in range(max_iter):
+            nbr_min = (
+                und.join(labels, und.src == labels.v)
+                .groupBy("dst").agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        converged = new.filter(F.col("_chg")).isEmpty()
-        labels = new.drop("_chg")
-        if converged:
-            break
-    else:
+            new = (
+                labels.join(nbr_min, labels.v == nbr_min.dst, "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
+            converged = new.filter(F.col("_chg")).isEmpty()
+            labels = new.drop("_chg")
+            if converged:
+                break
+    if not converged:
         # r03 review: silently returning unconverged labels diverges
         # from the fully-converged recursive-CTE oracle with no hint —
         # a >max_iter-diameter component must fail loudly instead

@@ -255,38 +255,44 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     Parallel edges carry weight w; self-loops are legal (a node keeps
     feeding itself) which removes the dangling-node special case.
     """
-    ew = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    deg = ew.groupBy("src").agg(F.sum("w").alias("outdeg"))
-    edeg = ew.join(deg, "src").localCheckpoint()
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
-    pr = nodes.crossJoin(F.broadcast(n_df)).selectExpr(
-        "node", f"CAST(FLOOR({_PR_UNIT}.0 / CAST(n AS DOUBLE)) AS BIGINT) AS pr"
-    )
-    for _ in range(iters):
-        contrib = (
-            edeg.join(pr, edeg.src == pr.node)
-            .select(
-                F.col("dst"),
-                F.expr(
-                    "CAST(FLOOR(CAST(pr AS DOUBLE) / CAST(outdeg AS DOUBLE)) "
-                    "AS BIGINT) * w AS c"
-                ),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+    # r06: rounds under _drain_confs (8 partitions + codegen off,
+    # restored) — per-round plan churn over the rank relation, same
+    # measurement as _components_jump
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(edges.sparkSession):
+        ew = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        deg = ew.groupBy("src").agg(F.sum("w").alias("outdeg"))
+        edeg = ew.join(deg, "src").localCheckpoint()
+        nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+        n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+        pr = nodes.crossJoin(F.broadcast(n_df)).selectExpr(
+            "node", f"CAST(FLOOR({_PR_UNIT}.0 / CAST(n AS DOUBLE)) AS BIGINT) AS pr"
         )
-        pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(n_df))
-            .selectExpr(
-                "node",
-                f"CAST(FLOOR({_PR_UNIT // 100 * (100 - _PR_DAMP)}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
-                f" + CAST(FLOOR({_PR_DAMP}.0 * CAST(COALESCE(s, 0) AS DOUBLE) / 100.0) AS BIGINT)"
-                " AS pr",
+        for _ in range(iters):
+            contrib = (
+                edeg.join(pr, edeg.src == pr.node)
+                .select(
+                    F.col("dst"),
+                    F.expr(
+                        "CAST(FLOOR(CAST(pr AS DOUBLE) / CAST(outdeg AS DOUBLE)) "
+                        "AS BIGINT) * w AS c"
+                    ),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-            .localCheckpoint()
-        )
+            pr = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .crossJoin(F.broadcast(n_df))
+                .selectExpr(
+                    "node",
+                    f"CAST(FLOOR({_PR_UNIT // 100 * (100 - _PR_DAMP)}.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+                    f" + CAST(FLOOR({_PR_DAMP}.0 * CAST(COALESCE(s, 0) AS DOUBLE) / 100.0) AS BIGINT)"
+                    " AS pr",
+                )
+                .localCheckpoint()
+            )
     return pr
 
 
@@ -365,21 +371,26 @@ def road_graph_bfs(spark, sf_dir):
         .limit(1)
         .select(F.col("src").alias("node"), F.lit(0).cast("int").alias("hops"))
     )
-    visited = seed.localCheckpoint()
-    frontier = visited
-    for hop in range(1, 17):  # matches the oracle CTE's hop bound
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(hop).cast("int"))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        visited = seed.localCheckpoint()
+        frontier = visited
+        for hop in range(1, 17):  # matches the oracle CTE's hop bound
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(hop).cast("int"))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
     return visited.groupBy("hops").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("node").alias("sum_node"),
@@ -2135,18 +2146,23 @@ def shortest_path_weighted(spark, sf_dir):
         .limit(1)
         .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("d"))
     )
-    dist = seed.localCheckpoint()
-    for _ in range(_SPW_ROUNDS):
-        relaxed = (
-            dist.join(edges, dist.node == edges.src)
-            .selectExpr("dst AS node", "d + w AS d")
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
-        )
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        dist = seed.localCheckpoint()
+        for _ in range(_SPW_ROUNDS):
+            relaxed = (
+                dist.join(edges, dist.node == edges.src)
+                .selectExpr("dst AS node", "d + w AS d")
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
     return (
         dist.selectExpr(
             "CAST(FLOOR(d / 2000) AS BIGINT) AS band", "node", "d"
@@ -3286,20 +3302,25 @@ def label_propagation_roads(spark, sf_dir):
     dirs = und.selectExpr("u AS src", "v AS dst").unionAll(
         und.selectExpr("v AS src", "u AS dst")
     ).localCheckpoint()  # probed every round
-    labels = dirs.selectExpr("src AS v", "src AS label").distinct()
-    pick = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(_LPA_ROUNDS):
-        cnt = (
-            dirs.join(labels, dirs.src == labels.v)
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(pick))
-            .filter("rn = 1")
-            .selectExpr("dst AS v", "label")
-            .localCheckpoint()
-        )
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        labels = dirs.selectExpr("src AS v", "src AS label").distinct()
+        pick = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+        for _ in range(_LPA_ROUNDS):
+            cnt = (
+                dirs.join(labels, dirs.src == labels.v)
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(pick))
+                .filter("rn = 1")
+                .selectExpr("dst AS v", "label")
+                .localCheckpoint()
+            )
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("v").alias("checksum"),
@@ -3766,17 +3787,22 @@ def kcore_roads(spark, sf_dir):
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(_KCORE_ROUNDS):
-        sym = (
-            sym.selectExpr(
-                "src", "dst",
-                "COUNT(*) OVER (PARTITION BY src) AS ds",
-                "COUNT(*) OVER (PARTITION BY dst) AS dd",
+    # r06: peel rounds under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        for _ in range(_KCORE_ROUNDS):
+            sym = (
+                sym.selectExpr(
+                    "src", "dst",
+                    "COUNT(*) OVER (PARTITION BY src) AS ds",
+                    "COUNT(*) OVER (PARTITION BY dst) AS dd",
+                )
+                .filter(f"ds >= {_KCORE_K} AND dd >= {_KCORE_K}")
+                .select("src", "dst")
+                .localCheckpoint()
             )
-            .filter(f"ds >= {_KCORE_K} AND dd >= {_KCORE_K}")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
     return sym.agg(
         F.expr("CAST(COUNT(DISTINCT src) AS BIGINT)").alias("n_core_nodes"),
         F.expr("CAST(COALESCE(SUM(DISTINCT src), 0) AS BIGINT)").alias(

@@ -85,7 +85,18 @@ def recursive_order_chain(spark, sf_dir):
         RECURSIVE_LINKED_SQL.format(orders="_rchain_orders")
     ).localCheckpoint()
     linked.createOrReplaceTempView("_rchain_linked")
-    return spark.sql(RECURSIVE_WALK_SQL.format(linked="_rchain_linked"))
+    # r06: the recursion MATERIALIZES here under _drain_confs —
+    # UnionLoop replans AND recompiles whole-stage codegen for every
+    # one of the 12 levels (gotcha 18's cost driver), so codegen-off
+    # for the walk measured 9.5 s → 2.6 s first-plan (2.8 → 2.5 warm).
+    # The WITH RECURSIVE surface is unchanged; only where the action
+    # runs moved (inside the builder, like every streaming drain).
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        return spark.sql(
+            RECURSIVE_WALK_SQL.format(linked="_rchain_linked")
+        ).localCheckpoint()
 
 
 def unpivot_order_metrics(spark, sf_dir):
@@ -188,31 +199,36 @@ def hits_roads(spark, sf_dir):
         .distinct()
         .localCheckpoint()
     )
-    hub = nodes.select("node", F.lit(1).cast("bigint").alias("h"))
-    for _ in range(_HITS_ITERS):
-        auth = (
-            edges.join(hub, edges.src == hub.node)
-            .select("dst", F.expr("w * h AS c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("a"))
-        )
-        auth = (
-            nodes.join(auth, nodes.node == auth.dst, "left")
-            .selectExpr("node", "CAST(COALESCE(a, 0) AS BIGINT) AS a")
-            .localCheckpoint()
-        )
-        hub = (
-            edges.join(auth, edges.dst == auth.node)
-            .select("src", F.expr("w * a AS c"))
-            .groupBy("src")
-            .agg(F.sum("c").alias("h"))
-        )
-        hub = (
-            nodes.join(hub, nodes.node == hub.src, "left")
-            .selectExpr("node", "CAST(COALESCE(h, 0) AS BIGINT) AS h")
-            .localCheckpoint()
-        )
-    w_h = Window.orderBy(F.col("score").desc(), F.col("node").asc())
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        hub = nodes.select("node", F.lit(1).cast("bigint").alias("h"))
+        for _ in range(_HITS_ITERS):
+            auth = (
+                edges.join(hub, edges.src == hub.node)
+                .select("dst", F.expr("w * h AS c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("a"))
+            )
+            auth = (
+                nodes.join(auth, nodes.node == auth.dst, "left")
+                .selectExpr("node", "CAST(COALESCE(a, 0) AS BIGINT) AS a")
+                .localCheckpoint()
+            )
+            hub = (
+                edges.join(auth, edges.dst == auth.node)
+                .select("src", F.expr("w * a AS c"))
+                .groupBy("src")
+                .agg(F.sum("c").alias("h"))
+            )
+            hub = (
+                nodes.join(hub, nodes.node == hub.src, "left")
+                .selectExpr("node", "CAST(COALESCE(h, 0) AS BIGINT) AS h")
+                .localCheckpoint()
+            )
+        w_h = Window.orderBy(F.col("score").desc(), F.col("node").asc())
     top_h = (
         hub.selectExpr("node", "h AS score")
         .withColumn("rnk", F.row_number().over(w_h).cast("int"))
@@ -446,19 +462,24 @@ def pca_power_iteration(spark, sf_dir):
         )
         .localCheckpoint()  # referenced every round
     )
-    v = cov.select("j").distinct().selectExpr(
-        "j", "CAST(1000000 AS BIGINT) AS v"
-    )
-    for _ in range(_PCA_ROUNDS):
-        w = (
-            cov.join(v.selectExpr("j AS k2", "v"), F.col("k") == F.col("k2"))
-            .groupBy("j")
-            .agg(F.expr("CAST(SUM(m * v) AS BIGINT) AS w"))
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        v = cov.select("j").distinct().selectExpr(
+            "j", "CAST(1000000 AS BIGINT) AS v"
         )
-        v = w.selectExpr(
-            "j",
-            "CAST(FLOOR(1000000.0 * w / MAX(ABS(w)) OVER ()) AS BIGINT) AS v",
-        ).localCheckpoint()
+        for _ in range(_PCA_ROUNDS):
+            w = (
+                cov.join(v.selectExpr("j AS k2", "v"), F.col("k") == F.col("k2"))
+                .groupBy("j")
+                .agg(F.expr("CAST(SUM(m * v) AS BIGINT) AS w"))
+            )
+            v = w.selectExpr(
+                "j",
+                "CAST(FLOOR(1000000.0 * w / MAX(ABS(w)) OVER ()) AS BIGINT) AS v",
+            ).localCheckpoint()
     return v.selectExpr("j", "v AS loading")
 
 
@@ -573,22 +594,27 @@ def closeness_roads(spark, sf_dir):
         .selectExpr("src AS seed", "src AS node",
                     "CAST(0 AS INT) AS hops")
     )
-    visited = seeds.localCheckpoint()
-    frontier = visited
-    for hop in range(1, 17):  # same hop bound as road_graph_bfs
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select("seed", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("seed", "node"), ["seed", "node"],
-                  "left_anti")
-            .withColumn("hops", F.lit(hop).cast("int"))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        visited = seeds.localCheckpoint()
+        frontier = visited
+        for hop in range(1, 17):  # same hop bound as road_graph_bfs
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("seed", "node"), ["seed", "node"],
+                      "left_anti")
+                .withColumn("hops", F.lit(hop).cast("int"))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
     return visited.groupBy("seed").agg(
         F.expr("CAST(COUNT(*) - 1 AS BIGINT) AS n_reached"),
         F.expr("CAST(SUM(hops) AS BIGINT) AS sum_hops"),

@@ -608,59 +608,65 @@ def betweenness_roads(spark, sf_dir):
         .limit(_BC_SEEDS)
         .selectExpr("src AS seed")
     )
-    layer = seeds.selectExpr(
-        "seed", "seed AS node", "CAST(1 AS BIGINT) AS sigma"
-    ).localCheckpoint()
-    visited = layer.select("seed", "node").localCheckpoint()
-    layers = [layer]
-    for _d in range(1, _BC_HOPS + 1):
-        nxt = (
-            layer.join(edges, layer.node == edges.src)
-            .groupBy("seed", "dst")
-            .agg(F.sum("sigma").alias("sigma"))
-            .withColumnRenamed("dst", "node")
-            .join(visited, ["seed", "node"], "left_anti")
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(
-            nxt.select("seed", "node")
+    # r06: both sweep loops under _drain_confs (codegen off + 8
+    # partitions, restored) — per-round plan churn over layer-sized
+    # relations, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        layer = seeds.selectExpr(
+            "seed", "seed AS node", "CAST(1 AS BIGINT) AS sigma"
         ).localCheckpoint()
-        layer = nxt
-        layers.append(nxt)
-    # backward dependency accumulation, deepest layer first (delta 0)
-    delta = layers[-1].withColumn("delta", F.lit(0).cast("long"))
-    acc = [] if len(layers) == 1 else [delta]
-    for d in range(len(layers) - 2, 0, -1):
-        contrib = (
-            layers[d].alias("v")
-            .join(edges, F.col("v.node") == edges.src)
-            .join(
-                delta.selectExpr(
-                    "seed AS wseed", "node AS wnode", "sigma AS wsigma",
-                    "delta AS wdelta",
-                ),
-                (F.col("v.seed") == F.col("wseed"))
-                & (F.col("dst") == F.col("wnode")),
+        visited = layer.select("seed", "node").localCheckpoint()
+        layers = [layer]
+        for _d in range(1, _BC_HOPS + 1):
+            nxt = (
+                layer.join(edges, layer.node == edges.src)
+                .groupBy("seed", "dst")
+                .agg(F.sum("sigma").alias("sigma"))
+                .withColumnRenamed("dst", "node")
+                .join(visited, ["seed", "node"], "left_anti")
+                .localCheckpoint()
             )
-            .selectExpr(
-                "v.seed AS seed", "v.node AS node",
-                "(v.sigma * (1000000 + wdelta)) DIV wsigma AS term",
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.select("seed", "node")
+            ).localCheckpoint()
+            layer = nxt
+            layers.append(nxt)
+        # backward dependency accumulation, deepest layer first (delta 0)
+        delta = layers[-1].withColumn("delta", F.lit(0).cast("long"))
+        acc = [] if len(layers) == 1 else [delta]
+        for d in range(len(layers) - 2, 0, -1):
+            contrib = (
+                layers[d].alias("v")
+                .join(edges, F.col("v.node") == edges.src)
+                .join(
+                    delta.selectExpr(
+                        "seed AS wseed", "node AS wnode", "sigma AS wsigma",
+                        "delta AS wdelta",
+                    ),
+                    (F.col("v.seed") == F.col("wseed"))
+                    & (F.col("dst") == F.col("wnode")),
+                )
+                .selectExpr(
+                    "v.seed AS seed", "v.node AS node",
+                    "(v.sigma * (1000000 + wdelta)) DIV wsigma AS term",
+                )
+                .groupBy("seed", "node")
+                .agg(F.sum("term").alias("dsum"))
             )
-            .groupBy("seed", "node")
-            .agg(F.sum("term").alias("dsum"))
-        )
-        delta = (
-            layers[d]
-            .join(contrib, ["seed", "node"], "left")
-            .selectExpr(
-                "seed", "node", "sigma",
-                "COALESCE(dsum, CAST(0 AS BIGINT)) AS delta",
+            delta = (
+                layers[d]
+                .join(contrib, ["seed", "node"], "left")
+                .selectExpr(
+                    "seed", "node", "sigma",
+                    "COALESCE(dsum, CAST(0 AS BIGINT)) AS delta",
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        acc.append(delta)
+            acc.append(delta)
     if not acc:
         return spark.createDataFrame(
             [], "rk int, node bigint, bc_micros bigint, n_seeds bigint"
@@ -945,18 +951,23 @@ def events_markov_stationary(spark, sf_dir):
     )
     rowsum = trans.groupBy("t").agg(F.sum("c").alias("r"))
     tm = trans.join(rowsum, "t").localCheckpoint()
-    pi = rowsum.selectExpr(
-        "t AS s", "CAST(1000000 DIV 5 AS BIGINT) AS pi"
-    ).localCheckpoint()
-    for _ in range(_MK_ROUNDS):
-        pi = (
-            tm.join(pi, tm.t == pi.s)
-            .selectExpr("nxt AS s2", "(pi * c) DIV r AS term")
-            .groupBy("s2")
-            .agg(F.sum("term").alias("pi"))
-            .selectExpr("s2 AS s", "pi")
-            .localCheckpoint()
-        )
+    # r06: loop under _drain_confs (codegen off + 8 partitions,
+    # restored) — per-round plan churn, the _components_jump lesson
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
+        pi = rowsum.selectExpr(
+            "t AS s", "CAST(1000000 DIV 5 AS BIGINT) AS pi"
+        ).localCheckpoint()
+        for _ in range(_MK_ROUNDS):
+            pi = (
+                tm.join(pi, tm.t == pi.s)
+                .selectExpr("nxt AS s2", "(pi * c) DIV r AS term")
+                .groupBy("s2")
+                .agg(F.sum("term").alias("pi"))
+                .selectExpr("s2 AS s", "pi")
+                .localCheckpoint()
+            )
     return pi.selectExpr("s AS event_type", "pi AS pi_micros")
 
 

@@ -257,33 +257,50 @@ def avro_roundtrip_events(spark, sf_dir):
             {"name": "props", "type": ["null", "string"]},
         ],
     }
-    ev = _t(spark, sf_dir, "events").selectExpr(
+    # r06: _spread parallelizes the export (one shard per partition —
+    # the single-split scan wrote ONE shard from one task; now even
+    # AND odd shard ids exist, so both codec paths run, and the
+    # re-ingest decodes shards in parallel), and the writer is an
+    # Arrow-batched mapInPandas instead of foreachPartition (which
+    # pickled every Row one at a time across the Python boundary —
+    # guide §4.1).  Row content per record is identical; the oracle
+    # aggregates are shard-layout-independent.
+    from .queries_ext import _spread
+
+    ev = _spread(_t(spark, sf_dir, "events"), "event_id").selectExpr(
         "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
         "user_id", "event_type", "value", "props",
     )
     out = f"{_stream_base(spark, 'avro_')}/shards"
     os.makedirs(out, exist_ok=True)
 
-    def _write(rows):
+    def _write(batches):
         from pyspark import TaskContext
 
         from sdg_engine.avro import write_avro
 
-        recs = [
-            {
-                "event_id": int(r.event_id), "ts_us": int(r.ts_us),
-                "user_id": int(r.user_id), "event_type": r.event_type,
-                "value": float(r.value), "props": r.props,
-            }
-            for r in rows
-        ]
+        recs = []
+        for pdf in batches:
+            recs.extend(
+                {
+                    "event_id": int(a), "ts_us": int(b), "user_id": int(c),
+                    "event_type": d, "value": float(e), "props": f,
+                }
+                for a, b, c, d, e, f in zip(
+                    pdf["event_id"], pdf["ts_us"], pdf["user_id"],
+                    pdf["event_type"], pdf["value"], pdf["props"],
+                )
+            )
         if recs:
             pid = TaskContext.get().partitionId()
             codec = "deflate" if pid % 2 == 0 else "null"
             write_avro(os.path.join(out, f"shard-{pid:05d}.avro"),
                        schema, recs, codec=codec, block_records=200)
+        yield pd.DataFrame({"n": [len(recs)]})
 
-    ev.foreachPartition(_write)
+    ev.mapInPandas(_write, "n bigint").write.format("noop").mode(
+        "overwrite"
+    ).save()
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "shard-*")

