@@ -52,14 +52,18 @@ NODE_Y = "(CAST((s_suppkey * 211 + i * 23) % 1000 AS DOUBLE) / CAST(100 AS DOUBL
 
 
 def load_tables(spark, sf_dir: str) -> dict:
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    from .tablecache import read_table
+
+    return {t: read_table(spark, f"{sf_dir}/{t}.parquet") for t in TABLES}
 
 
 def points_df(spark, sf_dir: str):
     """Derived point set: (point_id, lon, lat) — pure codegen arithmetic."""
     from pyspark.sql import functions as F
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from .tablecache import read_table
+
+    orders = read_table(spark, f"{sf_dir}/orders.parquet")
     # the local fixture is a single parquet row-group (unsplittable scan)
     # — redistribute so downstream stages parallelize; a production
     # multi-file Iceberg table gets its partitions from the scan instead
@@ -96,7 +100,9 @@ def segments_df(spark, sf_dir: str):
     """Derived road segments: (road_id, seg_id, ax, ay, bx, by)."""
     from pyspark.sql import functions as F
 
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    from .tablecache import read_table
+
+    supplier = read_table(spark, f"{sf_dir}/supplier.parquet")
     return supplier.select(
         F.col("s_suppkey").alias("road_id"),
         F.lit(0).alias("seg_id"),

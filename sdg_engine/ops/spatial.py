@@ -1133,28 +1133,39 @@ def _ring_cell_test(cids: np.ndarray, level: int, ring: np.ndarray):
 
     size = WORLD_SIZE / (1 << level)
     _lvl, ix, iy = C.unpack(cids)
-    x0 = (WORLD_MIN + ix * size)[:, None]  # (ncell, 1)
-    y0 = (WORLD_MIN + iy * size)[:, None]
+    x0 = WORLD_MIN + ix * size  # (ncell,)
+    y0 = WORLD_MIN + iy * size
     x1 = x0 + size
     y1 = y0 + size
-    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]  # (1, nedge)
-    bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
-    dx = bx - ax
-    dy = by - ay
-    t0 = np.zeros((len(cids), ax.shape[1]))
-    t1 = np.ones_like(t0)
-    ok = np.ones(t0.shape, dtype=bool)
-    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
-        p = np.broadcast_to(p, t0.shape)
-        q = np.broadcast_to(q, t0.shape)
-        ok &= ~((p == 0.0) & (q < 0.0))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            r = np.where(p != 0.0, q / np.where(p != 0.0, p, 1.0), 0.0)
-        t0 = np.where(p < 0.0, np.maximum(t0, r), t0)
-        t1 = np.where(p > 0.0, np.minimum(t1, r), t1)
-    crosses = (ok & (t0 <= t1)).any(axis=1)
+    # r06: loop over the FEW edges with (ncell,) vectors instead of one
+    # (ncell × nedge) broadcast — the p coefficients (±dx, ±dy) depend
+    # only on the edge, so they are scalars per iteration and the big
+    # where()-masked temporaries (~20 × ncell·nedge doubles at the
+    # strip-refinement level: 800k cells × 10 edges) disappear.  Same
+    # elementwise IEEE arithmetic ⇒ bit-identical classification
+    # (pinned by tests/test_spatial.py's brute-force twins).  Measured
+    # 4.5 s → 0.5 s for the level-9→12 strip prestage on the r06 host.
+    n = len(cids)
+    crosses = np.zeros(n, dtype=bool)
+    for e in range(len(ring) - 1):
+        ax, ay = float(ring[e, 0]), float(ring[e, 1])
+        bx, by = float(ring[e + 1, 0]), float(ring[e + 1, 1])
+        dx = bx - ax
+        dy = by - ay
+        t0 = np.zeros(n)
+        t1 = np.ones(n)
+        ok = np.ones(n, dtype=bool)
+        for p, q in ((-dx, ax - x0), (dx, x1 - ax),
+                     (-dy, ay - y0), (dy, y1 - ay)):
+            if p == 0.0:
+                ok &= ~(q < 0.0)
+            elif p < 0.0:
+                np.maximum(t0, q / p, out=t0)
+            else:
+                np.minimum(t1, q / p, out=t1)
+        crosses |= ok & (t0 <= t1)
     ctr_in = points_in_polygon(
-        (x0[:, 0] + size / 2)[~crosses], (y0[:, 0] + size / 2)[~crosses], ring
+        (x0 + size / 2)[~crosses], (y0 + size / 2)[~crosses], ring
     )
     return crosses, ctr_in
 

@@ -29,7 +29,9 @@ from .ops import spatial as SP
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .tablecache import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _utc(spark: SparkSession) -> None:

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .tablecache import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -880,9 +882,11 @@ def _fixture_images(spark, sf_dir, pin_sf: float | None = None):
     from .jobs.rai import fixture_dir
 
     d = fixture_dir(pin_sf if pin_sf is not None else _fixture_sf(sf_dir))
+    from .tablecache import read_table
+
     return (
-        spark.read.parquet(os.path.join(d, "images.parquet")),
-        spark.read.parquet(os.path.join(d, "roads.parquet")),
+        read_table(spark, os.path.join(d, "images.parquet")),
+        read_table(spark, os.path.join(d, "roads.parquet")),
     )
 
 
@@ -1522,7 +1526,19 @@ def _stream_base(spark, prefix: str) -> str:
     import tempfile
     import time
 
-    base = os.path.join(tempfile.gettempdir(), f"sdg_stream_u{os.getuid()}")
+    # r06 guide §6: these dirs hold ONLY ephemeral per-invocation state
+    # (input copy, micro-batch checkpoint, sink) deleted at exit — on
+    # the bench host the HDFS-backed state stores fsync+rename a delta
+    # file per store per partition per batch, which on a slow-syscall
+    # ext4 /tmp is the dominant drain cost.  Prefer tmpfs when present
+    # ($TMPDIR still wins); a production deployment configures durable
+    # checkpoint locations through its own conf, never this helper.
+    tmp = tempfile.gettempdir()
+    if tmp == "/tmp" and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        tmp = "/dev/shm"
+    base = os.path.join(tmp, f"sdg_stream_u{os.getuid()}")
     os.makedirs(base, exist_ok=True)
     root = os.path.join(
         base, spark.sparkContext.applicationId.replace("/", "_")

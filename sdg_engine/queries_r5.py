@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .tablecache import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # events.ts is TIMESTAMP_NTZ in the parquet; _prep pins the session to
@@ -4832,7 +4834,12 @@ def doc_normalized_dedup(spark, sf_dir):
 
     ASCII-range regexes behave identically in Java regex (Spark) and
     RE2 (DuckDB); the oracle runs the same normalization chain."""
-    docs = _t(spark, sf_dir, "documents").selectExpr(
+    from .queries_ext import _spread
+
+    # r06 guide §2.5: the two-regex normalization chain is the query's
+    # CPU and the harness scan is one split — _spread parallelizes the
+    # projection + partial agg (no-op on a many-split production scan).
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
         "doc_id",
         "md5(trim(regexp_replace(regexp_replace(lower(text), "
         "'[^a-z0-9 ]', ' '), ' +', ' '))) AS nkey",

@@ -11,6 +11,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Directory that makes ``import sdg_engine`` resolve — exported to the
+# worker-daemon subprocess (spark_daemon preload) via executorEnv.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 ENGINE_CONFS = {
     # Spark 4 defaults to ANSI mode, where every bigint +/* runs through
     # overflow-checked MathUtils.addExact — measured 10.7x slower on the
@@ -35,6 +39,22 @@ ENGINE_CONFS = {
     # Arrow boundary for pandas UDFs (BASELINE.json:15 vectorized-only)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # r06 guide §4.5: fork Python workers from a daemon that has already
+    # imported numpy/pandas/pyarrow/sdg_engine (COW) — the first
+    # Python-evaluated stage of a session otherwise forks local[N]
+    # workers that EACH pay the import burst (measured 6.1 s → 3.0 s for
+    # a 32-task first Arrow stage on the r06 host).  executorEnv extends
+    # the daemon subprocess's PYTHONPATH so the preload module resolves;
+    # the module itself is import-defensive (a miss degrades to the
+    # stock daemon behavior, never a failure).
+    "spark.python.daemon.module": "sdg_engine.spark_daemon",
+    "spark.executorEnv.PYTHONPATH": _PKG_ROOT
+    + ((os.pathsep + os.environ["PYTHONPATH"])
+       if os.environ.get("PYTHONPATH") else ""),
+    # r06: per-DataFrame-call Python stack capture (error context) costs
+    # ~20 ms/call on this host and lazily imports IPython mid-build;
+    # measurement sessions don't need origin-decorated errors.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # at 100 TB these become cluster-level; locally keep shuffle small
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.files.maxPartitionBytes": "128m",
