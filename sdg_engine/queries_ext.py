@@ -112,7 +112,7 @@ import contextlib
 
 
 @contextlib.contextmanager
-def _drain_confs(spark, parts: str = "8"):
+def _drain_confs(spark, parts: str = "8", nodata: bool = True):
     """Scoped confs for a streaming drain or tiny-relation iterative
     loop (saved/restored): shuffle partitions down to ``parts``
     (gotcha 16d — state stores / loop fixed cost = partitions ×
@@ -121,16 +121,37 @@ def _drain_confs(spark, parts: str = "8"):
     12.6 s → 5.4 s first-run on streaming_left_join, 5.7 → 5.1 warm;
     the drained relations are micro-batch-sized, so interpreted row
     processing is the right trade at any scale, while fact-table
-    batch stages elsewhere keep codegen)."""
+    batch stages elsewhere keep codegen).
+
+    ``nodata=False`` additionally disables Spark's post-availableNow
+    no-data micro-batches (r06): a drain whose watermark advancement
+    comes ENTIRELY from explicit filler FILES (gotchas 16a/16c — its
+    eviction horizons are proven against the final DATA-batch
+    watermark) only re-pays the per-batch fixed cost (incremental plan
+    + state-store commit round) in those extra batches.  Measured
+    ~0.5-1.1 s per drain, row-identical output (parity PASS for the
+    four filler-driven drains).  Drains whose results DO flush in a
+    no-data batch (native session windows, chained aggs — measured
+    FAIL with the conf off) keep the default."""
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    if not nodata:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
 
 
 def _spread(df, key: str = "doc_id"):

@@ -1178,7 +1178,7 @@ def streaming_left_join(spark, sf_dir):
     # docstring) and restores both right after.
     from .queries_ext import _drain_confs
 
-    with _drain_confs(spark):
+    with _drain_confs(spark, nodata=False):
         STR.stream_interval_join_left(spark, in_dir, out, ck,
                                       emit_before="2024-01-10 00:00:00")
     return (
@@ -3586,7 +3586,7 @@ def streaming_snapshot_sink(spark, sf_dir):
         _t(spark, sf_dir, "events").repartition(4).write.parquet(in_dir)
         from .queries_ext import _drain_confs
 
-        with _drain_confs(spark):  # r06: codegen off per drained batch
+        with _drain_confs(spark, nodata=False):  # r06: see _drain_confs
             STR.stream_snapshot_sink(spark, in_dir, table, ck)
     n_snaps = len(snapshot_history(table))
     return (
@@ -4319,7 +4319,7 @@ def streaming_static_enrich(spark, sf_dir):
     )
     from .queries_ext import _drain_confs
 
-    with _drain_confs(spark):  # r06: codegen off per drained batch
+    with _drain_confs(spark, nodata=False):  # r06: see _drain_confs
         STR.stream_static_enrich(spark, in_dir, out, ck, dim)
     return (
         spark.read.parquet(out)

@@ -1338,7 +1338,7 @@ def streaming_user_streaks(spark, sf_dir):
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     from .queries_ext import _drain_confs
 
-    with _drain_confs(spark):
+    with _drain_confs(spark, nodata=False):
         STR.stream_user_streaks(spark, in_dir, out, ck)
     sink = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

@@ -320,7 +320,7 @@ def streaming_dedup_then_window(spark, sf_dir):
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     from .queries_ext import _drain_confs
 
-    with _drain_confs(spark):
+    with _drain_confs(spark, nodata=False):
         STR.stream_dedup_then_window(spark, in_dir, out, ck)
     return spark.read.parquet(out).select(
         F.unix_timestamp("hour_start").alias("hour_epoch"),

@@ -459,7 +459,7 @@ def streaming_pysource_windows(spark, sf_dir):
     )
     from .queries_ext import _drain_confs
 
-    with _drain_confs(spark):  # r06: codegen off per drained batch
+    with _drain_confs(spark, nodata=False):  # r06: see _drain_confs
         q = (
             agg.writeStream.format("memory").queryName(name)
             .outputMode("complete").trigger(processingTime="0 seconds")

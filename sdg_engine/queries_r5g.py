@@ -1341,7 +1341,7 @@ def streaming_full_outer_join(spark, sf_dir):
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     from .queries_ext import _drain_confs
 
-    with _drain_confs(spark):
+    with _drain_confs(spark, nodata=False):
         STR.stream_interval_join_full(spark, in_dir, out, ck,
                                       emit_before="2024-01-10 00:00:00")
     return (

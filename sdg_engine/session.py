@@ -29,6 +29,17 @@ ENGINE_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16m",
+    # r06 guide §2.2/§2.5: AQE's 1m default floor coalesced CPU-DENSE
+    # tiny-byte stages to a handful of tasks (dedup_containment's
+    # array_intersect verify: 7.5 CPU-s squeezed into 4 tasks, 2 s
+    # wall → 0.25 s at full width).  Shingle/ngram verify stages carry
+    # kilobytes per row but burn milliseconds per row — bytes are the
+    # wrong width signal for them.  64k only affects post-shuffle
+    # partitions already under 64 KB; at production scale such
+    # partitions are degenerate and the cost of not merging them is a
+    # few extra no-op tasks (parameterized for cluster tuning).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_MIN_COALESCE", "64k"),
     # Align Spark's whole-stage-codegen fallback with the JVM JIT's
     # DontCompileHugeMethods limit (8000 bytecodes): a fused stage whose
     # generated method exceeds it is NEVER JIT-compiled and silently runs
