@@ -1126,7 +1126,7 @@ def roads_buffer_cells(spark, sf_dir):
 def streaming_left_join(spark, sf_dir):
     """Stream-stream LEFT OUTER interval join drained to parquet: the
     outer-join state-eviction path (NULL emission for clicks the
-    watermark proves unmatched).  Input arrives as SIX time-ordered
+    watermark proves unmatched).  Input arrives as FOUR time-ordered
     files at one file per trigger, so the watermark advances across
     batches and every bounded click's NULL row flushes before the
     drain ends; the DuckDB oracle is the plain batch left join over
@@ -1155,9 +1155,14 @@ def streaming_left_join(spark, sf_dir):
     idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
     t = t.take(idx)
     n = t.num_rows
-    for k in range(4):  # chronological chunks -> monotone watermark
+    # r06: TWO chronological data chunks (was four) — the drained
+    # result depends only on the FINAL watermark (same data => same max
+    # ts) and the two trailing fillers still drive the post-jump
+    # evictions (16a), so the extra chunk boundaries only re-paid
+    # per-batch fixed cost (~1-1.5 s each).  Parity PASS sf0.01+sf0.1.
+    for k in range(2):  # chronological chunks -> monotone watermark
         pq.write_table(
-            t.slice(k * n // 4, (k + 1) * n // 4 - k * n // 4),
+            t.slice(k * n // 2, (k + 1) * n // 2 - k * n // 2),
             os.path.join(in_dir, f"chunk-{k:02d}.parquet"),
         )
     # trailing FILLER batches (gotcha 16a: outer-join NULL eviction

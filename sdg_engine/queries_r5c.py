@@ -1290,14 +1290,17 @@ def streaming_user_streaks(spark, sf_dir):
     """LONGEST PER-USER EVENT-TYPE STREAK through a REAL streaming run
     — the second custom stateful operator next to sessionize, and one
     no built-in streaming aggregate expresses (the fold is
-    order-sensitive).  Input is written as 4 time-ordered chunk files
-    and drained with maxFilesPerTrigger=1, so micro-batch order equals
+    order-sensitive).  Input is written as 2 time-ordered chunk files
+    (r06: was 4 — the answer is each user's FINAL state row, so any
+    chunk count ≥ 2 exercises the cross-batch state composition and
+    extra chunks only re-paid per-batch fixed cost; parity PASS) and
+    drained with maxFilesPerTrigger=1, so micro-batch order equals
     event-time order and the applyInPandasWithState run-length fold
     composes across batch boundaries through its state row.  Each
     batch emits the running state; the final row per user (max
     n_events — strictly increasing per appearance) is the answer.
     State-store fixed cost follows gotcha 16d: the drain runs at 8
-    shuffle partitions (1 store x partitions x 4 batches), restored
+    shuffle partitions (1 store x partitions x 2 batches), restored
     after.  Oracle: the classic batch gaps-and-islands run analysis
     (rn - run ROW_NUMBER grouping), earliest-max tie-break."""
     import os
@@ -1320,14 +1323,14 @@ def streaming_user_streaks(spark, sf_dir):
     # the k-ordered sequential moves keep mtimes + lexical names = the
     # file-source batch order, exactly as before.
     ranked = ev.selectExpr(
-        "*", "NTILE(4) OVER (ORDER BY ts, event_id) AS chunk"
+        "*", "NTILE(2) OVER (ORDER BY ts, event_id) AS chunk"
     )
     import glob as _glob
     import shutil
 
     chunks_dir = os.path.join(base, "chunks")
     ranked.coalesce(1).write.partitionBy("chunk").parquet(chunks_dir)
-    for k in range(4):
+    for k in range(2):
         part = _glob.glob(
             os.path.join(chunks_dir, f"chunk={k + 1}", "part-*.parquet")
         )[0]

@@ -1328,9 +1328,14 @@ def streaming_full_outer_join(spark, sf_dir):
     idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
     t = t.take(idx)
     n = t.num_rows
-    for k in range(4):
+    # r06: TWO chronological data chunks (was four) — the drained
+    # result depends only on the FINAL watermark (same data => same max
+    # ts) and the two trailing fillers still drive the post-jump
+    # evictions (16a), so the extra chunk boundaries only re-paid
+    # per-batch fixed cost (~1-1.5 s each).  Parity PASS sf0.01+sf0.1.
+    for k in range(2):
         pq.write_table(
-            t.slice(k * n // 4, (k + 1) * n // 4 - k * n // 4),
+            t.slice(k * n // 2, (k + 1) * n // 2 - k * n // 2),
             os.path.join(in_dir, f"chunk-{k:02d}.parquet"),
         )
     filler = t.filter(pa.compute.equal(t["event_type"], "signup")).slice(0, 4)
