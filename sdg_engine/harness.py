@@ -83,7 +83,9 @@ def points_df_scaled(spark, sf_dir: str, mult: int):
     """
     from pyspark.sql import functions as F
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from .tablecache import read_table
+
+    orders = read_table(spark, f"{sf_dir}/orders.parquet")
     return (
         orders.select("o_orderkey")
         .repartition(spark.sparkContext.defaultParallelism)

@@ -1341,12 +1341,18 @@ def assign_countries(
             # image table's blob column must not make a 10k-row input
             # look like millions here.  Measured: image_zonal_stats
             # first-plan 7.3 s → 2.4 s, no steady-state regression.
-            n_rows_l = _estimate_rows(
-                images_geo.select(id_col, "lon", "lat")
-            )
-            use_udf = est > broadcast_back_max_rows or (
-                n_rows_l is not None and n_rows_l < case_min_rows
-            )
+            if est > broadcast_back_max_rows:
+                use_udf = True  # broadcast-back can't hold the boundary set
+            else:
+                # lazy: each _estimate_rows call runs a full Catalyst
+                # optimization pass driver-side (~0.3-0.5 s on the r06
+                # host for the join-blown scaled plan) — only pay for
+                # the lower-bound probe when the upper bound didn't
+                # already decide.
+                n_rows_l = _estimate_rows(
+                    images_geo.select(id_col, "lon", "lat")
+                )
+                use_udf = n_rows_l is not None and n_rows_l < case_min_rows
     interior_df, boundary_df, edges_df = _country_dims(spark, rings, level)
 
     in_cols = list(images_geo.columns)
