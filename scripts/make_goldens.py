@@ -3575,7 +3575,11 @@ def make_template_golden(sf: float = 0.01, n_limit: int = 500) -> None:
         sf, n_limit=n_limit, jpg="skip"
     ):
         g = (_golden_lum_i64(px) // 1000).ravel()
-        hh = ww = px.shape[0]
+        # ADVICE r05: use the raster's TRUE dims — the square shortcut
+        # silently breaks the flat-index window gather if the fixture
+        # ever gains non-square images (the engine kernel already uses
+        # the true shape)
+        hh, ww = px.shape[0], px.shape[1]
         oh, ow = hh - K + 1, ww - K + 1
         base = (np.arange(oh)[:, None] * ww + np.arange(ow)[None, :])
         off = (np.arange(K)[:, None] * ww + np.arange(K)[None, :]).ravel()

@@ -1190,7 +1190,13 @@ def doc_collocation_tscore(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
+    # ADVICE r05 guard: sequence(1, size(w)-1) DESCENDS for a 1-token
+    # doc ([1,0] -> element_at(w, 0) raises) while DuckDB's
+    # generate_series is empty — filter before the explode (vacuous on
+    # the current fixture: no such docs; row-identical otherwise).
+    toks = docs.selectExpr("doc_id", "split(text, ' ') AS w").filter(
+        "size(w) >= 2"
+    ).selectExpr(
         "doc_id",
         "explode(sequence(1, size(w) - 1)) AS i",
         "w",
@@ -1403,7 +1409,9 @@ def doc_char_lm_score(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
     pd_xy = (
-        docs.selectExpr(
+        docs.filter("length(text) >= 2").selectExpr(
+            # ADVICE r05 guard: 1-char docs make the sequence descend
+            # (vacuous on the fixture; DuckDB's series is empty)
             "doc_id", "lang",
             "explode(sequence(1, length(text) - 1)) AS i",
             "text",
@@ -1519,6 +1527,8 @@ def doc_ngram_novelty(spark, sf_dir):
             "doc_id", "lang",
             "split(text, ' ') AS w",
         )
+        .filter("size(w) >= 5")  # ADVICE r05 guard: short docs make
+        # the sequence descend and slice() raise; DuckDB emits nothing
         .selectExpr(
             "doc_id", "lang",
             "explode(sequence(0, size(w) - 5)) AS i", "w",

@@ -496,10 +496,23 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
         if hist0:
             renames = _read_manifest(path, hist0[-1]).get("renames") or {}
             # incoming frames use CURRENT names; files are written in
-            # DISK-name space so every snapshot's data stays uniform
-            for disk, cur in renames.items():
-                if cur in df.columns and disk not in df.columns:
-                    df = df.withColumnRenamed(cur, disk)
+            # DISK-name space so every snapshot's data stays uniform.
+            # ONE simultaneous projection (ADVICE r05 — the chained
+            # per-column form turned a temp-name swap, renames =
+            # {a: b, b: a}, into a silent no-op here and duplicate
+            # columns on the read side).  The full reverse mapping
+            # handles the swap atomically; the duplicate-target check
+            # keeps the old skip behavior for frames that (against
+            # the documented contract) already carry a disk name next
+            # to its current name.
+            rev = {cur: disk for disk, cur in renames.items()}
+            targets = [rev.get(c, c) for c in df.columns]
+            if any(c in rev for c in df.columns) and (
+                len(set(targets)) == len(targets)
+            ):
+                df = df.select(
+                    *[F.col(c).alias(t) for c, t in zip(df.columns, targets)]
+                )
     if check is None and mode == "append":
         check = table_check(path)  # inherit the table's constraint
     if check is not None:
@@ -636,8 +649,18 @@ def _read_manifest_df(spark: SparkSession, m: dict,
     zone maps, delete keys all stay valid) and the rename is one
     zero-cost projection at the end."""
     df = _read_manifest_df_disk(spark, m, dir_files)
-    for disk, cur in (m.get("renames") or {}).items():
-        df = df.withColumnRenamed(disk, cur)
+    renames = m.get("renames") or {}
+    if renames:
+        # ONE simultaneous projection, not chained withColumnRenamed
+        # (ADVICE r05): a swap done through a temp name leaves
+        # renames = {a: b, b: a}, and the sequential chain's first
+        # rename creates a duplicate column the second then renames
+        # twice — the table read back with two identically-named
+        # columns.  A single select maps every disk name to its
+        # current name atomically.
+        df = df.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+        )
     return df
 
 

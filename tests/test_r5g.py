@@ -806,6 +806,41 @@ def test_rename_column_chain_and_errors(spark, tmp_path):
     assert set(first.columns) == {"id", "v"}
 
 
+def test_rename_column_swap_roundtrip(spark, tmp_path):
+    # ADVICE r05: a SWAP through a temp name leaves renames = {a: b,
+    # b: a}; the old chained withColumnRenamed application produced a
+    # duplicate column on read and silently skipped the write-side
+    # reverse mapping.  Pin the fixed simultaneous-projection behavior:
+    # values follow their (swapped) names through read AND append.
+    from sdg_engine.storage import (
+        read_snapshot,
+        rename_column,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tblswap")
+    df = spark.createDataFrame([(1, 10, 100)], "id bigint, a bigint, b bigint")
+    write_snapshot(df, path, mode="append")
+    rename_column(path, "a", "tmpn")
+    rename_column(path, "b", "a")
+    rename_column(path, "tmpn", "b")  # net effect: a <-> b
+    cur = read_snapshot(spark, path)
+    assert sorted(cur.columns) == ["a", "b", "id"]  # no duplicates
+    r = cur.collect()[0]
+    assert (r.id, r.a, r.b) == (1, 100, 10)  # values swapped with names
+    # append in CURRENT (swapped) name space: a carries the old b's role
+    write_snapshot(
+        spark.createDataFrame([(2, 200, 20)], "id bigint, a bigint, b bigint"),
+        path, mode="append",
+    )
+    rows = sorted((r.id, r.a, r.b) for r in read_snapshot(spark, path).collect())
+    assert rows == [(1, 100, 10), (2, 200, 20)]
+    # pre-swap snapshot unaffected
+    first = read_snapshot(spark, path, as_of=1)
+    r0 = first.collect()[0]
+    assert (r0.id, r0.a, r0.b) == (1, 10, 100)
+
+
 # ---------------------------------------------------------------------------
 # Wave 47: char-LM score + vocab coverage curve
 # ---------------------------------------------------------------------------
