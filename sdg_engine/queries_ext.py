@@ -1558,7 +1558,15 @@ def _stream_base(spark, prefix: str) -> str:
     if tmp == "/tmp" and os.path.isdir("/dev/shm") and os.access(
         "/dev/shm", os.W_OK
     ):
-        tmp = "/dev/shm"
+        try:
+            # r06 review fix: containers commonly mount /dev/shm at
+            # 64 MB — only prefer it with real headroom (≥ 4 GB free),
+            # else the drains would ENOSPC where /tmp worked.
+            sv = os.statvfs("/dev/shm")
+            if sv.f_bavail * sv.f_frsize >= 4 << 30:
+                tmp = "/dev/shm"
+        except OSError:
+            pass
     base = os.path.join(tmp, f"sdg_stream_u{os.getuid()}")
     os.makedirs(base, exist_ok=True)
     root = os.path.join(

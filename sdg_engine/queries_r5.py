@@ -1175,6 +1175,16 @@ def streaming_left_join(spark, sf_dir):
         pq.write_table(
             filler, os.path.join(in_dir, f"chunk-9{k}-filler.parquet")
         )
+    # r06 review fix: FileStreamSource orders pending files by mtime
+    # ONLY (ms resolution, no path tie-break) — tiny sequential writes
+    # on tmpfs can tie, and the chronological-chunk -> monotone-
+    # watermark contract needs a deterministic order.  Pin strictly
+    # increasing whole-second mtimes explicitly.
+    import time as _time
+
+    _t0 = _time.time()
+    for _i, _f in enumerate(sorted(os.listdir(in_dir))):
+        os.utime(os.path.join(in_dir, _f), (_t0 + _i, _t0 + _i))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     # stateful-join state stores (4 per join) are one per shuffle
     # partition PER BATCH — at 32 partitions that is 128 store commits
@@ -2923,23 +2933,19 @@ def _components_jump(edges, verts_k, max_iter: int = 12,
     core-cell count, not the fact-table width.
     """
     spark = edges.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    # r06: whole-stage codegen OFF for the loop (saved/restored like
-    # the partition count): every round plans fresh tiny jobs over the
-    # label relation, so janino compile time dominates and never
-    # amortizes — measured 17.9 s -> 6.6 s first-invocation on
-    # mst_roads (which nests this per Boruvka round), warm 7.1 -> 6.0.
-    # The label relation is the SMALL side by construction (cells /
-    # component ids), so interpreted row processing is the right
-    # trade at any scale; fact-table stages elsewhere keep codegen.
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
+    # r06 (review consolidation): one shared scoped-conf helper —
+    # shuffle partitions down to n_parts AND whole-stage codegen OFF
+    # for the loop: every round plans fresh tiny jobs over the label
+    # relation, so janino compile time dominates and never amortizes —
+    # measured 17.9 s -> 6.6 s first-invocation on mst_roads (which
+    # nests this per Boruvka round), warm 7.1 -> 6.0.  The label
+    # relation is the SMALL side by construction (cells / component
+    # ids), so interpreted row processing is the right trade at any
+    # scale; fact-table stages elsewhere keep codegen.
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark, parts=str(n_parts)):
         return _components_jump_inner(edges, verts_k, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
 
 
 def _components_jump_inner(edges, verts_k, max_iter: int):

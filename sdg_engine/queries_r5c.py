@@ -1330,13 +1330,23 @@ def streaming_user_streaks(spark, sf_dir):
 
     chunks_dir = os.path.join(base, "chunks")
     ranked.coalesce(1).write.partitionBy("chunk").parquet(chunks_dir)
+    import time as _time
+
+    t_base = _time.time()
     for k in range(2):
         part = _glob.glob(
             os.path.join(chunks_dir, f"chunk={k + 1}", "part-*.parquet")
         )[0]
-        # sequential moves: increasing mtimes + lexical names keep the
-        # file-source batch order equal to the ts-chunk order
-        shutil.move(part, os.path.join(in_dir, f"chunk{k}.parquet"))
+        dst = os.path.join(in_dir, f"chunk{k}.parquet")
+        shutil.move(part, dst)
+        # r06 review fix: batch order must NOT rest on move timing —
+        # both parts come from ONE write job and a same-filesystem
+        # rename preserves near-identical mtimes, while Spark's
+        # FileStreamSource orders pending files by TIMESTAMP ONLY (no
+        # path tie-break), so a millisecond tie would let chunk1 drain
+        # before chunk0 and flip the order-sensitive state fold.  Pin
+        # strictly increasing whole-second mtimes explicitly.
+        os.utime(dst, (t_base + k, t_base + k))
     shutil.rmtree(chunks_dir)
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     from .queries_ext import _drain_confs

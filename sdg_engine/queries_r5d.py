@@ -301,13 +301,11 @@ def mst_roads(spark, sf_dir):
     nodes = eu.selectExpr("u AS k").union(eu.selectExpr("v")).distinct()
     labels = nodes.selectExpr("k AS node", "k AS label").localCheckpoint()
     spark_ = eu.sparkSession
-    old_parts = spark_.conf.get("spark.sql.shuffle.partitions")
-    old_wscg = spark_.conf.get("spark.sql.codegen.wholeStage")
-    spark_.conf.set("spark.sql.shuffle.partitions", "8")
-    # r06: codegen OFF for the loop (see _components_jump): per-round
-    # plan churn over component-sized relations means compile time
-    # dominates; restored in the finally below.
-    spark_.conf.set("spark.sql.codegen.wholeStage", "false")
+    # r06: 8 shuffle partitions + codegen OFF for the loop (see
+    # _components_jump: per-round plan churn over component-sized
+    # relations means compile time dominates) — via the shared
+    # _drain_confs scope (review consolidation; nested _components_
+    # jump calls re-enter it safely, restoring to THIS scope's confs).
     # r06 job-count reduction (the loop is fixed-cost-bound: ~20 ms
     # stages — see _components_jump_inner): the forest's THREE output
     # aggregates (edge count, Σw, Σ(u·1000003+v)) are associative, so
@@ -316,8 +314,10 @@ def mst_roads(spark, sf_dir):
     # union-localCheckpoint chain of edge frames (2 actions/round +
     # a final scan, and the chain itself re-uploaded per round).
     # The selected edges per round and hence the sums are unchanged.
+    from .queries_ext import _drain_confs
+
     n_mst = tot_w = chk = 0
-    try:
+    with _drain_confs(spark_):
         for _ in range(12):
             act = (
                 eu.join(labels.selectExpr("node AS u", "label AS lu"), "u")
@@ -367,9 +367,6 @@ def mst_roads(spark, sf_dir):
             )
         else:
             raise RuntimeError("Boruvka did not converge in 12 rounds")
-    finally:
-        spark_.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark_.conf.set("spark.sql.codegen.wholeStage", old_wscg)
     nstats = labels.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.countDistinct("label").alias("n_components"),

@@ -87,13 +87,12 @@ def roads_graph_diameter(spark, sf_dir):
     )
     # the frontier tables are graph-sized, not corpus-sized — run the
     # ~2x32 tiny rounds at 8 shuffle partitions (gotcha 16d: iterative
-    # fixed cost = partitions x rounds x stages); r06: codegen OFF for
-    # the rounds too (per-round plan churn — see _drain_confs)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
+    # fixed cost = partitions x rounds x stages) with codegen OFF for
+    # the rounds too (per-round plan churn); r06 review consolidation:
+    # one shared scoped helper instead of a hand-rolled save/restore
+    from .queries_ext import _drain_confs
+
+    with _drain_confs(spark):
         lab1 = _bfs_labels(edges, hub, _DIAM_MAX_HOPS)
         far1 = (
             lab1.orderBy(F.col("hops").desc(), F.col("node").asc())
@@ -104,9 +103,6 @@ def roads_graph_diameter(spark, sf_dir):
             lab2.orderBy(F.col("hops").desc(), F.col("node").asc())
             .limit(1)
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
     return (
         hub.selectExpr("node AS hub")
         .crossJoin(far1.selectExpr("node AS u", "hops AS ecc_hub"))

@@ -203,15 +203,25 @@ def grouped_agg_user_median(spark, sf_dir):
     # aggregate joined back on the group key (guide §4: only the work
     # that needs Python crosses the boundary).  len(group) ==
     # COUNT(1) per (event_type, user_id) exactly; result identical.
+    # r06 review fix: NULL-SAFE join keys — a plain equi-join would
+    # silently drop a NULL-keyed group that both aggregates (and the
+    # DuckDB oracle's GROUP BY) keep.  Vacuous on the fixture (no NULL
+    # keys) but the old single-groupBy shape never had the hazard.
+    cnt = (
+        cents.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("event_type", "_et")
+        .withColumnRenamed("user_id", "_uid")
+    )
     per_user = (
         cents.groupBy("event_type", "user_id")
         .agg(med_lower(F.col("cents")).alias("med_cents"))
         .join(
-            cents.groupBy("event_type", "user_id").agg(
-                F.count(F.lit(1)).alias("n")
-            ),
-            ["event_type", "user_id"],
+            cnt,
+            F.col("event_type").eqNullSafe(F.col("_et"))
+            & F.col("user_id").eqNullSafe(F.col("_uid")),
         )
+        .drop("_et", "_uid")
     )
     return (
         per_user.groupBy("event_type")
@@ -1349,6 +1359,16 @@ def streaming_full_outer_join(spark, sf_dir):
         pq.write_table(
             filler, os.path.join(in_dir, f"chunk-9{k}-filler.parquet")
         )
+    # r06 review fix: FileStreamSource orders pending files by mtime
+    # ONLY (ms resolution, no path tie-break) — tiny sequential writes
+    # on tmpfs can tie, and the chronological-chunk -> monotone-
+    # watermark contract needs a deterministic order.  Pin strictly
+    # increasing whole-second mtimes explicitly.
+    import time as _time
+
+    _t0 = _time.time()
+    for _i, _f in enumerate(sorted(os.listdir(in_dir))):
+        os.utime(os.path.join(in_dir, _f), (_t0 + _i, _t0 + _i))
     out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
     from .queries_ext import _drain_confs
 

@@ -50,18 +50,6 @@ ENGINE_CONFS = {
     # Arrow boundary for pandas UDFs (BASELINE.json:15 vectorized-only)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
-    # r06 guide §4.5: fork Python workers from a daemon that has already
-    # imported numpy/pandas/pyarrow/sdg_engine (COW) — the first
-    # Python-evaluated stage of a session otherwise forks local[N]
-    # workers that EACH pay the import burst (measured 6.1 s → 3.0 s for
-    # a 32-task first Arrow stage on the r06 host).  executorEnv extends
-    # the daemon subprocess's PYTHONPATH so the preload module resolves;
-    # the module itself is import-defensive (a miss degrades to the
-    # stock daemon behavior, never a failure).
-    "spark.python.daemon.module": "sdg_engine.spark_daemon",
-    "spark.executorEnv.PYTHONPATH": _PKG_ROOT
-    + ((os.pathsep + os.environ["PYTHONPATH"])
-       if os.environ.get("PYTHONPATH") else ""),
     # r06: per-DataFrame-call Python stack capture (error context) costs
     # ~20 ms/call on this host and lazily imports IPython mid-build;
     # measurement sessions don't need origin-decorated errors.
@@ -74,10 +62,33 @@ ENGINE_CONFS = {
     "spark.ui.enabled": "false",
 }
 
+# r06 guide §4.5, LOCAL-MASTER ONLY (review fix: on YARN/k8s the
+# executors don't share the driver's filesystem, so pointing the
+# worker daemon at a driver path would fail every Python stage —
+# import-defensiveness inside the module can't save module RESOLUTION
+# itself; remote deployments ship the engine via their own image/
+# archive and keep the stock daemon): fork Python workers from a
+# daemon that has already imported numpy/pandas/pyarrow/sdg_engine
+# (COW) — the first Python-evaluated stage of a session otherwise
+# forks local[N] workers that EACH pay the import burst (measured
+# 6.1 s → 3.0 s for a 32-task first Arrow stage on the r06 host).
+# executorEnv extends the daemon subprocess's PYTHONPATH so the
+# preload module resolves (same machine in local mode by definition).
+LOCAL_ENGINE_CONFS = {
+    "spark.python.daemon.module": "sdg_engine.spark_daemon",
+    "spark.executorEnv.PYTHONPATH": _PKG_ROOT
+    + ((os.pathsep + os.environ["PYTHONPATH"])
+       if os.environ.get("PYTHONPATH") else ""),
+}
+ENGINE_CONFS.update(LOCAL_ENGINE_CONFS)  # scripts build local sessions
+
 
 def get_spark(app: str = "sdg_engine", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.appName(app).master(master or f"local[{cpus}]")
+    m = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app).master(m)
     for k, v in ENGINE_CONFS.items():
+        if not m.startswith("local") and k in LOCAL_ENGINE_CONFS:
+            continue  # never point a remote executor at a driver path
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -506,8 +506,18 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append",
             # the documented contract) already carry a disk name next
             # to its current name.
             rev = {cur: disk for disk, cur in renames.items()}
-            targets = [rev.get(c, c) for c in df.columns]
-            if any(c in rev for c in df.columns) and (
+            # per-column collision skip (r06 review): keep a current
+            # name untouched when its disk target already exists as
+            # ANOTHER column that is NOT itself being renamed away —
+            # the old per-column guard's semantics.  A swap's targets
+            # all belong to renamed columns, so it maps atomically.
+            targets = [
+                rev[c]
+                if c in rev and not (rev[c] in df.columns and rev[c] not in rev)
+                else c
+                for c in df.columns
+            ]
+            if targets != list(df.columns) and (
                 len(set(targets)) == len(targets)
             ):
                 df = df.select(
